@@ -1,0 +1,79 @@
+"""Local replica of the driver's t2 correctness gate: run every
+``queries()`` entry on Spark and its ``oracle_sql()`` on DuckDB over the
+same parquet tables, then compare row count, schema (column names) and
+order-insensitive values.
+
+Runs at sf0.001 by default (fast); set SPARK_GRAFT_TEST_SF=/root/testdata/sf0.01
+to mirror the driver exactly.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+
+import duckdb
+import pytest
+
+import __spark_entry__ as entry_mod
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.001")
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings".split()
+)
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+    yield con
+
+
+def canon(df_pandas):
+    """Canonicalize a result frame: columns sorted by name, rows sorted,
+    floats rounded to 9 significant-ish decimals, everything stringified."""
+    df = df_pandas.reindex(sorted(df_pandas.columns), axis=1)
+
+    def norm(v):
+        if v is None:
+            return "NULL"
+        if isinstance(v, float):
+            if math.isnan(v):
+                return "NaN"
+            return format(v, ".9g")
+        return str(v)
+
+    rows = sorted(tuple(norm(v) for v in row) for row in df.itertuples(index=False))
+    return list(df.columns), rows
+
+
+def test_entry_smoke(spark):
+    df = entry_mod.entry(spark)
+    assert df.count() >= 0
+    assert len(df.schema.fields) > 0
+
+
+@pytest.mark.parametrize("name", sorted(entry_mod.queries().keys()))
+def test_query_matches_oracle(spark, duck, name):
+    fn = entry_mod.queries()[name]
+    sdf = fn(spark, SF_DIR)
+    spark_pd = sdf.toPandas()
+    oracles = entry_mod.oracle_sql()
+    if name not in oracles:
+        # rows-only check (approximate / non-SQL-expressible ops)
+        assert spark_pd.shape[0] >= 0
+        return
+    duck_pd = duck.sql(oracles[name]).df()
+    assert spark_pd.shape[0] == duck_pd.shape[0], (
+        f"{name}: row count {spark_pd.shape[0]} != oracle {duck_pd.shape[0]}"
+    )
+    s_cols, s_rows = canon(spark_pd)
+    d_cols, d_rows = canon(duck_pd)
+    assert s_cols == d_cols, f"{name}: columns {s_cols} != {d_cols}"
+    if s_rows != d_rows:
+        diffs = [
+            (a, b) for a, b in zip(s_rows, d_rows) if a != b
+        ][:5]
+        raise AssertionError(f"{name}: value mismatch, first diffs: {diffs}")

@@ -248,9 +248,23 @@ def cooccurrence_chain(
     units: DataFrame,
     ancestors: DataFrame | None = None,
     exclude_ancestor_pairs: bool = True,
+    with_pair_id: bool = True,
 ) -> DataFrame:
     """doc-to-concept units → full pair-metrics table (§3.3 entry point 3)."""
-    uc = unit_concept_rows(units)
+    return cooccurrence_chain_from_rows(
+        unit_concept_rows(units), ancestors, exclude_ancestor_pairs, with_pair_id
+    )
+
+
+def cooccurrence_chain_from_rows(
+    unit_concepts: DataFrame,
+    ancestors: DataFrame | None = None,
+    exclude_ancestor_pairs: bool = True,
+    with_pair_id: bool = True,
+) -> DataFrame:
+    """Chain entry for inputs already in (text_id, concept_id) row form
+    (must be distinct)."""
+    uc = unit_concepts
     if ancestors is not None:
         uc = add_ancestor_concepts(uc, ancestors)
     excluded = (
@@ -264,4 +278,5 @@ def cooccurrence_chain(
         counts,
         total_document_count(uc),
         total_concept_count(counts),
+        with_pair_id=with_pair_id,
     )

@@ -1,0 +1,134 @@
+"""Similarity search over embedding columns (LLM-data-pipeline extension).
+
+Baseline: brute-force cosine top-k — exact, O(n·d) per query, expressed as
+JVM-side array arithmetic (``zip_with`` + ``aggregate``), no Python in the
+hot path. Scale path: random-hyperplane LSH bucketing — candidates are
+restricted to the query's bucket (and optional neighbor probes), turning a
+100 TB scan into a bucket-pruned lookup; hyperplanes are derived
+deterministically from md5 so plans are reproducible with no RNG state.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Σ aᵢ·bᵢ as double — zip_with + aggregate, whole-stage-codegen."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def knn_brute_force(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 6,
+) -> DataFrame:
+    """Exact top-k by cosine against a literal query vector. Ordering is on
+    the *rounded* score with id tie-break so results are stable across
+    engines and runs. The filter+sort is a single pass; Spark's
+    ``TakeOrderedAndProject`` keeps only k rows per partition."""
+    q = F.array(*[F.lit(float(v)) for v in query_vec])
+    scored = embeddings.select(
+        F.col(id_col).alias("vec_id"),
+        F.round(cosine(F.col(vec_col), q), scale).alias("cosine"),
+    )
+    return scored.orderBy(F.col("cosine").desc(), F.col("vec_id")).limit(k)
+
+
+def topk_similar_pairs(
+    embeddings: DataFrame,
+    k: int = 20,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 6,
+) -> DataFrame:
+    """Top-k most-similar vector pairs (exact, all-pairs — use only on
+    bounded subsets; the LSH path below is the scale variant)."""
+    a = embeddings.select(F.col(id_col).alias("vec_a"), F.col(vec_col).alias("ea"))
+    b = embeddings.select(F.col(id_col).alias("vec_b"), F.col(vec_col).alias("eb"))
+    pairs = a.join(b, F.col("vec_a") < F.col("vec_b"))
+    scored = pairs.select(
+        "vec_a",
+        "vec_b",
+        F.round(cosine(F.col("ea"), F.col("eb")), scale).alias("cosine"),
+    )
+    return scored.orderBy(F.col("cosine").desc(), F.col("vec_a"), F.col("vec_b")).limit(k)
+
+
+# ---------------------------------------------------------------------------
+# Random-hyperplane LSH (deterministic)
+# ---------------------------------------------------------------------------
+
+
+def _plane_component(plane: int, dim: int) -> float:
+    """Deterministic pseudo-gaussian component from md5(plane, dim) —
+    Box-Muller over two 24-bit uniform draws; no RNG state, so the same
+    bucketing is reproducible everywhere."""
+    d = hashlib.md5(f"{plane}:{dim}".encode()).digest()
+    u1 = (int.from_bytes(d[0:3], "big") + 1) / (2**24 + 1)
+    u2 = int.from_bytes(d[3:6], "big") / (2**24)
+    return math.sqrt(-2.0 * math.log(u1)) * math.cos(2.0 * math.pi * u2)
+
+
+def hyperplanes(n_planes: int, n_dims: int) -> list[list[float]]:
+    return [[_plane_component(p, d) for d in range(n_dims)] for p in range(n_planes)]
+
+
+def rp_lsh_bucket(vec_col: Column, planes: list[list[float]]) -> Column:
+    """Bucket id = sign bits of the vector against each hyperplane,
+    as a bit string ('0110...'). Vectors in the same bucket are likely
+    cosine neighbors (probability 1 - θ/π per plane)."""
+    bits = [
+        F.when(dot(vec_col, F.array(*[F.lit(c) for c in plane])) >= 0, F.lit("1")).otherwise(
+            F.lit("0")
+        )
+        for plane in planes
+    ]
+    return F.concat(*bits)
+
+
+def ann_lsh(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    n_planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 6,
+) -> DataFrame:
+    """Approximate top-k: hash all vectors (and the query) into
+    sign-pattern buckets, score only the query's bucket. At scale the
+    bucketed table is precomputed and partitioned by bucket, so a query
+    touches one partition instead of the full corpus."""
+    planes = hyperplanes(n_planes, len(query_vec))
+    qbits = "".join(
+        "1" if sum(c * v for c, v in zip(plane, query_vec)) >= 0 else "0" for plane in planes
+    )
+    bucketed = embeddings.withColumn("bucket", rp_lsh_bucket(F.col(vec_col), planes))
+    cands = bucketed.where(F.col("bucket") == qbits)
+    return knn_brute_force(cands, query_vec, k=k, id_col=id_col, vec_col=vec_col, scale=scale)

@@ -1,0 +1,125 @@
+"""Text analysis operators (LLM-data-pipeline extension): token counting,
+quality scoring, language identification, document fingerprinting.
+
+All deterministic, all native column expressions (no UDFs): the hot path of
+a 100 TB text pipeline must stay inside whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+WORD_RE = r"([a-z0-9]+)"
+# BPE-ish subword pieces: runs of letters, runs of digits, single other chars
+BPE_ISH_RE = r"([A-Za-z]+|[0-9]+|[^A-Za-z0-9\s])"
+
+EN_STOPWORDS = ("the", "a", "of", "and", "to", "in", "is")
+
+# tiny per-language marker profiles for the n-gram/stopword language-ID
+# heuristic (extend freely; scoring is data-driven)
+DEFAULT_LANG_PROFILES: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "a"),
+    "de": ("der", "die", "das", "und", "nicht"),
+    "es": ("el", "la", "los", "que", "y"),
+    "fr": ("le", "la", "les", "et", "que"),
+}
+
+
+def _words(text_col: Column) -> Column:
+    return F.regexp_extract_all(F.lower(text_col), F.lit(WORD_RE), 1)
+
+
+def _count_words(text_col: Column, words: tuple[str, ...]) -> Column:
+    pat = "\\b(" + "|".join(words) + ")\\b"
+    return F.size(F.regexp_extract_all(F.lower(text_col), F.lit(f"({pat})"), 1))
+
+
+def token_stats(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document token statistics: whitespace-word and BPE-ish subword
+    counts, type count, char length, stopword count. Foundation for quality
+    scoring and corpus accounting."""
+    text = F.col(text_col)
+    words = _words(text)
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.length(text).cast("long").alias("n_chars"),
+        F.size(words).cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(words)).cast("long").alias("n_types"),
+        F.size(F.regexp_extract_all(text, F.lit(BPE_ISH_RE), 1)).cast("long").alias("n_subwords"),
+        _count_words(text, EN_STOPWORDS).cast("long").alias("n_stopwords"),
+    )
+
+
+def quality_scores(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Heuristic quality score in [0,1]: blend of length saturation,
+    type/token ratio, and stopword presence — the standard cheap pre-filter
+    shape for web/corpus text (cf. C4/Gopher rules). Deterministic column
+    arithmetic; weights documented in the expression."""
+    stats = token_stats(docs, text_col=text_col, id_col=id_col)
+    nt = F.col("n_tokens").cast("double")
+    ttr = F.when(nt > 0, F.col("n_types") / nt).otherwise(F.lit(0.0))
+    stop_ratio = F.when(nt > 0, F.col("n_stopwords") / nt).otherwise(F.lit(0.0))
+    len_sat = F.least(nt / F.lit(100.0), F.lit(1.0))
+    score = F.lit(0.4) * len_sat + F.lit(0.3) * ttr + F.lit(0.3) * F.least(
+        stop_ratio * 5.0, F.lit(1.0)
+    )
+    return stats.select(
+        "doc_id",
+        "n_tokens",
+        F.round(ttr, 8).alias("type_token_ratio"),
+        F.round(stop_ratio, 8).alias("stopword_ratio"),
+        F.round(score, 8).alias("quality_score"),
+    )
+
+
+def language_id(
+    docs: DataFrame,
+    profiles: dict[str, tuple[str, ...]] | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Stopword-profile language ID: score = marker-word hits per language;
+    prediction = argmax with lexicographic tie-break (deterministic). A
+    'und' (undetermined) prediction is emitted when no profile scores."""
+    profiles = profiles or DEFAULT_LANG_PROFILES
+    text = F.col(text_col)
+    scored = F.array(
+        *[
+            F.struct(
+                _count_words(text, words).alias("score"), F.lit(lang).alias("lang")
+            )
+            for lang, words in sorted(profiles.items())
+        ]
+    )
+    # array_max on struct(score, lang) orders by score then lang; to make
+    # ties deterministic toward the *lexicographically smallest* lang we
+    # invert: take max score, then min lang among maxima.
+    best_score = F.array_max(F.transform(scored, lambda s: s["score"]))
+    best_lang = F.array_min(
+        F.filter(scored, lambda s: s["score"] == best_score)
+    )["lang"]
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.when(best_score > 0, best_lang).otherwise(F.lit("und")).alias("pred_lang"),
+        best_score.cast("long").alias("lang_score"),
+    )
+
+
+def doc_fingerprints(
+    docs: DataFrame, k: int = 3, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Winnowing-style fingerprint: the minimum digest over the document's
+    word k-shingles (a 1-permutation MinHash). Equal fingerprints ⇒ shared
+    rarest shingle — a cheap clustering key for near-dup triage."""
+    from .dedup import word_shingles
+
+    sh = word_shingles(docs, k=k, text_col=text_col, id_col=id_col)
+    return sh.groupBy("doc_id").agg(
+        F.min(F.md5(F.col("shingle"))).alias("fingerprint"),
+        F.count("*").alias("n_shingles"),
+    )

@@ -1,0 +1,811 @@
+"""Driver-facing query registry: every implemented operator from SURVEY §2
+mapped onto the driver's synthetic tables (TESTDATA.md: region nation
+customer supplier part orders lineitem events documents embeddings), each
+with a DuckDB-runnable ANSI-SQL oracle producing identical column names,
+types and values.
+
+Conventions for oracle parity:
+- every computed column is aliased identically on both sides;
+- counts are BIGINT on both sides (DuckDB ``sum(bigint)`` returns HUGEINT →
+  always ``cast(... as bigint)``);
+- doubles are ``round(x, s)`` on both sides with the same shape of
+  arithmetic, so engine-order float noise stays far below the rounding
+  scale;
+- orderings feeding row_number/limit use rounded values + id tie-breaks so
+  both engines pick the same rows;
+- DuckDB 1.0 lacks WITH ORDINALITY / lateral generate_series, so word
+  positions come from a cross-joined position series (cap ``_POS_CAP``)
+  and sha1 is avoided in oracle-checked outputs (md5/sha256 only).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..operators import cooccurrence as co
+from ..operators import dedup, similarity, spans, textanalysis
+from ..sources.tables import read_table
+
+# position-series cap for the oracle's shingle expansion; asserted against
+# the corpus in tests (max words per doc ≪ this)
+_POS_CAP = 4000
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+QUERIES: dict[str, QueryFn] = {}
+ORACLES: dict[str, str] = {}
+
+
+def register(name: str, oracle: str | None = None):
+    def deco(fn: QueryFn) -> QueryFn:
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return read_table(spark, sf_dir, name)
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events.parquet stores TIMESTAMP(NANOS) which Spark's parquet reader
+    rejects; read it as a nanos LONG (legacy conf, runtime-settable) and
+    expose ``ts_ns``. Epoch math uses integer DIV — nanos exceed 2^53, so
+    double division would lose precision."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    e = read_table(spark, sf_dir, "events")
+    return e.withColumn("ts_ns", F.col("ts").cast("long"))
+
+
+# ---------------------------------------------------------------------------
+# Relational core (A-aggs, J1-style joins, windows, dedup)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2)                                AS sum_qty,
+           round(sum(l_extendedprice), 2)                           AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2)        AS sum_disc_price,
+           round(avg(l_quantity), 6)                                AS avg_qty,
+           round(avg(l_extendedprice), 6)                           AS avg_price,
+           count(*)                                                 AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: scan-filter-aggregate with map-side partials; the
+    shipdate predicate and 6-column projection push into the parquet scan."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "sum_disc_price"
+            ),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@register(
+    "regional_revenue",
+    """
+    SELECT r.r_name, o.o_orderstatus,
+           round(sum(o.o_totalprice), 2) AS revenue,
+           count(*)                      AS n_orders
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    JOIN region r   ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name, o.o_orderstatus
+    """,
+)
+def regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1-style multi-stream equi-join: the fact table joins two broadcast
+    dims (nation/region are tiny; customer is broadcastable at bench SF —
+    AQE decides) then aggregates."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "o_orderstatus")
+        .agg(
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            F.count("*").alias("n_orders"),
+        )
+    )
+
+
+@register(
+    "latest_event_per_user",
+    """
+    SELECT user_id, event_id, event_type,
+           round(value, 8)                         AS value,
+           cast(floor(epoch(ts)) as bigint)        AS ts_epoch
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+)
+def latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest-wins resolution — the window-function replacement for the
+    reference's filterForMostRecent version compare
+    (PipelineMain.java:408-505): row_number over (key ORDER BY recency) = 1."""
+    e = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy(F.col("ts_ns").desc(), F.col("event_id").desc())
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "user_id",
+            "event_id",
+            "event_type",
+            F.round("value", 8).alias("value"),
+            F.expr("ts_ns div 1000000000").alias("ts_epoch"),
+        )
+    )
+
+
+@register(
+    "filter_documents",
+    """
+    SELECT doc_id, source, lang, n_chars
+    FROM documents
+    WHERE source IN ('src1','src2','src3') AND n_chars BETWEEN 100 AND 400
+    """,
+)
+def filter_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1/S2 shape: predicate + projection, fully pushed into the scan
+    (collection membership ≈ source IN (...), criteria ≈ range filter)."""
+    d = _t(spark, sf_dir, "documents")
+    return d.where(
+        F.col("source").isin("src1", "src2", "src3") & F.col("n_chars").between(100, 400)
+    ).select("doc_id", "source", "lang", "n_chars")
+
+
+@register(
+    "exact_duplicates",
+    """
+    SELECT md5(text) AS content_hash, min(doc_id) AS canonical_id, count(*) AS n_docs
+    FROM documents GROUP BY 1
+    """,
+)
+def exact_duplicates_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A11 first-wins dedup as content-hash grouping."""
+    return dedup.exact_duplicates(_t(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# Cooccurrence chain on (order → supplier) "concepts"
+# ---------------------------------------------------------------------------
+
+_UC_SQL = """
+    uc AS (
+      SELECT DISTINCT cast(l_orderkey AS varchar)        AS text_id,
+                      'S:' || cast(l_suppkey AS varchar) AS concept_id
+      FROM lineitem
+    )
+"""
+
+
+def _supplier_units(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.select(
+        F.col("l_orderkey").cast("string").alias("text_id"),
+        F.concat(F.lit("S:"), F.col("l_suppkey").cast("string")).alias("concept_id"),
+    ).distinct()
+
+
+@register(
+    "cooccurrence_metrics",
+    f"""
+    WITH {_UC_SQL},
+    counts AS (SELECT concept_id, count(*) AS concept_count FROM uc GROUP BY 1),
+    totals AS (SELECT count(DISTINCT text_id) AS total_docs FROM uc),
+    tc     AS (SELECT cast(sum(concept_count) AS bigint) AS total_concepts FROM counts),
+    pairs  AS (
+      SELECT a.text_id, a.concept_id AS concept1, b.concept_id AS concept2
+      FROM uc a JOIN uc b ON a.text_id = b.text_id AND a.concept_id < b.concept_id
+    ),
+    pc AS (SELECT concept1, concept2, count(*) AS pair_count FROM pairs GROUP BY 1, 2)
+    SELECT pc.concept1, pc.concept2, pc.pair_count,
+           c1.concept_count AS concept1_count,
+           c2.concept_count AS concept2_count,
+           round((greatest(log10(c1.concept_count), log10(c2.concept_count)) - log10(pc.pair_count))
+                 / (log10(tc.total_concepts) - least(log10(c1.concept_count), log10(c2.concept_count))), 8) AS ngd,
+           round(ln((pc.pair_count / cast(t.total_docs AS double))
+                    / ((c1.concept_count / cast(t.total_docs AS double))
+                       * (c2.concept_count / cast(t.total_docs AS double)))), 8) AS pmi,
+           round(ln((pc.pair_count / cast(t.total_docs AS double))
+                    / ((c1.concept_count / cast(t.total_docs AS double))
+                       * (c2.concept_count / cast(t.total_docs AS double))))
+                 / (-1 * ln(pc.pair_count / cast(t.total_docs AS double) + 0.000000001)), 8) AS npmi,
+           round(ln((pc.pair_count / cast(t.total_docs AS double))
+                    / ((c1.concept_count / cast(t.total_docs AS double))
+                       * (c2.concept_count / cast(t.total_docs AS double))))
+                 / (-1 * ln(greatest(c1.concept_count / cast(t.total_docs AS double),
+                                     c2.concept_count / cast(t.total_docs AS double)) + 0.000000001)), 8) AS npmi_max,
+           round(ln(pow(pc.pair_count / cast(t.total_docs AS double), 2)
+                    / ((c1.concept_count / cast(t.total_docs AS double))
+                       * (c2.concept_count / cast(t.total_docs AS double)))), 8) AS md,
+           round(ln(pow(pc.pair_count / cast(t.total_docs AS double), 2)
+                    / ((c1.concept_count / cast(t.total_docs AS double))
+                       * (c2.concept_count / cast(t.total_docs AS double))))
+                 + ln(pc.pair_count / cast(t.total_docs AS double)), 8) AS lfmd
+    FROM pc
+    JOIN counts c1 ON c1.concept_id = pc.concept1
+    JOIN counts c2 ON c2.concept_id = pc.concept2
+    CROSS JOIN totals t CROSS JOIN tc
+    """,
+)
+def cooccurrence_metrics_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5/A6/A8: the full metrics chain with orders as text units and
+    suppliers as concepts (pair id omitted — sha1 is unverifiable in
+    DuckDB; covered bit-exactly by unit tests instead)."""
+    return co.cooccurrence_chain_from_rows(
+        _supplier_units(spark, sf_dir), with_pair_id=False
+    )
+
+
+@register(
+    "concept_idf",
+    f"""
+    WITH {_UC_SQL},
+    counts AS (SELECT concept_id, count(*) AS concept_count FROM uc GROUP BY 1),
+    totals AS (SELECT count(DISTINCT text_id) AS total_docs FROM uc)
+    SELECT concept_id, concept_count,
+           round(ln(cast(total_docs AS double) / cast(concept_count AS double)), 8) AS idf
+    FROM counts CROSS JOIN totals
+    """,
+)
+def concept_idf_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9: IDF over the same unit-concept relation."""
+    return co.concept_idf(_supplier_units(spark, sf_dir))
+
+
+@register(
+    "pair_top_publications",
+    f"""
+    WITH {_UC_SQL},
+    pairs AS (
+      SELECT a.text_id, a.concept_id AS concept1, b.concept_id AS concept2
+      FROM uc a JOIN uc b ON a.text_id = b.text_id AND a.concept_id < b.concept_id
+    )
+    SELECT concept1, concept2, text_id AS document_id
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY concept1, concept2 ORDER BY text_id) AS rn
+      FROM pairs
+    ) WHERE rn <= 5
+    """,
+)
+def pair_top_publications(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7: ≤ N publications per pair (reference cap 25; 5 here to make the
+    cap bind at test scale)."""
+    pairs = co.concept_pairs(_supplier_units(spark, sf_dir))
+    return co.pair_publications(pairs, max_per_pair=5)
+
+
+# ---------------------------------------------------------------------------
+# Span joins (J3/J4) on synthetic intervals
+# ---------------------------------------------------------------------------
+
+_SENT_SQL = """
+    sent AS (
+      SELECT o_orderkey                  AS id,
+             o_orderkey % 500            AS doc,
+             o_custkey % 1000            AS start,
+             o_custkey % 1000 + 150      AS "end"
+      FROM orders
+    )
+"""
+_CONC_SQL = """
+    conc AS (
+      SELECT l_orderkey * 100 + l_linenumber AS id,
+             l_orderkey % 500                AS doc,
+             (l_partkey * 7) % 1100          AS start,
+             (l_partkey * 7) % 1100 + 10     AS "end"
+      FROM lineitem
+    )
+"""
+
+
+def _sent_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    return o.select(
+        F.col("o_orderkey").alias("id"),
+        (F.col("o_orderkey") % 500).alias("doc"),
+        (F.col("o_custkey") % 1000).alias("start"),
+        (F.col("o_custkey") % 1000 + 150).alias("end"),
+    )
+
+
+def _conc_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.select(
+        (F.col("l_orderkey") * 100 + F.col("l_linenumber")).alias("id"),
+        (F.col("l_orderkey") % 500).alias("doc"),
+        ((F.col("l_partkey") * 7) % 1100).alias("start"),
+        ((F.col("l_partkey") * 7) % 1100 + 10).alias("end"),
+    )
+
+
+@register(
+    "span_containment_counts",
+    f"""
+    WITH {_SENT_SQL}, {_CONC_SQL}
+    SELECT s.id AS sentence_id, count(*) AS n_contained
+    FROM sent s JOIN conc c
+      ON s.doc = c.doc AND c.start >= s.start AND c."end" <= s."end"
+    GROUP BY 1
+    """,
+)
+def span_containment_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3 + A1 shape: concepts contained in sentence spans, counted per
+    sentence (intervals synthesized deterministically from keys)."""
+    joined = spans.containment_join(
+        _sent_frame(spark, sf_dir), _conc_frame(spark, sf_dir), on=("doc",)
+    )
+    return joined.groupBy(F.col("outer_id").alias("sentence_id")).agg(
+        F.count("*").alias("n_contained")
+    )
+
+
+@register(
+    "span_first_containing",
+    f"""
+    WITH {_SENT_SQL}, {_CONC_SQL}
+    SELECT concept_id, sentence_id FROM (
+      SELECT c.id AS concept_id, s.id AS sentence_id,
+             row_number() OVER (PARTITION BY c.doc, c.id ORDER BY s.start, s."end", s.id) AS rn
+      FROM sent s JOIN conc c
+        ON s.doc = c.doc AND c.start >= s.start AND c."end" <= s."end"
+    ) WHERE rn = 1
+    """,
+)
+def span_first_containing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3 tie-break parity: each concept goes to the *first* containing
+    sentence by span order (reference sort + early break)."""
+    joined = spans.containment_join(
+        _sent_frame(spark, sf_dir),
+        _conc_frame(spark, sf_dir),
+        on=("doc",),
+        first_containing_only=True,
+    )
+    return joined.select(
+        F.col("inner_id").alias("concept_id"), F.col("outer_id").alias("sentence_id")
+    )
+
+
+@register(
+    "span_overlap_filter",
+    f"""
+    WITH {_CONC_SQL},
+    crf AS (
+      SELECT user_id % 500        AS doc,
+             (event_id * 3) % 1100 AS start,
+             (event_id * 3) % 1100 + 5 AS "end"
+      FROM events
+    )
+    SELECT c.id, c.doc, c.start, c."end"
+    FROM conc c WHERE EXISTS (
+      SELECT 1 FROM crf f
+      WHERE f.doc = c.doc AND c.start < f."end" AND f.start < c."end"
+    )
+    """,
+)
+def span_overlap_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4: left-semi overlap join — keep concept spans confirmed by any
+    CRF span on the same document (PipelineMain.filterViaCrf shape)."""
+    e = _events(spark, sf_dir)
+    crf = e.select(
+        (F.col("user_id") % 500).alias("doc"),
+        ((F.col("event_id") * 3) % 1100).alias("start"),
+        ((F.col("event_id") * 3) % 1100 + 5).alias("end"),
+    )
+    return spans.overlap_semi_join(_conc_frame(spark, sf_dir), crf, on=("doc",))
+
+
+# ---------------------------------------------------------------------------
+# Per-row text transforms (P3, P7) + text analysis
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "keyword_filter",
+    r"""
+    SELECT doc_id, n_chars
+    FROM documents
+    WHERE regexp_matches(text, '(?i)\bspark\b') AND regexp_matches(text, '(?i)\bjoin\b')
+    """,
+)
+def keyword_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P3: case-insensitive word-boundary keyword match
+    (SentenceExtractionFn.sentenceContainsKeyword:449-462)."""
+    d = _t(spark, sf_dir, "documents")
+    return d.where(
+        F.col("text").rlike(r"(?i)\bspark\b") & F.col("text").rlike(r"(?i)\bjoin\b")
+    ).select("doc_id", "n_chars")
+
+
+_DICT = ("small ring", "red widget", "blue bolt", "hot gear", "fast cog")
+
+
+@register(
+    "levenshtein_dict_filter",
+    f"""
+    SELECT p_partkey, p_name, lev_dist, norm_dist FROM (
+      SELECT p_partkey, p_name,
+             least({", ".join(f"levenshtein(lower(p_name), '{e}')" for e in _DICT)}) AS lev_dist,
+             round(least({", ".join(f"levenshtein(lower(p_name), '{e}')" for e in _DICT)})
+                   / cast(length(p_name) AS double), 8) AS norm_dist
+      FROM part
+    ) WHERE norm_dist < 0.3
+    """,
+)
+def levenshtein_dict_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P7: spurious-match filter — keep entries whose best normalized
+    Levenshtein distance against the dictionary is < 0.3
+    (OgerPostProcessingFn.removeSpuriousMatches:134-197). Dictionary is a
+    broadcast array literal; levenshtein runs JVM-side."""
+    p = _t(spark, sf_dir, "part")
+    dists = F.array(*[F.levenshtein(F.lower(F.col("p_name")), F.lit(e)) for e in _DICT])
+    lev = F.array_min(dists)
+    norm = F.round(lev / F.length("p_name").cast("double"), 8)
+    return (
+        p.select("p_partkey", "p_name", lev.alias("lev_dist"), norm.alias("norm_dist"))
+        .where(F.col("norm_dist") < 0.3)
+    )
+
+
+@register(
+    "token_stats",
+    r"""
+    SELECT doc_id,
+           cast(length(text) AS bigint) AS n_chars,
+           cast(array_length(regexp_extract_all(lower(text), '([a-z0-9]+)', 1)) AS bigint) AS n_tokens,
+           cast(array_length(list_distinct(regexp_extract_all(lower(text), '([a-z0-9]+)', 1))) AS bigint) AS n_types,
+           cast(array_length(regexp_extract_all(text, '([A-Za-z]+|[0-9]+|[^A-Za-z0-9\s])', 1)) AS bigint) AS n_subwords,
+           cast(array_length(regexp_extract_all(lower(text), '(\b(the|a|of|and|to|in|is)\b)', 1)) AS bigint) AS n_stopwords
+    FROM documents
+    """,
+)
+def token_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text analysis: token/type/subword/stopword accounting, all regex
+    column expressions."""
+    return textanalysis.token_stats(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "quality_scores",
+    r"""
+    WITH s AS (
+      SELECT doc_id,
+             cast(array_length(regexp_extract_all(lower(text), '([a-z0-9]+)', 1)) AS bigint) AS n_tokens,
+             cast(array_length(list_distinct(regexp_extract_all(lower(text), '([a-z0-9]+)', 1))) AS bigint) AS n_types,
+             cast(array_length(regexp_extract_all(lower(text), '(\b(the|a|of|and|to|in|is)\b)', 1)) AS bigint) AS n_stopwords
+      FROM documents
+    )
+    SELECT doc_id, n_tokens,
+           round(CASE WHEN n_tokens > 0 THEN n_types / cast(n_tokens AS double) ELSE 0.0 END, 8) AS type_token_ratio,
+           round(CASE WHEN n_tokens > 0 THEN n_stopwords / cast(n_tokens AS double) ELSE 0.0 END, 8) AS stopword_ratio,
+           round(0.4 * least(n_tokens / 100.0, 1.0)
+                 + 0.3 * (CASE WHEN n_tokens > 0 THEN n_types / cast(n_tokens AS double) ELSE 0.0 END)
+                 + 0.3 * least((CASE WHEN n_tokens > 0 THEN n_stopwords / cast(n_tokens AS double) ELSE 0.0 END) * 5.0, 1.0), 8) AS quality_score
+    FROM s
+    """,
+)
+def quality_scores_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text quality pre-filter scores (C4/Gopher-style cheap heuristics)."""
+    return textanalysis.quality_scores(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "language_id",
+    r"""
+    WITH s AS (
+      SELECT doc_id,
+             cast(array_length(regexp_extract_all(lower(text), '(\b(der|die|das|und|nicht)\b)', 1)) AS bigint) AS s_de,
+             cast(array_length(regexp_extract_all(lower(text), '(\b(the|and|of|to|a)\b)', 1)) AS bigint)      AS s_en,
+             cast(array_length(regexp_extract_all(lower(text), '(\b(el|la|los|que|y)\b)', 1)) AS bigint)      AS s_es,
+             cast(array_length(regexp_extract_all(lower(text), '(\b(le|la|les|et|que)\b)', 1)) AS bigint)     AS s_fr
+      FROM documents
+    )
+    SELECT doc_id,
+           CASE WHEN greatest(s_de, s_en, s_es, s_fr) = 0 THEN 'und'
+                WHEN s_de = greatest(s_de, s_en, s_es, s_fr) THEN 'de'
+                WHEN s_en = greatest(s_de, s_en, s_es, s_fr) THEN 'en'
+                WHEN s_es = greatest(s_de, s_en, s_es, s_fr) THEN 'es'
+                ELSE 'fr' END AS pred_lang,
+           greatest(s_de, s_en, s_es, s_fr) AS lang_score
+    FROM s
+    """,
+)
+def language_id_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-profile language ID (deterministic argmax, lexicographic
+    tie-break)."""
+    return textanalysis.language_id(_t(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# Dedup family (shingles → fingerprint / MinHash-LSH / Jaccard)
+# ---------------------------------------------------------------------------
+
+_SHINGLE_SQL = f"""
+    docs AS (
+      SELECT doc_id, regexp_extract_all(text, '([a-z0-9]+)', 1) AS words FROM documents
+    ),
+    pos AS (SELECT unnest(generate_series(1, {_POS_CAP})) AS p),
+    sh AS (
+      SELECT DISTINCT doc_id,
+             list_extract(words, p) || ' ' || list_extract(words, p + 1) || ' ' || list_extract(words, p + 2) AS shingle
+      FROM docs, pos WHERE p <= len(words) - 2
+    )
+"""
+
+
+@register(
+    "doc_fingerprints",
+    f"""
+    WITH {_SHINGLE_SQL}
+    SELECT doc_id, min(md5(shingle)) AS fingerprint, count(*) AS n_shingles
+    FROM sh GROUP BY 1
+    """,
+)
+def doc_fingerprints_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing-style min-digest fingerprint over word 3-shingles."""
+    return textanalysis.doc_fingerprints(_t(spark, sf_dir, "documents"))
+
+
+_MINHASH_SQL = f"""
+    {_SHINGLE_SQL},
+    perms AS (SELECT unnest(generate_series(0, 15)) AS perm),
+    mh AS (
+      SELECT doc_id, perm, min(md5(cast(perm AS varchar) || ':' || shingle)) AS minhash
+      FROM sh, perms GROUP BY 1, 2
+    ),
+    bands AS (
+      SELECT doc_id, cast(perm // 4 AS int) AS band,
+             md5(string_agg(minhash, '' ORDER BY perm)) AS band_sig
+      FROM mh GROUP BY 1, 2
+    )
+"""
+
+
+@register(
+    "minhash_band_signatures",
+    f"""
+    WITH {_MINHASH_SQL}
+    SELECT doc_id, band, band_sig FROM bands
+    """,
+)
+def minhash_band_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signatures folded into LSH band signatures (16 perms, 4
+    bands × 4 rows) — the hash-heavy core of near-dup detection, verified
+    value-exactly against the oracle."""
+    sh = dedup.word_shingles(_t(spark, sf_dir, "documents"))
+    return dedup.lsh_bands(dedup.minhash_signatures(sh, num_perms=16), rows_per_band=4)
+
+
+@register(
+    "lsh_candidate_pairs",
+    f"""
+    WITH {_MINHASH_SQL}
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a JOIN bands b ON a.band = b.band AND a.band_sig = b.band_sig
+    WHERE a.doc_id < b.doc_id
+    """,
+)
+def lsh_candidate_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH bucket collisions → near-dup candidate pairs."""
+    sh = dedup.word_shingles(_t(spark, sf_dir, "documents"))
+    bands = dedup.lsh_bands(dedup.minhash_signatures(sh, 16), 4)
+    return dedup.lsh_candidate_pairs(bands)
+
+
+@register(
+    "near_duplicates",
+    f"""
+    WITH {_MINHASH_SQL},
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b ON a.band = b.band AND a.band_sig = b.band_sig
+      WHERE a.doc_id < b.doc_id
+    ),
+    cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+    inter AS (
+      SELECT c.doc_a, c.doc_b, count(*) AS n_inter
+      FROM cand c JOIN sh a ON a.doc_id = c.doc_a JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+      GROUP BY 1, 2
+    )
+    SELECT c.doc_a, c.doc_b,
+           round(coalesce(i.n_inter, 0) / cast(ca.n + cb.n - coalesce(i.n_inter, 0) AS double), 8) AS jaccard
+    FROM cand c
+    LEFT JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+    JOIN cnt ca ON ca.doc_id = c.doc_a
+    JOIN cnt cb ON cb.doc_id = c.doc_b
+    WHERE round(coalesce(i.n_inter, 0) / cast(ca.n + cb.n - coalesce(i.n_inter, 0) AS double), 8) >= 0.8
+    """,
+)
+def near_duplicates_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full MinHash-LSH near-dup pipeline with exact-Jaccard verification
+    at threshold 0.8."""
+    return dedup.near_duplicates(_t(spark, sf_dir, "documents"), threshold=0.8)
+
+
+# ---------------------------------------------------------------------------
+# Similarity search over embeddings
+# ---------------------------------------------------------------------------
+
+_COS_EXPAND = """
+    pos AS (SELECT unnest(generate_series(1, 64)) AS i)
+"""
+
+
+@register(
+    "knn_cosine",
+    f"""
+    WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+    {_COS_EXPAND},
+    comp AS (
+      SELECT e.vec_id,
+             sum(cast(list_extract(e.embedding, p.i) AS double) * cast(list_extract(q.qe, p.i) AS double)) AS d,
+             sum(cast(list_extract(e.embedding, p.i) AS double) * cast(list_extract(e.embedding, p.i) AS double)) AS na,
+             sum(cast(list_extract(q.qe, p.i) AS double) * cast(list_extract(q.qe, p.i) AS double)) AS nb
+      FROM embeddings e, q, pos p GROUP BY 1
+    )
+    SELECT vec_id, round(d / (sqrt(na) * sqrt(nb)), 6) AS cosine
+    FROM comp ORDER BY cosine DESC, vec_id LIMIT 10
+    """,
+)
+def knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k against the vec_id=0 query vector — the
+    exact ANN baseline (ordering on rounded score + id, engine-stable)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = [r[0] for r in emb.where(F.col("vec_id") == 0).select(F.explode("embedding")).collect()]
+    return similarity.knn_brute_force(emb, qvec, k=10)
+
+
+@register(
+    "topk_similar_pairs",
+    f"""
+    WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 200),
+    {_COS_EXPAND},
+    norms AS (
+      SELECT vec_id, sum(cast(list_extract(embedding, i) AS double) * cast(list_extract(embedding, i) AS double)) AS nn
+      FROM e, pos GROUP BY 1
+    ),
+    dots AS (
+      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+             sum(cast(list_extract(a.embedding, p.i) AS double) * cast(list_extract(b.embedding, p.i) AS double)) AS d
+      FROM e a JOIN e b ON a.vec_id < b.vec_id, pos p GROUP BY 1, 2
+    )
+    SELECT vec_a, vec_b, round(d / (sqrt(na.nn) * sqrt(nb.nn)), 6) AS cosine
+    FROM dots JOIN norms na ON na.vec_id = vec_a JOIN norms nb ON nb.vec_id = vec_b
+    ORDER BY cosine DESC, vec_a, vec_b LIMIT 20
+    """,
+)
+def topk_similar_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup shape: top-20 most-similar pairs within a bounded
+    id range (all-pairs exact — the LSH path is the scale variant)."""
+    emb = _t(spark, sf_dir, "embeddings").where(F.col("vec_id") < 200)
+    return similarity.topk_similar_pairs(emb, k=20)
+
+
+@register("ann_lsh_cosine")  # no oracle: approximate-by-design (rows-only check)
+def ann_lsh_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH ANN: bucket the corpus, score only the query's
+    bucket. Approximate → no SQL oracle; correctness covered by unit tests
+    (bucket determinism + recall vs brute force)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = [r[0] for r in emb.where(F.col("vec_id") == 0).select(F.explode("embedding")).collect()]
+    return similarity.ann_lsh(emb, qvec, k=10, n_planes=6)
+
+
+@register("simhash_fingerprints")  # no oracle: bit arithmetic is impractical in DuckDB 1.0
+def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash 32-bit fingerprints over word shingles (rows-only check;
+    bit-level parity covered by unit tests)."""
+    sh = dedup.word_shingles(_t(spark, sf_dir, "documents"))
+    return dedup.simhash(sh, bits=32)
+
+
+# ---------------------------------------------------------------------------
+# Event-stream shapes (windowed aggs, sessionization)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "windowed_event_counts",
+    """
+    SELECT cast(floor(epoch(ts)) AS bigint) // 3600 AS hour_bucket,
+           event_type,
+           count(*)                AS n_events,
+           round(sum(value), 6)    AS sum_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def windowed_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window aggregation (1h) — the batch shape of the
+    Structured-Streaming windowed count (streaming.ingest runs the same
+    logical plan over readStream)."""
+    e = _events(spark, sf_dir)
+    return (
+        e.withColumn("hour_bucket", F.expr("ts_ns div 3600000000000"))
+        .groupBy("hour_bucket", "event_type")
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 6).alias("sum_value"))
+    )
+
+
+@register(
+    "sessionize_events",
+    """
+    WITH ordered AS (
+      SELECT user_id, event_id,
+             cast(floor(epoch(ts)) AS bigint) AS es,
+             lag(cast(floor(epoch(ts)) AS bigint)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_es
+      FROM events
+    ),
+    flagged AS (
+      SELECT user_id, event_id, es,
+             CASE WHEN prev_es IS NULL OR es - prev_es > 1800 THEN 1 ELSE 0 END AS new_sess
+      FROM ordered
+    ),
+    sess AS (
+      SELECT user_id, event_id, es,
+             cast(sum(new_sess) OVER (PARTITION BY user_id ORDER BY es, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS bigint) AS session_id
+      FROM flagged
+    )
+    SELECT user_id, session_id, count(*) AS n_events,
+           min(es) AS start_epoch, max(es) AS end_epoch
+    FROM sess GROUP BY 1, 2
+    """,
+)
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30 min) via lag + running sum — the batch
+    twin of applyInPandasWithState session windows."""
+    e = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts_ns", "event_id")
+    es = F.expr("ts_ns div 1000000000")
+    flagged = e.select(
+        "user_id",
+        "event_id",
+        es.alias("es"),
+        F.when(
+            F.lag(es).over(w).isNull() | ((es - F.lag(es).over(w)) > 1800), 1
+        )
+        .otherwise(0)
+        .alias("new_sess"),
+    )
+    w2 = (
+        Window.partitionBy("user_id")
+        .orderBy("es", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    sess = flagged.withColumn("session_id", F.sum("new_sess").over(w2))
+    return sess.groupBy("user_id", "session_id").agg(
+        F.count("*").alias("n_events"),
+        F.min("es").alias("start_epoch"),
+        F.max("es").alias("end_epoch"),
+    )
