@@ -1,0 +1,56 @@
+"""Benchmark harness: runs the registered queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is fully materialized with the noop sink (no driver collect, no
+result-size bias). First query absorbs session/JIT warmup; a tiny warmup
+query runs first to keep that out of the measurements.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    from translator_tm_provider_pipelines_spark.plans import testdata_queries as tq
+    from translator_tm_provider_pipelines_spark.session import get_spark
+
+    spark = get_spark(app_name="bench")
+
+    # warmup: touch the biggest table + start executors/codegen
+    spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).limit(1000).write.format(
+        "noop"
+    ).mode("overwrite").save()
+
+    timings: dict[str, float] = {}
+    for name, fn in sorted(tq.QUERIES.items()):
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        spark.catalog.clearCache()  # keep per-query timings independent
+
+    sf_label = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    try:
+        sf = float(sf_label)
+    except ValueError:
+        sf = sf_label
+    out = {
+        "metric": "total_query_wall_seconds",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    print(json.dumps(out))
+    sys.stdout.flush()
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -261,12 +261,24 @@ def cooccurrence_chain_from_rows(
     ancestors: DataFrame | None = None,
     exclude_ancestor_pairs: bool = True,
     with_pair_id: bool = True,
+    persist: bool = True,
 ) -> DataFrame:
     """Chain entry for inputs already in (text_id, concept_id) row form
-    (must be distinct)."""
+    (must be distinct).
+
+    ``persist`` caches the normalized unit-concept relation: four downstream
+    aggregations (singleton counts, totals, pairs) branch from it, and
+    without a cache each branch re-scans and re-shuffles the source. At
+    cluster scale with very large corpora, materialize it to a table
+    between stages instead (MEMORY_AND_DISK spills, so this stays safe
+    locally)."""
     uc = unit_concepts
     if ancestors is not None:
         uc = add_ancestor_concepts(uc, ancestors)
+    if persist:
+        from pyspark.storagelevel import StorageLevel
+
+        uc = uc.persist(StorageLevel.MEMORY_AND_DISK)
     excluded = (
         ancestor_excluded_pairs(ancestors)
         if (ancestors is not None and exclude_ancestor_pairs)

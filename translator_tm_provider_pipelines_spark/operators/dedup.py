@@ -148,10 +148,19 @@ def near_duplicates(
     rows_per_band: int = 4,
     text_col: str = "text",
     id_col: str = "doc_id",
+    persist: bool = True,
 ) -> DataFrame:
     """MinHash-LSH near-dup pipeline: shingle → signature → bands →
-    candidates → exact-Jaccard filter ≥ threshold."""
+    candidates → exact-Jaccard filter ≥ threshold.
+
+    ``persist`` caches the shingle relation, which both the MinHash and the
+    Jaccard-verification branches consume (otherwise it is recomputed ~4×).
+    At 100 TB, write shingles/signatures to intermediate tables instead."""
     sh = word_shingles(docs, k=k, text_col=text_col, id_col=id_col)
+    if persist:
+        from pyspark.storagelevel import StorageLevel
+
+        sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
     cands = lsh_candidate_pairs(lsh_bands(minhash_signatures(sh, num_perms), rows_per_band))
     return jaccard_for_pairs(sh, cands).where(F.col("jaccard") >= threshold)
 

@@ -24,6 +24,7 @@ def containment_join(
     outer_prefix: str = "outer_",
     inner_prefix: str = "inner_",
     first_containing_only: bool = False,
+    bin_width: int | None = None,
 ) -> DataFrame:
     """J3: assign each inner span to containing outer spans
     (inner.start >= outer.start AND inner.end <= outer.end, same doc).
@@ -31,7 +32,17 @@ def containment_join(
     Frames carry (on..., id, start, end). With ``first_containing_only``
     each inner span keeps only the first containing outer by (start, end,
     id) order — the reference's sort + early-break tie-break
-    (ConceptCooccurrenceCountsFn.java:242-258)."""
+    (ConceptCooccurrenceCountsFn.java:242-258) — computed as a
+    ``min(struct(start, end, id))`` aggregation (map-side partial combine),
+    not a window sort.
+
+    ``bin_width`` enables the binned interval join for dense documents:
+    outer spans are exploded into the fixed-width bins they overlap and
+    the join key becomes (on..., bin(inner.start)) — each inner span lives
+    in exactly one bin so no post-join dedup is needed, and the within-key
+    candidate product shrinks from |outer|×|inner| per doc to per-bin
+    neighborhoods. This is the 100 TB path; None keeps the plain key join
+    (fine when per-doc span counts are small, as in the reference corpus)."""
     o = outer.select(
         *on,
         F.col("id").alias(f"{outer_prefix}id"),
@@ -44,15 +55,44 @@ def containment_join(
         F.col("start").alias(f"{inner_prefix}start"),
         F.col("end").alias(f"{inner_prefix}end"),
     )
-    joined = o.join(i, list(on)).where(
+    keys = list(on)
+    if bin_width is not None:
+        o = o.withColumn(
+            "_bin",
+            F.explode(
+                F.sequence(
+                    F.floor(F.col(f"{outer_prefix}start") / bin_width),
+                    F.floor(F.col(f"{outer_prefix}end") / bin_width),
+                )
+            ),
+        )
+        i = i.withColumn("_bin", F.floor(F.col(f"{inner_prefix}start") / bin_width))
+        keys = keys + ["_bin"]
+    joined = o.join(i, keys).where(
         (F.col(f"{inner_prefix}start") >= F.col(f"{outer_prefix}start"))
         & (F.col(f"{inner_prefix}end") <= F.col(f"{outer_prefix}end"))
     )
+    if bin_width is not None:
+        joined = joined.drop("_bin")
     if first_containing_only:
-        w = Window.partitionBy(*on, f"{inner_prefix}id").orderBy(
-            f"{outer_prefix}start", f"{outer_prefix}end", f"{outer_prefix}id"
+        first = F.min(
+            F.struct(f"{outer_prefix}start", f"{outer_prefix}end", f"{outer_prefix}id")
+        ).alias("_first")
+        joined = (
+            joined.groupBy(
+                *on, f"{inner_prefix}id", f"{inner_prefix}start", f"{inner_prefix}end"
+            )
+            .agg(first)
+            .select(
+                *on,
+                f"{inner_prefix}id",
+                f"{inner_prefix}start",
+                f"{inner_prefix}end",
+                F.col(f"_first.{outer_prefix}start").alias(f"{outer_prefix}start"),
+                F.col(f"_first.{outer_prefix}end").alias(f"{outer_prefix}end"),
+                F.col(f"_first.{outer_prefix}id").alias(f"{outer_prefix}id"),
+            )
         )
-        joined = joined.withColumn("_rn", F.row_number().over(w)).where(F.col("_rn") == 1).drop("_rn")
     return joined
 
 
@@ -60,26 +100,44 @@ def overlap_semi_join(
     annots: DataFrame,
     filters: DataFrame,
     on: tuple[str, ...] = ("doc_id",),
+    bin_width: int | None = None,
 ) -> DataFrame:
     """J4: keep annotation spans overlapping ANY filter span on the same
     keys (overlap = a.start < f.end AND f.start < a.end) — the CRF
     confirmation filter (PipelineMain.filterConceptAnnotations:1250-1286).
-    Left-semi join: output columns are exactly the annotation's."""
+    Left-semi join: output columns are exactly the annotation's.
+
+    ``bin_width`` switches to the binned variant (scale path): both sides
+    explode into the bins their span overlaps and the semi-join adds the
+    bin key (overlapping intervals always share a bin); exploded annot rows
+    are de-duplicated afterwards."""
+    if bin_width is None:
+        f_ = filters.select(
+            *on, F.col("start").alias("_fstart"), F.col("end").alias("_fend")
+        )
+        cond = [annots[c] == f_[c] for c in on]
+        return annots.join(
+            f_,
+            cond + [annots["start"] < f_["_fend"], f_["_fstart"] < annots["end"]],
+            "left_semi",
+        )
+    bins = lambda s, e: F.explode(  # noqa: E731
+        F.sequence(F.floor(s / bin_width), F.floor(e / bin_width))
+    )
+    a = annots.withColumn("_bin", bins(F.col("start"), F.col("end")))
     f_ = filters.select(
         *on,
+        bins(F.col("start"), F.col("end")).alias("_bin"),
         F.col("start").alias("_fstart"),
         F.col("end").alias("_fend"),
     )
-    cond = [annots[c] == f_[c] for c in on]
-    return annots.join(
+    cond = [a[c] == f_[c] for c in on] + [a["_bin"] == f_["_bin"]]
+    kept = a.join(
         f_,
-        cond
-        + [
-            annots["start"] < f_["_fend"],
-            f_["_fstart"] < annots["end"],
-        ],
+        cond + [a["start"] < f_["_fend"], f_["_fstart"] < a["end"]],
         "left_semi",
-    )
+    ).drop("_bin")
+    return kept.distinct()
 
 
 def offset_spans(spans: Column, offset: Column) -> Column:

@@ -310,19 +310,27 @@ def pair_top_publications(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Span joins (J3/J4) on synthetic intervals
 # ---------------------------------------------------------------------------
 
+# Each order is a "document". Sentences are two tiled layers of 140-wide
+# spans (layer 1 offset by 70 → up to two containers per concept, so the
+# first-containing tie-break is exercised); concepts are 10-wide spans
+# derived from lineitem keys. Realistic density: ~16 sentences and ~4
+# concepts per doc — output stays O(input), join key is the high-cardinality
+# doc id.
 _SENT_SQL = """
     sent AS (
-      SELECT o_orderkey                  AS id,
-             o_orderkey % 500            AS doc,
-             o_custkey % 1000            AS start,
-             o_custkey % 1000 + 150      AS "end"
-      FROM orders
+      SELECT o_orderkey * 100 + layer * 10 + j AS id,
+             o_orderkey                        AS doc,
+             layer * 70 + j * 140              AS start,
+             layer * 70 + j * 140 + 140        AS "end"
+      FROM orders,
+           (SELECT unnest(generate_series(0, 7)) AS j) js,
+           (SELECT unnest(generate_series(0, 1)) AS layer) ls
     )
 """
 _CONC_SQL = """
     conc AS (
       SELECT l_orderkey * 100 + l_linenumber AS id,
-             l_orderkey % 500                AS doc,
+             l_orderkey                      AS doc,
              (l_partkey * 7) % 1100          AS start,
              (l_partkey * 7) % 1100 + 10     AS "end"
       FROM lineitem
@@ -332,11 +340,22 @@ _CONC_SQL = """
 
 def _sent_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _t(spark, sf_dir, "orders")
-    return o.select(
-        F.col("o_orderkey").alias("id"),
-        (F.col("o_orderkey") % 500).alias("doc"),
-        (F.col("o_custkey") % 1000).alias("start"),
-        (F.col("o_custkey") % 1000 + 150).alias("end"),
+    return (
+        o.select(
+            "o_orderkey",
+            F.explode(F.sequence(F.lit(0), F.lit(7))).alias("j"),
+        )
+        .select(
+            "o_orderkey",
+            "j",
+            F.explode(F.sequence(F.lit(0), F.lit(1))).alias("layer"),
+        )
+        .select(
+            (F.col("o_orderkey") * 100 + F.col("layer") * 10 + F.col("j")).alias("id"),
+            F.col("o_orderkey").alias("doc"),
+            (F.col("layer") * 70 + F.col("j") * 140).alias("start"),
+            (F.col("layer") * 70 + F.col("j") * 140 + 140).alias("end"),
+        )
     )
 
 
@@ -344,7 +363,7 @@ def _conc_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
     return li.select(
         (F.col("l_orderkey") * 100 + F.col("l_linenumber")).alias("id"),
-        (F.col("l_orderkey") % 500).alias("doc"),
+        F.col("l_orderkey").alias("doc"),
         ((F.col("l_partkey") * 7) % 1100).alias("start"),
         ((F.col("l_partkey") * 7) % 1100 + 10).alias("end"),
     )
@@ -377,7 +396,8 @@ def span_containment_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH {_SENT_SQL}, {_CONC_SQL}
     SELECT concept_id, sentence_id FROM (
       SELECT c.id AS concept_id, s.id AS sentence_id,
-             row_number() OVER (PARTITION BY c.doc, c.id ORDER BY s.start, s."end", s.id) AS rn
+             row_number() OVER (PARTITION BY c.doc, c.id, c.start, c."end"
+                                ORDER BY s.start, s."end", s.id) AS rn
       FROM sent s JOIN conc c
         ON s.doc = c.doc AND c.start >= s.start AND c."end" <= s."end"
     ) WHERE rn = 1
@@ -402,10 +422,10 @@ def span_first_containing(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
     WITH {_CONC_SQL},
     crf AS (
-      SELECT user_id % 500        AS doc,
-             (event_id * 3) % 1100 AS start,
-             (event_id * 3) % 1100 + 5 AS "end"
-      FROM events
+      SELECT l_orderkey                 AS doc,
+             (l_suppkey * 11) % 1100    AS start,
+             (l_suppkey * 11) % 1100 + 30 AS "end"
+      FROM lineitem WHERE l_linenumber = 1
     )
     SELECT c.id, c.doc, c.start, c."end"
     FROM conc c WHERE EXISTS (
@@ -417,11 +437,11 @@ def span_first_containing(spark: SparkSession, sf_dir: str) -> DataFrame:
 def span_overlap_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J4: left-semi overlap join — keep concept spans confirmed by any
     CRF span on the same document (PipelineMain.filterViaCrf shape)."""
-    e = _events(spark, sf_dir)
-    crf = e.select(
-        (F.col("user_id") % 500).alias("doc"),
-        ((F.col("event_id") * 3) % 1100).alias("start"),
-        ((F.col("event_id") * 3) % 1100 + 5).alias("end"),
+    li = _t(spark, sf_dir, "lineitem")
+    crf = li.where(F.col("l_linenumber") == 1).select(
+        F.col("l_orderkey").alias("doc"),
+        ((F.col("l_suppkey") * 11) % 1100).alias("start"),
+        ((F.col("l_suppkey") * 11) % 1100 + 30).alias("end"),
     )
     return spans.overlap_semi_join(_conc_frame(spark, sf_dir), crf, on=("doc",))
 
