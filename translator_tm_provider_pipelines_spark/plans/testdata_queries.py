@@ -26,7 +26,8 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..operators import cooccurrence as co
-from ..operators import dedup, similarity, spans, textanalysis
+from ..operators import dedup, documents as docops, similarity, spans, textanalysis
+from ..operators import versioning
 from ..sources.tables import read_table
 
 # position-series cap for the oracle's shingle expansion; asserted against
@@ -194,6 +195,163 @@ def filter_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 def exact_duplicates_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A11 first-wins dedup as content-hash grouping."""
     return dedup.exact_duplicates(_t(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# Document substrate (SURVEY §3.2): versioned documents, status gating, the
+# universal input join. Versioned document streams are synthesized
+# deterministically from the `documents` table: every doc has a TEXT stream
+# with two versions (0.{k}.0 and 0.{k+1}.0 — latest must win) and, when
+# doc_id % 5 != 0, a SECTIONS stream (so the join has real failures).
+# Status: TEXT_DONE ⇔ n_chars >= 50, SENT_DONE ⇔ doc_id % 7 == 0,
+# collection = source.
+# ---------------------------------------------------------------------------
+
+
+def _synth_document_streams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    base = d.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        "text",
+        "lang",
+        "source",
+        (F.col("doc_id") % 3).alias("k"),
+        (F.col("doc_id") % 5).alias("m5"),
+    )
+    text_v = base.select(
+        "doc_id",
+        F.lit("TEXT").alias("doc_type"),
+        F.lit("TEXT").alias("doc_format"),
+        F.lit("MEDLINE_XML_TO_TEXT").alias("pipeline_key"),
+        F.explode(
+            F.array(
+                F.struct(
+                    F.format_string("0.%d.0", F.col("k")).alias("pipeline_version"),
+                    F.concat(F.lit("A:"), F.col("text")).alias("content"),
+                ),
+                F.struct(
+                    F.format_string("0.%d.0", F.col("k") + 1).alias("pipeline_version"),
+                    F.concat(F.lit("B:"), F.col("text")).alias("content"),
+                ),
+            )
+        ).alias("v"),
+        F.array("source").alias("collections"),
+    ).select(
+        "doc_id", "doc_type", "doc_format", "pipeline_key",
+        F.col("v.pipeline_version").alias("pipeline_version"),
+        F.col("v.content").alias("content"),
+        F.lit(0).cast("long").alias("chunk_id"),
+        F.lit(1).cast("long").alias("chunk_total"),
+        "collections",
+    )
+    sect_v = base.where(F.col("m5") != 0).select(
+        "doc_id",
+        F.lit("SECTIONS").alias("doc_type"),
+        F.lit("BIONLP").alias("doc_format"),
+        F.lit("SECTIONS").alias("pipeline_key"),
+        F.lit("0.1.0").alias("pipeline_version"),
+        F.concat(F.lit("S:"), F.col("lang")).alias("content"),
+        F.lit(0).cast("long").alias("chunk_id"),
+        F.lit(1).cast("long").alias("chunk_total"),
+        F.array("source").alias("collections"),
+    )
+    return text_v.unionByName(sect_v)
+
+
+def _synth_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.lit("2155").alias("pub_year"),
+        F.array().cast("array<string>").alias("pub_types"),
+        F.map_from_arrays(
+            F.array(F.lit("TEXT_DONE"), F.lit("SENT_DONE")),
+            F.array(F.col("n_chars") >= 50, F.col("doc_id") % 7 == 0),
+        ).alias("flags"),
+        F.array("source").alias("collections"),
+    )
+
+
+_UIJ_CRITERIA = [
+    docops.DocumentCriteria("TEXT", "TEXT", "MEDLINE_XML_TO_TEXT", "recent"),
+    docops.DocumentCriteria("SECTIONS", "BIONLP", "SECTIONS", "0.1.0"),
+]
+
+
+@register(
+    "latest_version_documents",
+    """
+    SELECT cast(doc_id AS varchar) AS doc_id,
+           'B:' || text            AS content,
+           '0.' || cast(doc_id % 3 + 1 AS varchar) || '.0' AS pipeline_version
+    FROM documents
+    """,
+)
+def latest_version_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest-wins version resolution (filterForMostRecent,
+    PipelineMain.java:408-436) over the synthesized two-version TEXT stream:
+    the 0.{k+1}.0 'B:' content must win for every document."""
+    streams = _synth_document_streams(spark, sf_dir)
+    text_stream = streams.where(F.col("doc_type") == "TEXT")
+    return versioning.filter_most_recent(text_stream).select(
+        "doc_id", "content", "pipeline_version"
+    )
+
+
+@register(
+    "universal_input_join",
+    """
+    SELECT cast(doc_id AS varchar) AS doc_id,
+           'B:' || text            AS text_content,
+           'S:' || lang            AS sections_content
+    FROM documents
+    WHERE n_chars >= 50 AND doc_id % 7 <> 0 AND source = 'src1' AND doc_id % 5 <> 0
+    """,
+)
+def universal_input_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1 (getStatusEntity2Content, PipelineMain.java:287-406): status gate
+    (required flags true, target flag false, collection membership) joined
+    with two document streams; only documents with ALL required inputs
+    survive. Single scan + one shuffle replaces the reference's N Datastore
+    queries + CoGroupByKey."""
+    joined, _failures = docops.universal_input_join(
+        _synth_status(spark, sf_dir),
+        _synth_document_streams(spark, sf_dir),
+        _UIJ_CRITERIA,
+        required_flags=["TEXT_DONE"],
+        target_flag="SENT_DONE",
+        collection="src1",
+    )
+    return joined.select(
+        "doc_id",
+        F.col("contents").getItem(_UIJ_CRITERIA[0].key).alias("text_content"),
+        F.col("contents").getItem(_UIJ_CRITERIA[1].key).alias("sections_content"),
+    )
+
+
+@register(
+    "input_join_failures",
+    """
+    SELECT cast(doc_id AS varchar) AS doc_id,
+           'input-join' AS stage,
+           'missing required documents: SECTIONS|BIONLP|SECTIONS|0.1.0' AS message
+    FROM documents
+    WHERE n_chars >= 50 AND doc_id % 7 <> 0 AND source = 'src1' AND doc_id % 5 = 0
+    """,
+)
+def input_join_failures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The failure side-channel of J1 (EtlFailureData; warn+skip at
+    PipelineMain.java:361-379): status-selected documents whose SECTIONS
+    stream is absent."""
+    _joined, failures = docops.universal_input_join(
+        _synth_status(spark, sf_dir),
+        _synth_document_streams(spark, sf_dir),
+        _UIJ_CRITERIA,
+        required_flags=["TEXT_DONE"],
+        target_flag="SENT_DONE",
+        collection="src1",
+    )
+    return failures.select("doc_id", "stage", "message")
 
 
 # ---------------------------------------------------------------------------
