@@ -27,6 +27,7 @@ from pyspark.sql import functions as F
 
 from ..operators import cooccurrence as co
 from ..operators import dedup, documents as docops, similarity, spans, textanalysis
+from ..operators import sentences as sentops
 from ..operators import versioning
 from ..sources.tables import read_table
 
@@ -602,6 +603,126 @@ def span_overlap_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((F.col("l_suppkey") * 11) % 1100 + 30).alias("end"),
     )
     return spans.overlap_semi_join(_conc_frame(spark, sf_dir), crf, on=("doc",))
+
+
+# ---------------------------------------------------------------------------
+# Sentence layer (X1 segmentation, J5/P9/P10 extraction)
+# ---------------------------------------------------------------------------
+
+# DuckDB twin of segment_sentences: same marker-insert + split + cumulative
+# offsets. Whitespace classes are written explicitly ([ \t\n\r\f]) so RE2 and
+# Java agree; the position-series cap is far above any real sentence count.
+_SEG_SQL = r"""
+    seg_parts AS (
+      SELECT doc_id,
+             string_split(
+               regexp_replace(
+                 regexp_replace(text, '\n', chr(30) || '\n', 'g'),
+                 '([.!?])([ \t\n\r\f]+)', '\1' || chr(30) || '\2', 'g'),
+               chr(30)) AS ps
+      FROM documents
+    ),
+    seg_pos AS (SELECT unnest(generate_series(1, 512)) AS p),
+    seg_exploded AS (
+      SELECT doc_id, p, list_extract(ps, p) AS part,
+             length(coalesce(array_to_string(list_slice(ps, 1, p - 1), ''), '')) AS off
+      FROM seg_parts, seg_pos WHERE p <= len(ps)
+    ),
+    seg AS (
+      SELECT doc_id,
+             cast(row_number() OVER (PARTITION BY doc_id ORDER BY p) - 1 AS int) AS sent_idx,
+             cast(off + length(regexp_extract(part, '^([ \t\n\r\f]*)', 1)) AS int) AS start,
+             cast(off + length(part) - length(regexp_extract(part, '([ \t\n\r\f]*)$', 1)) AS int) AS "end",
+             regexp_replace(part, '^[ \t\n\r\f]+|[ \t\n\r\f]+$', '', 'g') AS sentence
+      FROM seg_exploded
+      WHERE regexp_replace(part, '^[ \t\n\r\f]+|[ \t\n\r\f]+$', '', 'g') <> ''
+    )
+"""
+
+
+@register(
+    "sentence_segmentation",
+    f"""
+    WITH {_SEG_SQL}
+    SELECT doc_id, sent_idx, start, "end", sentence FROM seg
+    """,
+)
+def sentence_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X1 (OpenNLPSentenceSegmentFn.java:127-193 boundary semantics):
+    punctuation+whitespace and line-break boundaries with exact character
+    spans — all column expressions, offsets from a cumulative-length
+    window."""
+    d = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("doc_id"), F.col("text").alias("content")
+    )
+    out = sentops.segment_sentences(d)
+    return out.select(F.col("doc_id").cast("bigint").alias("doc_id"), "sent_idx", "start", "end", "sentence")
+
+
+@register(
+    "extracted_relation_sentences",
+    """
+    WITH eligible AS (SELECT * FROM documents WHERE n_chars >= 40)
+    SELECT sha256(cast(doc_id AS varchar) || 'Unknown'
+                  || 'CHEBI:' || cast(doc_id AS varchar) || '[5..12]'
+                  || 'HP:' || cast(doc_id AS varchar) || '[20..30]'
+                  || text)                                   AS sentence_id,
+           cast(doc_id AS varchar)                           AS doc_id,
+           'CHEBI:' || cast(doc_id AS varchar)               AS entity1_id,
+           substr(text, 6, 7)                                AS entity1_text,
+           'HP:' || cast(doc_id AS varchar)                  AS entity2_id,
+           substr(text, 21, 10)                              AS entity2_text,
+           substr(text, 1, 5) || '@CHEMICAL$' || substr(text, 13, 8)
+             || '@DISEASE$' || substr(text, 31)              AS sentence_with_placeholders,
+           'Unknown'                                         AS doc_zone,
+           '2155'                                            AS pub_year,
+           0                                                 AS sentence_span_start,
+           cast(1 AS bigint)                                 AS n_other
+    FROM eligible
+    """,
+)
+def extracted_relation_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5/P9/P10 + sha256 sentence id (SentenceExtractionFn +
+    ExtractedSentence.java:104-143) over synthesized concept annotations:
+    every doc ≥ 40 chars carries a CHEBI span [5,12), an HP span [20,30)
+    and one other (PR) entity; the whole document acts as the containing
+    sentence so the oracle can reproduce ids and placeholder surgery
+    bit-for-bit."""
+    d = _t(spark, sf_dir, "documents").where(F.col("n_chars") >= 40)
+    docs = d.select(F.col("doc_id").cast("string").alias("doc_id"), "text", "n_chars")
+    sents = docs.select(
+        "doc_id",
+        F.lit(0).alias("sent_idx"),
+        F.lit(0).alias("start"),
+        F.col("n_chars").cast("int").alias("end"),
+        F.col("text").alias("sentence"),
+    )
+    mk = lambda pfx, s, e: docs.select(  # noqa: E731
+        "doc_id",
+        F.lit("concept").alias("annot_type"),
+        F.concat(F.lit(pfx + ":"), F.col("doc_id")).alias("concept_id"),
+        F.array(F.struct(F.lit(s).cast("int").alias("start"), F.lit(e).cast("int").alias("end"))).alias("spans"),
+        F.substring("text", s + 1, e - s).alias("covered_text"),
+    )
+    concepts = mk("CHEBI", 5, 12).unionByName(mk("HP", 20, 30)).unionByName(mk("PR", 13, 18))
+    ext = sentops.extract_sentences(
+        sents, concepts,
+        x_prefixes=["CHEBI"], y_prefixes=["HP"],
+        x_placeholder="@CHEMICAL$", y_placeholder="@DISEASE$",
+    )
+    return ext.select(
+        "sentence_id",
+        "doc_id",
+        "entity1_id",
+        "entity1_text",
+        "entity2_id",
+        "entity2_text",
+        "sentence_with_placeholders",
+        "doc_zone",
+        "pub_year",
+        "sentence_span_start",
+        F.size("other_entity_ids").cast("bigint").alias("n_other"),
+    )
 
 
 # ---------------------------------------------------------------------------
