@@ -25,6 +25,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..operators import conceptfilters as cf
 from ..operators import cooccurrence as co
 from ..operators import dedup, documents as docops, similarity, spans, textanalysis
 from ..operators import sentences as sentops
@@ -723,6 +724,123 @@ def extracted_relation_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
         "sentence_span_start",
         F.size("other_entity_ids").cast("bigint").alias("n_other"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Concept post-processing chain (P6/P8) on part-name "annotations"
+# ---------------------------------------------------------------------------
+
+_STOPWORD_IN = ", ".join(f"'{w}'" for w in cf.DEFAULT_STOPWORDS)
+
+
+@register(
+    "concept_postprocess_chain",
+    f"""
+    WITH annots AS (
+      SELECT DISTINCT l.l_orderkey                              AS doc_id,
+             'C:' || cast(l.l_partkey % 100 AS varchar)          AS concept_id,
+             cast((l.l_partkey * 7) % 1100 AS int)               AS start,
+             cast((l.l_partkey * 7) % 1100 + length(p.p_name) AS int) AS "end",
+             p.p_name                                            AS covered_text
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    ),
+    filtered AS (
+      SELECT * FROM annots
+      WHERE length(covered_text) >= 4
+        AND length(covered_text) > 2
+        AND lower(covered_text) NOT IN ({_STOPWORD_IN})
+    ),
+    nested AS (
+      SELECT DISTINCT a.doc_id, a.start, a."end"
+      FROM filtered a JOIN filtered b
+        ON a.doc_id = b.doc_id AND b.start <= a.start AND a."end" <= b."end"
+       AND (b.start <> a.start OR b."end" <> a."end")
+    )
+    SELECT f.doc_id, f.concept_id, f.start, f."end", f.covered_text
+    FROM filtered f LEFT JOIN nested n
+      ON n.doc_id = f.doc_id AND n.start = f.start AND n."end" = f."end"
+    WHERE n.doc_id IS NULL
+    """,
+)
+def concept_postprocess_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P8 subset as one chain (ConceptPostProcessingFn.postProcess:215-251):
+    short-match removal → NCBI stopword removal → nested-annotation removal,
+    over annotations synthesized from lineitem/part (span position keyed by
+    partkey, covered text = part name)."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    annots = (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .select(
+            F.col("l_orderkey").alias("doc_id"),
+            F.concat(F.lit("C:"), (F.col("l_partkey") % 100).cast("string")).alias("concept_id"),
+            ((F.col("l_partkey") * 7) % 1100).cast("int").alias("s"),
+            ((F.col("l_partkey") * 7) % 1100 + F.length("p_name")).cast("int").alias("e"),
+            F.col("p_name").alias("covered_text"),
+        )
+        .distinct()
+        .select(
+            "doc_id",
+            F.lit("concept").alias("annot_type"),
+            "concept_id",
+            F.array(F.struct(F.col("s").alias("start"), F.col("e").alias("end"))).alias("spans"),
+            "covered_text",
+        )
+    )
+    out = cf.remove_nested_annotations(
+        cf.remove_ncbi_stopwords(cf.remove_matches_less_than(annots, 4))
+    )
+    return out.select(
+        "doc_id",
+        "concept_id",
+        F.col("spans").getItem(0).getField("start").alias("start"),
+        F.col("spans").getItem(0).getField("end").alias("end"),
+        "covered_text",
+    )
+
+
+@register(
+    "unactionable_truncation",
+    """
+    SELECT doc_id, rtrim(substr(text, 1, cast(n_chars // 2 AS int))) AS content
+    FROM documents
+    """,
+)
+def unactionable_truncation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P6 (FilterUnactionableTextFn:115-145): every document gets a
+    'results' section in its first half and a trailing 'references' section
+    in its second half — the trailing unactionable run is truncated."""
+    d = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("doc_id"), F.col("text").alias("content"), "n_chars"
+    )
+    half = F.floor(F.col("n_chars") / 2).cast("int")
+    sections = d.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("results").alias("annot_type"),
+                    F.lit(0).cast("int").alias("s"),
+                    half.alias("e"),
+                ),
+                F.struct(
+                    F.lit("references").alias("annot_type"),
+                    half.alias("s"),
+                    F.col("n_chars").cast("int").alias("e"),
+                ),
+            )
+        ).alias("sec"),
+    ).select(
+        "doc_id",
+        F.col("sec.annot_type").alias("annot_type"),
+        F.lit(None).cast("string").alias("concept_id"),
+        F.array(
+            F.struct(F.col("sec.s").alias("start"), F.col("sec.e").alias("end"))
+        ).alias("spans"),
+        F.lit(None).cast("string").alias("covered_text"),
+    )
+    out = cf.filter_unactionable_text(d, sections)
+    return out.select(F.col("doc_id").cast("bigint").alias("doc_id"), "content")
 
 
 # ---------------------------------------------------------------------------
