@@ -1,0 +1,226 @@
+"""Export family (SURVEY §2.1 K2-K5, §2.4 A10): concept count distribution,
+BigQuery 4-table relational annotation export, KGX node/edge serialization,
+Elasticsearch sentence JSON.
+
+Reference:
+- count distribution: .../etl/ConceptCountDistributionPipeline.java:60-135
+  (label default "UKNOWN" [sic] — the typo is the reference's)
+- BigQuery export: .../etl/fn/BigQueryExportFileBuilderFn.java +
+  .../etl/util/serialization/BigQueryLoadBuilder.java:48-75; table schemas
+  doc/bigquery/schema/{annotation,in-section,relation,ancestor}-schema.json
+- KGX: kg/KgxNode.java:17-22 (id, name, category + padding),
+  kg/KgxEdge.java:42-62 (subject, edge label, object, relation, id,
+  association type, evidence count, '|'-joined evidence ids)
+- ES JSON: .../etl/fn/ElasticsearchDocumentCreatorFn.createJsonDocument
+  :161-180 — Gson JSON with '%' → '%25' and '=' → '%3D' (URL-encoding for
+  the bulk API)
+
+All exports are projections/joins of the annotation substrate — no UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .spans import containment_join
+
+
+# ---------------------------------------------------------------------------
+# A10 + J7 — concept count distribution
+# ---------------------------------------------------------------------------
+
+
+def concept_count_distribution(
+    unit_concepts: DataFrame, labels: DataFrame | None = None
+) -> DataFrame:
+    """(count, concept_id, label) — per-concept distinct-document counts
+    decorated with labels; missing label → 'UKNOWN' (reference typo,
+    ConceptCountDistributionPipeline.createConceptToDocumentCountLines:
+    80-105). Labels are a small vocabulary table → broadcast left join."""
+    counts = unit_concepts.groupBy("concept_id").agg(
+        F.count_distinct("text_id").alias("count")
+    )
+    if labels is not None:
+        counts = counts.join(F.broadcast(labels), "concept_id", "left")
+        label = F.coalesce(F.col("label"), F.lit("UKNOWN"))
+    else:
+        label = F.lit("UKNOWN")
+    return counts.select("count", "concept_id", label.alias("label"))
+
+
+# ---------------------------------------------------------------------------
+# K5 — BigQuery 4-table relational annotation export
+# ---------------------------------------------------------------------------
+
+
+def _annotation_id(
+    doc_id: Column, layer: Column, annot_type: Column, start: Column, end: Column, text: Column
+) -> Column:
+    return F.sha2(
+        F.concat_ws(
+            "|", doc_id, layer, annot_type, start.cast("string"), end.cast("string"), text
+        ),
+        256,
+    )
+
+
+def bigquery_annotation_table(
+    annots: DataFrame, layer: str, annotator: str = "TM_PROVIDER"
+) -> DataFrame:
+    """annotation-schema.json row per annotation: (annotation_id,
+    annotator_name, document_id, annotation_layer, annotation_type,
+    span_start, span_end, covered_text). Multi-span annotations use the
+    aggregate span (the serializer's span flattening)."""
+    start = F.array_min(F.transform("spans", lambda s: s["start"]))
+    end = F.array_max(F.transform("spans", lambda s: s["end"]))
+    a_type = F.coalesce(F.col("concept_id"), F.col("annot_type"))
+    return annots.select(
+        _annotation_id(F.col("doc_id"), F.lit(layer), a_type, start, end, F.col("covered_text")).alias(
+            "annotation_id"
+        ),
+        F.lit(annotator).alias("annotator_name"),
+        F.col("doc_id").alias("document_id"),
+        F.lit(layer).alias("annotation_layer"),
+        a_type.alias("annotation_type"),
+        start.cast("int").alias("span_start"),
+        end.cast("int").alias("span_end"),
+        F.col("covered_text"),
+    )
+
+
+def bigquery_in_section_table(
+    concept_table: DataFrame, section_table: DataFrame
+) -> DataFrame:
+    """in-section-schema.json: (inner_annot_id, outer_annot_id) — concept
+    annotations contained in section/sentence annotations. Containment
+    equi-joins on document_id with the span predicate."""
+    inner = concept_table.select(
+        F.col("annotation_id").alias("id"),
+        F.col("document_id").alias("doc"),
+        F.col("span_start").alias("start"),
+        F.col("span_end").alias("end"),
+    )
+    outer = section_table.select(
+        F.col("annotation_id").alias("id"),
+        F.col("document_id").alias("doc"),
+        F.col("span_start").alias("start"),
+        F.col("span_end").alias("end"),
+    )
+    joined = containment_join(outer, inner, on=("doc",))
+    return joined.select(
+        F.col("inner_id").alias("inner_annot_id"),
+        F.col("outer_id").alias("outer_annot_id"),
+    )
+
+
+def bigquery_relation_table(
+    pairs: DataFrame, relation_type: str, annotator: str = "TM_PROVIDER"
+) -> DataFrame:
+    """relation-schema.json: (source_annot_id, annotator_name, type,
+    target_annot_id) — e.g. abbreviation long-form → short-form links."""
+    return pairs.select(
+        F.col("source_annot_id"),
+        F.lit(annotator).alias("annotator_name"),
+        F.lit(relation_type).alias("type"),
+        F.col("target_annot_id"),
+    )
+
+
+def bigquery_ancestor_table(ancestors: DataFrame) -> DataFrame:
+    """ancestor-schema.json passthrough: (concept_id, ancestor_id)."""
+    return ancestors.select("concept_id", "ancestor_id").distinct()
+
+
+# ---------------------------------------------------------------------------
+# KGX node/edge export
+# ---------------------------------------------------------------------------
+
+
+def kgx_nodes(concepts: DataFrame, labels: DataFrame, category: str) -> DataFrame:
+    """KGX node rows (KgxNode.java:17-22): (id, name, category); names from
+    the (broadcast) label map."""
+    return (
+        concepts.select(F.col("concept_id").alias("id"))
+        .distinct()
+        .join(F.broadcast(labels.select(F.col("concept_id").alias("id"), "label")), "id", "left")
+        .select(
+            "id",
+            F.coalesce("label", F.lit("UKNOWN")).alias("name"),
+            F.lit(category).alias("category"),
+        )
+    )
+
+
+def kgx_node_tsv(nodes: DataFrame, column_count: int = 3) -> DataFrame:
+    """toKgxString(columnCount): id, name, category then tab-padding out to
+    ``column_count`` columns."""
+    line = F.concat_ws("\t", "id", "name", "category")
+    if column_count > 3:
+        line = F.concat(line, F.lit("\t" * (column_count - 3)))
+    return nodes.select(line.alias("line"))
+
+
+def kgx_edges(
+    assertions: DataFrame,
+    evidence: DataFrame,
+    edge_label: str,
+    relation_curie: str,
+    association_type: str,
+) -> DataFrame:
+    """KGX edge rows (KgxEdge.toKgxString): subject, edge_label, object,
+    relation, id (= assertion id), association type, evidence count and
+    '|'-joined evidence ids. Evidence aggregates per assertion — one
+    shuffle keyed by assertion_id."""
+    ev = evidence.groupBy("assertion_id").agg(
+        F.count("*").alias("evidence_count"),
+        F.array_join(F.array_sort(F.collect_list("evidence_id")), "|").alias("evidence_ids"),
+    )
+    return assertions.join(ev, "assertion_id", "left").select(
+        F.col("subject_curie").alias("subject"),
+        F.lit(edge_label).alias("edge_label"),
+        F.col("object_curie").alias("object"),
+        F.lit(relation_curie).alias("relation"),
+        F.col("assertion_id").alias("id"),
+        F.lit(association_type).alias("biolink_association_type"),
+        F.coalesce("evidence_count", F.lit(0)).cast("long").alias("evidence_count"),
+        F.coalesce("evidence_ids", F.lit("")).alias("evidence_ids"),
+    )
+
+
+def kgx_edge_tsv(edges: DataFrame) -> DataFrame:
+    line = F.concat_ws(
+        "\t",
+        "subject", "edge_label", "object", "relation", "id",
+        "biolink_association_type",
+        F.col("evidence_count").cast("string"),
+        "evidence_ids",
+    )
+    return edges.select(line.alias("line"))
+
+
+# ---------------------------------------------------------------------------
+# K4 — Elasticsearch sentence JSON
+# ---------------------------------------------------------------------------
+
+
+def es_sentence_json(sentences_with_concepts: DataFrame) -> DataFrame:
+    """JSON document per sentence for the ES bulk load
+    (ElasticsearchDocumentCreatorFn.createJsonDocument:161-180): the
+    sentence struct serialized to JSON, then '%' → '%25' and '=' → '%3D'
+    (order matters: percent first, exactly as the reference). Input needs
+    (sentence_id, doc_id, sentence, start, end, concepts ARRAY<STRUCT>)."""
+    js = F.to_json(
+        F.struct(
+            F.col("sentence_id").alias("id"),
+            F.col("doc_id").alias("documentId"),
+            F.col("sentence").alias("text"),
+            F.col("start").alias("spanStart"),
+            F.col("end").alias("spanEnd"),
+            F.col("concepts").alias("annotations"),
+        )
+    )
+    escaped = F.regexp_replace(F.regexp_replace(js, "%", "%25"), "=", "%3D")
+    return sentences_with_concepts.select(
+        F.col("sentence_id"), escaped.alias("json")
+    )

@@ -25,9 +25,11 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..operators import classified as clf
 from ..operators import conceptfilters as cf
 from ..operators import cooccurrence as co
 from ..operators import dedup, documents as docops, similarity, spans, textanalysis
+from ..operators import exports as ex
 from ..operators import sentences as sentops
 from ..operators import versioning
 from ..sources.tables import read_table
@@ -724,6 +726,172 @@ def extracted_relation_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
         "sentence_span_start",
         F.size("other_entity_ids").cast("bigint").alias("n_other"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Classified-sentence storage (J2) + exports on synthesized metadata: every
+# doc ≥ 40 chars is one extracted sentence (CHEBI:<id> [5,12) / HP:<id>
+# [20,30), sentence = full text); classifier scores derive from doc_id.
+# ---------------------------------------------------------------------------
+
+_CLS_ASSOC = "biolink:ChemicalToDiseaseOrPhenotypicFeatureAssociation"
+
+# shared CTE: rows passing the gate (treats score > 0.5)
+_CLS_SQL = """
+    cls AS (
+      SELECT cast(doc_id AS varchar) AS doc, text,
+             'CHEBI:' || cast(doc_id AS varchar) AS sub,
+             'HP:' || cast(doc_id AS varchar)    AS obj
+      FROM documents
+      WHERE n_chars >= 40 AND ((doc_id * 37) % 100) / 100.0 > 0.5
+    )
+"""
+
+
+def _cls_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents").where(F.col("n_chars") >= 40)
+    span = lambda s, e: F.array(  # noqa: E731
+        F.struct(F.lit(s).cast("int").alias("start"), F.lit(e).cast("int").alias("end"))
+    )
+    return d.select(
+        F.concat(F.lit("S"), F.col("doc_id").cast("string")).alias("sentence_id"),
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.concat(F.lit("CHEBI:"), F.col("doc_id").cast("string")).alias("entity1_id"),
+        F.substring("text", 6, 7).alias("entity1_text"),
+        span(5, 12).alias("entity1_spans"),
+        F.concat(F.lit("HP:"), F.col("doc_id").cast("string")).alias("entity2_id"),
+        F.substring("text", 21, 10).alias("entity2_text"),
+        span(20, 30).alias("entity2_spans"),
+        F.lit(None).cast("string").alias("keyword"),
+        F.col("text").alias("sentence_text"),
+        F.lit(None).cast("string").alias("sentence_with_placeholders"),
+        F.lit("abstract").alias("doc_zone"),
+        F.array(F.lit("JournalArticle")).alias("pub_types"),
+        F.lit("1999").alias("pub_year"),
+        F.lit(0).cast("int").alias("sentence_span_start"),
+        F.array().cast("array<string>").alias("other_entity_ids"),
+        F.array().cast("array<string>").alias("other_entity_texts"),
+        F.array().cast(
+            "array<struct<start:int,end:int>>"
+        ).alias("other_entity_spans"),
+    )
+
+
+def _cls_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents").where(F.col("n_chars") >= 40)
+    return d.select(
+        F.concat(F.lit("S"), F.col("doc_id").cast("string")).alias("sentence_id"),
+        F.map_from_arrays(
+            F.array(F.lit("biolink:treats"), F.lit("false")),
+            F.array(
+                ((F.col("doc_id") * 37) % 100) / 100.0,
+                ((F.col("doc_id") * 53) % 100) / 100.0,
+            ),
+        ).alias("scores"),
+    )
+
+
+def _cls_tables(spark: SparkSession, sf_dir: str):
+    return clf.classified_sentence_tables(
+        _cls_scores(spark, sf_dir),
+        _cls_metadata(spark, sf_dir),
+        association_id=_CLS_ASSOC,
+        subject_placeholder="@CHEMICAL$",
+        entity1_placeholder="@CHEMICAL$",
+        threshold=0.5,
+    )
+
+
+@register(
+    "classified_evidence",
+    f"""
+    WITH {_CLS_SQL}
+    SELECT sha256(doc || text || sub || '5 12' || obj || '20 30' || '{_CLS_ASSOC}') AS evidence_id,
+           sha256(sub || obj || '{_CLS_ASSOC}')                                     AS assertion_id,
+           doc                                                                      AS document_id,
+           text                                                                     AS sentence,
+           sha256(doc || text || sub || '5 12' || '{_CLS_ASSOC}')                   AS subject_entity_id,
+           sha256(doc || text || obj || '20 30' || '{_CLS_ASSOC}')                  AS object_entity_id,
+           'abstract'                                                               AS document_zone,
+           'JournalArticle'                                                         AS document_publication_types,
+           '1999'                                                                   AS document_year_published
+    FROM cls
+    """,
+)
+def classified_evidence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2 + threshold gate + sha256 id hashing + truncations
+    (ClassifiedSentenceStorageSqlValuesFn.java:534-700): the evidence table
+    of the assertion database."""
+    return _cls_tables(spark, sf_dir)["evidence"]
+
+
+@register(
+    "classified_assertions",
+    f"""
+    WITH {_CLS_SQL}
+    SELECT DISTINCT sha256(sub || obj || '{_CLS_ASSOC}') AS assertion_id,
+           sub AS subject_curie, obj AS object_curie,
+           '{_CLS_ASSOC[:95]}' AS association_id
+    FROM cls
+    """,
+)
+def classified_assertions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Assertion table (distinct subject/object/association rows with
+    sha256 ids)."""
+    return _cls_tables(spark, sf_dir)["assertion"]
+
+
+@register(
+    "kgx_edge_export",
+    f"""
+    WITH {_CLS_SQL}
+    SELECT sub                                         AS subject,
+           'biolink:treats'                            AS edge_label,
+           obj                                         AS object,
+           'RO:0002606'                                AS relation,
+           sha256(sub || obj || '{_CLS_ASSOC}')        AS id,
+           '{_CLS_ASSOC}'                              AS biolink_association_type,
+           cast(1 AS bigint)                           AS evidence_count,
+           sha256(doc || text || sub || '5 12' || obj || '20 30' || '{_CLS_ASSOC}') AS evidence_ids
+    FROM cls
+    """,
+)
+def kgx_edge_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KGX edge serialization (KgxEdge.toKgxString shape) over the
+    assertion+evidence tables; every synthesized assertion has exactly one
+    evidence sentence."""
+    t = _cls_tables(spark, sf_dir)
+    return ex.kgx_edges(
+        t["assertion"], t["evidence"],
+        edge_label="biolink:treats", relation_curie="RO:0002606",
+        association_type=_CLS_ASSOC,
+    )
+
+
+@register(
+    "concept_count_distribution",
+    f"""
+    WITH {_UC_SQL},
+    counts AS (
+      SELECT concept_id, count(DISTINCT text_id) AS count FROM uc GROUP BY 1
+    ),
+    labels AS (
+      SELECT 'S:' || cast(s_suppkey AS varchar) AS concept_id, s_name AS label
+      FROM supplier WHERE s_suppkey % 2 = 0
+    )
+    SELECT c.count, c.concept_id, coalesce(l.label, 'UKNOWN') AS label
+    FROM counts c LEFT JOIN labels l ON l.concept_id = c.concept_id
+    """,
+)
+def concept_count_distribution_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A10 + J7 (ConceptCountDistributionPipeline.java:60-135): per-concept
+    document counts with broadcast label decoration, default 'UKNOWN'."""
+    s = _t(spark, sf_dir, "supplier")
+    labels = s.where(F.col("s_suppkey") % 2 == 0).select(
+        F.concat(F.lit("S:"), F.col("s_suppkey").cast("string")).alias("concept_id"),
+        F.col("s_name").alias("label"),
+    )
+    return ex.concept_count_distribution(_supplier_units(spark, sf_dir), labels)
 
 
 # ---------------------------------------------------------------------------
