@@ -1,0 +1,141 @@
+"""Source tests: Medline XML (S3), BioC XML (S4), JATS (S5), file loader
+(S6) — mirrors MedlineXmlToTextFnTest / BiocToTextFnTest shapes on tiny
+fixtures."""
+
+from __future__ import annotations
+
+import gzip
+
+import pytest
+
+from translator_tm_provider_pipelines_spark.sources import bioc, files, medline
+
+MEDLINE_XML = """<?xml version="1.0"?>
+<PubmedArticleSet>
+  <PubmedArticle>
+    <MedlineCitation>
+      <PMID Version="1">101</PMID>
+      <Article>
+        <Journal><JournalIssue><PubDate><Year>1997</Year></PubDate></JournalIssue></Journal>
+        <ArticleTitle>A title.</ArticleTitle>
+        <Abstract>
+          <AbstractText>First part.</AbstractText>
+          <AbstractText Label="METHODS">Second part.</AbstractText>
+        </Abstract>
+        <PublicationTypeList>
+          <PublicationType UI="D016428">Journal Article</PublicationType>
+        </PublicationTypeList>
+      </Article>
+    </MedlineCitation>
+  </PubmedArticle>
+  <PubmedArticle>
+    <MedlineCitation>
+      <PMID>102</PMID>
+      <Article>
+        <Journal><JournalIssue><PubDate><MedlineDate>Winter 2003-2004</MedlineDate></PubDate></JournalIssue></Journal>
+        <ArticleTitle>No abstract here.</ArticleTitle>
+      </Article>
+    </MedlineCitation>
+  </PubmedArticle>
+</PubmedArticleSet>
+"""
+
+BIOC_XML = """<?xml version="1.0"?>
+<collection>
+  <source>PMC</source>
+  <document>
+    <id>PMC1</id>
+    <passage>
+      <infon key="type">title</infon>
+      <offset>0</offset>
+      <text>Doc title.</text>
+    </passage>
+    <passage>
+      <infon key="type">abstract</infon>
+      <offset>11</offset>
+      <text>Abstract body.</text>
+    </passage>
+  </document>
+</collection>
+"""
+
+JATS_XML = """<?xml version="1.0"?>
+<article xmlns:xlink="http://www.w3.org/1999/xlink">
+  <front><article-meta>
+    <article-id pub-id-type="doi">10.1101/001</article-id>
+    <title-group><article-title>JATS title</article-title></title-group>
+    <abstract><p>The abstract text.</p></abstract>
+  </article-meta></front>
+  <body>
+    <sec><title>Introduction</title><p>Intro para one.</p><p>Intro para two.</p></sec>
+    <sec><title>Methods</title><p>Methods para.</p></sec>
+  </body>
+</article>
+"""
+
+
+@pytest.fixture()
+def medline_docs(spark, tmp_path):
+    # gzipped on purpose: the reference reads *.xml.gz
+    with gzip.open(tmp_path / "m.xml.gz", "wt") as f:
+        f.write(MEDLINE_XML)
+    raw = medline.read_medline_xml(spark, str(tmp_path))
+    return medline.medline_documents(raw)
+
+
+def test_medline_text_assembly(medline_docs):
+    rows = {r.doc_id: r for r in medline_docs.collect()}
+    assert set(rows) == {"PMID:101", "PMID:102"}
+    assert rows["PMID:101"].content == "A title.\n\nFirst part.\n\nMETHODS: Second part."
+    assert rows["PMID:102"].content == "No abstract here."
+
+
+def test_medline_year_and_pubtypes(medline_docs):
+    rows = {r.doc_id: r for r in medline_docs.collect()}
+    assert rows["PMID:101"].pub_year == "1997"
+    assert rows["PMID:101"].pub_types == ["Journal Article"]
+    assert rows["PMID:102"].pub_year == "2003"  # from MedlineDate
+    assert rows["PMID:102"].pub_types == []
+
+
+def test_medline_section_annotations(medline_docs):
+    annots = medline.medline_section_annotations(medline_docs)
+    rows = {(r.doc_id, r.annot_type): r for r in annots.collect()}
+    t = rows[("PMID:101", "title")]
+    assert [tuple(s) for s in t.spans] == [(0, 8)] and t.covered_text == "A title."
+    a = rows[("PMID:101", "abstract")]
+    assert a.covered_text == "First part.\n\nMETHODS: Second part."
+    assert ("PMID:102", "abstract") not in rows
+
+
+def test_bioc_documents(spark, tmp_path):
+    (tmp_path / "b.xml").write_text(BIOC_XML)
+    docs = bioc.bioc_documents(bioc.read_bioc_xml(spark, str(tmp_path / "b.xml")))
+    r = docs.collect()[0]
+    assert r.doc_id == "PMC1"
+    assert r.content == "Doc title.\n\nAbstract body."
+    assert [(s.annot_type, s.start, s.end) for s in r.sections] == [
+        ("title", 0, 10), ("abstract", 12, 26),
+    ]
+    annots = bioc.bioc_section_annotations(docs).collect()
+    got = {r.annot_type: r.covered_text for r in annots}
+    assert got == {"title": "Doc title.", "abstract": "Abstract body."}
+
+
+def test_jats_documents(spark, tmp_path):
+    (tmp_path / "j.xml").write_text(JATS_XML)
+    r = bioc.jats_documents(spark, str(tmp_path / "j.xml")).collect()[0]
+    assert r.doc_id == "10.1101/001"
+    assert r.content.startswith("JATS title\n\nThe abstract text.")
+    types = [s.annot_type for s in r.sections]
+    assert types == ["title", "abstract", "introduction", "methods"]
+    for s in r.sections:
+        assert r.content[s.start:s.end] != ""
+
+
+def test_load_files(spark, tmp_path):
+    (tmp_path / "a.txt").write_text("content A")
+    (tmp_path / "b.txt").write_text("content B")
+    (tmp_path / "skip.json").write_text("{}")
+    rows = {r.doc_id: r.content for r in files.load_files(spark, str(tmp_path)).collect()}
+    assert rows == {"a": "content A", "b": "content B"}

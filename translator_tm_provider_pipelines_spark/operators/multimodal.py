@@ -1,0 +1,130 @@
+"""Multimodal columns: image/audio/video as opaque BINARY payloads with
+typed metadata (schemas.MEDIA), processed through Arrow-batched
+``mapInPandas`` stages.
+
+This is an LLM-data-pipeline extension (no reference counterpart). The
+Spark-side plumbing — schema, partitioning, UDF signatures, batch shapes —
+is real and tested; the actual codec work is pluggable because media
+libraries (PIL/ffmpeg/librosa) are not available in this environment:
+
+- ``decoder=None`` → a DETERMINISTIC FAKE decode derived from the payload
+  bytes (stable across runs/partitions, good for plumbing tests and
+  benchmarks);
+- pass a real ``decoder(payload: bytes, mime_type: str) -> dict`` to run an
+  actual codec;
+- ``strict=True`` raises NotImplementedError instead of faking, making the
+  stub boundary explicit in production pipelines.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Callable, Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+Decoder = Callable[[bytes, str | None], dict]
+
+FEATURE_DIM = 16
+
+FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.StringType(), False),
+        T.StructField("modality", T.StringType(), False),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("n_bytes", T.LongType(), True),
+        T.StructField("features", T.ArrayType(T.FloatType()), True),
+    ]
+)
+
+
+def _fake_decode(payload: bytes, mime_type: str | None) -> dict:
+    """Deterministic fake: dimensions and a FEATURE_DIM-float signature
+    derived from the payload digest. Stable wherever the row is processed."""
+    digest = hashlib.sha256(payload or b"").digest()
+    width = 16 + digest[0]
+    height = 16 + digest[1]
+    feats = [b / 255.0 for b in digest[:FEATURE_DIM]]
+    return {"width": width, "height": height, "features": feats}
+
+
+def extract_media_features(
+    media: DataFrame,
+    decoder: Decoder | None = None,
+    strict: bool = False,
+    batch_hint: int | None = None,
+) -> DataFrame:
+    """schemas.MEDIA rows → per-item features via ``mapInPandas``:
+    Arrow-batched binary transfer, one Python worker call per batch (never
+    per row). ``repartition`` upstream if media blobs are large enough that
+    a batch would not fit executor memory.
+
+    With no real ``decoder``: deterministic fake (or NotImplementedError
+    when ``strict`` — the clearly-marked stub boundary)."""
+    import pandas as pd
+
+    use: Decoder
+    if decoder is not None:
+        use = decoder
+    elif strict:
+        def use(payload: bytes, mime_type: str | None) -> dict:  # type: ignore[misc]
+            raise NotImplementedError(
+                "real media decoding requires a codec library; pass decoder="
+            )
+    else:
+        use = _fake_decode
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            out = []
+            for _, r in pdf.iterrows():
+                payload = bytes(r["payload"]) if r["payload"] is not None else b""
+                d = use(payload, r["mime_type"])
+                out.append(
+                    {
+                        "media_id": r["media_id"],
+                        "modality": r["modality"],
+                        "width": d.get("width"),
+                        "height": d.get("height"),
+                        "n_bytes": len(payload),
+                        "features": d.get("features"),
+                    }
+                )
+            yield pd.DataFrame(out, columns=[f.name for f in FEATURES_SCHEMA.fields])
+
+    cols = media.select("media_id", "modality", "mime_type", "payload")
+    if batch_hint:
+        cols = cols.repartition(batch_hint)
+    return cols.mapInPandas(run, schema=FEATURES_SCHEMA)
+
+
+def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
+    """Video frame-sampling plumbing: one row per planned frame timestamp
+    (duration-driven sequence expansion, JVM-side). The actual frame
+    decode is the pluggable stage above."""
+    n = F.greatest((F.col("duration_ms") / every_ms).cast("long"), F.lit(0))
+    return media.where(F.col("modality") == "video").select(
+        "media_id",
+        F.posexplode(
+            F.transform(F.sequence(F.lit(0), n), lambda i: i * every_ms)
+        ).alias("frame_idx", "frame_ts_ms"),
+    )
+
+
+def media_from_binary_files(spark_df: DataFrame, modality: str) -> DataFrame:
+    """binaryFile rows (path, content, length, ...) → schemas.MEDIA rows;
+    mime type guessed from the extension, metadata left for decode."""
+    ext = F.lower(F.element_at(F.split(F.col("path"), r"\."), -1))
+    return spark_df.select(
+        F.element_at(F.split(F.col("path"), "/"), -1).alias("media_id"),
+        F.lit(modality).alias("modality"),
+        F.concat(F.lit(f"{modality}/"), ext).alias("mime_type"),
+        F.col("content").alias("payload"),
+        F.lit(None).cast("int").alias("width"),
+        F.lit(None).cast("int").alias("height"),
+        F.lit(None).cast("long").alias("duration_ms"),
+        F.create_map().cast("map<string,string>").alias("meta"),
+    )
