@@ -66,49 +66,67 @@ def word_shingles(
 
 
 def minhash_signatures(shingles: DataFrame, num_perms: int = 16) -> DataFrame:
-    """MinHash: for permutation j, min over shingles of md5(j ':' shingle).
-    md5 hex compares lexicographically, so ``min(hex)`` is a uniform
-    min-hash. The perm fan-out is a broadcast cross join (num_perms rows)."""
-    spark = shingles.sparkSession
-    perms = spark.range(num_perms).select(F.col("id").cast("int").alias("perm"))
-    return (
-        shingles.crossJoin(F.broadcast(perms))
-        .select(
-            "doc_id",
-            "perm",
-            F.md5(F.concat(F.col("perm").cast("string"), F.lit(":"), F.col("shingle"))).alias("h"),
-        )
-        .groupBy("doc_id", "perm")
-        .agg(F.min("h").alias("minhash"))
+    """MinHash as ONE aggregation: per shingle, all ``num_perms`` hashes
+    md5(j ':' shingle) are computed in a single projection (md5 hex compares
+    lexicographically, so ``min(hex)`` is a uniform min-hash); the signature
+    is ``num_perms`` MIN aggregates with map-side partial combine.
+
+    Returns (doc_id, sig ARRAY<STRING>[num_perms]). Compared with the
+    naive perm×shingle explode, shuffle volume drops by num_perms× — at
+    100 TB that is the difference between one pass and sixteen."""
+    hashes = [
+        F.min(F.md5(F.concat(F.lit(f"{j}:"), F.col("shingle")))).alias(f"h{j}")
+        for j in range(num_perms)
+    ]
+    wide = shingles.groupBy("doc_id").agg(*hashes)
+    return wide.select(
+        "doc_id", F.array(*[F.col(f"h{j}") for j in range(num_perms)]).alias("sig")
     )
 
 
 def lsh_bands(signatures: DataFrame, rows_per_band: int = 4) -> DataFrame:
-    """Group the signature into bands of ``rows_per_band`` rows; band
-    signature = md5 of the in-order concatenation. Docs sharing any
-    (band, signature) are near-dup candidates."""
-    banded = signatures.withColumn("band", (F.col("perm") / rows_per_band).cast("int"))
-    ordered = F.transform(
-        F.array_sort(F.collect_list(F.struct("perm", "minhash"))), lambda x: x["minhash"]
+    """Fold the signature array into bands of ``rows_per_band`` entries;
+    band signature = md5 of the in-order concatenation. Pure projection —
+    no extra shuffle. Docs sharing any (band, band_sig) are candidates."""
+    bands = F.posexplode(
+        F.transform(
+            F.sequence(F.lit(0), F.floor((F.size("sig") - 1) / rows_per_band).cast("int")),
+            lambda b: F.md5(
+                F.array_join(F.slice("sig", b * rows_per_band + 1, rows_per_band), "")
+            ),
+        )
     )
-    return banded.groupBy("doc_id", "band").agg(
-        F.md5(F.array_join(ordered, "")).alias("band_sig")
-    )
+    return signatures.select("doc_id", bands.alias("band", "band_sig"))
 
 
 def lsh_candidate_pairs(bands: DataFrame) -> DataFrame:
-    """Self-join on (band, band_sig) → distinct unordered candidate pairs.
-    The join key is the collision bucket, so output ≈ true near-dups plus a
-    small false-positive tail — this is the scale path that avoids the
-    all-pairs O(n²) comparison."""
-    a = bands.select("band", "band_sig", F.col("doc_id").alias("doc_a"))
-    b = bands.select("band", "band_sig", F.col("doc_id").alias("doc_b"))
-    return (
-        a.join(b, ["band", "band_sig"])
-        .where(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b")
-        .distinct()
+    """Candidate pairs via bucket grouping, not a self-join: docs collect
+    per (band, band_sig) bucket and unordered pairs expand JVM-side inside
+    each bucket row. One shuffle, the upstream chain is evaluated once
+    (a self-join would recompute it for both sides), and the expansion is
+    bounded by bucket size — collision buckets are small by construction;
+    a pathological boilerplate bucket shows up as one wide row, which AQE
+    cannot split, so extremely hot buckets should be pre-capped upstream
+    (exact-dedup boilerplate first)."""
+    buckets = (
+        bands.groupBy("band", "band_sig")
+        .agg(F.array_sort(F.collect_set("doc_id")).alias("ds"))
+        .where(F.size("ds") >= 2)
     )
+    pair = F.explode(
+        F.flatten(
+            F.transform(
+                F.col("ds"),
+                lambda x, i: F.transform(
+                    F.slice(
+                        F.col("ds"), i + F.lit(2), F.greatest(F.size("ds") - i - 1, F.lit(0))
+                    ),
+                    lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+                ),
+            )
+        )
+    )
+    return buckets.select(pair.alias("p")).select("p.doc_a", "p.doc_b").distinct()
 
 
 def jaccard_for_pairs(shingles: DataFrame, pairs: DataFrame) -> DataFrame:
@@ -174,25 +192,18 @@ def simhash(shingles: DataFrame, bits: int = 32) -> DataFrame:
     differ in O(1) bits (compare via Hamming distance on the result)."""
     hexlen = bits // 4
     hval = F.conv(F.substring(F.md5(F.col("shingle")), 1, hexlen), 16, 10).cast("long")
-    exploded = (
-        shingles.select("doc_id", hval.alias("hv"))
-        .select("doc_id", "hv", F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("b"))
-        .select(
-            "doc_id",
-            "b",
-            F.expr("(shiftright(hv, b) & 1) * 2 - 1").alias("s"),
-        )
-    )
-    return (
-        exploded.groupBy("doc_id", "b")
-        .agg(F.sum("s").alias("bitsum"))
-        .groupBy("doc_id")
-        .agg(
-            F.sum(
-                F.when(F.col("bitsum") > 0, F.expr("shiftleft(cast(1 as bigint), b)")).otherwise(0)
-            ).alias("simhash")
-        )
-    )
+    # one ±1 sum aggregate per bit (map-side combine) instead of a bits×
+    # row explosion — shuffle volume is per-doc, not per-(shingle, bit)
+    bitsums = [
+        F.sum(F.expr(f"(shiftright(hv, {b}) & 1) * 2 - 1")).alias(f"b{b}")
+        for b in range(bits)
+    ]
+    wide = shingles.select("doc_id", hval.alias("hv")).groupBy("doc_id").agg(*bitsums)
+    fingerprint = None
+    for b in range(bits):
+        term = F.when(F.col(f"b{b}") > 0, F.lit(1 << b).cast("long")).otherwise(F.lit(0).cast("long"))
+        fingerprint = term if fingerprint is None else fingerprint + term
+    return wide.select("doc_id", fingerprint.alias("simhash"))
 
 
 def hamming_distance(a, b):
