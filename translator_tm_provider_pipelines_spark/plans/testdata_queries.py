@@ -30,6 +30,7 @@ from ..operators import conceptfilters as cf
 from ..operators import cooccurrence as co
 from ..operators import dedup, documents as docops, similarity, spans, textanalysis
 from ..operators import exports as ex
+from ..operators import ner
 from ..operators import sentences as sentops
 from ..operators import versioning
 from ..sources.tables import read_table
@@ -892,6 +893,75 @@ def concept_count_distribution_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("s_name").alias("label"),
     )
     return ex.concept_count_distribution(_supplier_units(spark, sf_dir), labels)
+
+
+# ---------------------------------------------------------------------------
+# Dictionary concept recognition (X2-equivalent) — token-offset NER
+# ---------------------------------------------------------------------------
+
+_NER_DICT = [
+    ("spark", "T:1"),
+    ("join", "T:2"),
+    ("hash join", "T:3"),
+    ("window", "T:4"),
+    ("table scan", "T:5"),
+]
+_NER_DICT_SQL = ", ".join(f"('{t}', '{c}')" for t, c in _NER_DICT)
+
+
+@register(
+    "dictionary_ner",
+    f"""
+    WITH tok_parts AS (
+      SELECT doc_id,
+             string_split(regexp_replace(text, '([A-Za-z0-9]+)', chr(30) || '\\1' || chr(30), 'g'), chr(30)) AS ps
+      FROM documents
+    ),
+    tok_pos AS (SELECT unnest(generate_series(1, 1024)) AS p),
+    toks0 AS (
+      SELECT doc_id, p, list_extract(ps, p) AS part,
+             length(coalesce(array_to_string(list_slice(ps, 1, p - 1), ''), '')) AS off
+      FROM tok_parts, tok_pos WHERE p <= len(ps)
+    ),
+    toks AS (
+      SELECT doc_id, row_number() OVER (PARTITION BY doc_id ORDER BY p) AS ti,
+             cast(off AS int) AS start, cast(off + length(part) AS int) AS "end", part AS token
+      FROM toks0 WHERE regexp_matches(part, '^[A-Za-z0-9]+$')
+    ),
+    grams AS (
+      SELECT doc_id, start,
+             token AS t0, lead(token, 1) OVER w AS t1, lead(token, 2) OVER w AS t2,
+             "end" AS e0, lead("end", 1) OVER w AS e1, lead("end", 2) OVER w AS e2
+      FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY ti)
+    ),
+    cand AS (
+      SELECT doc_id, start, e0 AS "end", t0 AS gram FROM grams
+      UNION ALL
+      SELECT doc_id, start, e1, t0 || ' ' || t1 FROM grams WHERE t1 IS NOT NULL
+      UNION ALL
+      SELECT doc_id, start, e2, t0 || ' ' || t1 || ' ' || t2 FROM grams WHERE t2 IS NOT NULL
+    ),
+    dict(term, concept_id) AS (VALUES {_NER_DICT_SQL})
+    SELECT c.doc_id, d.concept_id, c.start, c."end", c.gram AS covered_text
+    FROM cand c JOIN dict d ON lower(c.gram) = d.term
+    """,
+)
+def dictionary_ner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2-equivalent concept recognition: token n-grams with exact character
+    offsets (marker-split tokenizer) broadcast-joined against a normalized
+    term dictionary; output shape = schemas.ANNOTATION."""
+    d = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("doc_id"), F.col("text").alias("content")
+    )
+    dictionary = spark.createDataFrame(_NER_DICT, "term string, concept_id string")
+    annots = ner.dictionary_concept_recognition(d, dictionary, max_term_tokens=3)
+    return annots.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        "concept_id",
+        F.col("spans").getItem(0).getField("start").alias("start"),
+        F.col("spans").getItem(0).getField("end").alias("end"),
+        "covered_text",
+    )
 
 
 # ---------------------------------------------------------------------------
