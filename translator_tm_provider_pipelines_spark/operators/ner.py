@@ -94,18 +94,27 @@ def dictionary_concept_recognition(
         "start",
         *[F.lead("token", i).over(w).alias(f"t{i}") for i in range(max_term_tokens)],
         *[F.lead("end", i).over(w).alias(f"e{i}") for i in range(max_term_tokens)],
-        F.col("token").alias("t0_base"),
     )
-    candidates = None
-    for n in range(1, max_term_tokens + 1):
-        gram_text = F.concat_ws(" ", *[F.col(f"t{i}") for i in range(n)])
-        cand = grams.where(F.col(f"t{n-1}").isNotNull()).select(
-            "doc_id",
-            F.col("start"),
-            F.col(f"e{n-1}").alias("end"),
-            gram_text.alias("gram"),
+    # all n-gram candidates in ONE pass: the window runs once and the ≤k
+    # grams per position explode from an array (a union of k selections
+    # would recompute the tokenize+window chain k times)
+    gram_structs = F.array_compact(
+        F.array(
+            *[
+                F.when(
+                    F.col(f"t{n-1}").isNotNull(),
+                    F.struct(
+                        F.col(f"e{n-1}").alias("end"),
+                        F.concat_ws(" ", *[F.col(f"t{i}") for i in range(n)]).alias("gram"),
+                    ),
+                )
+                for n in range(1, max_term_tokens + 1)
+            ]
         )
-        candidates = cand if candidates is None else candidates.unionByName(cand)
+    )
+    candidates = grams.select(
+        "doc_id", "start", F.explode(gram_structs).alias("g")
+    ).select("doc_id", "start", F.col("g.end").alias("end"), F.col("g.gram").alias("gram"))
 
     d = dictionary.select(
         norm(F.col("term")).alias("gram_key"), "concept_id"
