@@ -1,0 +1,91 @@
+"""End-to-end pipeline composition tests: documents → NER → cooccurrence /
+extraction, plus sink shapes."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from translator_tm_provider_pipelines_spark.plans import pipelines as P
+from translator_tm_provider_pipelines_spark.sources import sinks
+
+DOCS = [
+    ("d1", "Aspirin treats headache. Aspirin also helps fever."),
+    ("d2", "Ibuprofen treats headache and fever."),
+    ("d3", "Aspirin is unrelated to gout here."),
+]
+
+DICT = [
+    ("aspirin", "CHEBI:15365"),
+    ("ibuprofen", "CHEBI:5855"),
+    ("headache", "HP:0002315"),
+    ("fever", "HP:0001945"),
+    ("gout", "HP:0001997"),
+]
+
+
+@pytest.fixture()
+def docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id string, content string")
+
+
+@pytest.fixture()
+def dictionary(spark):
+    return spark.createDataFrame(DICT, "term string, concept_id string")
+
+
+def test_doc_level_cooccurrence(spark, docs, dictionary):
+    m = P.documents_to_cooccurrence_metrics(docs, dictionary)
+    rows = {(r.concept1, r.concept2): r for r in m.collect()}
+    asp_head = rows[("CHEBI:15365", "HP:0002315")]
+    assert asp_head.pair_count == 1  # only d1 has both
+    assert asp_head.concept1_count == 2  # aspirin in d1, d3
+    assert asp_head.concept2_count == 2  # headache in d1, d2
+    # PMI golden: ln((1/3) / ((2/3)*(2/3)))
+    assert asp_head.pmi == pytest.approx(round(math.log((1 / 3) / ((2 / 3) * (2 / 3))), 8))
+
+
+def test_sentence_level_cooccurrence(spark, docs, dictionary):
+    m = P.documents_to_sentence_cooccurrence(docs, dictionary)
+    pairs = {(r.concept1, r.concept2): r.pair_count for r in m.collect()}
+    # sentence-level: aspirin+headache co-occur in d1 sentence 1 only;
+    # ibuprofen+headache+fever in d2's single sentence
+    assert pairs[("CHEBI:15365", "HP:0002315")] == 1
+    assert pairs[("CHEBI:5855", "HP:0001945")] == 1
+    assert ("CHEBI:15365", "HP:0001945") in pairs  # d1 sentence 2: aspirin+fever
+
+
+def test_extraction_pipeline(spark, docs, dictionary):
+    ext = P.extraction_pipeline(
+        docs, dictionary,
+        x_prefixes=["CHEBI"], y_prefixes=["HP"],
+        x_placeholder="@CHEMICAL$", y_placeholder="@DISEASE$",
+        keywords=["treats"],
+    )
+    rows = ext.collect()
+    # 'treats' keyword gates to d1 sent 0 and d2 sent 0
+    assert {r.doc_id for r in rows} == {"d1", "d2"}
+    d1 = [r for r in rows if r.doc_id == "d1"][0]
+    assert d1.sentence_with_placeholders == "@CHEMICAL$ treats @DISEASE$."
+    d2 = {r.entity2_id for r in rows if r.doc_id == "d2"}
+    assert d2 == {"HP:0002315", "HP:0001945"}
+
+
+def test_write_table_dedup(spark, tmp_path, docs):
+    dup = docs.unionByName(docs)
+    sinks.write_table(dup, str(tmp_path / "t"), dedup_keys=["doc_id"])
+    assert spark.read.parquet(str(tmp_path / "t")).count() == 3
+
+
+def test_write_tsv(spark, tmp_path, docs):
+    sinks.write_tsv(docs.select("doc_id"), str(tmp_path / "tsv"))
+    got = spark.read.csv(str(tmp_path / "tsv"), sep="\t").count()
+    assert got == 3
+
+
+def test_es_bulk_lines(spark):
+    df = spark.createDataFrame([("s1", '{"text":"x"}')], "sid string, json string")
+    lines = [r.line for r in sinks.es_bulk_lines(df, "sentences", "sid", "json").collect()]
+    assert lines == ['{"index":{"_index":"sentences","_id":"s1"}}', '{"text":"x"}']

@@ -1,0 +1,78 @@
+"""Sinks (SURVEY §2.1 K1-K4): parquet table upsert-by-dedup, sharded TSV,
+JDBC batch, Elasticsearch bulk JSON-lines.
+
+Reference:
+- K1 Datastore upsert w/ pre-write dedup: e.g.
+  .../etl/SentenceSegmentationPipeline.java:124-147, dedup
+  .../etl/PipelineMain.java:817-900
+- K2 TSV:  .../etl/ConceptCooccurrenceCountsPipeline.java:165-171
+- K3 JDBC: .../etl/ConceptCooccurrenceMetricsPipeline.java:309-397 —
+  INSERT ... ON DUPLICATE KEY UPDATE, batch 5000, 14.5 rec/s rate limiter.
+  Spark's JDBC writer batches natively and parallelizes per partition; the
+  rate limiter existed to protect a single Cloud SQL instance and is
+  deliberately NOT reproduced (throttle with ``num_partitions`` +
+  ``batchsize`` instead).
+- K4 ES bulk: .../etl/ElasticsearchLoadPipeline.java:124-166 — without the
+  es-spark connector on the classpath, bulk-format JSON lines are written
+  for ``curl --data-binary`` ingestion.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def write_table(
+    df: DataFrame,
+    path: str,
+    dedup_keys: list[str] | None = None,
+    partition_by: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """K1: parquet table write with the reference's pre-write dedup
+    (deduplicateByKey — first wins, here min-by-key via dropDuplicates)."""
+    if dedup_keys:
+        df = df.dropDuplicates(dedup_keys)
+    w = df.write.mode(mode)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(path)
+
+
+def write_tsv(df: DataFrame, path: str, header: bool = False) -> None:
+    """K2: sharded TSV (one file per partition, like TextIO shards)."""
+    df.write.mode("overwrite").option("sep", "\t").option("header", str(header).lower()).csv(path)
+
+
+def write_jdbc(
+    df: DataFrame,
+    url: str,
+    table: str,
+    properties: dict[str, str] | None = None,
+    batchsize: int = 5000,
+    num_partitions: int | None = None,
+    mode: str = "append",
+) -> None:
+    """K3: JDBC batch write. ``batchsize`` defaults to the reference's 5000;
+    concurrency is bounded by ``num_partitions`` (the scale-safe replacement
+    for the reference's per-worker rate limiter)."""
+    if num_partitions:
+        df = df.coalesce(num_partitions)
+    df.write.mode(mode).option("batchsize", str(batchsize)).jdbc(
+        url, table, properties=properties or {}
+    )
+
+
+def es_bulk_lines(docs: DataFrame, index: str, id_col: str, json_col: str) -> DataFrame:
+    """K4: Elasticsearch bulk-format lines — an ``{"index": ...}`` action
+    line followed by the document JSON, flattened to one 'line' column
+    (write with ``write.text``)."""
+    action = F.concat(
+        F.lit('{"index":{"_index":"' + index + '","_id":"'),
+        F.col(id_col),
+        F.lit('"}}'),
+    )
+    return docs.select(
+        F.explode(F.array(action, F.col(json_col))).alias("line")
+    )
