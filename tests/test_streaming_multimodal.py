@@ -140,3 +140,27 @@ def test_media_from_binary_files(spark, tmp_path):
     assert [(f.name, f.dataType) for f in media.schema] == [
         (f.name, f.dataType) for f in schemas.MEDIA
     ]
+
+
+def test_streaming_first_seen(spark, tmp_path):
+    from translator_tm_provider_pipelines_spark.streaming import stateful
+
+    df = spark.createDataFrame(
+        [("k1", "v1"), ("k1", "v1-dup"), ("k2", "v2")], "key string, value string"
+    )
+    path = str(tmp_path / "stream_in")
+    df.coalesce(1).write.parquet(path)
+    stream = spark.readStream.schema(df.schema).parquet(path)
+    out = stateful.streaming_first_seen(stream)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("first_seen")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+    rows = {r.key: r for r in spark.sql("select * from first_seen").collect()}
+    assert set(rows) == {"k1", "k2"}
+    assert rows["k1"].n_dropped == 1
+    assert rows["k2"].n_dropped == 0

@@ -1386,6 +1386,44 @@ def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Multimodal plumbing: binary payload columns through the Arrow decode stage
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "multimodal_features",
+    """
+    SELECT cast(doc_id AS varchar) AS media_id,
+           'image' AS modality,
+           16 + ('0x' || substr(sha256(text), 1, 2))::int  AS width,
+           16 + ('0x' || substr(sha256(text), 3, 2))::int  AS height,
+           cast(octet_length(encode(text)) AS bigint)      AS n_bytes
+    FROM documents
+    """,
+)
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary media columns through the mapInPandas feature stage: document
+    text bytes act as the opaque payload; the deterministic fake decoder
+    derives dimensions from the payload digest, so the Arrow plumbing
+    (binary transfer, batch shapes, schema) is value-checked end-to-end."""
+    from ..operators import multimodal as mm
+
+    d = _t(spark, sf_dir, "documents")
+    media = d.select(
+        F.col("doc_id").cast("string").alias("media_id"),
+        F.lit("image").alias("modality"),
+        F.lit("image/txt").alias("mime_type"),
+        F.col("text").cast("binary").alias("payload"),
+        F.lit(None).cast("int").alias("width"),
+        F.lit(None).cast("int").alias("height"),
+        F.lit(None).cast("long").alias("duration_ms"),
+        F.create_map().cast("map<string,string>").alias("meta"),
+    )
+    out = mm.extract_media_features(media)
+    return out.select("media_id", "modality", "width", "height", "n_bytes")
+
+
+# ---------------------------------------------------------------------------
 # Event-stream shapes (windowed aggs, sessionization)
 # ---------------------------------------------------------------------------
 
