@@ -197,3 +197,20 @@ def test_unactionable_run_interrupted(spark):
     )
     out = CF.filter_unactionable_text(docs, sections).collect()[0].content
     assert out == "aaaa refs bbbb"
+
+
+def test_filter_via_crf(spark):
+    concepts = spark.createDataFrame(
+        [
+            _a("d1", "PR:1", 10, 20, "confirmed"),   # overlaps CRF → keep
+            _a("d1", "PR:2", 30, 40, "unconfirmed"), # no overlap → drop
+            _a("d1", "DRUGBANK:3", 50, 60, "nocrf"), # pass-through type
+        ],
+        schema=schemas.ANNOTATION,
+    )
+    crf = spark.createDataFrame(
+        [_a("d1", None, 15, 25, "crf span")], schema=schemas.ANNOTATION
+    )
+    assert _ids(CF.filter_via_crf(concepts, crf)) == {
+        ("PR:1", "confirmed"), ("DRUGBANK:3", "nocrf")
+    }

@@ -149,3 +149,18 @@ def test_update_status_flags(spark, status_df):
     assert got["d2"]["SENT_DONE"] is True  # untouched
     assert got["d1"]["NEW_FLAG"] is False  # backfilled
     assert got["d4"].get("SENT_DONE") in (False, None)  # not processed → unset
+
+
+def test_skip_existing_documents(spark, docs_df):
+    existing = spark.createDataFrame([("d1",)], "doc_id string")
+    kept = D.skip_existing_documents(docs_df, existing)
+    assert "d1" not in {r.doc_id for r in kept.collect()}
+    assert D.skip_existing_documents(docs_df, existing, overwrite=True).count() == docs_df.count()
+
+
+def test_fetch_documents(spark, docs_df):
+    ids = spark.createDataFrame([("d1",), ("d3",)], "doc_id string")
+    got = D.fetch_documents(docs_df, ids, doc_types=["SECTIONS"])
+    assert {(r.doc_id, r.doc_type) for r in got.collect()} == {
+        ("d1", "SECTIONS"), ("d3", "SECTIONS")
+    }

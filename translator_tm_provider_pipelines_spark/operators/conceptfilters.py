@@ -281,6 +281,45 @@ def filter_annots_in_augmented_section(
     )
 
 
+#: concept types with no CRF model — always pass through
+#: (PipelineMain.filterConceptAnnotations:1250-1286)
+CRF_PASSTHROUGH_PREFIXES = ("DRUGBANK", "SNOMEDCT")
+
+
+def filter_via_crf(
+    concepts: DataFrame,
+    crf: DataFrame,
+    passthrough_prefixes: tuple[str, ...] = CRF_PASSTHROUGH_PREFIXES,
+) -> DataFrame:
+    """J4 (PipelineMain.filterViaCrf:1297-1324 + filterConceptAnnotations
+    :1250-1286): keep a concept annotation iff some CRF annotation overlaps
+    its aggregate span in the same document; concept types without a CRF
+    model pass through unfiltered (union, not join). Left-semi equi-join
+    on doc_id with the overlap predicate."""
+    pfx = F.split(F.col("concept_id"), ":").getItem(0)
+    passthrough = concepts.where(pfx.isin(list(passthrough_prefixes)))
+    candidates = concepts.where(~pfx.isin(list(passthrough_prefixes)))
+    c = candidates.select(
+        "*", _agg_start(F.col("spans")).alias("__s"), _agg_end(F.col("spans")).alias("__e")
+    )
+    k = crf.select(
+        F.col("doc_id").alias("__doc"),
+        _agg_start(F.col("spans")).alias("__ks"),
+        _agg_end(F.col("spans")).alias("__ke"),
+    )
+    confirmed = (
+        c.join(
+            k,
+            (F.col("doc_id") == F.col("__doc"))
+            & (F.col("__s") < F.col("__ke"))
+            & (F.col("__ks") < F.col("__e")),
+            "left_semi",
+        )
+        .drop("__s", "__e")
+    )
+    return confirmed.unionByName(passthrough)
+
+
 # ---------------------------------------------------------------------------
 # P6 — unactionable-text truncation
 # ---------------------------------------------------------------------------

@@ -211,6 +211,31 @@ def universal_input_join(
     return complete, missing
 
 
+def skip_existing_documents(
+    incoming: DataFrame, existing_ids: DataFrame, overwrite: bool = False
+) -> DataFrame:
+    """J8 (catalogExistingDocuments, PipelineMain.java:1500-1526): when not
+    overwriting, drop incoming documents whose id is already stored —
+    left-anti join against the (distinct) existing-id set."""
+    if overwrite:
+        return incoming
+    ex = existing_ids.select("doc_id").distinct()
+    return incoming.join(ex, "doc_id", "left_anti")
+
+
+def fetch_documents(
+    docs: DataFrame, doc_ids: DataFrame, doc_types: list[str] | None = None
+) -> DataFrame:
+    """S9 (DocumentDownloadFn.java:19-56): random-access fetch of documents
+    for an id list → one row per (doc_id, doc_type) with content; the
+    Datastore key lookup becomes a join against the partitioned table
+    (broadcast when the id list is small — AQE decides)."""
+    d = docs
+    if doc_types:
+        d = d.where(F.col("doc_type").isin(doc_types))
+    return d.join(doc_ids.select("doc_id").distinct(), "doc_id", "left_semi")
+
+
 # ---------------------------------------------------------------------------
 # Status flag maintenance (stage end)
 # ---------------------------------------------------------------------------
