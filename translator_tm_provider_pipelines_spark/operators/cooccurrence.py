@@ -261,17 +261,17 @@ def cooccurrence_chain_from_rows(
     ancestors: DataFrame | None = None,
     exclude_ancestor_pairs: bool = True,
     with_pair_id: bool = True,
-    persist: bool = True,
+    persist: bool = False,
 ) -> DataFrame:
     """Chain entry for inputs already in (text_id, concept_id) row form
     (must be distinct).
 
-    ``persist`` caches the normalized unit-concept relation: four downstream
-    aggregations (singleton counts, totals, pairs) branch from it, and
-    without a cache each branch re-scans and re-shuffles the source. At
-    cluster scale with very large corpora, materialize it to a table
-    between stages instead (MEMORY_AND_DISK spills, so this stays safe
-    locally)."""
+    ``persist`` caches the normalized unit-concept relation for the four
+    downstream aggregation branches. Off by default — measured SLOWER at
+    bench scale (cache serialization + broken codegen outweigh one cheap
+    re-scan). Enable when the unit-concept relation comes from an
+    expensive chain (e.g. NER over raw text); at cluster scale prefer
+    materializing it to a table between stages."""
     uc = unit_concepts
     if ancestors is not None:
         uc = add_ancestor_concepts(uc, ancestors)

@@ -166,14 +166,16 @@ def near_duplicates(
     rows_per_band: int = 4,
     text_col: str = "text",
     id_col: str = "doc_id",
-    persist: bool = True,
+    persist: bool = False,
 ) -> DataFrame:
     """MinHash-LSH near-dup pipeline: shingle → signature → bands →
     candidates → exact-Jaccard filter ≥ threshold.
 
-    ``persist`` caches the shingle relation, which both the MinHash and the
-    Jaccard-verification branches consume (otherwise it is recomputed ~4×).
-    At 100 TB, write shingles/signatures to intermediate tables instead."""
+    ``persist`` (off by default — measured slower at bench scale: caching
+    serializes the shingle relation and breaks codegen pipelines, while
+    recompute is one cheap scan) caches shingles for the MinHash and
+    Jaccard branches; enable it when the upstream is expensive, or better,
+    write shingles/signatures to intermediate tables at 100 TB."""
     sh = word_shingles(docs, k=k, text_col=text_col, id_col=id_col)
     if persist:
         from pyspark.storagelevel import StorageLevel
