@@ -1,0 +1,87 @@
+"""Property-based tests (hypothesis): invariants that must hold for ANY
+input text — span exactness, content reconstruction, chunk round-trips.
+Examples are batched into one DataFrame per case so each property costs a
+single Spark job."""
+
+from __future__ import annotations
+
+from hypothesis import given, settings, strategies as st
+
+from translator_tm_provider_pipelines_spark import schemas
+from translator_tm_provider_pipelines_spark.operators import ner, sentences, versioning
+
+# texts with the characters that stress the marker-insert machinery:
+# boundaries, newlines, unicode, the marker char itself is excluded (U+001E
+# never occurs in documents; segmentation treats it as reserved)
+_text = st.text(
+    alphabet=st.characters(
+        codec="utf-8", exclude_characters="\x1e", exclude_categories=("Cs",)
+    ),
+    max_size=200,
+)
+
+_SETTINGS = dict(max_examples=8, deadline=None)
+
+
+@settings(**_SETTINGS)
+@given(st.lists(_text, min_size=1, max_size=20))
+def test_segmentation_spans_reconstruct(spark, texts):
+    docs = spark.createDataFrame(
+        [(str(i), t) for i, t in enumerate(texts)], "doc_id string, content string"
+    )
+    rows = sentences.segment_sentences(docs).collect()
+    by_doc = {}
+    for r in rows:
+        src = texts[int(r.doc_id)]
+        # span exactness
+        assert src[r.start:r.end] == r.sentence
+        # no empty sentences, no leading/trailing whitespace (Java's \s
+        # class — Python's str.strip() is wider, e.g. \x1f)
+        java_ws = " \t\n\r\x0b\x0c"
+        assert r.sentence == r.sentence.strip(java_ws) and r.sentence != ""
+        by_doc.setdefault(r.doc_id, []).append(r)
+    # sentences are ordered and non-overlapping
+    for doc_rows in by_doc.values():
+        doc_rows.sort(key=lambda r: r.sent_idx)
+        for a, b in zip(doc_rows, doc_rows[1:]):
+            assert a.end <= b.start
+
+
+@settings(**_SETTINGS)
+@given(st.lists(_text, min_size=1, max_size=20))
+def test_tokenizer_spans_exact(spark, texts):
+    docs = spark.createDataFrame(
+        [(str(i), t) for i, t in enumerate(texts)], "doc_id string, content string"
+    )
+    for r in ner.tokenize_with_offsets(docs).collect():
+        src = texts[int(r.doc_id)]
+        assert src[r.start:r.end] == r.token
+        assert r.token.isalnum() or all(c.isalnum() for c in r.token)
+
+
+@settings(**_SETTINGS)
+@given(st.text(min_size=1, max_size=5000), st.integers(min_value=64, max_value=2048))
+def test_chunk_splice_roundtrip(spark, text, max_bytes):
+    df = spark.createDataFrame(
+        [("d", "TEXT", "TEXT", "P", "0.1.0", text, 0, 1, ["C"])],
+        schema=schemas.DOCUMENT,
+    )
+    chunked = versioning.chunk_content(df, max_bytes=max_bytes)
+    out = versioning.splice_chunks(chunked).collect()[0]
+    assert out.content == text
+
+
+@settings(**_SETTINGS)
+@given(
+    st.lists(
+        st.tuples(st.text(max_size=30), st.sampled_from(["0.1.0", "0.2", "1", "recent", ""])),
+        min_size=1,
+        max_size=10,
+    )
+)
+def test_semantic_version_total_order(spark, pairs):
+    df = spark.createDataFrame(
+        [(v,) for _, v in pairs], "pipeline_version string"
+    ).select("pipeline_version", versioning.semantic_version("pipeline_version").alias("sv"))
+    for r in df.collect():
+        assert r.sv >= 0  # parse never fails, garbage sorts lowest
