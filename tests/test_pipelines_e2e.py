@@ -89,3 +89,26 @@ def test_es_bulk_lines(spark):
     df = spark.createDataFrame([("s1", '{"text":"x"}')], "sid string, json string")
     lines = [r.line for r in sinks.es_bulk_lines(df, "sentences", "sid", "json").collect()]
     assert lines == ['{"index":{"_index":"sentences","_id":"s1"}}', '{"text":"x"}']
+
+
+def test_biolink_association_driven_extraction(spark, docs, dictionary):
+    from translator_tm_provider_pipelines_spark.functions import biolink
+
+    args = biolink.extraction_args("biolink:ChemicalToDiseaseOrPhenotypicFeatureAssociation")
+    assert args["x_prefixes"] == ["DRUGBANK", "CHEBI"]
+    assert args["y_prefixes"] == ["MONDO", "HP"]
+    ext = P.extraction_pipeline(docs, dictionary, keywords=None, **args)
+    assert ext.count() > 0
+    r = ext.collect()[0]
+    assert "@CHEMICAL$" in r.sentence_with_placeholders
+    assert "@DISEASE$" in r.sentence_with_placeholders
+
+
+def test_biolink_bert_columns_roundtrip(spark):
+    from translator_tm_provider_pipelines_spark.functions import biolink
+    from translator_tm_provider_pipelines_spark.operators import classified as CL
+
+    assoc = biolink.ASSOCIATIONS["biolink:DiseaseToPhenotypicFeatureAssociation"]
+    lines = spark.createDataFrame([("s1\tph\t0.9\t0.1",)], "value string")
+    out = CL.parse_bert_output(lines, list(assoc.predicates)).collect()[0]
+    assert out.scores == {"biolink:has_phenotype": 0.9, "false": 0.1}

@@ -1377,10 +1377,25 @@ def ann_lsh_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ann_lsh(emb, qvec, k=10, n_planes=6)
 
 
-@register("simhash_fingerprints")  # no oracle: bit arithmetic is impractical in DuckDB 1.0
+@register(
+    "simhash_fingerprints",
+    f"""
+    WITH {_SHINGLE_SQL},
+    hv AS (SELECT doc_id, ('0x' || substr(md5(shingle), 1, 8))::bigint AS hv FROM sh),
+    bits AS (SELECT unnest(generate_series(0, 31)) AS b),
+    sums AS (
+      SELECT doc_id, b, sum(((hv >> b) & 1) * 2 - 1) AS s
+      FROM hv, bits GROUP BY 1, 2
+    )
+    SELECT doc_id,
+           cast(sum(CASE WHEN s > 0 THEN (1::bigint << b) ELSE 0 END) AS bigint) AS simhash
+    FROM sums GROUP BY 1
+    """,
+)
 def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash 32-bit fingerprints over word shingles (rows-only check;
-    bit-level parity covered by unit tests)."""
+    """SimHash 32-bit fingerprints over word shingles — per-bit ±1 sign
+    sums of the top 32 md5 bits, value-checked bit-for-bit against the
+    oracle's shift arithmetic."""
     sh = dedup.word_shingles(_t(spark, sf_dir, "documents"))
     return dedup.simhash(sh, bits=32)
 
