@@ -29,10 +29,14 @@ def main() -> None:
     ).mode("overwrite").save()
 
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name, fn in sorted(tq.QUERIES.items()):
         t0 = time.perf_counter()
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        try:
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            timings[name] = round(time.perf_counter() - t0, 3)
+        except Exception as exc:  # one broken query must not void the round
+            errors[name] = f"{type(exc).__name__}: {exc}"[:200]
         spark.catalog.clearCache()  # keep per-query timings independent
 
     sf_label = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
@@ -47,6 +51,8 @@ def main() -> None:
         "queries": timings,
         "sf": sf,
     }
+    if errors:
+        out["errors"] = errors
     print(json.dumps(out))
     sys.stdout.flush()
     spark.stop()

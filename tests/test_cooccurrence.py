@@ -124,3 +124,28 @@ def test_pair_publications_cap(spark):
     out = pubs.collect()
     assert len(out) == 25
     assert all(r["document_id"].startswith("PMID:") and "_" not in r["document_id"] for r in out)
+
+
+def test_reference_fixture_files_roundtrip(spark):
+    """Read the reference's OWN golden fixture TSVs through the S7 source
+    and verify the chain's counts match the triangular design (and the
+    inline FIXTURE used above)."""
+    import os
+
+    from translator_tm_provider_pipelines_spark.sources.tsv import doc_to_concept_tsv
+
+    path = (
+        "/root/reference/src/test/resources/cooccurrence-count-sample-files/"
+        "document-to-concept.PUBMED_SUB_31-00000-of-00001.tsv"
+    )
+    if not os.path.exists(path):
+        pytest.skip("reference fixtures not available")
+    units = doc_to_concept_tsv(spark, path)
+    loaded = {r.text_id: sorted(r.concept_ids) for r in units.collect()}
+    assert loaded == {k: sorted(v) for k, v in FIXTURE.items()}
+    m = co.cooccurrence_chain(units)
+    rows = {(r.concept1, r.concept2): r for r in m.collect()}
+    assert len(rows) == 28  # C(8,2) unordered pairs
+    top = rows[("AA:4", "ZZ:4")]
+    assert top.pair_count == 4 and top.concept1_count == 4 and top.concept2_count == 4
+    assert top.pmi == 0.0 and top.npmi == 0.0

@@ -56,6 +56,30 @@ DOCUMENT_TYPES = frozenset(
     }
 )
 
+# Workflow status-flag property names (the commonly-used subset of
+# DatastoreConstants.java:117-260 / ProcessingStatusFlag.java; the ``flags``
+# MAP column is open — these are the canonical keys stage runners use).
+STATUS_FLAGS = (
+    "text",                  # TEXT_DONE
+    "text_aug",              # TEXT_AUG_DONE (P11)
+    "filt_unact",            # FILTER_UNACTIONABLE_TEXT_DONE (P6)
+    "sections",              # SECTIONS_DONE
+    "abbrev",                # ABBREVIATIONS_DONE (X4)
+    "dep",                   # DEPENDENCY_PARSE_DONE (X5)
+    "sent",                  # SENTENCE_SEGMENTATION_DONE (X1)
+    "sent_by_dp",            # SENTENCE_SEGMENTATION_VIA_DEP_PARSE_DONE
+    "concept_pp",            # CONCEPT_POST_PROCESSING_DONE (P8)
+    "concept_pp_unfiltered",
+    "oger_pp1",
+    "oger_pp2",
+    "concept_cooccur_counts",
+    "elasticsearch",
+    "oger_done",
+    "oger_cs",
+    "oger_cimax",
+    "oger_cimin",
+)
+
 # ---------------------------------------------------------------------------
 # Core tables
 # ---------------------------------------------------------------------------
