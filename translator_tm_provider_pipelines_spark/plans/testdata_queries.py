@@ -1038,6 +1038,75 @@ def concept_postprocess_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "spurious_match_filter",
+    r"""
+    WITH annots AS (
+      SELECT DISTINCT 'C:' || cast(l.l_partkey % 100 AS varchar) AS concept_id,
+             p.p_name AS covered_text
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    ),
+    dict AS (
+      SELECT DISTINCT 'C:' || cast(p_partkey % 100 AS varchar) AS concept_id,
+             p_name AS entry
+      FROM part WHERE p_partkey < 300
+    ),
+    eligible AS (
+      SELECT * FROM annots
+      WHERE length(regexp_replace(regexp_replace(covered_text, '\s+', ' ', 'g'),
+                                  '[\d[:punct:][:space:]]', '', 'g')) >= 2
+    ),
+    judged AS (
+      SELECT a.concept_id, a.covered_text,
+             CASE WHEN d.entry IS NULL THEN NULL
+                  WHEN contains(lower(a.covered_text), '/')
+                       AND levenshtein(lower(regexp_replace(a.covered_text, '\s+', ' ', 'g')), lower(d.entry))
+                           / cast(length(d.entry) AS float) <> 0.0 THEN false
+                  WHEN levenshtein(lower(regexp_replace(a.covered_text, '\s+', ' ', 'g')), lower(d.entry))
+                       / cast(length(d.entry) AS float) < 0.3
+                       AND NOT (starts_with(lower(d.entry), lower(a.covered_text))
+                                AND regexp_matches(substr(lower(d.entry), length(a.covered_text) + 1), '^\d+$'))
+                  THEN true ELSE false END AS ok
+      FROM eligible a LEFT JOIN dict d ON d.concept_id = a.concept_id
+    )
+    SELECT concept_id, covered_text
+    FROM judged GROUP BY 1, 2
+    HAVING count(ok) = 0 OR bool_or(ok)
+    """,
+)
+def spurious_match_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P7 in full (OgerPostProcessingFn.removeSpuriousMatches:134-197):
+    whitespace collapse, digits+punct-only drop, slash exact-match rule,
+    normalized-Levenshtein < 0.3, digit-suffix lexical trap, and
+    pass-through for concepts absent from the dictionary — value-checked
+    against the oracle's identical rule set."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    annots = (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .select(
+            F.concat(F.lit("C:"), (F.col("l_partkey") % 100).cast("string")).alias("concept_id"),
+            F.col("p_name").alias("covered_text"),
+        )
+        .distinct()
+        .select(
+            F.lit("d").alias("doc_id"),
+            F.lit("concept").alias("annot_type"),
+            "concept_id",
+            F.array(
+                F.struct(F.lit(0).cast("int").alias("start"), F.lit(1).cast("int").alias("end"))
+            ).alias("spans"),
+            "covered_text",
+        )
+    )
+    entries = p.where(F.col("p_partkey") < 300).select(
+        F.concat(F.lit("C:"), (F.col("p_partkey") % 100).cast("string")).alias("concept_id"),
+        F.col("p_name").alias("dict_entry"),
+    ).distinct()
+    out = cf.remove_spurious_matches(annots, entries)
+    return out.select("concept_id", "covered_text")
+
+
+@register(
     "unactionable_truncation",
     """
     SELECT doc_id, rtrim(substr(text, 1, cast(n_chars // 2 AS int))) AS content
