@@ -112,3 +112,37 @@ def test_biolink_bert_columns_roundtrip(spark):
     lines = spark.createDataFrame([("s1\tph\t0.9\t0.1",)], "value string")
     out = CL.parse_bert_output(lines, list(assoc.predicates)).collect()[0]
     assert out.scores == {"biolink:has_phenotype": 0.9, "false": 0.1}
+
+
+def test_medline_to_cooccurrence_full_chain(spark, tmp_path, dictionary):
+    """The complete ingest→analytics path: Medline XML → documents →
+    dictionary NER → document-level cooccurrence metrics."""
+    from translator_tm_provider_pipelines_spark.sources import medline
+
+    xml = """<?xml version="1.0"?>
+    <PubmedArticleSet>
+      <PubmedArticle><MedlineCitation><PMID>1</PMID><Article>
+        <ArticleTitle>Aspirin and headache.</ArticleTitle>
+        <Abstract><AbstractText>Aspirin treats headache.</AbstractText></Abstract>
+      </Article></MedlineCitation></PubmedArticle>
+      <PubmedArticle><MedlineCitation><PMID>2</PMID><Article>
+        <ArticleTitle>Ibuprofen for fever.</ArticleTitle>
+        <Abstract><AbstractText>Ibuprofen treats fever and headache.</AbstractText></Abstract>
+      </Article></MedlineCitation></PubmedArticle>
+    </PubmedArticleSet>"""
+    (tmp_path / "m.xml").write_text(xml)
+    docs = medline.medline_documents(medline.read_medline_xml(spark, str(tmp_path / "m.xml")))
+    m = P.documents_to_cooccurrence_metrics(
+        docs.select("doc_id", "content"), dictionary, min_match_len=4
+    )
+    pairs = {(r.concept1, r.concept2): r.pair_count for r in m.collect()}
+    assert pairs[("CHEBI:15365", "HP:0002315")] == 1  # aspirin+headache in PMID:1
+    assert pairs[("CHEBI:5855", "HP:0001945")] == 1   # ibuprofen+fever in PMID:2
+
+
+def test_register_views_sql_surface(spark, docs):
+    from translator_tm_provider_pipelines_spark.sources.tables import register_views
+
+    register_views(spark, {"docs_view": docs})
+    n = spark.sql("SELECT count(*) AS n FROM docs_view").collect()[0].n
+    assert n == 3

@@ -38,6 +38,22 @@ def read_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {t: read_table(spark, sf_dir, t) for t in TESTDATA_TABLES}
 
 
+def register_views(
+    spark: SparkSession, tables: dict[str, DataFrame | str]
+) -> None:
+    """Expose the engine's tables to ``spark.sql``: each entry becomes a
+    temp view (value = DataFrame, or a parquet path to read). Gives users
+    the SQL surface over documents/status/annotations/... without any
+    engine-specific API:
+
+        register_views(spark, {"documents": "/data/documents", ...})
+        spark.sql("SELECT doc_id FROM documents WHERE ...")
+    """
+    for name, src in tables.items():
+        df = spark.read.parquet(src) if isinstance(src, str) else src
+        df.createOrReplaceTempView(name)
+
+
 # ---------------------------------------------------------------------------
 # Document store (K1 + S1/S2 scan side)
 # ---------------------------------------------------------------------------
