@@ -1,0 +1,64 @@
+"""Physical-plan regression tests: predicate pushdown, column pruning and
+broadcast joins must survive refactors — these assert on the executed plan
+text for representative registry queries (Spark version is pinned in this
+environment, so the plan markers are stable)."""
+
+from __future__ import annotations
+
+import pytest
+
+from translator_tm_provider_pipelines_spark.plans import testdata_queries as tq
+
+SF = "/root/testdata/sf0.001"
+
+
+def plan_text(spark, name: str) -> str:
+    df = tq.QUERIES[name](spark, SF)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_filter_documents_pushdown(spark):
+    p = plan_text(spark, "filter_documents")
+    assert "PushedFilters:" in p
+    assert "In(source" in p and "GreaterThanOrEqual(n_chars,100)" in p
+    # column pruning: the wide 'text' column must NOT be read
+    assert "text" not in p.split("ReadSchema:")[1].splitlines()[0]
+
+
+def test_regional_revenue_broadcasts_dims(spark):
+    p = plan_text(spark, "regional_revenue")
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_pricing_summary_partial_aggregation(spark):
+    p = plan_text(spark, "pricing_summary")
+    # map-side partial aggregation before the shuffle
+    assert "partial_sum" in p or "partial_count" in p
+
+
+def test_cooccurrence_no_cartesian(spark):
+    p = plan_text(spark, "cooccurrence_metrics")
+    # the two scalar totals arrive via broadcast nested loop (one-row
+    # frames); no unbounded cartesian products
+    assert "CartesianProduct" not in p
+
+
+def test_dictionary_ner_broadcast_dictionary(spark):
+    p = plan_text(spark, "dictionary_ner")
+    assert "BroadcastHashJoin" in p
+
+
+def test_lsh_bucket_cap(spark):
+    from pyspark.sql import functions as F
+
+    from translator_tm_provider_pipelines_spark.operators import dedup
+
+    bands = spark.createDataFrame(
+        [(0, "sig", f"d{i}") for i in range(5)] + [(1, "other", "a"), (1, "other", "b")],
+        "band int, band_sig string, doc_id string",
+    )
+    uncapped = dedup.lsh_candidate_pairs(bands)
+    capped = dedup.lsh_candidate_pairs(bands, max_bucket_size=3)
+    assert uncapped.count() == 10 + 1  # C(5,2) + C(2,2)
+    assert capped.count() == 1  # the 5-doc bucket is dropped, the pair stays

@@ -99,20 +99,25 @@ def lsh_bands(signatures: DataFrame, rows_per_band: int = 4) -> DataFrame:
     return signatures.select("doc_id", bands.alias("band", "band_sig"))
 
 
-def lsh_candidate_pairs(bands: DataFrame) -> DataFrame:
+def lsh_candidate_pairs(bands: DataFrame, max_bucket_size: int | None = None) -> DataFrame:
     """Candidate pairs via bucket grouping, not a self-join: docs collect
     per (band, band_sig) bucket and unordered pairs expand JVM-side inside
     each bucket row. One shuffle, the upstream chain is evaluated once
     (a self-join would recompute it for both sides), and the expansion is
-    bounded by bucket size — collision buckets are small by construction;
-    a pathological boilerplate bucket shows up as one wide row, which AQE
-    cannot split, so extremely hot buckets should be pre-capped upstream
-    (exact-dedup boilerplate first)."""
+    bounded by bucket size.
+
+    ``max_bucket_size`` is the 100 TB guard for pathological boilerplate
+    buckets (one wide row that AQE cannot split): buckets larger than the
+    cap are DROPPED — their members are exact-or-near-identical boilerplate
+    that exact dedup should have removed upstream, and emitting their k²
+    pairs would dominate the output. None (default) keeps every bucket."""
     buckets = (
         bands.groupBy("band", "band_sig")
         .agg(F.array_sort(F.collect_set("doc_id")).alias("ds"))
         .where(F.size("ds") >= 2)
     )
+    if max_bucket_size is not None:
+        buckets = buckets.where(F.size("ds") <= max_bucket_size)
     pair = F.explode(
         F.flatten(
             F.transform(
