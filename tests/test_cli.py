@@ -71,3 +71,69 @@ def test_metrics_pipeline_roundtrip(spark, tmp_path):
     import math
     assert idf["A:1"] == pytest.approx(round(math.log(3 / 3), 8))
     assert idf["A:2"] == pytest.approx(round(math.log(3 / 2), 8))
+
+
+def test_oger_and_postprocess_pipelines(spark, tmp_path):
+    docs = spark.createDataFrame(
+        [("d1", "Breast cancer and the cancer spread fast.")],
+        "doc_id string, content string",
+    )
+    dictionary = spark.createDataFrame(
+        [("breast cancer", "MONDO:0007254"), ("cancer", "MONDO:0004992")],
+        "term string, concept_id string",
+    )
+    docs.write.parquet(str(tmp_path / "docs"))
+    dictionary.write.parquet(str(tmp_path / "dict"))
+    cli.run_oger(
+        spark,
+        ["--documents", str(tmp_path / "docs"), "--dictionary", str(tmp_path / "dict"),
+         "--output", str(tmp_path / "annots")],
+    )
+    annots = spark.read.parquet(str(tmp_path / "annots"))
+    assert annots.count() == 3
+    cli.run_concept_post_process(
+        spark,
+        ["--annotations", str(tmp_path / "annots"), "--output", str(tmp_path / "clean")],
+    )
+    clean = spark.read.parquet(str(tmp_path / "clean"))
+    # nested 'cancer' inside 'Breast cancer' removed; standalone kept
+    assert clean.count() == 2
+
+
+def test_abbreviation_pipeline(spark, tmp_path):
+    docs = spark.createDataFrame(
+        [("d1", "The heat shock protein (HSP) family is large.")],
+        "doc_id string, content string",
+    )
+    docs.write.parquet(str(tmp_path / "docs"))
+    cli.run_abbreviation(
+        spark, ["--documents", str(tmp_path / "docs"), "--output", str(tmp_path / "ab")]
+    )
+    out = spark.read.parquet(str(tmp_path / "ab"))
+    assert {r.annot_type for r in out.collect()} == {"short_form", "long_form"}
+
+
+def test_classified_storage_pipeline(spark, tmp_path):
+    from translator_tm_provider_pipelines_spark import schemas
+
+    meta = spark.createDataFrame(
+        [(
+            "s1", "d1", "CHEBI:1", "aspirin", [(0, 7)], "MONDO:2", "headache",
+            [(15, 23)], None, "aspirin treats headache", None, "abstract",
+            [], "1999", 0, [], [], [],
+        )],
+        schema=schemas.EXTRACTED_SENTENCE,
+    )
+    meta.write.parquet(str(tmp_path / "meta"))
+    (tmp_path / "bert").mkdir()
+    (tmp_path / "bert" / "part-0.tsv").write_text("s1\tph\t0.9\t0.05\t0.05\n")
+    cli.run_classified_sentence_storage(
+        spark,
+        ["--bertOutput", str(tmp_path / "bert"),
+         "--metadata", str(tmp_path / "meta"),
+         "--association", "biolink:ChemicalToDiseaseOrPhenotypicFeatureAssociation",
+         "--bertScoreInclusionMinimumThreshold", "0.5",
+         "--outputDir", str(tmp_path / "out")],
+    )
+    assert spark.read.parquet(str(tmp_path / "out" / "assertion")).count() == 1
+    assert spark.read.parquet(str(tmp_path / "out" / "evidence_score")).count() == 3

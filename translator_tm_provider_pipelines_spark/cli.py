@@ -142,13 +142,240 @@ def run_medline_xml_to_text(spark: SparkSession, argv: list[str]) -> None:
         )
 
 
-#: PipelineKey → runner (the implemented subset of PipelineMain.java:124-236)
+def run_bioc_to_text(spark: SparkSession, argv: list[str]) -> None:
+    """BIOC_TO_TEXT: PMC BioC XML → documents + section annotations."""
+    from .sources import bioc
+
+    p = argparse.ArgumentParser(prog="BIOC_TO_TEXT")
+    p.add_argument("--xml", required=True)
+    p.add_argument("--output", required=True)
+    p.add_argument("--sectionsOutput")
+    ns = p.parse_args(argv)
+    docs = bioc.bioc_documents(bioc.read_bioc_xml(spark, ns.xml))
+    docs.write.mode("overwrite").parquet(ns.output)
+    if ns.sectionsOutput:
+        bioc.bioc_section_annotations(docs).write.mode("overwrite").parquet(
+            ns.sectionsOutput
+        )
+
+
+def run_biorxiv_xml_to_text(spark: SparkSession, argv: list[str]) -> None:
+    """BIORXIV_XML_TO_TEXT: JATS XML files → documents."""
+    from .sources import bioc
+
+    p = argparse.ArgumentParser(prog="BIORXIV_XML_TO_TEXT")
+    p.add_argument("--xml", required=True)
+    p.add_argument("--output", required=True)
+    ns = p.parse_args(argv)
+    bioc.jats_documents(spark, ns.xml).write.mode("overwrite").parquet(ns.output)
+
+
+def run_file_load(spark: SparkSession, argv: list[str]) -> None:
+    """FILE_LOAD: <dir>/*<suffix> files → documents (id = basename)."""
+    from .sources import files as filesrc
+
+    p = argparse.ArgumentParser(prog="FILE_LOAD")
+    p.add_argument("--dir", required=True)
+    p.add_argument("--suffix", default=".txt")
+    p.add_argument("--output", required=True)
+    ns = p.parse_args(argv)
+    filesrc.load_files(spark, ns.dir, ns.suffix).write.mode("overwrite").parquet(ns.output)
+
+
+def run_oger(spark: SparkSession, argv: list[str]) -> None:
+    """OGER: dictionary concept recognition over text documents."""
+    from .operators import ner
+
+    p = argparse.ArgumentParser(prog="OGER")
+    p.add_argument("--documents", required=True, help="(doc_id, content) parquet")
+    p.add_argument("--dictionary", required=True, help="(term, concept_id) parquet")
+    p.add_argument("--output", required=True)
+    p.add_argument("--caseSensitive", action="store_true")
+    p.add_argument("--maxTermTokens", type=int, default=3)
+    ns = p.parse_args(argv)
+    docs = spark.read.parquet(ns.documents)
+    dictionary = ner.normalize_dictionary(spark.read.parquet(ns.dictionary))
+    ner.dictionary_concept_recognition(
+        docs, dictionary,
+        max_term_tokens=ns.maxTermTokens,
+        case_insensitive=not ns.caseSensitive,
+    ).write.mode("overwrite").parquet(ns.output)
+
+
+def run_concept_post_process(spark: SparkSession, argv: list[str]) -> None:
+    """CONCEPT_POST_PROCESS: stopword/short/bracket/nesting cleanup chain."""
+    from .operators import conceptfilters as cf
+
+    p = argparse.ArgumentParser(prog="CONCEPT_POST_PROCESS")
+    p.add_argument("--annotations", required=True)
+    p.add_argument("--output", required=True)
+    p.add_argument("--lengthThreshold", type=int, default=4)
+    ns = p.parse_args(argv)
+    annots = spark.read.parquet(ns.annotations)
+    out = cf.remove_nested_annotations(
+        cf.remove_odd_bracket_matches(
+            cf.remove_ncbi_stopwords(
+                cf.remove_matches_less_than(annots, ns.lengthThreshold)
+            )
+        )
+    )
+    out.write.mode("overwrite").parquet(ns.output)
+
+
+def run_sentence_extraction(spark: SparkSession, argv: list[str]) -> None:
+    """SENTENCE_EXTRACTION: relation-candidate sentences for an association."""
+    from .functions import biolink
+    from .operators import ner, sentences as sentops
+
+    p = argparse.ArgumentParser(prog="SENTENCE_EXTRACTION")
+    p.add_argument("--documents", required=True, help="(doc_id, content) parquet")
+    p.add_argument("--annotations", required=True, help="concept annotations parquet")
+    p.add_argument("--association", required=True, choices=sorted(biolink.ASSOCIATIONS))
+    p.add_argument("--keywords", default="")
+    p.add_argument("--output", required=True)
+    ns = p.parse_args(argv)
+    docs = spark.read.parquet(ns.documents)
+    annots = spark.read.parquet(ns.annotations)
+    sents = sentops.segment_sentences(docs)
+    ext = sentops.extract_sentences(
+        sents, annots,
+        keywords=[k for k in ns.keywords.split("|") if k] or None,
+        **biolink.extraction_args(ns.association),
+    )
+    sentops.extracted_sentence_tsv(ext).write.mode("overwrite").text(ns.output)
+
+
+def run_abbreviation(spark: SparkSession, argv: list[str]) -> None:
+    """ABBREVIATION: Schwartz-Hearst short/long-form annotation pairs."""
+    from .operators import abbreviations as ab
+
+    p = argparse.ArgumentParser(prog="ABBREVIATION")
+    p.add_argument("--documents", required=True)
+    p.add_argument("--output", required=True)
+    ns = p.parse_args(argv)
+    abbrevs = ab.detect_abbreviations(spark.read.parquet(ns.documents))
+    ab.abbreviation_annotations(abbrevs).write.mode("overwrite").parquet(ns.output)
+
+
+def run_dependency_parse_to_sentence(spark: SparkSession, argv: list[str]) -> None:
+    """DEPENDENCY_PARSE_TO_SENTENCE: CoNLL-U → sentence rows."""
+    from .operators import conllu
+
+    p = argparse.ArgumentParser(prog="DEPENDENCY_PARSE_TO_SENTENCE")
+    p.add_argument("--conllu", required=True, help="(doc_id, conllu) parquet")
+    p.add_argument("--output", required=True)
+    ns = p.parse_args(argv)
+    conllu.conllu_sentences(spark.read.parquet(ns.conllu)).write.mode(
+        "overwrite"
+    ).parquet(ns.output)
+
+
+def run_dependency_parse_to_conll03(spark: SparkSession, argv: list[str]) -> None:
+    """DEPENDENCY_PARSE_TO_CONLL03: CoNLL-U → CoNLL03 token lines."""
+    from .operators import conllu
+
+    p = argparse.ArgumentParser(prog="DEPENDENCY_PARSE_TO_CONLL03")
+    p.add_argument("--conllu", required=True)
+    p.add_argument("--output", required=True)
+    ns = p.parse_args(argv)
+    conllu.conll03_export(
+        conllu.conllu_tokens(spark.read.parquet(ns.conllu))
+    ).write.mode("overwrite").parquet(ns.output)
+
+
+def run_filter_unactionable_text(spark: SparkSession, argv: list[str]) -> None:
+    """FILTER_UNACTIONABLE_TEXT: truncate trailing non-actionable sections."""
+    from .operators import conceptfilters as cf
+
+    p = argparse.ArgumentParser(prog="FILTER_UNACTIONABLE_TEXT")
+    p.add_argument("--documents", required=True)
+    p.add_argument("--sections", required=True)
+    p.add_argument("--output", required=True)
+    ns = p.parse_args(argv)
+    cf.filter_unactionable_text(
+        spark.read.parquet(ns.documents), spark.read.parquet(ns.sections)
+    ).write.mode("overwrite").parquet(ns.output)
+
+
+def run_concept_count_distribution(spark: SparkSession, argv: list[str]) -> None:
+    """CONCEPT_COUNT_DISTRIBUTION: (count, concept, label) TSV."""
+    from .operators import exports as ex
+
+    p = argparse.ArgumentParser(prog="CONCEPT_COUNT_DISTRIBUTION")
+    p.add_argument("--unitConcepts", required=True)
+    p.add_argument("--labels")
+    p.add_argument("--output", required=True)
+    ns = p.parse_args(argv)
+    uc = spark.read.parquet(ns.unitConcepts)
+    labels = spark.read.parquet(ns.labels) if ns.labels else None
+    from .sources.sinks import write_tsv
+
+    write_tsv(ex.concept_count_distribution(uc, labels), ns.output)
+
+
+def run_classified_sentence_storage(spark: SparkSession, argv: list[str]) -> None:
+    """CLASSIFIED_SENTENCE_STORAGE: scores ⋈ metadata → assertion DB tables."""
+    from .functions import biolink
+    from .operators import classified as clf
+
+    p = argparse.ArgumentParser(prog="CLASSIFIED_SENTENCE_STORAGE")
+    p.add_argument("--bertOutput", required=True, help="classifier TSV lines")
+    p.add_argument("--metadata", required=True, help="EXTRACTED_SENTENCE parquet")
+    p.add_argument("--association", required=True, choices=sorted(biolink.ASSOCIATIONS))
+    p.add_argument("--bertScoreInclusionMinimumThreshold", type=float, required=True)
+    p.add_argument("--outputDir", required=True)
+    ns = p.parse_args(argv)
+    assoc = biolink.ASSOCIATIONS[ns.association]
+    scores = clf.parse_bert_output(spark.read.text(ns.bertOutput), list(assoc.predicates))
+    tables = clf.classified_sentence_tables(
+        scores,
+        spark.read.parquet(ns.metadata),
+        association_id=assoc.association_id,
+        subject_placeholder=assoc.subject.placeholder,
+        entity1_placeholder=assoc.subject.placeholder,
+        threshold=ns.bertScoreInclusionMinimumThreshold,
+    )
+    for name, df in tables.items():
+        df.write.mode("overwrite").parquet(f"{ns.outputDir.rstrip('/')}/{name}")
+
+
+def run_elasticsearch_load(spark: SparkSession, argv: list[str]) -> None:
+    """ELASTICSEARCH_LOAD: sentence JSON docs → bulk-format lines."""
+    from .operators import exports as ex
+    from .sources.sinks import es_bulk_lines
+
+    p = argparse.ArgumentParser(prog="ELASTICSEARCH_LOAD")
+    p.add_argument("--sentences", required=True, help="(sentence_id, doc_id, sentence, start, end, concepts) parquet")
+    p.add_argument("--index", default="sentences")
+    p.add_argument("--output", required=True)
+    ns = p.parse_args(argv)
+    docs = ex.es_sentence_json(spark.read.parquet(ns.sentences))
+    es_bulk_lines(docs, ns.index, "sentence_id", "json").write.mode("overwrite").text(
+        ns.output
+    )
+
+
+#: PipelineKey → runner (the implemented subset of PipelineMain.java:124-236;
+#: keys match the reference's PipelineKey enum verbatim)
 PIPELINES: dict[str, Callable[[SparkSession, list[str]], None]] = {
     "SENTENCE_SEGMENTATION": run_sentence_segmentation,
     "CONCEPT_COOCCURRENCE_COUNTS": run_concept_cooccurrence_counts,
     "CONCEPT_COOCCURRENCE_METRICS": run_concept_cooccurrence_metrics,
     "CONCEPT_IDF": run_concept_idf,
     "MEDLINE_XML_TO_TEXT": run_medline_xml_to_text,
+    "BIOC_TO_TEXT": run_bioc_to_text,
+    "BIORXIV_XML_TO_TEXT": run_biorxiv_xml_to_text,
+    "FILE_LOAD": run_file_load,
+    "OGER": run_oger,
+    "CONCEPT_POST_PROCESS": run_concept_post_process,
+    "SENTENCE_EXTRACTION": run_sentence_extraction,
+    "ABBREVIATION": run_abbreviation,
+    "DEPENDENCY_PARSE_TO_SENTENCE": run_dependency_parse_to_sentence,
+    "DEPENDENCY_PARSE_TO_CONLL03": run_dependency_parse_to_conll03,
+    "FILTER_UNACTIONABLE_TEXT": run_filter_unactionable_text,
+    "CONCEPT_COUNT_DISTRIBUTION": run_concept_count_distribution,
+    "CLASSIFIED_SENTENCE_STORAGE": run_classified_sentence_storage,
+    "ELASTICSEARCH_LOAD": run_elasticsearch_load,
 }
 
 
