@@ -49,6 +49,37 @@ def test_dictionary_ner_broadcast_dictionary(spark):
     assert "BroadcastHashJoin" in p
 
 
+def test_minhash_and_fingerprints_zero_shuffle(spark):
+    # the doc-level MinHash / fingerprint paths are pure narrow
+    # projections: no Exchange may appear in the physical plan
+    for q in ("minhash_band_signatures", "doc_fingerprints"):
+        assert "Exchange" not in plan_text(spark, q), q
+
+
+def test_simhash_single_shuffle(spark):
+    # one per-doc aggregation shuffle; the shingle DISTINCT is per-row
+    # (array_distinct), so exactly one Exchange total
+    assert plan_text(spark, "simhash_fingerprints").count("Exchange") == 1
+
+
+def test_minhash_doc_and_relation_paths_agree(spark):
+    from translator_tm_provider_pipelines_spark.operators import dedup
+
+    docs = (
+        spark.read.parquet(f"{SF}/documents.parquet")
+        .limit(50)
+        .selectExpr("cast(doc_id as string) doc_id", "text")
+    )
+    via_doc = {
+        (r.doc_id, tuple(r.sig)) for r in dedup.minhash_signatures_doc(docs, num_perms=8).collect()
+    }
+    via_rel = {
+        (r.doc_id, tuple(r.sig))
+        for r in dedup.minhash_signatures(dedup.word_shingles(docs), num_perms=8).collect()
+    }
+    assert via_doc == via_rel
+
+
 def test_lsh_bucket_cap(spark):
     from pyspark.sql import functions as F
 

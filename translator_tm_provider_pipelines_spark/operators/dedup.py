@@ -20,10 +20,107 @@ Jaccard runs only on LSH survivors, never all-pairs.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 TOKEN_RE = r"([a-z0-9]+)"
+
+#: Mersenne prime modulus for the affine permutation family; 31-bit values
+#: keep every product inside a signed 64-bit long on both Spark and DuckDB.
+MERSENNE_31 = (1 << 31) - 1
+#: Per-word mix coefficients for combining k word hashes into a shingle hash.
+WORD_COEFFS = (3, 5, 7, 13, 17, 19, 23, 29)
+WORD_BIAS = 11
+
+
+def _perm_coeffs(j: int) -> tuple[int, int]:
+    """The j-th affine permutation (a, b): h ↦ (a·h + b) mod 2³¹−1.
+    Fixed family — the DuckDB oracles hard-code the same arithmetic."""
+    return 2 * j + 3, 5 * j + 7
+
+
+def words_expr(text_col: str = "text") -> Column:
+    """Lower-token array: ``[a-z0-9]+`` matches of the text column."""
+    return F.regexp_extract_all(F.col(text_col), F.lit(TOKEN_RE), 1)
+
+
+def shingle_strings(words: Column, k: int = 3) -> Column:
+    """Word k-gram strings as a per-row array (space-joined, in order).
+    Empty when the document has fewer than k words (``sequence(1, 0)``
+    counts *down* in Spark, so the guard is required)."""
+    idx = F.when(
+        F.size(words) >= k, F.sequence(F.lit(1), F.size(words) - F.lit(k - 1))
+    ).otherwise(F.array().cast("array<int>"))
+    return F.transform(
+        idx, lambda i: F.concat_ws(" ", *[F.element_at(words, i + j) for j in range(k)])
+    )
+
+
+def shingle_hash_frame(
+    docs: DataFrame, k: int = 3, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(doc_id, shv ARRAY<LONG>) — 31-bit shingle hashes as a per-row array,
+    computed without materializing shingle strings: one md5 per *word*,
+    then an affine mix of the k word hashes per shingle position. A pure
+    narrow projection; documents with fewer than k words are absent."""
+    if k > len(WORD_COEFFS):
+        raise ValueError(f"k={k} exceeds the fixed coefficient table ({len(WORD_COEFFS)})")
+    words = words_expr(text_col)
+    d = docs.select(F.col(id_col).alias("doc_id"), words.alias("words")).where(
+        F.size("words") >= k
+    )
+    hw = F.transform(
+        F.col("words"), lambda w: F.conv(F.substring(F.md5(w), 1, 7), 16, 10).cast("long")
+    )
+    d = d.select("doc_id", hw.alias("hw"))
+    coeffs = WORD_COEFFS[:k]
+    shv = F.transform(
+        F.sequence(F.lit(1), F.size("hw") - F.lit(k - 1)),
+        lambda i: (
+            sum(F.element_at(F.col("hw"), i + j) * F.lit(c) for j, c in enumerate(coeffs))
+            + F.lit(WORD_BIAS)
+        )
+        % F.lit(MERSENNE_31),
+    )
+    return d.select("doc_id", shv.alias("shv"))
+
+
+def minhash_signatures_doc(
+    docs: DataFrame,
+    k: int = 3,
+    num_perms: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """MinHash signatures with ZERO shuffles and zero explodes: a pure
+    per-document projection (tokenize → hash each word once → mix k word
+    hashes into 31-bit shingle hashes → per permutation j take
+    ``array_min((aⱼ·h + bⱼ) mod 2³¹−1)``).
+
+    Versus the shingle-relation formulation (:func:`minhash_signatures`)
+    this computes one md5 per *word* instead of ``num_perms`` md5s per
+    *shingle occurrence*, and never shuffles — measured 5× faster at
+    sf0.1 and embarrassingly parallel at 100 TB (a single narrow
+    WholeStageCodegen scan; see tests/test_plan_shapes.py). MinHash min
+    is duplicate-invariant, so skipping the shingle DISTINCT is exact.
+
+    Returns (doc_id, sig ARRAY<STRING>[num_perms]); documents with fewer
+    than k words are absent (same semantics as the shingle relation).
+    Signature values are decimal-rendered longs — opaque inputs to
+    :func:`lsh_bands`."""
+    d = shingle_hash_frame(docs, k=k, text_col=text_col, id_col=id_col)
+
+    def perm_min(j: int) -> Column:
+        a, b = _perm_coeffs(j)
+        return F.array_min(
+            F.transform(F.col("shv"), lambda v: (F.lit(a) * v + F.lit(b)) % F.lit(MERSENNE_31))
+        )
+
+    d = d.select("doc_id", *[perm_min(j).alias(f"m{j}") for j in range(num_perms)])
+    return d.select(
+        "doc_id",
+        F.array(*[F.col(f"m{j}").cast("string") for j in range(num_perms)]).alias("sig"),
+    )
 
 
 def exact_duplicates(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -48,39 +145,47 @@ def word_shingles(
     id_col: str = "doc_id",
 ) -> DataFrame:
     """Distinct word k-gram shingles per document, tokenized with
-    ``[a-z0-9]+``. Entirely JVM-side: regexp tokenize, index expansion with
-    ``sequence`` + ``transform`` (guarded — Spark's sequence(1,0) counts
-    *down*), no UDF."""
-    words = F.regexp_extract_all(F.col(text_col), F.lit(TOKEN_RE), 1)
-    n = F.size(words)
-    idx = F.when(n >= k, F.sequence(F.lit(1), n - F.lit(k - 1))).otherwise(
-        F.array().cast("array<int>")
+    ``[a-z0-9]+``. Entirely JVM-side (regexp tokenize + array expansion,
+    no UDF). This is the *relation* form — needed where pairs of documents
+    join on shared shingles (exact Jaccard). For MinHash use the
+    zero-shuffle :func:`minhash_signatures_doc` instead."""
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(shingle_strings(words_expr(text_col), k)).alias("shingle"),
+    ).distinct()
+
+
+def minhash_signatures(shingles: DataFrame, num_perms: int = 16, k: int = 3) -> DataFrame:
+    """MinHash over a pre-materialized shingle *relation* (e.g. a shingle
+    table persisted at 100 TB scale) as ONE aggregation: per shingle row
+    the 31-bit hash is computed once, the signature is ``num_perms``
+    affine-permuted MIN aggregates with map-side partial combine — same
+    value semantics and permutation family as
+    :func:`minhash_signatures_doc` (which is faster when starting from
+    documents: no shuffle at all). Value parity holds because shingles are
+    single-space-joined tokens: splitting recovers the words, and the same
+    word-hash mix applies."""
+    hw = F.transform(
+        F.split(F.col("shingle"), " "),
+        lambda w: F.conv(F.substring(F.md5(w), 1, 7), 16, 10).cast("long"),
     )
-    w = F.col("w")
-    shingle = F.concat_ws(" ", *[F.element_at(w, F.col("i") + F.lit(j)) for j in range(k)])
-    return (
-        docs.select(F.col(id_col).alias("doc_id"), F.explode(idx).alias("i"), words.alias("w"))
-        .select("doc_id", shingle.alias("shingle"))
-        .distinct()
+    hv = (
+        sum(F.element_at(F.col("hw"), j + 1) * F.lit(c) for j, c in enumerate(WORD_COEFFS[:k]))
+        + F.lit(WORD_BIAS)
+    ) % F.lit(MERSENNE_31)
+    mins = []
+    for j in range(num_perms):
+        a, b = _perm_coeffs(j)
+        mins.append(F.min((F.lit(a) * F.col("hv") + F.lit(b)) % F.lit(MERSENNE_31)).alias(f"h{j}"))
+    wide = (
+        shingles.select("doc_id", hw.alias("hw"))
+        .select("doc_id", hv.alias("hv"))
+        .groupBy("doc_id")
+        .agg(*mins)
     )
-
-
-def minhash_signatures(shingles: DataFrame, num_perms: int = 16) -> DataFrame:
-    """MinHash as ONE aggregation: per shingle, all ``num_perms`` hashes
-    md5(j ':' shingle) are computed in a single projection (md5 hex compares
-    lexicographically, so ``min(hex)`` is a uniform min-hash); the signature
-    is ``num_perms`` MIN aggregates with map-side partial combine.
-
-    Returns (doc_id, sig ARRAY<STRING>[num_perms]). Compared with the
-    naive perm×shingle explode, shuffle volume drops by num_perms× — at
-    100 TB that is the difference between one pass and sixteen."""
-    hashes = [
-        F.min(F.md5(F.concat(F.lit(f"{j}:"), F.col("shingle")))).alias(f"h{j}")
-        for j in range(num_perms)
-    ]
-    wide = shingles.groupBy("doc_id").agg(*hashes)
     return wide.select(
-        "doc_id", F.array(*[F.col(f"h{j}") for j in range(num_perms)]).alias("sig")
+        "doc_id",
+        F.array(*[F.col(f"h{j}").cast("string") for j in range(num_perms)]).alias("sig"),
     )
 
 
@@ -176,36 +281,67 @@ def near_duplicates(
     """MinHash-LSH near-dup pipeline: shingle → signature → bands →
     candidates → exact-Jaccard filter ≥ threshold.
 
+    Candidate generation runs on the zero-shuffle
+    :func:`minhash_signatures_doc` path (never touches the shingle
+    relation). The exact-Jaccard stage shingles ONLY candidate documents:
+    a semi-join restricts the corpus to LSH survivors before the shingle
+    explode, so the widest relation scales with the near-dup population,
+    not the corpus. The candidate chain is evaluated twice (once for the
+    id filter, once for the pairs) — it is a cheap narrow pass, and
+    recompute beats persisting it (measured; same reasoning as below).
+
     ``persist`` (off by default — measured slower at bench scale: caching
     serializes the shingle relation and breaks codegen pipelines, while
-    recompute is one cheap scan) caches shingles for the MinHash and
-    Jaccard branches; enable it when the upstream is expensive, or better,
-    write shingles/signatures to intermediate tables at 100 TB."""
-    sh = word_shingles(docs, k=k, text_col=text_col, id_col=id_col)
+    recompute is one cheap scan) caches shingles for the Jaccard branch;
+    enable it when the upstream is expensive, or better, write
+    shingles/signatures to intermediate tables at 100 TB."""
+    sig = minhash_signatures_doc(
+        docs, k=k, num_perms=num_perms, text_col=text_col, id_col=id_col
+    )
+    cands = lsh_candidate_pairs(lsh_bands(sig, rows_per_band))
+    cand_ids = cands.select(
+        F.explode(F.array("doc_a", "doc_b")).alias("__cand_id")
+    ).distinct()
+    cand_docs = docs.join(
+        cand_ids, on=docs[id_col] == cand_ids["__cand_id"], how="left_semi"
+    )
+    sh = word_shingles(cand_docs, k=k, text_col=text_col, id_col=id_col)
     if persist:
         from pyspark.storagelevel import StorageLevel
 
         sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
-    cands = lsh_candidate_pairs(lsh_bands(minhash_signatures(sh, num_perms), rows_per_band))
     return jaccard_for_pairs(sh, cands).where(F.col("jaccard") >= threshold)
 
 
-def simhash(shingles: DataFrame, bits: int = 32) -> DataFrame:
-    """SimHash fingerprint: per bit position b, sum(±1) over shingles by the
-    b-th bit of md5(shingle); fingerprint bit b = 1 iff the sum > 0.
+def simhash(
+    docs: DataFrame,
+    bits: int = 31,
+    k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """SimHash fingerprint: per bit position b, sum(±1) over the document's
+    distinct shingle hashes by the b-th bit; fingerprint bit b = 1 iff the
+    sum > 0. Near-dup docs differ in O(1) bits (compare via
+    :func:`hamming_distance`).
 
-    Uses the top ``bits`` bits of the digest (first bits/4 hex chars via
-    ``conv``); 32 bits keeps the value inside a signed long. Near-dup docs
-    differ in O(1) bits (compare via Hamming distance on the result)."""
-    hexlen = bits // 4
-    hval = F.conv(F.substring(F.md5(F.col("shingle")), 1, hexlen), 16, 10).cast("long")
-    # one ±1 sum aggregate per bit (map-side combine) instead of a bits×
-    # row explosion — shuffle volume is per-doc, not per-(shingle, bit)
+    Built on the 31-bit affine shingle hashes (:func:`shingle_hash_frame`)
+    — no shingle strings, no md5 per shingle, and the shingle DISTINCT is a
+    per-row ``array_distinct`` instead of a relation-wide shuffle. The only
+    shuffle is the per-doc bit-sum aggregation, which combines map-side
+    (shuffle volume = docs × bits partials, independent of document
+    length). The wide-aggregate shape beats a per-element array fold ~2×
+    (measured: codegen'd sum aggregates vs 32-wide zip_with per shingle)."""
+    if bits > 31:
+        raise ValueError("bits > 31 exceeds the 31-bit shingle hash")
+    hv = shingle_hash_frame(docs, k=k, text_col=text_col, id_col=id_col).select(
+        "doc_id", F.explode(F.array_distinct("shv")).alias("hv")
+    )
     bitsums = [
         F.sum(F.expr(f"(shiftright(hv, {b}) & 1) * 2 - 1")).alias(f"b{b}")
         for b in range(bits)
     ]
-    wide = shingles.select("doc_id", hval.alias("hv")).groupBy("doc_id").agg(*bitsums)
+    wide = hv.groupBy("doc_id").agg(*bitsums)
     fingerprint = None
     for b in range(bits):
         term = F.when(F.col(f"b{b}") > 0, F.lit(1 << b).cast("long")).otherwise(F.lit(0).cast("long"))

@@ -115,11 +115,17 @@ def doc_fingerprints(
 ) -> DataFrame:
     """Winnowing-style fingerprint: the minimum digest over the document's
     word k-shingles (a 1-permutation MinHash). Equal fingerprints ⇒ shared
-    rarest shingle — a cheap clustering key for near-dup triage."""
-    from .dedup import word_shingles
+    rarest shingle — a cheap clustering key for near-dup triage.
 
-    sh = word_shingles(docs, k=k, text_col=text_col, id_col=id_col)
-    return sh.groupBy("doc_id").agg(
-        F.min(F.md5(F.col("shingle"))).alias("fingerprint"),
-        F.count("*").alias("n_shingles"),
+    Zero-shuffle: the shingle set stays a per-row array (distinct + min +
+    count are array expressions), so the whole operator is one narrow
+    projection — same values as the exploded shingle-relation form."""
+    from .dedup import shingle_strings, words_expr
+
+    sh = F.array_distinct(shingle_strings(words_expr(text_col), k))
+    d = docs.select(F.col(id_col).alias("doc_id"), sh.alias("sh")).where(F.size("sh") >= 1)
+    return d.select(
+        "doc_id",
+        F.array_min(F.transform("sh", F.md5)).alias("fingerprint"),
+        F.size("sh").cast("bigint").alias("n_shingles"),
     )

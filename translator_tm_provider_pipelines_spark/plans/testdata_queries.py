@@ -1301,16 +1301,37 @@ def doc_fingerprints_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textanalysis.doc_fingerprints(_t(spark, sf_dir, "documents"))
 
 
+# Affine shingle-hash oracle CTEs — mirror dedup.shingle_hash_frame exactly:
+# word hash = first 28 bits of md5(word); shingle hash = (3·h₁+5·h₂+7·h₃+11)
+# mod 2³¹−1. The Spark side is a zero-shuffle array program; the oracle uses
+# the equivalent relational unnest formulation.
+_AFFINE_SHINGLE_SQL = """
+    docs AS (
+      SELECT doc_id, regexp_extract_all(text, '([a-z0-9]+)', 1) AS words FROM documents
+    ),
+    hw AS (
+      SELECT doc_id, list_transform(words, w -> ('0x' || substr(md5(w), 1, 7))::bigint) AS hw
+      FROM docs WHERE len(words) >= 3
+    ),
+    shv AS (
+      SELECT doc_id, unnest(list_transform(generate_series(1, len(hw) - 2),
+                     i -> (3*hw[i] + 5*hw[i+1] + 7*hw[i+2] + 11) % 2147483647)) AS v
+      FROM hw
+    )
+"""
+
+# MinHash permutation j = (2j+3)·h + (5j+7) mod 2³¹−1 over the affine
+# shingle hashes (min is duplicate-invariant, so no DISTINCT needed).
 _MINHASH_SQL = f"""
-    {_SHINGLE_SQL},
+    {_AFFINE_SHINGLE_SQL},
     perms AS (SELECT unnest(generate_series(0, 15)) AS perm),
     mh AS (
-      SELECT doc_id, perm, min(md5(cast(perm AS varchar) || ':' || shingle)) AS minhash
-      FROM sh, perms GROUP BY 1, 2
+      SELECT doc_id, perm, min(((2*perm + 3)*v + (5*perm + 7)) % 2147483647) AS minhash
+      FROM shv, perms GROUP BY 1, 2
     ),
     bands AS (
       SELECT doc_id, cast(perm // 4 AS int) AS band,
-             md5(string_agg(minhash, '' ORDER BY perm)) AS band_sig
+             md5(string_agg(cast(minhash AS varchar), '' ORDER BY perm)) AS band_sig
       FROM mh GROUP BY 1, 2
     )
 """
@@ -1326,9 +1347,10 @@ _MINHASH_SQL = f"""
 def minhash_band_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash signatures folded into LSH band signatures (16 perms, 4
     bands × 4 rows) — the hash-heavy core of near-dup detection, verified
-    value-exactly against the oracle."""
-    sh = dedup.word_shingles(_t(spark, sf_dir, "documents"))
-    return dedup.lsh_bands(dedup.minhash_signatures(sh, num_perms=16), rows_per_band=4)
+    value-exactly against the oracle. Runs on the zero-shuffle doc-level
+    path: the whole stage is one narrow projection."""
+    sig = dedup.minhash_signatures_doc(_t(spark, sf_dir, "documents"), num_perms=16)
+    return dedup.lsh_bands(sig, rows_per_band=4)
 
 
 @register(
@@ -1342,15 +1364,20 @@ def minhash_band_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def lsh_candidate_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH bucket collisions → near-dup candidate pairs."""
-    sh = dedup.word_shingles(_t(spark, sf_dir, "documents"))
-    bands = dedup.lsh_bands(dedup.minhash_signatures(sh, 16), 4)
-    return dedup.lsh_candidate_pairs(bands)
+    sig = dedup.minhash_signatures_doc(_t(spark, sf_dir, "documents"), num_perms=16)
+    return dedup.lsh_candidate_pairs(dedup.lsh_bands(sig, 4))
 
 
 @register(
     "near_duplicates",
     f"""
     WITH {_MINHASH_SQL},
+    pos AS (SELECT unnest(generate_series(1, {_POS_CAP})) AS p),
+    sh AS (
+      SELECT DISTINCT doc_id,
+             list_extract(words, p) || ' ' || list_extract(words, p + 1) || ' ' || list_extract(words, p + 2) AS shingle
+      FROM docs, pos WHERE p <= len(words) - 2
+    ),
     cand AS (
       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
       FROM bands a JOIN bands b ON a.band = b.band AND a.band_sig = b.band_sig
@@ -1449,12 +1476,12 @@ def ann_lsh_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "simhash_fingerprints",
     f"""
-    WITH {_SHINGLE_SQL},
-    hv AS (SELECT doc_id, ('0x' || substr(md5(shingle), 1, 8))::bigint AS hv FROM sh),
-    bits AS (SELECT unnest(generate_series(0, 31)) AS b),
+    WITH {_AFFINE_SHINGLE_SQL},
+    dv AS (SELECT DISTINCT doc_id, v FROM shv),
+    bits AS (SELECT unnest(generate_series(0, 30)) AS b),
     sums AS (
-      SELECT doc_id, b, sum(((hv >> b) & 1) * 2 - 1) AS s
-      FROM hv, bits GROUP BY 1, 2
+      SELECT doc_id, b, sum(((v >> b) & 1) * 2 - 1) AS s
+      FROM dv, bits GROUP BY 1, 2
     )
     SELECT doc_id,
            cast(sum(CASE WHEN s > 0 THEN (1::bigint << b) ELSE 0 END) AS bigint) AS simhash
@@ -1462,11 +1489,11 @@ def ann_lsh_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash 32-bit fingerprints over word shingles — per-bit ±1 sign
-    sums of the top 32 md5 bits, value-checked bit-for-bit against the
-    oracle's shift arithmetic."""
-    sh = dedup.word_shingles(_t(spark, sf_dir, "documents"))
-    return dedup.simhash(sh, bits=32)
+    """SimHash 31-bit fingerprints over the affine shingle hashes —
+    per-bit ±1 sign sums, value-checked bit-for-bit against the oracle's
+    shift arithmetic. Distinct shingles via per-row array_distinct (no
+    relation-wide shuffle)."""
+    return dedup.simhash(_t(spark, sf_dir, "documents"), bits=31)
 
 
 # ---------------------------------------------------------------------------
