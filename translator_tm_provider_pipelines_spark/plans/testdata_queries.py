@@ -1275,29 +1275,29 @@ def language_id_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Dedup family (shingles → fingerprint / MinHash-LSH / Jaccard)
 # ---------------------------------------------------------------------------
 
-_SHINGLE_SQL = f"""
-    docs AS (
-      SELECT doc_id, regexp_extract_all(text, '([a-z0-9]+)', 1) AS words FROM documents
-    ),
-    pos AS (SELECT unnest(generate_series(1, {_POS_CAP})) AS p),
-    sh AS (
-      SELECT DISTINCT doc_id,
-             list_extract(words, p) || ' ' || list_extract(words, p + 1) || ' ' || list_extract(words, p + 2) AS shingle
-      FROM docs, pos WHERE p <= len(words) - 2
-    )
-"""
-
-
 @register(
     "doc_fingerprints",
-    f"""
-    WITH {_SHINGLE_SQL}
-    SELECT doc_id, min(md5(shingle)) AS fingerprint, count(*) AS n_shingles
-    FROM sh GROUP BY 1
+    """
+    WITH docs AS (
+      SELECT doc_id, regexp_extract_all(text, '([a-z0-9]+)', 1) AS words FROM documents
+    ),
+    hw AS (
+      SELECT doc_id, list_transform(words, w -> ('0x' || substr(md5(w), 1, 7))::bigint) AS hw
+      FROM docs WHERE len(words) >= 3
+    ),
+    shv AS (
+      SELECT doc_id, unnest(list_transform(generate_series(1, len(hw) - 2),
+                     i -> (3*hw[i] + 5*hw[i+1] + 7*hw[i+2] + 11) % 2147483647)) AS v
+      FROM hw
+    )
+    SELECT doc_id, min(v) AS fingerprint,
+           cast(count(DISTINCT v) AS bigint) AS n_shingles
+    FROM shv GROUP BY 1
     """,
 )
 def doc_fingerprints_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Winnowing-style min-digest fingerprint over word 3-shingles."""
+    """Winnowing-style min-hash fingerprint over word 3-shingles (affine
+    31-bit shingle hashes; zero-shuffle)."""
     return textanalysis.doc_fingerprints(_t(spark, sf_dir, "documents"))
 
 

@@ -30,7 +30,15 @@ TESTDATA_TABLES = (
 
 
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """One driver-generated synthetic table (TESTDATA.md)."""
+    """One driver-generated synthetic table (TESTDATA.md).
+
+    Deliberately NO repartition after the scan: measured at sf0.1, a
+    blanket round-robin repartition (to spread single-row-group files
+    across cores) made the whole suite 2.4× SLOWER — sortBeforeRepartition
+    serializes a full-width local sort on the single scan task and the
+    lost size estimates flip broadcast joins to shuffle joins. Narrow
+    compute-heavy operators are instead made cheap enough per row that the
+    single-split scan is not the bottleneck (see SCALING.md)."""
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
