@@ -26,6 +26,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..operators import classified as clf
+from ..operators import collections as coll
 from ..operators import conceptfilters as cf
 from ..operators import cooccurrence as co
 from ..operators import dedup, documents as docops, similarity, spans, textanalysis
@@ -1613,3 +1614,113 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("es").alias("start_epoch"),
         F.max("es").alias("end_epoch"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Collection maintenance + export shapes (CollectionAssignment /
+# UpdateIdCollection pipelines; Turku text hand-off; PubAnnotation JSON)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "collection_assignment",
+    """
+    SELECT cast(doc_id AS varchar) AS doc_id,
+           CASE
+             WHEN doc_id % 10 = 0 THEN source
+             WHEN doc_id % 5 = 0 THEN array_to_string(list_sort([source, 'REDO']), '|')
+             ELSE source
+           END AS collections
+    FROM documents
+    """,
+)
+def collection_assignment_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collection add/remove (CollectionAssignmentPipeline /
+    UpdateIdCollectionPipeline semantics): add REDO to ids % 5 = 0, then
+    remove it again from ids % 10 = 0 — both idempotent array edits in one
+    narrow pass over the status table."""
+    st = _synth_status(spark, sf_dir)
+    add_ids = st.where(F.col("doc_id").cast("long") % 5 == 0).select("doc_id")
+    rm_ids = st.where(F.col("doc_id").cast("long") % 10 == 0).select("doc_id")
+    out = coll.assign_collection(st, add_ids, "REDO")
+    out = coll.remove_collection(out, "REDO", doc_ids=rm_ids)
+    return out.select(
+        "doc_id", F.array_join(F.array_sort("collections"), "|").alias("collections")
+    )
+
+
+@register(
+    "text_export",
+    """
+    SELECT cast(doc_id AS varchar) AS doc_id,
+           '###C: DOCUMENT_ID' || chr(9) || cast(doc_id AS varchar) || chr(10) ||
+           '###C: DOCUMENT_COLLECTIONS' || chr(9) || source || chr(10) || text AS line
+    FROM documents
+    """,
+)
+def text_export_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TEXT_EXPORT (Turku hand-off): per document a '###C: DOCUMENT_ID'
+    comment, a '###C: DOCUMENT_COLLECTIONS' comment, then the text."""
+    d = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.col("text").alias("content"),
+        F.array("source").alias("collections"),
+    )
+    lines = coll.text_export_lines(d)
+    return lines.select(
+        F.split("line", "\t|\n").getItem(1).alias("doc_id"), "line"
+    )
+
+
+@register(
+    "pubannotation_export",
+    """
+    WITH ann AS (
+      SELECT doc_id, 0 AS b, 5 AS e, 'C:' || lang AS obj FROM documents
+      UNION ALL
+      SELECT doc_id, 2 AS b, 9 AS e, 'D:' || source AS obj FROM documents
+    ),
+    ordered AS (
+      SELECT doc_id, b, e, obj,
+             row_number() OVER (PARTITION BY doc_id ORDER BY b, e, obj) AS rn
+      FROM ann
+    ),
+    per_doc AS (
+      SELECT doc_id,
+             list(json_object('id', 'T' || cast(rn AS varchar),
+                              'span', json_object('begin', b, 'end', e),
+                              'obj', obj) ORDER BY rn) AS denotations
+      FROM ordered GROUP BY 1
+    )
+    SELECT cast(d.doc_id AS varchar) AS doc_id,
+           json_object('sourcedb', 'PubMed',
+                       'sourceid', cast(d.doc_id AS varchar),
+                       'text', d.text,
+                       'denotations', p.denotations)::varchar AS json
+    FROM documents d JOIN per_doc p ON p.doc_id = d.doc_id
+    """,
+)
+def pubannotation_export_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PUBANNOTATION_EXPORT: {sourcedb, sourceid, text, denotations} JSON
+    per document (PubAnnotationFormatter semantics), byte-compared against
+    DuckDB's json construction."""
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("doc_id"), F.col("text").alias("content")
+    )
+    mk = lambda b, e, obj: F.struct(  # noqa: E731
+        F.lit("concept").alias("type"),
+        obj.alias("concept_id"),
+        F.array(F.struct(F.lit(b).alias("start"), F.lit(e).alias("end"))).alias("spans"),
+        F.lit("").alias("covered_text"),
+    )
+    d = _t(spark, sf_dir, "documents")
+    annots = d.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.explode(
+            F.array(
+                mk(0, 5, F.concat(F.lit("C:"), F.col("lang"))),
+                mk(2, 9, F.concat(F.lit("D:"), F.col("source"))),
+            )
+        ).alias("a"),
+    ).select("doc_id", "a.type", "a.concept_id", "a.spans", "a.covered_text")
+    return coll.pubannotation_json(docs, annots)
