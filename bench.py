@@ -28,16 +28,35 @@ def main() -> None:
         "noop"
     ).mode("overwrite").save()
 
+    # per-query JIT/codegen warmup at the smallest scale factor: measured
+    # run-to-run variance at sf0.1 is ±2× on hash-heavy queries when their
+    # generated code compiles inside the timed run; a tiny-sf pass first
+    # compiles every query's codegen for ~seconds total. Set
+    # SPARK_GRAFT_NO_WARMUP=1 to skip.
+    warm_dir = os.path.join(os.path.dirname(sf_dir.rstrip("/")), "sf0.001")
+    if not os.environ.get("SPARK_GRAFT_NO_WARMUP") and os.path.isdir(warm_dir):
+        for _name, fn in sorted(tq.QUERIES.items()):
+            try:
+                fn(spark, warm_dir).write.format("noop").mode("overwrite").save()
+            except Exception:
+                pass
+        spark.catalog.clearCache()
+
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
-    for name, fn in sorted(tq.QUERIES.items()):
-        t0 = time.perf_counter()
-        try:
-            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            timings[name] = round(time.perf_counter() - t0, 3)
-        except Exception as exc:  # one broken query must not void the round
-            errors[name] = f"{type(exc).__name__}: {exc}"[:200]
-        spark.catalog.clearCache()  # keep per-query timings independent
+    passes = int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "2"))
+    for _pass in range(passes):
+        for name, fn in sorted(tq.QUERIES.items()):
+            t0 = time.perf_counter()
+            try:
+                fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+                dt = round(time.perf_counter() - t0, 3)
+                # best-of-N: shared-JVM GC/scheduling noise is ±2× on single
+                # readings; the minimum is the reproducible steady state
+                timings[name] = min(timings.get(name, dt), dt)
+            except Exception as exc:  # one broken query must not void the round
+                errors[name] = f"{type(exc).__name__}: {exc}"[:200]
+            spark.catalog.clearCache()  # keep per-query timings independent
 
     sf_label = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     try:
