@@ -1,0 +1,55 @@
+"""Similarity-search operators: exact top-k, IVF-flat and LSH ANN."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from translator_tm_provider_pipelines_spark.operators import similarity
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet")
+
+
+@pytest.fixture(scope="module")
+def qvec(spark, emb):
+    return [r[0] for r in emb.where(F.col("vec_id") == 0).select(F.explode("embedding")).collect()]
+
+
+def test_knn_self_first_and_deterministic(spark, emb, qvec):
+    top = similarity.knn_brute_force(emb, qvec, k=5).collect()
+    assert top[0].vec_id == 0 and top[0].cosine == 1.0
+    again = similarity.knn_brute_force(emb, qvec, k=5).collect()
+    assert [tuple(r) for r in top] == [tuple(r) for r in again]
+
+
+def test_ann_ivf_prunes_and_recalls(spark, emb, qvec):
+    cents = similarity.seed_centroids(emb, n_lists=8)
+    assert [c[0] for c in cents] == list(range(8))
+    # assignment is total: every vector lands in exactly one list
+    assigned = emb.withColumn("l", similarity.ivf_list_id(F.col("embedding"), cents))
+    assert assigned.where(F.col("l").isNull()).count() == 0
+    n_total = emb.count()
+    # nprobe < n_lists must scan a strict subset of the corpus
+    probed = similarity.ann_ivf(emb, qvec, k=n_total, n_lists=8, nprobe=2, centroids=cents)
+    n_probed = probed.count()
+    assert 0 < n_probed < n_total
+    # the query's own list is always probed, so vec 0 is recalled at rank 1
+    top = similarity.ann_ivf(emb, qvec, k=5, n_lists=8, nprobe=2, centroids=cents).collect()
+    assert top[0].vec_id == 0 and top[0].cosine == 1.0
+    # full probing degenerates to exact knn
+    exact = [tuple(r) for r in similarity.knn_brute_force(emb, qvec, k=10).collect()]
+    full = [
+        tuple(r)
+        for r in similarity.ann_ivf(emb, qvec, k=10, n_lists=8, nprobe=8, centroids=cents).collect()
+    ]
+    assert full == exact
+
+
+def test_ann_lsh_bucket_contains_query(spark, emb, qvec):
+    top = similarity.ann_lsh(emb, qvec, k=5, n_planes=4).collect()
+    assert top and top[0].vec_id == 0 and top[0].cosine == 1.0

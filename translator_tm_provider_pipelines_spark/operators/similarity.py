@@ -112,6 +112,81 @@ def rp_lsh_bucket(vec_col: Column, planes: list[list[float]]) -> Column:
     return F.concat(*bits)
 
 
+def seed_centroids(
+    embeddings: DataFrame,
+    n_lists: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[tuple[int, list[float]]]:
+    """Deterministic IVF coarse quantizer: the first ``n_lists`` vectors by
+    id are the list centroids (no k-means iterations — reproducible and
+    SQL-expressible; at production scale swap in trained centroids, the
+    assignment/probe machinery is unchanged). The collect is bounded by
+    ``n_lists`` — the centroid table is tiny by design (same role as the
+    reference's broadcast side inputs, but provably small)."""
+    rows = (
+        embeddings.where(F.col(id_col) < n_lists)
+        .select(id_col, vec_col)
+        .orderBy(id_col)
+        .collect()
+    )
+    return [(int(r[0]), [float(x) for x in r[1]]) for r in rows]
+
+
+def ivf_list_id(
+    vec_col: Column, centroids: list[tuple[int, list[float]]], scale: int = 6
+) -> Column:
+    """Nearest-centroid list assignment as a pure column expression:
+    argmax of the ROUNDED cosine with centroid-id tie-break (engine-stable
+    — the DuckDB oracle ranks with the identical rule)."""
+    entries = []
+    for cid, cvec in centroids:
+        c = F.array(*[F.lit(float(x)) for x in cvec])
+        cos = F.round(cosine(vec_col, c), scale)
+        entries.append(F.struct((-cos).alias("nc"), F.lit(cid).cast("long").alias("cid")))
+    return F.array_min(F.array(*entries))["cid"]
+
+
+def ann_ivf(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    n_lists: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 6,
+    centroids: list[tuple[int, list[float]]] | None = None,
+) -> DataFrame:
+    """IVF-flat ANN: assign every vector to its nearest of ``n_lists``
+    centroids, probe the ``nprobe`` lists nearest the query, exact-score
+    only those lists. Deterministic end to end (seed centroids + rounded
+    scores + id tie-breaks), so the full pipeline is oracle-checkable.
+
+    Scale path: persist the assigned corpus partitioned by list id — a
+    query then prunes to nprobe partitions (nprobe/n_lists of the corpus)
+    instead of scanning 100 TB; assignment itself is a narrow zero-shuffle
+    projection against the (tiny, broadcast-literal) centroid set."""
+    if centroids is None:
+        centroids = seed_centroids(embeddings, n_lists, id_col=id_col, vec_col=vec_col)
+
+    def _pycos(a: list[float], b: list[float]) -> float:
+        d = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(y * y for y in b))
+        return round(d / (na * nb), scale)
+
+    probes = [
+        cid
+        for _, cid in sorted((-_pycos(query_vec, cv), cid) for cid, cv in centroids)[:nprobe]
+    ]
+    assigned = embeddings.withColumn(
+        "__ivf_list", ivf_list_id(F.col(vec_col), centroids, scale)
+    )
+    cands = assigned.where(F.col("__ivf_list").isin(probes)).drop("__ivf_list")
+    return knn_brute_force(cands, query_vec, k=k, id_col=id_col, vec_col=vec_col, scale=scale)
+
+
 def ann_lsh(
     embeddings: DataFrame,
     query_vec: list[float],

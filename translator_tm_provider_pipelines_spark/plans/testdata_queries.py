@@ -1464,6 +1464,61 @@ def topk_similar_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.topk_similar_pairs(emb, k=20)
 
 
+@register(
+    "ann_ivf_cosine",
+    f"""
+    WITH {_COS_EXPAND},
+    cent AS (SELECT vec_id AS cid, embedding AS c FROM embeddings WHERE vec_id < 16),
+    q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+    sims AS (
+      SELECT e.vec_id, cent.cid,
+             round(sum(cast(list_extract(e.embedding, i) AS double) * cast(list_extract(cent.c, i) AS double))
+                   / (sqrt(sum(cast(list_extract(e.embedding, i) AS double) * cast(list_extract(e.embedding, i) AS double)))
+                      * sqrt(sum(cast(list_extract(cent.c, i) AS double) * cast(list_extract(cent.c, i) AS double)))), 6) AS cs
+      FROM embeddings e, cent, pos GROUP BY 1, 2
+    ),
+    assigned AS (
+      SELECT vec_id, cid FROM (
+        SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cid) AS rn
+        FROM sims
+      ) WHERE rn = 1
+    ),
+    qsims AS (
+      SELECT cent.cid,
+             round(sum(cast(list_extract(q.qe, i) AS double) * cast(list_extract(cent.c, i) AS double))
+                   / (sqrt(sum(cast(list_extract(q.qe, i) AS double) * cast(list_extract(q.qe, i) AS double)))
+                      * sqrt(sum(cast(list_extract(cent.c, i) AS double) * cast(list_extract(cent.c, i) AS double)))), 6) AS qs
+      FROM q, cent, pos GROUP BY 1
+    ),
+    probes AS (
+      SELECT cid FROM (SELECT cid, row_number() OVER (ORDER BY qs DESC, cid) AS rn FROM qsims)
+      WHERE rn <= 4
+    ),
+    cand AS (
+      SELECT e.vec_id, e.embedding FROM embeddings e
+      JOIN assigned a ON a.vec_id = e.vec_id
+      JOIN probes p ON a.cid = p.cid
+    ),
+    scored AS (
+      SELECT c.vec_id,
+             round(sum(cast(list_extract(c.embedding, i) AS double) * cast(list_extract(q.qe, i) AS double))
+                   / (sqrt(sum(cast(list_extract(c.embedding, i) AS double) * cast(list_extract(c.embedding, i) AS double)))
+                      * sqrt(sum(cast(list_extract(q.qe, i) AS double) * cast(list_extract(q.qe, i) AS double)))), 6) AS cosine
+      FROM cand c, q, pos GROUP BY 1
+    )
+    SELECT vec_id, cosine FROM scored ORDER BY cosine DESC, vec_id LIMIT 10
+    """,
+)
+def ann_ivf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-flat ANN: deterministic seed centroids (vec_id < 16), rounded
+    argmax list assignment, nprobe=4 probing, exact scoring inside probed
+    lists — the whole approximate pipeline is value-checked against the
+    oracle because every step is deterministic."""
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = [r[0] for r in emb.where(F.col("vec_id") == 0).select(F.explode("embedding")).collect()]
+    return similarity.ann_ivf(emb, qvec, k=10, n_lists=16, nprobe=4)
+
+
 @register("ann_lsh_cosine")  # no oracle: approximate-by-design (rows-only check)
 def ann_lsh_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Random-hyperplane LSH ANN: bucket the corpus, score only the query's
