@@ -137,3 +137,207 @@ def test_classified_storage_pipeline(spark, tmp_path):
     )
     assert spark.read.parquet(str(tmp_path / "out" / "assertion")).count() == 1
     assert spark.read.parquet(str(tmp_path / "out" / "evidence_score")).count() == 3
+
+
+def test_full_pipeline_key_coverage():
+    # every runnable PipelineMain dispatch case has a runner here
+    reference_keys = {
+        "ABBREVIATION", "BIOC_TO_TEXT", "COLLECTION_ASSIGNMENT", "CRF",
+        "CONCEPT_COUNT_DISTRIBUTION", "CONCEPT_POST_PROCESS", "OGER_POST_PROCESS",
+        "CONCEPT_ANNOTATION_EXPORT", "MEDLINE_XML_TO_TEXT",
+        "CONCEPT_COOCCURRENCE_COUNTS", "CONCEPT_COOCCURRENCE_METRICS",
+        "CONCEPT_IDF", "FILE_LOAD", "OGER", "BIGQUERY_EXPORT",
+        "SENTENCE_EXTRACTION", "DEPENDENCY_PARSE_IMPORT",
+        "DEPENDENCY_PARSE_TO_SENTENCE", "DEPENDENCY_PARSE_TO_CONLL03",
+        "SENTENCE_SEGMENTATION", "SENTENCE_COOCCURRENCE_EXPORT",
+        "WEBANNO_SENTENCE_EXTRACTION", "CLASSIFIED_SENTENCE_STORAGE",
+        "UPDATE_MEDLINE_STATUS_ENTITIES", "ELASTICSEARCH_LOAD",
+        "DOC_TEXT_AUGMENTATION", "FILTER_UNACTIONABLE_TEXT", "TEXT_EXPORT",
+        "DRY_RUN", "BIORXIV_XML_TO_TEXT", "PUBANNOTATION_EXPORT",
+    }
+    assert reference_keys <= set(cli.PIPELINES)
+
+
+@pytest.fixture()
+def status_table(spark, tmp_path):
+    status = spark.createDataFrame(
+        [
+            ("d1", "2155", [], {"TEXT_DONE": True, "SENT_DONE": False}, ["PUBMED"]),
+            ("d2", "1999", [], {"TEXT_DONE": True, "SENT_DONE": True}, ["PUBMED"]),
+            ("d3", "2001", [], {"TEXT_DONE": False}, ["PMC"]),
+        ],
+        schema=schemas.STATUS,
+    )
+    path = str(tmp_path / "status")
+    status.write.parquet(path)
+    return path
+
+
+def test_dry_run(spark, tmp_path, status_table):
+    cli.run_dry_run(
+        spark,
+        ["--status", status_table, "--output", str(tmp_path / "out"),
+         "--requiredProcessingStatusFlags", "TEXT_DONE",
+         "--targetProcessingStatusFlag", "SENT_DONE", "--collection", "PUBMED"],
+    )
+    assert {r.value for r in spark.read.text(str(tmp_path / "out")).collect()} == {"d1"}
+
+
+def test_collection_assignment_runner(spark, tmp_path, status_table):
+    cli.run_collection_assignment(
+        spark,
+        ["--status", status_table, "--output", str(tmp_path / "o1"), "--collection", "REDO"],
+    )
+    out = spark.read.parquet(str(tmp_path / "o1"))
+    assert all("REDO" in r.collections for r in out.collect())
+    cli.run_collection_assignment(
+        spark,
+        ["--status", str(tmp_path / "o1"), "--output", str(tmp_path / "o2"),
+         "--collection", "REDO", "--remove"],
+    )
+    out2 = spark.read.parquet(str(tmp_path / "o2"))
+    assert all("REDO" not in (r.collections or []) for r in out2.collect())
+
+
+def test_update_medline_status_runner(spark, tmp_path, status_table):
+    spark.createDataFrame(
+        [("d3", "2020", ["JournalArticle"])],
+        "doc_id string, pub_year string, pub_types array<string>",
+    ).write.parquet(str(tmp_path / "med"))
+    cli.run_update_medline_status(
+        spark,
+        ["--status", status_table, "--medlineDocs", str(tmp_path / "med"),
+         "--output", str(tmp_path / "out")],
+    )
+    rows = {r.doc_id: r for r in spark.read.parquet(str(tmp_path / "out")).collect()}
+    assert rows["d3"].pub_year == "2020" and rows["d1"].pub_year == "2155"
+
+
+def test_text_and_pubannotation_export_runners(spark, tmp_path):
+    spark.createDataFrame(
+        [("d1", "Aspirin treats headache.", ["PUBMED"])],
+        "doc_id string, content string, collections array<string>",
+    ).write.parquet(str(tmp_path / "docs"))
+    cli.run_text_export(
+        spark, ["--documents", str(tmp_path / "docs"), "--output", str(tmp_path / "t")]
+    )
+    lines = "\n".join(r.value for r in spark.read.text(str(tmp_path / "t")).collect())
+    assert "###C: DOCUMENT_ID" in lines and "PUBMED" in lines
+    spark.createDataFrame(
+        [("d1", "concept", "CHEBI:1", [(0, 7)], "Aspirin")], schema=schemas.ANNOTATION
+    ).write.parquet(str(tmp_path / "ann"))
+    cli.run_pubannotation_export(
+        spark,
+        ["--documents", str(tmp_path / "docs"), "--annotations", str(tmp_path / "ann"),
+         "--output", str(tmp_path / "pa")],
+    )
+    import json
+
+    js = json.loads(spark.read.text(str(tmp_path / "pa")).collect()[0].value)
+    assert js["sourceid"] == "d1" and js["denotations"][0]["obj"] == "CHEBI:1"
+
+
+def test_bionlp_and_bigquery_export_runners(spark, tmp_path):
+    spark.createDataFrame(
+        [("d1", "Aspirin treats headache.")], "doc_id string, content string"
+    ).write.parquet(str(tmp_path / "docs"))
+    spark.createDataFrame(
+        [("d1", "concept", "CHEBI:1", [(0, 7)], "Aspirin"),
+         ("d1", "concept", "HP:2", [(15, 23)], "headache")],
+        schema=schemas.ANNOTATION,
+    ).write.parquet(str(tmp_path / "ann"))
+    spark.createDataFrame(
+        [("d1", "section", None, [(0, 24)], "Aspirin treats headache.")],
+        schema=schemas.ANNOTATION,
+    ).write.parquet(str(tmp_path / "sec"))
+    cli.run_concept_annotation_export(
+        spark,
+        ["--documents", str(tmp_path / "docs"), "--annotations", str(tmp_path / "ann"),
+         "--output", str(tmp_path / "bio")],
+    )
+    row = spark.read.parquet(str(tmp_path / "bio")).collect()[0]
+    assert row.bionlp.startswith("T1\tCHEBI:1 0 7\tAspirin")
+    cli.run_bigquery_export(
+        spark,
+        ["--conceptAnnotations", str(tmp_path / "ann"),
+         "--sectionAnnotations", str(tmp_path / "sec"),
+         "--output", str(tmp_path / "bq")],
+    )
+    assert spark.read.parquet(str(tmp_path / "bq/annotation_concept")).count() == 2
+    assert spark.read.parquet(str(tmp_path / "bq/in_section")).count() == 2
+
+
+def test_sentence_cooccurrence_and_webanno_runners(spark, tmp_path):
+    spark.createDataFrame(
+        [("d1", 0, 24, "Aspirin treats headache.")],
+        "doc_id string, start int, end int, covered_text string",
+    ).write.parquet(str(tmp_path / "sents"))
+    spark.createDataFrame(
+        [("d1", 0, 7, "CHEBI:1", "Aspirin"), ("d1", 15, 23, "HP:2", "headache")],
+        "doc_id string, start int, end int, concept_id string, covered_text string",
+    ).write.parquet(str(tmp_path / "concs"))
+    cli.run_sentence_cooccurrence_export(
+        spark,
+        ["--sentences", str(tmp_path / "sents"), "--concepts", str(tmp_path / "concs"),
+         "--output", str(tmp_path / "sc")],
+    )
+    lines = [r.value for r in spark.read.text(str(tmp_path / "sc")).collect()]
+    assert any(line.startswith("SENT_COUNT\t1\td1") for line in lines)
+    assert any("0|7|CHEBI:1;15|23|HP:2;" in line for line in lines)
+    cli.run_webanno_sentence_extraction(
+        spark,
+        ["--sentences", str(tmp_path / "sents"), "--concepts", str(tmp_path / "concs"),
+         "--output", str(tmp_path / "wa")],
+    )
+    wa = {r.value for r in spark.read.text(str(tmp_path / "wa")).collect()}
+    assert "1-1\t0-7\tAspirin\tCHEBI:1" in wa
+
+
+def test_crf_and_oger_post_process_runners(spark, tmp_path):
+    spark.createDataFrame(
+        [("d1", "concept", "CHEBI:1", [(0, 7)], "Aspirin"),
+         ("d1", "concept", "CL:9", [(15, 23)], "headache")],
+        schema=schemas.ANNOTATION,
+    ).write.parquet(str(tmp_path / "ann"))
+    spark.createDataFrame(
+        [("d1", "crf", None, [(0, 5)], "Aspir")], schema=schemas.ANNOTATION
+    ).write.parquet(str(tmp_path / "crf"))
+    cli.run_crf(
+        spark,
+        ["--annotations", str(tmp_path / "ann"), "--crfAnnotations", str(tmp_path / "crf"),
+         "--output", str(tmp_path / "out")],
+    )
+    kept = {r.concept_id for r in spark.read.parquet(str(tmp_path / "out")).collect()}
+    assert "CHEBI:1" in kept and "CL:9" not in kept
+    spark.createDataFrame(
+        [("CHEBI:1", "aspirin")], "concept_id string, dict_entry string"
+    ).write.parquet(str(tmp_path / "dict"))
+    cli.run_oger_post_process(
+        spark,
+        ["--annotations", str(tmp_path / "ann"), "--dictionary", str(tmp_path / "dict"),
+         "--output", str(tmp_path / "o2")],
+    )
+    kept2 = {r.concept_id for r in spark.read.parquet(str(tmp_path / "o2")).collect()}
+    assert "CHEBI:1" in kept2
+
+
+def test_dependency_parse_import_and_augmentation_runners(spark, tmp_path):
+    conllu_dir = tmp_path / "conllu"
+    conllu_dir.mkdir()
+    (conllu_dir / "doc1.conllu").write_text("1\tAspirin\t_\tNOUN\n")
+    cli.run_dependency_parse_import(
+        spark,
+        ["--inputDir", str(conllu_dir), "--documents", str(tmp_path / "store"),
+         "--collection", "PUBMED"],
+    )
+    docs = spark.read.parquet(str(tmp_path / "store"))
+    row = docs.collect()[0]
+    assert row.doc_format == "CONLLU" and row.collections == ["PUBMED"]
+    spark.createDataFrame(
+        [("d1", "The heart rate (HR) was high. " + chr(10))],
+        "doc_id string, content string",
+    ).write.parquet(str(tmp_path / "docs"))
+    cli.run_doc_text_augmentation(
+        spark, ["--documents", str(tmp_path / "docs"), "--output", str(tmp_path / "aug")]
+    )
+    assert spark.read.parquet(str(tmp_path / "aug")).count() == 1

@@ -355,6 +355,240 @@ def run_elasticsearch_load(spark: SparkSession, argv: list[str]) -> None:
     )
 
 
+def run_dry_run(spark: SparkSession, argv: list[str]) -> None:
+    """DRY_RUN (DryRunPipeline): list the document ids the given status
+    filters WOULD select, without processing anything."""
+    p = argparse.ArgumentParser(prog="DRY_RUN")
+    p.add_argument("--status", required=True)
+    p.add_argument("--output", required=True)
+    p.add_argument("--requiredProcessingStatusFlags", default="")
+    p.add_argument("--targetProcessingStatusFlag", required=True)
+    p.add_argument("--collection")
+    ns = p.parse_args(argv)
+    status = spark.read.parquet(ns.status)
+    selected = docops.status_to_process(
+        status,
+        required_flags=parse_flags(ns.requiredProcessingStatusFlags),
+        target_flag=ns.targetProcessingStatusFlag,
+        collection=ns.collection,
+    )
+    selected.select("doc_id").write.mode("overwrite").text(ns.output)
+
+
+def run_collection_assignment(spark: SparkSession, argv: list[str]) -> None:
+    """COLLECTION_ASSIGNMENT: add/remove a collection label on status rows
+    (CollectionAssignmentPipeline / UpdateIdCollectionPipeline)."""
+    from .operators import collections as coll
+
+    p = argparse.ArgumentParser(prog="COLLECTION_ASSIGNMENT")
+    p.add_argument("--status", required=True)
+    p.add_argument("--output", required=True)
+    p.add_argument("--collection", required=True, help="collection label to edit")
+    p.add_argument("--docIds", help="(doc_id) parquet; default: all rows")
+    p.add_argument("--remove", action="store_true", help="remove instead of add")
+    ns = p.parse_args(argv)
+    status = spark.read.parquet(ns.status)
+    ids = spark.read.parquet(ns.docIds) if ns.docIds else None
+    if ns.remove:
+        out = coll.remove_collection(status, ns.collection, doc_ids=ids)
+    else:
+        out = coll.assign_collection(status, ids if ids is not None else status.select("doc_id"), ns.collection)
+    out.write.mode("overwrite").parquet(ns.output)
+
+
+def run_update_medline_status(spark: SparkSession, argv: list[str]) -> None:
+    """UPDATE_MEDLINE_STATUS_ENTITIES: backfill pub_year/pub_types on status
+    rows from freshly parsed Medline documents."""
+    from .operators import collections as coll
+
+    p = argparse.ArgumentParser(prog="UPDATE_MEDLINE_STATUS_ENTITIES")
+    p.add_argument("--status", required=True)
+    p.add_argument("--medlineDocs", required=True, help="(doc_id, pub_year, pub_types) parquet")
+    p.add_argument("--output", required=True)
+    ns = p.parse_args(argv)
+    coll.update_medline_status(
+        spark.read.parquet(ns.status), spark.read.parquet(ns.medlineDocs)
+    ).write.mode("overwrite").parquet(ns.output)
+
+
+def run_text_export(spark: SparkSession, argv: list[str]) -> None:
+    """TEXT_EXPORT: '###C:'-commented text hand-off files (Turku input)."""
+    from .operators import collections as coll
+
+    p = argparse.ArgumentParser(prog="TEXT_EXPORT")
+    p.add_argument("--documents", required=True, help="(doc_id, content[, collections]) parquet")
+    p.add_argument("--output", required=True)
+    ns = p.parse_args(argv)
+    coll.text_export_lines(spark.read.parquet(ns.documents)).write.mode("overwrite").text(ns.output)
+
+
+def run_pubannotation_export(spark: SparkSession, argv: list[str]) -> None:
+    """PUBANNOTATION_EXPORT: {text, denotations} JSON per document."""
+    from .operators import collections as coll
+
+    p = argparse.ArgumentParser(prog="PUBANNOTATION_EXPORT")
+    p.add_argument("--documents", required=True)
+    p.add_argument("--annotations", required=True)
+    p.add_argument("--sourceDb", default="PubMed")
+    p.add_argument("--output", required=True)
+    ns = p.parse_args(argv)
+    coll.pubannotation_json(
+        spark.read.parquet(ns.documents), spark.read.parquet(ns.annotations), source_db=ns.sourceDb
+    ).select("json").write.mode("overwrite").text(ns.output)
+
+
+def run_bigquery_export(spark: SparkSession, argv: list[str]) -> None:
+    """BIGQUERY_EXPORT: the 4-table relational annotation export
+    (annotation / in-section / relation / ancestor load files)."""
+    from .operators import exports as ex
+
+    p = argparse.ArgumentParser(prog="BIGQUERY_EXPORT")
+    p.add_argument("--conceptAnnotations", required=True)
+    p.add_argument("--sectionAnnotations", required=True)
+    p.add_argument("--ancestorMap", help="(concept_id, ancestor_id) parquet")
+    p.add_argument("--output", required=True, help="output directory (one subdir per table)")
+    ns = p.parse_args(argv)
+    concepts = spark.read.parquet(ns.conceptAnnotations)
+    sections = spark.read.parquet(ns.sectionAnnotations)
+    c_table = ex.bigquery_annotation_table(concepts, layer="CONCEPT")
+    s_table = ex.bigquery_annotation_table(sections, layer="SECTION")
+    c_table.write.mode("overwrite").parquet(f"{ns.output}/annotation_concept")
+    s_table.write.mode("overwrite").parquet(f"{ns.output}/annotation_section")
+    ex.bigquery_in_section_table(c_table, s_table).write.mode("overwrite").parquet(
+        f"{ns.output}/in_section"
+    )
+    if ns.ancestorMap:
+        ex.bigquery_ancestor_table(spark.read.parquet(ns.ancestorMap)).write.mode(
+            "overwrite"
+        ).parquet(f"{ns.output}/ancestor")
+
+
+def run_concept_annotation_export(spark: SparkSession, argv: list[str]) -> None:
+    """CONCEPT_ANNOTATION_EXPORT: post-processed annotations as BioNLP
+    standoff blobs + the document text."""
+    from .operators import exports as ex
+
+    p = argparse.ArgumentParser(prog="CONCEPT_ANNOTATION_EXPORT")
+    p.add_argument("--documents", required=True, help="(doc_id, content) parquet")
+    p.add_argument("--annotations", required=True)
+    p.add_argument("--output", required=True)
+    ns = p.parse_args(argv)
+    docs = spark.read.parquet(ns.documents)
+    bionlp = ex.bionlp_lines(spark.read.parquet(ns.annotations))
+    docs.join(bionlp, "doc_id", "left").write.mode("overwrite").parquet(ns.output)
+
+
+def run_sentence_cooccurrence_export(spark: SparkSession, argv: list[str]) -> None:
+    """SENTENCE_COOCCURRENCE_EXPORT: per-sentence concept membership lines
+    (SentenceCooccurrenceBuilder format)."""
+    from .operators import exports as ex
+
+    p = argparse.ArgumentParser(prog="SENTENCE_COOCCURRENCE_EXPORT")
+    p.add_argument("--sentences", required=True, help="(doc_id, start, end, covered_text)")
+    p.add_argument("--concepts", required=True, help="(doc_id, start, end, concept_id, covered_text)")
+    p.add_argument("--stopwords", help="one stopword per line, text file")
+    p.add_argument("--output", required=True)
+    ns = p.parse_args(argv)
+    sw = None
+    if ns.stopwords:
+        sw = [r.value for r in spark.read.text(ns.stopwords).collect()]
+    ex.sentence_cooccurrence_lines(
+        spark.read.parquet(ns.sentences), spark.read.parquet(ns.concepts), stopwords=sw
+    ).select("line").write.mode("overwrite").text(ns.output)
+
+
+def run_webanno_sentence_extraction(spark: SparkSession, argv: list[str]) -> None:
+    """WEBANNO_SENTENCE_EXTRACTION: WebAnno token TSV for sentences with
+    ≥ 2 concept annotations."""
+    from .operators import exports as ex
+
+    p = argparse.ArgumentParser(prog="WEBANNO_SENTENCE_EXTRACTION")
+    p.add_argument("--sentences", required=True)
+    p.add_argument("--concepts", required=True)
+    p.add_argument("--output", required=True)
+    ns = p.parse_args(argv)
+    ex.webanno_sentence_tsv(
+        spark.read.parquet(ns.sentences), spark.read.parquet(ns.concepts)
+    ).select("line").write.mode("overwrite").text(ns.output)
+
+
+def run_crf(spark: SparkSession, argv: list[str]) -> None:
+    """CRF: confirm concept annotations against CRF model output (overlap
+    semi-join; types without a model pass through)."""
+    from .operators import conceptfilters as cf
+
+    p = argparse.ArgumentParser(prog="CRF")
+    p.add_argument("--annotations", required=True)
+    p.add_argument("--crfAnnotations", required=True)
+    p.add_argument("--output", required=True)
+    ns = p.parse_args(argv)
+    cf.filter_via_crf(
+        spark.read.parquet(ns.annotations), spark.read.parquet(ns.crfAnnotations)
+    ).write.mode("overwrite").parquet(ns.output)
+
+
+def run_oger_post_process(spark: SparkSession, argv: list[str]) -> None:
+    """OGER_POST_PROCESS: spurious-match removal against the OGER dictionary
+    (Levenshtein + slash/digit/number-suffix rules)."""
+    from .operators import conceptfilters as cf
+
+    p = argparse.ArgumentParser(prog="OGER_POST_PROCESS")
+    p.add_argument("--annotations", required=True)
+    p.add_argument("--dictionary", required=True, help="(concept_id, dict_entry) parquet")
+    p.add_argument("--output", required=True)
+    ns = p.parse_args(argv)
+    cf.remove_spurious_matches(
+        spark.read.parquet(ns.annotations), spark.read.parquet(ns.dictionary)
+    ).write.mode("overwrite").parquet(ns.output)
+
+
+def run_dependency_parse_import(spark: SparkSession, argv: list[str]) -> None:
+    """DEPENDENCY_PARSE_IMPORT (DependencyParseStoragePipeline): load
+    externally produced CoNLL-U files into the document store."""
+    from .sources.files import load_files
+    from .sources.tables import write_documents
+
+    p = argparse.ArgumentParser(prog="DEPENDENCY_PARSE_IMPORT")
+    p.add_argument("--inputDir", required=True)
+    p.add_argument("--suffix", default=".conllu")
+    p.add_argument("--documents", required=True, help="documents table path")
+    p.add_argument("--pipelineVersion", default="0.1.0")
+    p.add_argument("--collection")
+    ns = p.parse_args(argv)
+    from pyspark.sql import functions as F
+
+    loaded = load_files(spark, ns.inputDir, suffix=ns.suffix)
+    docs = loaded.select(
+        "doc_id",
+        F.lit("DEPENDENCY_PARSE").alias("doc_type"),
+        F.lit("CONLLU").alias("doc_format"),
+        F.lit("DEPENDENCY_PARSE").alias("pipeline_key"),
+        F.lit(ns.pipelineVersion).alias("pipeline_version"),
+        "content",
+        F.lit(0).cast("long").alias("chunk_id"),
+        F.lit(1).cast("long").alias("chunk_total"),
+        (F.array(F.lit(ns.collection)) if ns.collection else F.array().cast("array<string>")).alias(
+            "collections"
+        ),
+    )
+    write_documents(docs, ns.documents)
+
+
+def run_doc_text_augmentation(spark: SparkSession, argv: list[str]) -> None:
+    """DOC_TEXT_AUGMENTATION: append blanked abbreviation-definition
+    sentences after the document end marker."""
+    from .operators import abbreviations as ab
+
+    p = argparse.ArgumentParser(prog="DOC_TEXT_AUGMENTATION")
+    p.add_argument("--documents", required=True)
+    p.add_argument("--output", required=True)
+    ns = p.parse_args(argv)
+    docs = spark.read.parquet(ns.documents)
+    ab.augment_document_text(docs, ab.detect_abbreviations(docs)).write.mode(
+        "overwrite"
+    ).parquet(ns.output)
+
+
 #: PipelineKey → runner (the implemented subset of PipelineMain.java:124-236;
 #: keys match the reference's PipelineKey enum verbatim)
 PIPELINES: dict[str, Callable[[SparkSession, list[str]], None]] = {
@@ -376,6 +610,19 @@ PIPELINES: dict[str, Callable[[SparkSession, list[str]], None]] = {
     "CONCEPT_COUNT_DISTRIBUTION": run_concept_count_distribution,
     "CLASSIFIED_SENTENCE_STORAGE": run_classified_sentence_storage,
     "ELASTICSEARCH_LOAD": run_elasticsearch_load,
+    "DRY_RUN": run_dry_run,
+    "COLLECTION_ASSIGNMENT": run_collection_assignment,
+    "UPDATE_MEDLINE_STATUS_ENTITIES": run_update_medline_status,
+    "TEXT_EXPORT": run_text_export,
+    "PUBANNOTATION_EXPORT": run_pubannotation_export,
+    "BIGQUERY_EXPORT": run_bigquery_export,
+    "CONCEPT_ANNOTATION_EXPORT": run_concept_annotation_export,
+    "SENTENCE_COOCCURRENCE_EXPORT": run_sentence_cooccurrence_export,
+    "WEBANNO_SENTENCE_EXTRACTION": run_webanno_sentence_extraction,
+    "CRF": run_crf,
+    "OGER_POST_PROCESS": run_oger_post_process,
+    "DEPENDENCY_PARSE_IMPORT": run_dependency_parse_import,
+    "DOC_TEXT_AUGMENTATION": run_doc_text_augmentation,
 }
 
 

@@ -224,3 +224,218 @@ def es_sentence_json(sentences_with_concepts: DataFrame) -> DataFrame:
     return sentences_with_concepts.select(
         F.col("sentence_id"), escaped.alias("json")
     )
+
+
+# ---------------------------------------------------------------------------
+# CONCEPT_ANNOTATION_EXPORT — BioNLP standoff + text
+# ---------------------------------------------------------------------------
+
+
+def bionlp_lines(annots: DataFrame) -> DataFrame:
+    """BioNLP (brat standoff) serialization of the annotations table
+    (ConceptAnnotationExportPipeline: post-processed annotations exported
+    'in BioNLP format'): per document, annotations sorted by (start, end,
+    type) and numbered T1..Tn; each line is
+    ``T<n>\\t<type> <start> <end>[;<start> <end>...]\\t<covered text>``
+    (discontinuous spans ';'-separated; newlines/tabs in the covered text
+    flattened to spaces). Returns (doc_id, bionlp) — one standoff blob per
+    document, one aggregation."""
+    a_type = F.coalesce(F.col("concept_id"), F.col("annot_type"))
+    entry = F.struct(
+        F.array_min(F.transform("spans", lambda s: s["start"])).alias("s"),
+        F.array_max(F.transform("spans", lambda s: s["end"])).alias("e"),
+        a_type.alias("t"),
+        F.array_join(
+            F.transform(
+                "spans", lambda s: F.concat_ws(" ", s["start"].cast("string"), s["end"].cast("string"))
+            ),
+            ";",
+        ).alias("spans_str"),
+        F.regexp_replace(F.col("covered_text"), "[\\n\\t]", " ").alias("txt"),
+    )
+    per_doc = annots.groupBy("doc_id").agg(F.array_sort(F.collect_list(entry)).alias("es"))
+    lines = F.transform(
+        F.col("es"),
+        lambda x, i: F.concat(
+            F.lit("T"), (i + 1).cast("string"), F.lit("\t"),
+            x["t"], F.lit(" "), x["spans_str"], F.lit("\t"), x["txt"],
+        ),
+    )
+    return per_doc.select("doc_id", F.array_join(lines, "\n").alias("bionlp"))
+
+
+# ---------------------------------------------------------------------------
+# SENTENCE_COOCCURRENCE_EXPORT — per-sentence concept membership lines
+# ---------------------------------------------------------------------------
+
+
+def _bigquery_annotation_identifier(
+    doc_id: Column, start: Column, text: Column, layer: str, annot_type: str
+) -> Column:
+    """BigQueryUtil.getAnnotationIdentifier:27-34 — sha256 of docId +
+    spanStart + coveredText(\\n,\\t → ' ') + LAYER + '[type]' (the Java
+    List.toString() of the sorted, lower-cased type list)."""
+    clean = F.regexp_replace(F.regexp_replace(text, "\\n", " "), "\\t", " ")
+    return F.sha2(
+        F.concat(doc_id, start.cast("string"), clean, F.lit(layer), F.lit(f"[{annot_type}]")),
+        256,
+    )
+
+
+def sentence_cooccurrence_lines(
+    sentences: DataFrame, concepts: DataFrame, stopwords: list[str] | None = None
+) -> DataFrame:
+    """SENTENCE_COOCCURRENCE_EXPORT (SentenceCooccurrenceBuilder
+    .toSentenceCooccurrenceString:42-120): per document a header line
+    ``SENT_COUNT\\t<n_sentences>\\t<doc_id>``, then for every sentence with
+    at least one overlapping non-stopword concept a line
+    ``<sentence_annotation_id>\\t<start-off>|<end-off>|<concept>;...`` with
+    concept offsets rebased to the sentence start. The reference iterates
+    a HashSet (arbitrary order); we order deterministically by
+    (start, end, concept).
+
+    ``sentences`` = (doc_id, start, end, covered_text);
+    ``concepts``  = (doc_id, start, end, concept_id, covered_text).
+    Returns (doc_id, line) — write the lines column."""
+    sw = [w.lower() for w in (stopwords or [])]
+    s = sentences.select(
+        "doc_id",
+        F.col("start").alias("id"),
+        "start",
+        "end",
+        _bigquery_annotation_identifier(
+            F.col("doc_id"), F.col("start"), F.col("covered_text"), "SENTENCE", "sentence"
+        ).alias("sent_id"),
+    )
+    c = concepts.where(~F.lower(F.col("covered_text")).isin(sw) if sw else F.lit(True)).select(
+        "doc_id",
+        F.col("start").alias("c_start"),
+        F.col("end").alias("c_end"),
+        "concept_id",
+    )
+    # reference predicate is OVERLAP (Span.overlaps), not containment
+    ov = s.join(c, "doc_id").where(
+        (F.col("c_start") < F.col("end")) & (F.col("start") < F.col("c_end"))
+    )
+    entry = F.struct(
+        (F.col("c_start") - F.col("start")).alias("s"),
+        (F.col("c_end") - F.col("start")).alias("e"),
+        F.col("concept_id").alias("cid"),
+    )
+    per_sent = ov.groupBy("doc_id", "sent_id").agg(F.array_sort(F.collect_set(entry)).alias("cs"))
+    body = per_sent.select(
+        "doc_id",
+        F.concat(
+            F.col("sent_id"),
+            F.lit("\t"),
+            F.array_join(
+                F.transform(
+                    "cs",
+                    lambda x: F.concat(
+                        x["s"].cast("string"), F.lit("|"), x["e"].cast("string"), F.lit("|"), x["cid"], F.lit(";")
+                    ),
+                ),
+                "",
+            ),
+        ).alias("line"),
+    )
+    header = sentences.groupBy("doc_id").agg(
+        F.concat(
+            F.lit("SENT_COUNT\t"), F.count("*").cast("string"), F.lit("\t"), F.first("doc_id")
+        ).alias("line")
+    )
+    return header.unionByName(body.select("doc_id", "line"))
+
+
+# ---------------------------------------------------------------------------
+# WEBANNO_SENTENCE_EXTRACTION — WebAnno-style token TSV
+# ---------------------------------------------------------------------------
+
+
+def webanno_sentence_tsv(sentences: DataFrame, concepts: DataFrame) -> DataFrame:
+    """WebAnno token lines for sentences with ≥ 2 concept annotations
+    (SentenceExtractionWebAnnoFn.java:45-325):
+    ``<sentNum>-<tokNum>\\t<start>-<end>\\t<token>\\t<label>`` per token,
+    offsets document-absolute, label = the covering concept id (multi-token
+    entities carry a per-sentence ``[k]`` disambiguation index, single-token
+    entities are bare, un-covered tokens get '_'). Deliberate
+    simplifications vs. the reference: one label per token (no '|'
+    stacking) and deterministic (start, end, concept) entity order instead
+    of HashSet order.
+
+    ``sentences`` = (doc_id, start, end, covered_text);
+    ``concepts``  = (doc_id, start, end, concept_id). Returns
+    (doc_id, sent_num, line)."""
+    from pyspark.sql import Window
+
+    from .ner import tokenize_with_offsets
+
+    w = Window.partitionBy("doc_id").orderBy("start", "end")
+    s = sentences.select(
+        "doc_id", "start", "end", "covered_text", F.row_number().over(w).alias("sent_num")
+    )
+    two_plus = (
+        s.join(
+            concepts.select("doc_id", F.col("start").alias("cs"), F.col("end").alias("ce")),
+            "doc_id",
+        )
+        .where((F.col("cs") >= F.col("start")) & (F.col("ce") <= F.col("end")))
+        .groupBy("doc_id", "sent_num")
+        .agg(F.count("*").alias("n"))
+        .where(F.col("n") >= 2)
+        .select("doc_id", "sent_num")
+    )
+    s2 = s.join(two_plus, ["doc_id", "sent_num"])
+    toks = tokenize_with_offsets(
+        s2.select(
+            F.concat_ws("\x1f", "doc_id", F.col("sent_num").cast("string"), F.col("start").cast("string")).alias(
+                "doc_id"
+            ),
+            F.col("covered_text").alias("content"),
+        )
+    ).select(
+        F.split("doc_id", "\x1f").getItem(0).alias("doc_id"),
+        F.split("doc_id", "\x1f").getItem(1).cast("int").alias("sent_num"),
+        F.split("doc_id", "\x1f").getItem(2).cast("int").alias("sent_start"),
+        (F.col("tok_idx") + 1).alias("tok_num"),
+        (F.col("start") + F.col("sent_start")).alias("g_start"),
+        (F.col("end") + F.col("sent_start")).alias("g_end"),
+        "token",
+    )
+    ents = (
+        concepts.select(
+            F.col("doc_id").alias("e_doc"),
+            F.col("start").alias("e_start"),
+            F.col("end").alias("e_end"),
+            "concept_id",
+        )
+        .distinct()
+        .withColumn(
+            "ent_idx",
+            F.row_number().over(Window.partitionBy("e_doc").orderBy("e_start", "e_end", "concept_id")),
+        )
+    )
+    lab = toks.join(
+        ents,
+        (F.col("doc_id") == F.col("e_doc"))
+        & (F.col("g_start") >= F.col("e_start"))
+        & (F.col("g_end") <= F.col("e_end")),
+        "left",
+    ).drop("e_doc")
+    # first covering entity per token (deterministic)
+    pick = Window.partitionBy("doc_id", "sent_num", "tok_num").orderBy(
+        F.col("e_start").asc_nulls_last(), F.col("e_end").asc_nulls_last(), F.col("concept_id").asc_nulls_last()
+    )
+    lab = lab.withColumn("rn", F.row_number().over(pick)).where(F.col("rn") == 1)
+    multi_token = (F.col("e_end") - F.col("e_start")) > (F.col("g_end") - F.col("g_start"))
+    label = F.when(
+        F.col("concept_id").isNull(), F.lit("_")
+    ).when(
+        multi_token, F.concat(F.col("concept_id"), F.lit("["), F.col("ent_idx").cast("string"), F.lit("]"))
+    ).otherwise(F.col("concept_id"))
+    line = F.concat(
+        F.col("sent_num").cast("string"), F.lit("-"), F.col("tok_num").cast("string"), F.lit("\t"),
+        F.col("g_start").cast("string"), F.lit("-"), F.col("g_end").cast("string"), F.lit("\t"),
+        F.col("token"), F.lit("\t"), label,
+    )
+    return lab.select("doc_id", "sent_num", "tok_num", line.alias("line"))
