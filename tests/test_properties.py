@@ -5,7 +5,7 @@ single Spark job."""
 
 from __future__ import annotations
 
-from hypothesis import given, settings, strategies as st
+from hypothesis import example, given, settings, strategies as st
 
 from translator_tm_provider_pipelines_spark import schemas
 from translator_tm_provider_pipelines_spark.operators import ner, sentences, versioning
@@ -24,6 +24,7 @@ _SETTINGS = dict(max_examples=8, deadline=None)
 
 
 @settings(**_SETTINGS)
+@example(["\r\x85"])  # Java $ matches before a final NEL line terminator
 @given(st.lists(_text, min_size=1, max_size=20))
 def test_segmentation_spans_reconstruct(spark, texts):
     docs = spark.createDataFrame(

@@ -74,7 +74,10 @@ def segment_sentences(
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     lead_ws = F.length(F.regexp_extract("part", r"^(\s*)", 1))
-    trail_ws = F.length(F.regexp_extract("part", r"(\s*)$", 1))
+    # \z, not $: Java's $ matches BEFORE a final line terminator (\n, \r,
+    # NEL U+0085, U+2028/U+2029), which would count whitespace preceding a
+    # trailing terminator as "trailing" and misplace the span end
+    trail_ws = F.length(F.regexp_extract("part", r"(\s*)\z", 1))
     sents = (
         parts.withColumn("off", F.coalesce(F.sum(F.length("part")).over(w), F.lit(0)))
         .select(
@@ -83,7 +86,7 @@ def segment_sentences(
             (F.col("off") + lead_ws).cast("int").alias("start"),
             (F.col("off") + F.length("part") - trail_ws).cast("int").alias("end"),
             # regex trim: F.trim strips spaces only, spans count all \s
-            F.regexp_replace("part", r"^\s+|\s+$", "").alias("sentence"),
+            F.regexp_replace("part", r"^\s+|\s+\z", "").alias("sentence"),
         )
         .where(F.col("sentence") != "")
     )

@@ -1779,3 +1779,121 @@ def pubannotation_export_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("a"),
     ).select("doc_id", "a.type", "a.concept_id", "a.spans", "a.covered_text")
     return coll.pubannotation_json(docs, annots)
+
+
+@register(
+    "bionlp_export",
+    """
+    WITH annots AS (
+      SELECT DISTINCT l.l_orderkey                     AS doc_id,
+             'C:' || cast(l.l_partkey % 100 AS varchar) AS concept_id,
+             cast((l.l_partkey * 7) % 1100 AS int)      AS s,
+             cast((l.l_partkey * 7) % 1100 + length(p.p_name) AS int) AS e,
+             replace(replace(p.p_name, chr(10), ' '), chr(9), ' ')    AS txt
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    ),
+    numbered AS (
+      SELECT doc_id, s, e, concept_id, txt,
+             row_number() OVER (PARTITION BY doc_id ORDER BY s, e, concept_id, txt) AS rn
+      FROM annots
+    )
+    SELECT doc_id,
+           string_agg('T' || cast(rn AS varchar) || chr(9) || concept_id || ' ' ||
+                      cast(s AS varchar) || ' ' || cast(e AS varchar) || chr(9) || txt,
+                      chr(10) ORDER BY rn) AS bionlp
+    FROM numbered GROUP BY 1
+    """,
+)
+def bionlp_export_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONCEPT_ANNOTATION_EXPORT shape: one BioNLP standoff blob per
+    document (T-numbered, span-ordered), byte-compared with the oracle's
+    ordered string_agg."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    annots = (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .select(
+            F.col("l_orderkey").alias("doc_id"),
+            F.concat(F.lit("C:"), (F.col("l_partkey") % 100).cast("string")).alias("concept_id"),
+            ((F.col("l_partkey") * 7) % 1100).cast("int").alias("s"),
+            ((F.col("l_partkey") * 7) % 1100 + F.length("p_name")).cast("int").alias("e"),
+            F.col("p_name").alias("covered_text"),
+        )
+        .distinct()
+        .select(
+            "doc_id",
+            F.lit("concept").alias("annot_type"),
+            "concept_id",
+            F.array(F.struct(F.col("s").alias("start"), F.col("e").alias("end"))).alias("spans"),
+            "covered_text",
+        )
+    )
+    return ex.bionlp_lines(annots)
+
+
+@register(
+    "sentence_cooccurrence_export",
+    """
+    WITH sent AS (
+      SELECT o_orderkey                  AS doc_id,
+             j * 140                     AS start,
+             j * 140 + 140               AS "end",
+             'sentence ' || cast(j AS varchar) AS covered_text
+      FROM orders, (SELECT unnest(generate_series(0, 7)) AS j) js
+    ),
+    conc AS (
+      SELECT l_orderkey                     AS doc_id,
+             (l_partkey * 7) % 1100         AS c_start,
+             (l_partkey * 7) % 1100 + 10    AS c_end,
+             'C:' || cast(l_partkey % 100 AS varchar) AS concept_id
+      FROM lineitem
+    ),
+    sent_id AS (
+      SELECT doc_id, start, "end",
+             sha256(cast(doc_id AS varchar) || cast(start AS varchar) || covered_text
+                    || 'SENTENCE' || '[sentence]') AS sid
+      FROM sent
+    ),
+    ov AS (
+      SELECT DISTINCT s.doc_id, s.sid, c.c_start - s.start AS rs, c.c_end - s.start AS re, c.concept_id
+      FROM sent_id s JOIN conc c
+        ON s.doc_id = c.doc_id AND c.c_start < s."end" AND s.start < c.c_end
+    ),
+    body AS (
+      SELECT doc_id,
+             sid || chr(9) || string_agg(cast(rs AS varchar) || '|' || cast(re AS varchar) || '|'
+                                         || concept_id || ';', '' ORDER BY rs, re, concept_id) AS line
+      FROM ov GROUP BY doc_id, sid
+    ),
+    header AS (
+      SELECT doc_id, 'SENT_COUNT' || chr(9) || cast(count(*) AS varchar) || chr(9)
+             || cast(doc_id AS varchar) AS line
+      FROM sent GROUP BY 1
+    )
+    SELECT cast(doc_id AS varchar) AS doc_id, line FROM header
+    UNION ALL
+    SELECT cast(doc_id AS varchar) AS doc_id, line FROM body
+    """,
+)
+def sentence_cooccurrence_export_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SENTENCE_COOCCURRENCE_EXPORT: SentenceCooccurrenceBuilder lines
+    (SENT_COUNT headers + per-sentence rebased concept triples with the
+    BigQueryUtil sha256 sentence ids) — value-exact against the oracle."""
+    o = _t(spark, sf_dir, "orders")
+    sents = o.select(
+        "o_orderkey", F.explode(F.sequence(F.lit(0), F.lit(7))).alias("j")
+    ).select(
+        F.col("o_orderkey").cast("string").alias("doc_id"),
+        (F.col("j") * 140).alias("start"),
+        (F.col("j") * 140 + 140).alias("end"),
+        F.concat(F.lit("sentence "), F.col("j").cast("string")).alias("covered_text"),
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    concs = li.select(
+        F.col("l_orderkey").cast("string").alias("doc_id"),
+        ((F.col("l_partkey") * 7) % 1100).alias("start"),
+        ((F.col("l_partkey") * 7) % 1100 + 10).alias("end"),
+        F.concat(F.lit("C:"), (F.col("l_partkey") % 100).cast("string")).alias("concept_id"),
+        F.lit("x").alias("covered_text"),
+    )
+    return ex.sentence_cooccurrence_lines(sents, concs)
