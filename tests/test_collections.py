@@ -72,3 +72,20 @@ def test_pubannotation_json(spark):
         {"id": "T1", "span": {"begin": 0, "end": 7}, "obj": "CHEBI:15365"},
         {"id": "T2", "span": {"begin": 15, "end": 23}, "obj": "HP:0002315"},
     ]
+
+
+def test_update_medline_status_dedupes_parses(spark, status):
+    med = spark.createDataFrame(
+        [("d2", "2001", ["A"]), ("d2", "2005", ["B"]), ("d2", "1998", ["C"])],
+        "doc_id string, pub_year string, pub_types array<string>",
+    )
+    out = C.update_medline_status(status, med)
+    rows = out.where(F.col("doc_id") == "d2").collect()
+    assert len(rows) == 1  # no fan-out from duplicate parse rows
+    assert rows[0].pub_year == "2005" and rows[0].pub_types == ["B"]
+
+
+def test_assign_collection_all_rows_no_join(spark, status):
+    out = C.assign_collection(status, None, "EVERYWHERE")
+    assert all("EVERYWHERE" in r.collections for r in out.collect())
+    assert "Join" not in out._jdf.queryExecution().executedPlan().toString()

@@ -93,3 +93,17 @@ def test_lsh_bucket_cap(spark):
     capped = dedup.lsh_candidate_pairs(bands, max_bucket_size=3)
     assert uncapped.count() == 10 + 1  # C(5,2) + C(2,2)
     assert capped.count() == 1  # the 5-doc bucket is dropped, the pair stays
+
+
+def test_lsh_band_join_not_ambiguous(spark):
+    # variable-length decimal sig values must hash with a separator:
+    # without one, ('123','45','6','789') and ('12','3456','78','9') both
+    # concatenate to '123456789' and collide
+    from translator_tm_provider_pipelines_spark.operators import dedup
+
+    sigs = spark.createDataFrame(
+        [("a", ["123", "45", "6", "789"]), ("b", ["12", "3456", "78", "9"])],
+        "doc_id string, sig array<string>",
+    )
+    bands = {r.doc_id: r.band_sig for r in dedup.lsh_bands(sigs, rows_per_band=4).collect()}
+    assert bands["a"] != bands["b"]

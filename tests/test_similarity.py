@@ -53,3 +53,10 @@ def test_ann_ivf_prunes_and_recalls(spark, emb, qvec):
 def test_ann_lsh_bucket_contains_query(spark, emb, qvec):
     top = similarity.ann_lsh(emb, qvec, k=5, n_planes=4).collect()
     assert top and top[0].vec_id == 0 and top[0].cosine == 1.0
+
+
+def test_seed_centroids_sparse_ids(spark, emb):
+    # ids not starting at 0 must still yield n_lists centroids
+    shifted = emb.selectExpr("vec_id + 1000 as vec_id", "embedding")
+    cents = similarity.seed_centroids(shifted, n_lists=4)
+    assert len(cents) == 4 and cents[0][0] == 1000

@@ -392,7 +392,8 @@ def run_collection_assignment(spark: SparkSession, argv: list[str]) -> None:
     if ns.remove:
         out = coll.remove_collection(status, ns.collection, doc_ids=ids)
     else:
-        out = coll.assign_collection(status, ids if ids is not None else status.select("doc_id"), ns.collection)
+        # ids=None → pure column edit on every row (no join, no broadcast)
+        out = coll.assign_collection(status, ids, ns.collection)
     out.write.mode("overwrite").parquet(ns.output)
 
 
@@ -492,9 +493,11 @@ def run_sentence_cooccurrence_export(spark: SparkSession, argv: list[str]) -> No
     sw = None
     if ns.stopwords:
         sw = [r.value for r in spark.read.text(ns.stopwords).collect()]
-    ex.sentence_cooccurrence_lines(
+    # blob form: one row per document (header + ordered sentence lines), so
+    # sharded text output keeps every document's lines contiguous
+    ex.sentence_cooccurrence_blobs(
         spark.read.parquet(ns.sentences), spark.read.parquet(ns.concepts), stopwords=sw
-    ).select("line").write.mode("overwrite").text(ns.output)
+    ).select("blob").write.mode("overwrite").text(ns.output)
 
 
 def run_webanno_sentence_extraction(spark: SparkSession, argv: list[str]) -> None:
@@ -507,9 +510,10 @@ def run_webanno_sentence_extraction(spark: SparkSession, argv: list[str]) -> Non
     p.add_argument("--concepts", required=True)
     p.add_argument("--output", required=True)
     ns = p.parse_args(argv)
-    ex.webanno_sentence_tsv(
+    # blob form: token lines stay in (sent_num, tok_num) order per document
+    ex.webanno_sentence_blobs(
         spark.read.parquet(ns.sentences), spark.read.parquet(ns.concepts)
-    ).select("line").write.mode("overwrite").text(ns.output)
+    ).select("blob").write.mode("overwrite").text(ns.output)
 
 
 def run_crf(spark: SparkSession, argv: list[str]) -> None:

@@ -25,10 +25,19 @@ from pyspark.sql import functions as F
 
 
 def assign_collection(
-    status: DataFrame, doc_ids: DataFrame, collection: str
+    status: DataFrame, doc_ids: DataFrame | None, collection: str
 ) -> DataFrame:
     """Add ``collection`` to the listed documents' collection sets
-    (idempotent: array_union)."""
+    (idempotent: array_union). ``doc_ids=None`` adds to EVERY row as a
+    pure column edit — no join, nothing broadcast (broadcasting the full
+    corpus id set is exactly the OOM the reference's side inputs hit)."""
+    if doc_ids is None:
+        return status.withColumn(
+            "collections",
+            F.array_union(
+                F.coalesce("collections", F.array()), F.array(F.lit(collection))
+            ),
+        )
     marked = doc_ids.select("doc_id").distinct().withColumn("__add", F.lit(True))
     return (
         status.join(F.broadcast(marked), "doc_id", "left")
@@ -65,13 +74,16 @@ def remove_collection(
 
 def update_medline_status(status: DataFrame, medline_docs: DataFrame) -> DataFrame:
     """Backfill pub_year / pub_types on status rows from freshly-parsed
-    Medline documents (UPDATE_MEDLINE_STATUS_ENTITIES): newest parse wins,
-    missing stays as-is."""
-    upd = medline_docs.select(
-        "doc_id",
-        F.col("pub_year").alias("__year"),
-        F.col("pub_types").alias("__types"),
-    )
+    Medline documents (UPDATE_MEDLINE_STATUS_ENTITIES): newest parse wins
+    (max pub_year per doc — deterministic), missing stays as-is. The
+    update side is reduced to one row per doc_id first so duplicate parse
+    rows cannot fan out status rows."""
+    upd = medline_docs.groupBy("doc_id").agg(
+        F.max_by(
+            F.struct(F.col("pub_year").alias("y"), F.col("pub_types").alias("t")),
+            F.coalesce("pub_year", F.lit("")),
+        ).alias("__u")
+    ).select("doc_id", F.col("__u.y").alias("__year"), F.col("__u.t").alias("__types"))
     return (
         status.join(upd, "doc_id", "left")
         .withColumn("pub_year", F.coalesce("__year", "pub_year"))

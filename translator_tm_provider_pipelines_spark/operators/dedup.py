@@ -165,6 +165,8 @@ def minhash_signatures(shingles: DataFrame, num_perms: int = 16, k: int = 3) -> 
     documents: no shuffle at all). Value parity holds because shingles are
     single-space-joined tokens: splitting recovers the words, and the same
     word-hash mix applies."""
+    if k > len(WORD_COEFFS):
+        raise ValueError(f"k={k} exceeds the fixed coefficient table ({len(WORD_COEFFS)})")
     hw = F.transform(
         F.split(F.col("shingle"), " "),
         lambda w: F.conv(F.substring(F.md5(w), 1, 7), 16, 10).cast("long"),
@@ -191,13 +193,18 @@ def minhash_signatures(shingles: DataFrame, num_perms: int = 16, k: int = 3) -> 
 
 def lsh_bands(signatures: DataFrame, rows_per_band: int = 4) -> DataFrame:
     """Fold the signature array into bands of ``rows_per_band`` entries;
-    band signature = md5 of the in-order concatenation. Pure projection —
-    no extra shuffle. Docs sharing any (band, band_sig) are candidates."""
+    band signature = md5 of the ','-joined values. Pure projection — no
+    extra shuffle. Docs sharing any (band, band_sig) are candidates.
+
+    The separator is load-bearing: signature values are variable-length
+    decimal strings, so a separator-less concatenation would be ambiguous
+    ('123'+'45' = '12'+'345') and collide unequal signatures. The DuckDB
+    oracles join with the same ','."""
     bands = F.posexplode(
         F.transform(
             F.sequence(F.lit(0), F.floor((F.size("sig") - 1) / rows_per_band).cast("int")),
             lambda b: F.md5(
-                F.array_join(F.slice("sig", b * rows_per_band + 1, rows_per_band), "")
+                F.array_join(F.slice("sig", b * rows_per_band + 1, rows_per_band), ",")
             ),
         )
     )

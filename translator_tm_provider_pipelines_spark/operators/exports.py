@@ -307,7 +307,14 @@ def sentence_cooccurrence_lines(
             F.col("doc_id"), F.col("start"), F.col("covered_text"), "SENTENCE", "sentence"
         ).alias("sent_id"),
     )
-    c = concepts.where(~F.lower(F.col("covered_text")).isin(sw) if sw else F.lit(True)).select(
+    # coalesce: NULL covered_text is not a stopword (NULL.isin → NULL
+    # would silently drop the row under a WHERE)
+    keep = (
+        F.coalesce(~F.lower(F.col("covered_text")).isin(sw), F.lit(True))
+        if sw
+        else F.lit(True)
+    )
+    c = concepts.where(keep).select(
         "doc_id",
         F.col("start").alias("c_start"),
         F.col("end").alias("c_end"),
@@ -402,19 +409,12 @@ def webanno_sentence_tsv(sentences: DataFrame, concepts: DataFrame) -> DataFrame
         (F.col("end") + F.col("sent_start")).alias("g_end"),
         "token",
     )
-    ents = (
-        concepts.select(
-            F.col("doc_id").alias("e_doc"),
-            F.col("start").alias("e_start"),
-            F.col("end").alias("e_end"),
-            "concept_id",
-        )
-        .distinct()
-        .withColumn(
-            "ent_idx",
-            F.row_number().over(Window.partitionBy("e_doc").orderBy("e_start", "e_end", "concept_id")),
-        )
-    )
+    ents = concepts.select(
+        F.col("doc_id").alias("e_doc"),
+        F.col("start").alias("e_start"),
+        F.col("end").alias("e_end"),
+        "concept_id",
+    ).distinct()
     lab = toks.join(
         ents,
         (F.col("doc_id") == F.col("e_doc"))
@@ -427,11 +427,18 @@ def webanno_sentence_tsv(sentences: DataFrame, concepts: DataFrame) -> DataFrame
         F.col("e_start").asc_nulls_last(), F.col("e_end").asc_nulls_last(), F.col("concept_id").asc_nulls_last()
     )
     lab = lab.withColumn("rn", F.row_number().over(pick)).where(F.col("rn") == 1)
+    # entity disambiguation index is PER SENTENCE (dense_rank over the
+    # sentence's entities in span order, identical for all tokens of the
+    # same entity), matching the reference's per-extraction numbering
+    sent_ent = Window.partitionBy("doc_id", "sent_num").orderBy(
+        F.col("e_start").asc_nulls_last(), F.col("e_end").asc_nulls_last(), F.col("concept_id").asc_nulls_last()
+    )
+    lab = lab.withColumn("sent_ent_idx", F.dense_rank().over(sent_ent))
     multi_token = (F.col("e_end") - F.col("e_start")) > (F.col("g_end") - F.col("g_start"))
     label = F.when(
         F.col("concept_id").isNull(), F.lit("_")
     ).when(
-        multi_token, F.concat(F.col("concept_id"), F.lit("["), F.col("ent_idx").cast("string"), F.lit("]"))
+        multi_token, F.concat(F.col("concept_id"), F.lit("["), F.col("sent_ent_idx").cast("string"), F.lit("]"))
     ).otherwise(F.col("concept_id"))
     line = F.concat(
         F.col("sent_num").cast("string"), F.lit("-"), F.col("tok_num").cast("string"), F.lit("\t"),
@@ -439,3 +446,37 @@ def webanno_sentence_tsv(sentences: DataFrame, concepts: DataFrame) -> DataFrame
         F.col("token"), F.lit("\t"), label,
     )
     return lab.select("doc_id", "sent_num", "tok_num", line.alias("line"))
+
+
+def sentence_cooccurrence_blobs(
+    sentences: DataFrame, concepts: DataFrame, stopwords: list[str] | None = None
+) -> DataFrame:
+    """One blob per document — the SENT_COUNT header followed by the
+    sentence lines (sorted) — mirroring the reference, where
+    toSentenceCooccurrenceString returns ONE string per document. Use this
+    (not the line relation) for file output: sharded writers then keep
+    every document's lines contiguous and ordered."""
+    lines = sentence_cooccurrence_lines(sentences, concepts, stopwords=stopwords)
+    entry = F.struct(
+        F.when(F.col("line").startswith("SENT_COUNT\t"), F.lit(0)).otherwise(F.lit(1)).alias("k"),
+        F.col("line").alias("line"),
+    )
+    return (
+        lines.groupBy("doc_id")
+        .agg(F.array_sort(F.collect_list(entry)).alias("es"))
+        .select("doc_id", F.array_join(F.transform("es", lambda x: x["line"]), "\n").alias("blob"))
+    )
+
+
+def webanno_sentence_blobs(sentences: DataFrame, concepts: DataFrame) -> DataFrame:
+    """One WebAnno TSV blob per document, token lines in
+    (sent_num, tok_num) order — the file-output form of
+    :func:`webanno_sentence_tsv` (unordered line relations shard
+    arbitrarily, which breaks a sequential TSV consumer)."""
+    lines = webanno_sentence_tsv(sentences, concepts)
+    entry = F.struct("sent_num", "tok_num", "line")
+    return (
+        lines.groupBy("doc_id")
+        .agg(F.array_sort(F.collect_list(entry)).alias("es"))
+        .select("doc_id", F.array_join(F.transform("es", lambda x: x["line"]), "\n").alias("blob"))
+    )

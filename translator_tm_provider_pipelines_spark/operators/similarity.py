@@ -125,9 +125,9 @@ def seed_centroids(
     ``n_lists`` — the centroid table is tiny by design (same role as the
     reference's broadcast side inputs, but provably small)."""
     rows = (
-        embeddings.where(F.col(id_col) < n_lists)
-        .select(id_col, vec_col)
+        embeddings.select(id_col, vec_col)
         .orderBy(id_col)
+        .limit(n_lists)
         .collect()
     )
     return [(int(r[0]), [float(x) for x in r[1]]) for r in rows]

@@ -1332,7 +1332,7 @@ _MINHASH_SQL = f"""
     ),
     bands AS (
       SELECT doc_id, cast(perm // 4 AS int) AS band,
-             md5(string_agg(cast(minhash AS varchar), '' ORDER BY perm)) AS band_sig
+             md5(string_agg(cast(minhash AS varchar), ',' ORDER BY perm)) AS band_sig
       FROM mh GROUP BY 1, 2
     )
 """
