@@ -100,7 +100,9 @@ def test_extract_sentences_end_to_end(spark, extraction_inputs):
     assert r.sentence_with_placeholders == "@CHEMICAL$ treats @DISEASE$."
     assert [tuple(s) for s in r.entity1_spans] == [(0, 10)]
     assert [tuple(s) for s in r.entity2_spans] == [(18, 27)]
-    assert r.other_entity_ids == ["PR:3"]
+    # other-entity lists include the pair entities themselves
+    # (getAllConceptsInSentence, SentenceExtractionFn.java:341-350)
+    assert r.other_entity_ids == ["CHEBI:1", "HP:2", "PR:3"]
     assert r.pub_year == "2155"  # default (MedlineXmlToTextFn.java:62)
     assert r.sentence_span_start == 0
     # id = sha256(doc + zone + e1 + e1span + e2 + e2span + sentence)
@@ -162,6 +164,148 @@ def test_document_zone(spark, extraction_inputs):
     empty = sections.where(F.lit(False))
     out2 = {r.sent_idx: r.zone for r in S.document_zone(sents, empty).collect()}
     assert set(out2.values()) == {"Unknown"}
+
+
+# ---------------------------------------------------------------------------
+# Golden cases mirroring SentenceExtractionFnTest.java — the 4-sentence
+# document (:59-79) with X/Y concept annotations.
+# ---------------------------------------------------------------------------
+
+_S1 = "This sentence has conceptX1 and conceptX2."
+_S2 = "ConceptX1 is in this sentence, and so is conceptY1."
+_S3 = "There are no concepts in this sentence."
+_S4 = "ConceptX1 is in this sentence."
+_DOC = f"{_S1} {_S2} {_S3} {_S4}"
+
+
+def _ref_sents(spark):
+    docs = spark.createDataFrame([("PMID:12345", _DOC)], "doc_id string, content string")
+    return S.segment_sentences(docs)
+
+
+def _ref_concepts(spark, extra=()):
+    rows = [
+        _annot("PMID:12345", "X:000001", 18, 27, "conceptX1"),
+        _annot("PMID:12345", "X:000002", 32, 41, "conceptX2"),
+        _annot("PMID:12345", "X:000001", 43, 52, "ConceptX1"),
+        _annot("PMID:12345", "X:000001", 135, 144, "ConceptX1"),
+        _annot("PMID:12345", "Y:000001", 84, 93, "conceptY1"),
+        *extra,
+    ]
+    return spark.createDataFrame(rows, schema=schemas.ANNOTATION)
+
+
+def test_ref_catalog_extracted_sentences(spark):
+    # testCatalogExtractedSentences: only sentence 2 has an X and a Y
+    out = S.extract_sentences(
+        _ref_sents(spark), _ref_concepts(spark), ["X"], ["Y"],
+        "@CONCEPTX$", "@CONCEPTY$", keywords=["sentence"],
+    ).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.entity1_id == "X:000001" and r.entity2_id == "Y:000001"
+    assert r.sentence_text == _S2
+    assert [tuple(s) for s in r.entity1_spans] == [(0, 9)]
+    assert [tuple(s) for s in r.entity2_spans] == [(41, 50)]
+    assert r.keyword == "sentence"
+    assert r.sentence_span_start == 43
+    assert sorted(r.other_entity_ids) == ["X:000001", "Y:000001"]
+
+
+def test_ref_concept_synonym_merged(spark):
+    # testCatalogExtractedSentencesWithConceptSynonym: same-span ids are
+    # '|'-joined; the other-entity list shows the merged id once and the
+    # swallowed annotation under its own id
+    extra = [_annot("PMID:12345", "X:000001_SYN", 43, 52, "ConceptX1")]
+    out = S.extract_sentences(
+        _ref_sents(spark), _ref_concepts(spark, extra), ["X"], ["Y"],
+        "@CONCEPTX$", "@CONCEPTY$", keywords=["sentence"],
+    ).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.entity1_id == "X:000001|X:000001_SYN"
+    assert r.entity2_id == "Y:000001"
+    assert sorted(r.other_entity_ids) == [
+        "X:000001_SYN", "X:000001|X:000001_SYN", "Y:000001",
+    ]
+
+
+def test_ref_prevent_duplicates(spark):
+    # testCatalogExtractedSentencesPreventDuplicates: a concept matching
+    # both prefix classes must never be paired with itself
+    out = S.extract_sentences(
+        _ref_sents(spark), _ref_concepts(spark), ["X", "Y"], ["Y"],
+        "@CONCEPTX$", "@CONCEPTY$", keywords=["sentence"],
+    ).collect()
+    assert len(out) == 1
+    assert out[0].entity1_id == "X:000001" and out[0].entity2_id == "Y:000001"
+
+
+def test_ref_no_keyword_and_keyword_not_found(spark):
+    # testCatalogExtractedSentencesNoKeyword / KeywordNotFound
+    none = S.extract_sentences(
+        _ref_sents(spark), _ref_concepts(spark), ["X"], ["Y"], "@X$", "@Y$"
+    ).collect()
+    assert len(none) == 1 and none[0].keyword is None
+    missing = S.extract_sentences(
+        _ref_sents(spark), _ref_concepts(spark), ["X"], ["Y"], "@X$", "@Y$",
+        keywords=["notfound"],
+    )
+    assert missing.count() == 0
+
+
+def test_ref_single_prefix_duplicate_placeholder(spark):
+    # testCatalogExtractedSentencesNoKeyword_DuplicatePlaceholder: X paired
+    # with X (e.g. PR regulates PR) yields ONE row per unordered pair
+    out = S.extract_sentences(
+        _ref_sents(spark), _ref_concepts(spark), ["X"], ["X"],
+        "@CONCEPTX$", "@CONCEPTX$",
+    ).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.entity1_id == "X:000001" and r.entity2_id == "X:000002"
+    assert r.sentence_text == _S1
+    assert r.sentence_with_placeholders == "This sentence has @CONCEPTX$ and @CONCEPTX$."
+
+
+def test_ref_keyword_case_insensitive_whole_word(spark):
+    # testSentenceContainsKeyword: case-insensitive whole-word match
+    # returning the keyword as given; substrings do not match
+    text = "This sentence discusses increasing and decreasing rates."
+    docs = spark.createDataFrame([("d", text)], "doc_id string, content string")
+    sents = S.segment_sentences(docs)
+    concepts = spark.createDataFrame(
+        [_annot("d", "X:1", 0, 4, "This"), _annot("d", "Y:1", 24, 34, "increasing")],
+        schema=schemas.ANNOTATION,
+    )
+    run = lambda kw: S.extract_sentences(  # noqa: E731
+        sents, concepts, ["X"], ["Y"], "@X$", "@Y$", keywords=kw
+    ).collect()
+    assert run(["DECREasing"])[0].keyword == "DECREasing"
+    assert run(["increas"]) == []
+
+
+def test_entity_order_normalized_by_span(spark):
+    # ExtractedSentence ctor :68-90: entity1 is the leftmost entity and
+    # keeps its own placeholder, even when the Y concept comes first
+    text = "diseaseA hurts chemB today."
+    docs = spark.createDataFrame([("d", text)], "doc_id string, content string")
+    concepts = spark.createDataFrame(
+        [_annot("d", "HP:1", 0, 8, "diseaseA"), _annot("d", "CHEBI:2", 15, 20, "chemB")],
+        schema=schemas.ANNOTATION,
+    )
+    out = S.extract_sentences(
+        S.segment_sentences(docs), concepts, ["CHEBI"], ["HP"],
+        "@CHEMICAL$", "@DISEASE$",
+    ).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.entity1_id == "HP:1" and r.entity2_id == "CHEBI:2"
+    assert r.sentence_with_placeholders == "@DISEASE$ hurts @CHEMICAL$ today."
+    expect = hashlib.sha256(
+        b"dUnknown" b"HP:1[0..8]" b"CHEBI:2[15..20]" + text.encode()
+    ).hexdigest()
+    assert r.sentence_id == expect
 
 
 def test_tsv_layout(spark, extraction_inputs):

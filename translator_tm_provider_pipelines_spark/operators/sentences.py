@@ -29,6 +29,8 @@ mirroring the reference's end-first substring stitching.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -192,11 +194,20 @@ def sentence_with_placeholders(
 # ---------------------------------------------------------------------------
 
 
+def _matches_prefix(concept_id: Column, prefixes: list[str]) -> Column:
+    """Plain string-prefix test (conceptId.startsWith(prefix),
+    SentenceExtractionFn.java:239) — NOT a CURIE-namespace equality: prefix
+    'GO' matches 'GO_BP:...' exactly as in the reference."""
+    out = F.lit(False)
+    for p in prefixes:
+        out = out | concept_id.startswith(p)
+    return out
+
+
 def concepts_by_prefix(concepts: DataFrame, prefixes: list[str]) -> DataFrame:
     """P4 (getAnnotsByPrefix :222-257): keep annotations whose CURIE starts
-    with one of ``prefixes`` (prefix = text before ':')."""
-    pfx = F.split(F.col("concept_id"), ":").getItem(0)
-    return concepts.where(pfx.isin(prefixes))
+    with one of ``prefixes``."""
+    return concepts.where(_matches_prefix(F.col("concept_id"), prefixes))
 
 
 def exclude_concepts(concepts: DataFrame, excluded_ids: DataFrame) -> DataFrame:
@@ -252,19 +263,37 @@ def extract_sentences(
     (doc_id, sent_idx, start, end, sentence [, zone]) × concept annotations
     (schemas.ANNOTATION) → schemas.EXTRACTED_SENTENCE rows.
 
-    Steps: P4 prefix partition → P5 exclusion → containment join into
-    sentences (aggregate span within [start,end)) → X×Y pair expansion per
-    sentence (distinct ids, non-overlapping aggregate spans — overlapping
-    pairs are dropped as in toTsv) → P3 keyword gate (first matching
-    keyword recorded) → P9 span rebase → P10 placeholders → sha256 id.
+    Steps: P4 prefix partition (plain startswith, :239) → P5 exclusion →
+    containment join into sentences → per-sentence same-span synonym merge
+    (mergeOverlappingConcepts :352-368: ids '|'-joined; we join in sorted
+    order where the reference inherits nondeterministic set order) → X×Y
+    pair expansion (same-id / same-span / overlapping pairs dropped —
+    catalogExtractedSentences :316 + toTsv :147-152) → entity order
+    normalized by span start (ExtractedSentence ctor :68-90: entity1 is
+    always the leftmost, carrying its placeholder) → P3 keyword gate →
+    P9 span rebase → P10 placeholders → sha256 id.
+
+    ``other_entity_*`` lists cover EVERY concept annotation in the sentence
+    including the pair entities themselves (getAllConceptsInSentence
+    :341-350), with the same-span merge visible exactly as in the
+    reference: the merge mutates one annotation's id to the '|'-joined
+    form while the swallowed annotations keep their own ids (:352-368).
 
     ``doc_meta`` (doc_id, pub_year, pub_types) decorates the output;
     defaults pub_year='2155' (MedlineXmlToTextFn.java:62).
 
+    Known deviation: concepts are matched to sentences by containment, not
+    the reference's first-overlapping-sentence scan (:426-447) — identical
+    whenever concepts lie within sentence bounds (every reference test
+    case); a boundary-straddling concept is dropped here instead of being
+    assigned spans outside the sentence (which make the reference's
+    placeholder substringing throw).
+
     Scale: the concept→sentence join is an equi-join on doc_id with a span
     predicate — per-document data is small, the join key is
-    high-cardinality, and both sides arrive pre-filtered; pair expansion is
-    a per-sentence explode bounded by annotations-per-sentence."""
+    high-cardinality, and both sides arrive pre-filtered; pair expansion
+    and the synonym merge are per-sentence array ops bounded by
+    annotations-per-sentence (no extra shuffle)."""
     if excluded_ids is not None:
         concepts = exclude_concepts(concepts, excluded_ids)
     c = concepts.select(
@@ -274,7 +303,8 @@ def extract_sentences(
         "spans",
         _agg_start(F.col("spans")).alias("c_start"),
         _agg_end(F.col("spans")).alias("c_end"),
-        F.split(F.col("concept_id"), ":").getItem(0).alias("pfx"),
+        _matches_prefix(F.col("concept_id"), x_prefixes).alias("is_x"),
+        _matches_prefix(F.col("concept_id"), y_prefixes).alias("is_y"),
     )
     s = sents
     if "zone" not in s.columns:
@@ -284,22 +314,52 @@ def extract_sentences(
     )
     ent = F.struct(
         F.col("concept_id"), F.col("covered_text"), F.col("spans"),
-        F.col("c_start"), F.col("c_end"),
+        F.col("c_start"), F.col("c_end"), F.col("is_x"), F.col("is_y"),
     )
-    per_sent = in_sent.groupBy("doc_id", "sent_idx", "start", "end", "sentence", "zone").agg(
-        F.array_sort(
-            F.collect_list(F.when(F.col("pfx").isin(x_prefixes), ent))
-        ).alias("xs"),
-        F.array_sort(
-            F.collect_list(F.when(F.col("pfx").isin(y_prefixes), ent))
-        ).alias("ys"),
-        F.array_sort(F.collect_list(ent)).alias("all_ents"),
+
+    def merge_same_span(arr: Column) -> Column:
+        # one entity per distinct span list; ids of the span-group joined
+        # with '|' in sorted order (arr is sorted by concept_id first)
+        keys = F.array_distinct(F.transform(arr, lambda e: e["spans"]))
+        return F.transform(
+            keys,
+            lambda sp: F.struct(
+                F.array_join(
+                    F.transform(
+                        F.filter(arr, lambda e: e["spans"] == sp),
+                        lambda m: m["concept_id"],
+                    ),
+                    "|",
+                ).alias("concept_id"),
+                F.element_at(F.filter(arr, lambda e: e["spans"] == sp), 1)[
+                    "covered_text"
+                ].alias("covered_text"),
+                sp.alias("spans"),
+                F.element_at(F.filter(arr, lambda e: e["spans"] == sp), 1)[
+                    "c_start"
+                ].alias("c_start"),
+                F.element_at(F.filter(arr, lambda e: e["spans"] == sp), 1)[
+                    "c_end"
+                ].alias("c_end"),
+            ),
+        )
+
+    per_sent = (
+        in_sent.groupBy("doc_id", "sent_idx", "start", "end", "sentence", "zone")
+        .agg(
+            F.array_sort(F.collect_list(F.when(F.col("is_x"), ent))).alias("xs"),
+            F.array_sort(F.collect_list(F.when(F.col("is_y"), ent))).alias("ys"),
+            F.array_sort(F.collect_list(ent)).alias("all_ents"),
+        )
+        .withColumn("xs", merge_same_span(F.col("xs")))
+        .withColumn("ys", merge_same_span(F.col("ys")))
     )
     if keywords:
         kw = F.coalesce(
             *[
                 F.when(
-                    F.col("sentence").rlike(r"(?i)\b" + k + r"\b"), F.lit(k)
+                    F.col("sentence").rlike(r"(?i)\b" + re.escape(k) + r"\b"),
+                    F.lit(k),
                 )
                 for k in keywords
             ]
@@ -315,13 +375,19 @@ def extract_sentences(
         .select("*", F.explode("ys").alias("e2"))
         .where(
             (F.col("e1.concept_id") != F.col("e2.concept_id"))
-            # overlapping aggregate spans → dropped (toTsv returns null)
+            # overlapping aggregate spans → dropped (toTsv returns null);
+            # subsumes the ctor's same-span exclusion (:316)
             & ~(
                 (F.col("e1.c_start") < F.col("e2.c_end"))
                 & (F.col("e2.c_start") < F.col("e1.c_end"))
             )
         )
     )
+    if set(x_prefixes) == set(y_prefixes):
+        # single-prefix mode (e.g. PR-regulates-PR): xs and ys are the same
+        # list, so keep one arm of each unordered pair — the reference's
+        # HashSet collapses the two span-normalized duplicates (:324)
+        pairs = pairs.where(F.col("e1.c_start") < F.col("e2.c_start"))
     if doc_meta is not None:
         pairs = pairs.join(
             doc_meta.select("doc_id", "pub_year", "pub_types"), "doc_id", "left"
@@ -330,21 +396,52 @@ def extract_sentences(
         pairs = pairs.withColumn("pub_year", F.lit(None).cast("string")).withColumn(
             "pub_types", F.lit(None).cast("array<string>")
         )
-    off = F.col("start")
-    e1_spans = offset_spans(F.col("e1.spans"), off)
-    e2_spans = offset_spans(F.col("e2.spans"), off)
-    others = F.filter(
-        F.col("all_ents"),
-        lambda o: (o["concept_id"] != F.col("e1.concept_id"))
-        & (o["concept_id"] != F.col("e2.concept_id")),
+    # entity order normalized by span start: entity1 = leftmost, and each
+    # entity keeps its own placeholder (ExtractedSentence ctor :68-90)
+    swap = F.col("e2.c_start") < F.col("e1.c_start")
+    pairs = (
+        pairs.withColumn("e1n", F.when(swap, F.col("e2")).otherwise(F.col("e1")))
+        .withColumn("e2n", F.when(swap, F.col("e1")).otherwise(F.col("e2")))
+        .withColumn(
+            "ph1", F.when(swap, F.lit(y_placeholder)).otherwise(F.lit(x_placeholder))
+        )
+        .withColumn(
+            "ph2", F.when(swap, F.lit(x_placeholder)).otherwise(F.lit(y_placeholder))
+        )
     )
+    off = F.col("start")
+    e1_spans = offset_spans(F.col("e1n.spans"), off)
+    e2_spans = offset_spans(F.col("e2n.spans"), off)
+
+    def display_id(o: Column) -> Column:
+        # the id an annotation shows in the other-entity lists: the first
+        # (lowest-id) member of a merged span-group carries the '|'-joined
+        # id, swallowed members keep their own (mutation semantics of
+        # mergeOverlappingConcepts :352-368)
+        def group_ids(flag: str) -> Column:
+            g = F.filter(
+                F.col("all_ents"),
+                lambda m: m[flag] & (m["spans"] == o["spans"]),
+            )
+            return F.when(
+                F.element_at(g, 1)["concept_id"] == o["concept_id"],
+                F.array_join(F.transform(g, lambda m: m["concept_id"]), "|"),
+            ).otherwise(o["concept_id"])
+
+        return (
+            F.when(o["is_x"], group_ids("is_x"))
+            .when(o["is_y"], group_ids("is_y"))
+            .otherwise(o["concept_id"])
+        )
+
+    others = F.col("all_ents")
     sid = F.sha2(
         F.concat(
             F.col("doc_id"),
             F.col("zone"),
-            F.col("e1.concept_id"),
+            F.col("e1n.concept_id"),
             span_str(e1_spans),
-            F.col("e2.concept_id"),
+            F.col("e2n.concept_id"),
             span_str(e2_spans),
             F.col("sentence"),
         ),
@@ -353,28 +450,28 @@ def extract_sentences(
     return pairs.select(
         sid.alias("sentence_id"),
         "doc_id",
-        F.col("e1.concept_id").alias("entity1_id"),
-        F.col("e1.covered_text").alias("entity1_text"),
+        F.col("e1n.concept_id").alias("entity1_id"),
+        F.col("e1n.covered_text").alias("entity1_text"),
         e1_spans.alias("entity1_spans"),
-        F.col("e2.concept_id").alias("entity2_id"),
-        F.col("e2.covered_text").alias("entity2_text"),
+        F.col("e2n.concept_id").alias("entity2_id"),
+        F.col("e2n.covered_text").alias("entity2_text"),
         e2_spans.alias("entity2_spans"),
         "keyword",
         F.col("sentence").alias("sentence_text"),
         sentence_with_placeholders(
             F.col("sentence"),
-            F.col("e1.c_start") - off,
-            F.col("e1.c_end") - off,
-            F.lit(x_placeholder),
-            F.col("e2.c_start") - off,
-            F.col("e2.c_end") - off,
-            F.lit(y_placeholder),
+            F.col("e1n.c_start") - off,
+            F.col("e1n.c_end") - off,
+            F.col("ph1"),
+            F.col("e2n.c_start") - off,
+            F.col("e2n.c_end") - off,
+            F.col("ph2"),
         ).alias("sentence_with_placeholders"),
         F.col("zone").alias("doc_zone"),
         "pub_types",
         F.coalesce("pub_year", F.lit("2155")).alias("pub_year"),
         F.col("start").cast("int").alias("sentence_span_start"),
-        F.transform(others, lambda o: o["concept_id"]).alias("other_entity_ids"),
+        F.transform(others, lambda o: display_id(o)).alias("other_entity_ids"),
         F.transform(others, lambda o: o["covered_text"]).alias("other_entity_texts"),
         F.transform(
             others,

@@ -682,7 +682,7 @@ def sentence_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
            'Unknown'                                         AS doc_zone,
            '2155'                                            AS pub_year,
            0                                                 AS sentence_span_start,
-           cast(1 AS bigint)                                 AS n_other
+           cast(3 AS bigint)                                 AS n_other
     FROM eligible
     """,
 )
@@ -692,7 +692,9 @@ def extracted_relation_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
     every doc ≥ 40 chars carries a CHEBI span [5,12), an HP span [20,30)
     and one other (PR) entity; the whole document acts as the containing
     sentence so the oracle can reproduce ids and placeholder surgery
-    bit-for-bit."""
+    bit-for-bit. n_other = 3: the other-entity lists include the pair
+    entities themselves (getAllConceptsInSentence :341-350) plus the PR
+    entity."""
     d = _t(spark, sf_dir, "documents").where(F.col("n_chars") >= 40)
     docs = d.select(F.col("doc_id").cast("string").alias("doc_id"), "text", "n_chars")
     sents = docs.select(
