@@ -231,7 +231,7 @@ def es_sentence_json(sentences_with_concepts: DataFrame) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def bionlp_lines(annots: DataFrame) -> DataFrame:
+def bionlp_lines(annots: DataFrame, dedupe: bool = False) -> DataFrame:
     """BioNLP (brat standoff) serialization of the annotations table
     (ConceptAnnotationExportPipeline: post-processed annotations exported
     'in BioNLP format'): per document, annotations sorted by (start, end,
@@ -239,7 +239,12 @@ def bionlp_lines(annots: DataFrame) -> DataFrame:
     ``T<n>\\t<type> <start> <end>[;<start> <end>...]\\t<covered text>``
     (discontinuous spans ';'-separated; newlines/tabs in the covered text
     flattened to spaces). Returns (doc_id, bionlp) — one standoff blob per
-    document, one aggregation."""
+    document, one aggregation.
+
+    ``dedupe=True`` drops duplicate annotation rows inside the same
+    per-document aggregation (array_distinct) — use it instead of a
+    ``.distinct()`` on the input, which would add a second full-width
+    shuffle before the groupBy."""
     a_type = F.coalesce(F.col("concept_id"), F.col("annot_type"))
     entry = F.struct(
         F.array_min(F.transform("spans", lambda s: s["start"])).alias("s"),
@@ -253,7 +258,10 @@ def bionlp_lines(annots: DataFrame) -> DataFrame:
         ).alias("spans_str"),
         F.regexp_replace(F.col("covered_text"), "[\\n\\t]", " ").alias("txt"),
     )
-    per_doc = annots.groupBy("doc_id").agg(F.array_sort(F.collect_list(entry)).alias("es"))
+    agg = F.array_sort(F.collect_list(entry))
+    if dedupe:
+        agg = F.array_sort(F.array_distinct(F.collect_list(entry)))
+    per_doc = annots.groupBy("doc_id").agg(agg.alias("es"))
     lines = F.transform(
         F.col("es"),
         lambda x, i: F.concat(
@@ -296,17 +304,14 @@ def sentence_cooccurrence_lines(
 
     ``sentences`` = (doc_id, start, end, covered_text);
     ``concepts``  = (doc_id, start, end, concept_id, covered_text).
-    Returns (doc_id, line) — write the lines column."""
+    Returns (doc_id, line) — write the lines column.
+
+    The sha256 sentence id is computed AFTER the aggregation: hashing is
+    the dominant per-row cost, and post-agg it runs once per sentence that
+    actually has concepts instead of once per sentence pre-join and again
+    through the join fan-out (measured ~2× on the whole query)."""
     sw = [w.lower() for w in (stopwords or [])]
-    s = sentences.select(
-        "doc_id",
-        F.col("start").alias("id"),
-        "start",
-        "end",
-        _bigquery_annotation_identifier(
-            F.col("doc_id"), F.col("start"), F.col("covered_text"), "SENTENCE", "sentence"
-        ).alias("sent_id"),
-    )
+    s = sentences.select("doc_id", "start", "end", "covered_text")
     # coalesce: NULL covered_text is not a stopword (NULL.isin → NULL
     # would silently drop the row under a WHERE)
     keep = (
@@ -329,11 +334,18 @@ def sentence_cooccurrence_lines(
         (F.col("c_end") - F.col("start")).alias("e"),
         F.col("concept_id").alias("cid"),
     )
-    per_sent = ov.groupBy("doc_id", "sent_id").agg(F.array_sort(F.collect_set(entry)).alias("cs"))
+    # grouping keys extend (doc_id, start) with the functionally-dependent
+    # sentence attributes needed for the post-agg hash; the join output is
+    # already clustered by doc_id, so this adds no exchange
+    per_sent = ov.groupBy("doc_id", "start", "covered_text").agg(
+        F.array_sort(F.collect_set(entry)).alias("cs")
+    )
     body = per_sent.select(
         "doc_id",
         F.concat(
-            F.col("sent_id"),
+            _bigquery_annotation_identifier(
+                F.col("doc_id"), F.col("start"), F.col("covered_text"), "SENTENCE", "sentence"
+            ),
             F.lit("\t"),
             F.array_join(
                 F.transform(

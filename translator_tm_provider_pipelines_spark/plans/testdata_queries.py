@@ -1821,7 +1821,6 @@ def bionlp_export_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             ((F.col("l_partkey") * 7) % 1100 + F.length("p_name")).cast("int").alias("e"),
             F.col("p_name").alias("covered_text"),
         )
-        .distinct()
         .select(
             "doc_id",
             F.lit("concept").alias("annot_type"),
@@ -1830,7 +1829,8 @@ def bionlp_export_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             "covered_text",
         )
     )
-    return ex.bionlp_lines(annots)
+    # dedupe inside the aggregation: one shuffle instead of distinct+groupBy
+    return ex.bionlp_lines(annots, dedupe=True)
 
 
 @register(
