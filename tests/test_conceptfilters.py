@@ -92,6 +92,74 @@ def test_id_text_exclusion_pairs(spark):
     assert _ids(CF.remove_id_text_exclusion_pairs(annots, pairs)) == {("X:1", "mole rat")}
 
 
+def test_id_text_exclusion_default_map(spark):
+    # mirrors testRemoveIdToTextExclusionPairs: built-in map, equalsIgnoreCase
+    annots = spark.createDataFrame(
+        [
+            _a("d1", "CL:0000540", 0, 8, "neuronal"),       # in map → drop
+            _a("d1", "CL:0000540", 23, 29, "neuron"),       # not in map → keep
+            _a("d1", "UBERON:0012131", 38, 47, "Centrally"),  # case-insensitive → drop
+        ],
+        schema=schemas.ANNOTATION,
+    )
+    assert _ids(CF.remove_id_text_exclusion_pairs(annots)) == {("CL:0000540", "neuron")}
+
+
+def test_promote_pr_annots(spark):
+    # mirrors testPromoteAnnots: promoted annotation collides with an
+    # existing identical one and collapses
+    annots = spark.createDataFrame(
+        [
+            _a("d1", "PR:00000000022", 25, 35, "some text"),
+            _a("d1", "PR:00000000000", 25, 35, "some text"),
+            _a("d1", "PR:00000000025", 0, 5, "some text"),
+            _a("d1", "PR:00000000020", 0, 5, "some text"),
+        ],
+        schema=schemas.ANNOTATION,
+    )
+    pm = spark.createDataFrame(
+        [("PR:00000000025", "PR:00000000020")], "concept_id string, promoted_id string"
+    )
+    out = CF.promote_pr_annots(annots, pm)
+    assert out.count() == 3
+    assert _ids(out) == {
+        ("PR:00000000022", "some text"),
+        ("PR:00000000000", "some text"),
+        ("PR:00000000020", "some text"),
+    }
+
+
+def test_convert_extension_to_obo(spark):
+    # mirrors testConvertExtensionToObo: one-to-many extension classes fan
+    # out; unmapped annotations pass through
+    annots = spark.createDataFrame(
+        [
+            _a("d1", "PR_EXT:00000000022", 25, 35, "some text"),
+            _a("d1", "PR:some_extension_cls", 25, 35, "some text"),
+            _a("d1", "PR:00000000025", 0, 5, "some text"),
+            _a("d1", "PR:00000000020", 0, 5, "some text"),
+        ],
+        schema=schemas.ANNOTATION,
+    )
+    em = spark.createDataFrame(
+        [
+            ("PR_EXT:00000000022", "PR:00000000022"),
+            ("PR:some_extension_cls", "PR:00000000123"),
+            ("PR:some_extension_cls", "PR:00000000456"),
+        ],
+        "extension_id string, obo_id string",
+    )
+    out = CF.convert_extension_to_obo(annots, em)
+    assert out.count() == 5
+    assert _ids(out) == {
+        ("PR:00000000022", "some text"),
+        ("PR:00000000123", "some text"),
+        ("PR:00000000456", "some text"),
+        ("PR:00000000025", "some text"),
+        ("PR:00000000020", "some text"),
+    }
+
+
 def test_odd_bracket_filter(spark):
     annots = spark.createDataFrame(
         [
@@ -152,6 +220,47 @@ def test_remove_nested_annotations(spark):
         ("GO:0000725", "recombinational repair"),
         ("CL:1", "recombinational repair"),
     }
+
+
+def test_partial_overlap_keeps_first(spark):
+    # mirrors testHandlingOfPartialOverlapOfConcepts: neither annotation
+    # contains the other — keep the one appearing first in the document
+    annots = spark.createDataFrame(
+        [
+            _a("d1", "UBERON:1", 2700, 2721, "Brca1-/- embryonic stem"),
+            _a("d1", "CL:0002322", 2709, 2734, "embryonic stem      cells"),
+        ],
+        schema=schemas.ANNOTATION,
+    )
+    assert _ids(CF.remove_nested_annotations(annots)) == {
+        ("UBERON:1", "Brca1-/- embryonic stem")
+    }
+
+
+def test_exact_overlap_keeps_both(spark):
+    # mirrors testHandlingOfExactOverlapOfConcepts
+    annots = spark.createDataFrame(
+        [
+            _a("d1", "UBERON:1", 2709, 2734, "embryonic stem      cells"),
+            _a("d1", "CL:0002322", 2709, 2734, "embryonic stem      cells"),
+        ],
+        schema=schemas.ANNOTATION,
+    )
+    assert CF.remove_nested_annotations(annots).count() == 2
+
+
+def test_nested_knockout_from_dropped_annotation(spark):
+    # existence is tested against the ORIGINAL set: [5,20) is dropped by
+    # [0,10), and still knocks out [15,30) even though it was dropped
+    annots = spark.createDataFrame(
+        [
+            _a("d1", "A:1", 0, 10, "aaaaaaaaaa"),
+            _a("d1", "B:2", 5, 20, "bbbbbbbbbbbbbbb"),
+            _a("d1", "C:3", 15, 30, "ccccccccccccccc"),
+        ],
+        schema=schemas.ANNOTATION,
+    )
+    assert _ids(CF.remove_nested_annotations(annots)) == {("A:1", "aaaaaaaaaa")}
 
 
 def test_augmented_section_filter(spark):

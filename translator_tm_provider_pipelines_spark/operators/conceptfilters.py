@@ -138,10 +138,43 @@ def remove_ncbi_stopwords(
     )
 
 
-def remove_id_text_exclusion_pairs(annots: DataFrame, pairs: DataFrame) -> DataFrame:
+#: OGER-normalization false positives enumerated by the reference
+#: (initIdToTextExclusionMap :1340-1368) — the default exclusion list.
+ID_TO_TEXT_EXCLUSION_PAIRS = (
+    ("CL:0000540", "neuronal"),
+    ("GO:0043473", "pigmented"),
+    ("GO:0007349", "cellular"),
+    ("GO:0005694", "chromosomal"),
+    ("UBERON:0000062", "organisms"),
+    ("UBERON:0012131", "central"),
+    ("UBERON:0012131", "centrally"),
+    ("UBERON:3010060", "central"),
+    ("UBERON:3010060", "centrally"),
+    ("UBERON:0001451", "central"),
+    ("UBERON:0001451", "centrally"),
+    ("UBERON:0001427", "radial"),
+    ("UBERON:0001427", "radially"),
+    ("UBERON:0000094", "membrane organization"),
+    ("UBERON:0000160", "intestinal"),
+    ("HP:0030212", "collecting"),
+    ("MONDO:0005047", "sterile"),
+    ("GO:0051179", "local"),
+    ("GO:0008152", "metabolic"),
+    ("GO:0060073", "urine"),
+)
+
+
+def remove_id_text_exclusion_pairs(
+    annots: DataFrame, pairs: DataFrame | None = None
+) -> DataFrame:
     """Drop (concept_id, covered-text) combinations on the exclusion list,
     case-insensitive (removeIdToTextExclusionPairs :1162-1182). ``pairs`` =
-    (concept_id, text) rows; broadcast anti-join."""
+    (concept_id, text) rows; defaults to the reference's built-in
+    ID_TO_TEXT_EXCLUSION_PAIRS map; broadcast anti-join."""
+    if pairs is None:
+        pairs = annots.sparkSession.createDataFrame(
+            list(ID_TO_TEXT_EXCLUSION_PAIRS), "concept_id string, text string"
+        )
     p = pairs.select(
         "concept_id", F.lower(F.col("text")).alias("__extext")
     ).distinct()
@@ -149,6 +182,39 @@ def remove_id_text_exclusion_pairs(annots: DataFrame, pairs: DataFrame) -> DataF
         annots.withColumn("__extext", F.lower("covered_text"))
         .join(F.broadcast(p), ["concept_id", "__extext"], "left_anti")
         .drop("__extext")
+    )
+
+
+def convert_extension_to_obo(annots: DataFrame, extension_map: DataFrame) -> DataFrame:
+    """Convert CRAFT extension-class ids to their OBO id(s)
+    (convertExtensionToObo :1312-1332): a mapped annotation fans out to one
+    row per target OBO id; unmapped annotations pass through unchanged.
+    ``extension_map`` = (extension_id, obo_id) rows — one row per target
+    (a one-to-many extension class appears on several rows). The output is
+    de-duplicated: a converted annotation that collides with an existing
+    one collapses, mirroring the reference's set semantics."""
+    m = extension_map.select(
+        F.col("extension_id").alias("concept_id"), F.col("obo_id").alias("__obo")
+    ).distinct()
+    return (
+        annots.join(F.broadcast(m), "concept_id", "left")
+        .withColumn("concept_id", F.coalesce("__obo", "concept_id"))
+        .drop("__obo")
+        .distinct()
+    )
+
+
+def promote_pr_annots(annots: DataFrame, promotion_map: DataFrame) -> DataFrame:
+    """Promote PR (protein) annotations to their promotion-map target id
+    (promotePrAnnots :1286-1302): mapped ids are replaced, unmapped pass
+    through; promoted annotations that collide with existing ones collapse
+    (set semantics). ``promotion_map`` = (concept_id, promoted_id) rows."""
+    m = promotion_map.select("concept_id", F.col("promoted_id").alias("__pro")).distinct()
+    return (
+        annots.join(F.broadcast(m), "concept_id", "left")
+        .withColumn("concept_id", F.coalesce("__pro", "concept_id"))
+        .drop("__pro")
+        .distinct()
     )
 
 
@@ -237,18 +303,26 @@ def promote_ncbitaxon_annots(annots: DataFrame, taxon_ancestors: DataFrame) -> D
 
 
 def remove_nested_annotations(annots: DataFrame) -> DataFrame:
-    """Drop annotations strictly nested inside another annotation of the
-    same document (removeNestedConceptAnnotations :299-317; identical spans
-    are NOT nested).
+    """Drop annotations nested inside OR partially overlapped by an
+    earlier-starting annotation of the same document
+    (removeNestedConceptAnnotations :299-316 →
+    ExcludeCraftNestedConcepts.identifyNestedAnnotations with
+    ExcludeExactOverlaps.NO): per overlapping pair, identical aggregate
+    spans keep BOTH; a containing annotation beats the contained one; a
+    partial overlap keeps the annotation that appears first in the
+    document (pinned by testHandlingOfPartialOverlapOfConcepts /
+    testHandlingOfExactOverlapOfConcepts). Collapsed, an annotation is
+    dropped iff some annotation STARTING STRICTLY BEFORE it overlaps it,
+    or some SAME-START annotation ends strictly after it — existence is
+    tested against the ORIGINAL set, exactly like the reference's pairwise
+    scan (a dropped annotation can still knock out a later one).
 
     Sweep-line over two window functions instead of a per-document
     self-join (measured 2× faster, and O(n log n) per document instead of
     O(n²) — the self-join's quadratic fan-out is what breaks on documents
-    with thousands of annotations at full scale): an annotation is nested
-    iff some span STARTING STRICTLY BEFORE it ends at-or-after it
-    (running max-end over a range frame) or some SAME-START span ends
-    strictly after it. One exchange on doc_id; the second window reuses
-    the first's partitioning and sort."""
+    with thousands of annotations at full scale): running max-end over the
+    strictly-before range frame, plus a same-start max. One exchange on
+    doc_id; the second window reuses the first's partitioning and sort."""
     keyed = annots.select(
         "*", _agg_start(F.col("spans")).alias("__s"), _agg_end(F.col("spans")).alias("__e")
     )
@@ -263,7 +337,7 @@ def remove_nested_annotations(annots: DataFrame) -> DataFrame:
     ).withColumn("__max_end_same", F.max("__e").over(same_start))
     return keyed.where(
         ~(
-            (F.col("__max_end_before") >= F.col("__e"))
+            (F.col("__max_end_before") > F.col("__s"))
             | (F.col("__max_end_same") > F.col("__e"))
         )
     ).drop("__s", "__e", "__max_end_before", "__max_end_same")

@@ -992,10 +992,14 @@ _STOPWORD_IN = ", ".join(f"'{w}'" for w in cf.DEFAULT_STOPWORDS)
         AND lower(covered_text) NOT IN ({_STOPWORD_IN})
     ),
     nested AS (
+      -- reference overlap resolution (ExcludeCraftNestedConcepts, NO mode):
+      -- dropped iff an earlier-starting annotation overlaps it, or a
+      -- same-start annotation extends strictly beyond it; equal spans stay
       SELECT DISTINCT a.doc_id, a.start, a."end"
       FROM filtered a JOIN filtered b
-        ON a.doc_id = b.doc_id AND b.start <= a.start AND a."end" <= b."end"
-       AND (b.start <> a.start OR b."end" <> a."end")
+        ON a.doc_id = b.doc_id
+       AND ((b.start < a.start AND b."end" > a.start)
+         OR (b.start = a.start AND b."end" > a."end"))
     )
     SELECT f.doc_id, f.concept_id, f.start, f."end", f.covered_text
     FROM filtered f LEFT JOIN nested n
