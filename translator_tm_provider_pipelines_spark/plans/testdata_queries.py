@@ -61,13 +61,22 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events.parquet stores TIMESTAMP(NANOS) which Spark's parquet reader
-    rejects; read it as a nanos LONG (legacy conf, runtime-settable) and
-    expose ``ts_ns``. Epoch math uses integer DIV — nanos exceed 2^53, so
-    double division would lose precision."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    """events.parquet's ``ts`` arrives as TIMESTAMP_NTZ on PySpark 4.x (the
+    3.x ``nanosAsLong`` legacy conf is gone); expose ``ts_ns`` as epoch
+    nanoseconds. ``timestampdiff`` against the NTZ epoch is timezone-free,
+    so the value equals DuckDB's ``epoch_ns(ts)`` for the same parquet.
+    Epoch math downstream uses integer DIV — nanos exceed 2^53, so double
+    division would lose precision."""
     e = read_table(spark, sf_dir, "events")
-    return e.withColumn("ts_ns", F.col("ts").cast("long"))
+    ts_type = dict(e.dtypes).get("ts", "")
+    if ts_type in ("bigint", "long"):  # reader already delivered raw nanos
+        ts_ns = F.col("ts")
+    else:
+        ts_ns = F.expr(
+            "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', "
+            "cast(ts as timestamp_ntz)) * 1000"
+        )
+    return e.withColumn("ts_ns", ts_ns.cast("long"))
 
 
 # ---------------------------------------------------------------------------
