@@ -107,3 +107,11 @@ def test_lsh_band_join_not_ambiguous(spark):
     )
     bands = {r.doc_id: r.band_sig for r in dedup.lsh_bands(sigs, rows_per_band=4).collect()}
     assert bands["a"] != bands["b"]
+
+
+def test_topk_similar_pairs_no_all_pairs_join(spark):
+    # the registered query must use banded-LSH candidates + verification,
+    # never an all-pairs self-join (cartesian / nested-loop on vec_a<vec_b)
+    p = plan_text(spark, "topk_similar_pairs")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p

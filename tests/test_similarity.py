@@ -60,3 +60,16 @@ def test_seed_centroids_sparse_ids(spark, emb):
     shifted = emb.selectExpr("vec_id + 1000 as vec_id", "embedding")
     cents = similarity.seed_centroids(shifted, n_lists=4)
     assert len(cents) == 4 and cents[0][0] == 1000
+
+
+def test_topk_pairs_lsh_matches_exact(spark, emb):
+    sub = emb.where(F.col("vec_id") < 200)
+    exact = [tuple(r) for r in similarity.topk_similar_pairs(sub, k=20).collect()]
+    lsh = [tuple(r) for r in similarity.topk_similar_pairs_lsh(sub, k=20).collect()]
+    assert lsh == exact
+
+
+def test_topk_pairs_lsh_bucket_cap(spark, emb):
+    # a cap of 1 drops every bucket → no candidates survive
+    capped = similarity.topk_similar_pairs_lsh(emb, k=20, max_bucket_size=1)
+    assert capped.count() == 0

@@ -67,8 +67,9 @@ def topk_similar_pairs(
     vec_col: str = "embedding",
     scale: int = 6,
 ) -> DataFrame:
-    """Top-k most-similar vector pairs (exact, all-pairs — use only on
-    bounded subsets; the LSH path below is the scale variant)."""
+    """Top-k most-similar vector pairs (exact, all-pairs — the oracle /
+    small-n reference; :func:`topk_similar_pairs_lsh` is the scale path
+    and must agree with this on corpora where LSH recall is total)."""
     a = embeddings.select(F.col(id_col).alias("vec_a"), F.col(vec_col).alias("ea"))
     b = embeddings.select(F.col(id_col).alias("vec_b"), F.col(vec_col).alias("eb"))
     pairs = a.join(b, F.col("vec_a") < F.col("vec_b"))
@@ -76,6 +77,107 @@ def topk_similar_pairs(
         "vec_a",
         "vec_b",
         F.round(cosine(F.col("ea"), F.col("eb")), scale).alias("cosine"),
+    )
+    return scored.orderBy(F.col("cosine").desc(), F.col("vec_a"), F.col("vec_b")).limit(k)
+
+
+def banded_lsh_candidate_pairs(
+    embeddings: DataFrame,
+    n_dims: int,
+    n_bands: int = 16,
+    band_planes: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 6,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Candidate (vec_a, vec_b) pairs via banded random-hyperplane LSH —
+    the embedding analogue of dedup's MinHash banding: a pair is a
+    candidate iff it collides in ANY band's sign-bit bucket.
+
+    Shape mirrors ``dedup.lsh_candidate_pairs``: bucketing is a narrow
+    projection (one explode, no join against the corpus), pairs expand
+    JVM-side inside each bucket row after ONE shuffle on (band, bucket),
+    and ``max_bucket_size`` caps pathological buckets at scale. Collision
+    probability per band is (1 - θ/π)^band_planes, so recall of high-cosine
+    pairs rises with ``n_bands`` and selectivity with ``band_planes`` —
+    grow ``band_planes`` ~log(n) to keep bucket sizes flat as the corpus
+    grows."""
+    all_planes = hyperplanes(n_bands * band_planes, n_dims)
+    band_cols = [
+        F.concat(
+            F.lit(f"{b}:"),
+            rp_lsh_bucket(
+                F.col(vec_col), all_planes[b * band_planes : (b + 1) * band_planes], scale
+            ),
+        )
+        for b in range(n_bands)
+    ]
+    bucketed = embeddings.select(
+        F.col(id_col).alias("vec_id"),
+        F.explode(F.array(*band_cols)).alias("band_bucket"),
+    )
+    buckets = (
+        bucketed.groupBy("band_bucket")
+        .agg(F.array_sort(F.collect_set("vec_id")).alias("vs"))
+        .where(F.size("vs") >= 2)
+    )
+    if max_bucket_size is not None:
+        buckets = buckets.where(F.size("vs") <= max_bucket_size)
+    pair = F.explode(
+        F.flatten(
+            F.transform(
+                F.col("vs"),
+                lambda x, i: F.transform(
+                    F.slice(
+                        F.col("vs"), i + F.lit(2), F.greatest(F.size("vs") - i - 1, F.lit(0))
+                    ),
+                    lambda y: F.struct(x.alias("vec_a"), y.alias("vec_b")),
+                ),
+            )
+        )
+    )
+    return buckets.select(pair.alias("p")).select("p.vec_a", "p.vec_b").distinct()
+
+
+def topk_similar_pairs_lsh(
+    embeddings: DataFrame,
+    k: int = 20,
+    n_dims: int = 64,
+    n_bands: int = 16,
+    band_planes: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 6,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Scale path for top-k similar pairs: banded-LSH candidate generation
+    followed by exact cosine verification on candidates only — no all-pairs
+    self-join anywhere in the plan. With enough bands the candidate set
+    contains every top-k pair and the result is identical to the exact
+    form (the registered query is hash-checked against the all-pairs
+    oracle); at 100 TB the candidate volume is governed by band/bucket
+    parameters instead of n²."""
+    pairs = banded_lsh_candidate_pairs(
+        embeddings,
+        n_dims=n_dims,
+        n_bands=n_bands,
+        band_planes=band_planes,
+        id_col=id_col,
+        vec_col=vec_col,
+        scale=scale,
+        max_bucket_size=max_bucket_size,
+    )
+    ea = embeddings.select(F.col(id_col).alias("vec_a"), F.col(vec_col).alias("ea"))
+    eb = embeddings.select(F.col(id_col).alias("vec_b"), F.col(vec_col).alias("eb"))
+    scored = (
+        pairs.join(ea, "vec_a")
+        .join(eb, "vec_b")
+        .select(
+            "vec_a",
+            "vec_b",
+            F.round(cosine(F.col("ea"), F.col("eb")), scale).alias("cosine"),
+        )
     )
     return scored.orderBy(F.col("cosine").desc(), F.col("vec_a"), F.col("vec_b")).limit(k)
 
@@ -99,14 +201,17 @@ def hyperplanes(n_planes: int, n_dims: int) -> list[list[float]]:
     return [[_plane_component(p, d) for d in range(n_dims)] for p in range(n_planes)]
 
 
-def rp_lsh_bucket(vec_col: Column, planes: list[list[float]]) -> Column:
+def rp_lsh_bucket(vec_col: Column, planes: list[list[float]], scale: int = 6) -> Column:
     """Bucket id = sign bits of the vector against each hyperplane,
     as a bit string ('0110...'). Vectors in the same bucket are likely
-    cosine neighbors (probability 1 - θ/π per plane)."""
+    cosine neighbors (probability 1 - θ/π per plane). The dot product is
+    ROUNDED before the sign test so the bit pattern is stable across
+    engines (summation-order float noise ≪ the rounding scale)."""
     bits = [
-        F.when(dot(vec_col, F.array(*[F.lit(c) for c in plane])) >= 0, F.lit("1")).otherwise(
-            F.lit("0")
-        )
+        F.when(
+            F.round(dot(vec_col, F.array(*[F.lit(c) for c in plane])), scale) >= 0,
+            F.lit("1"),
+        ).otherwise(F.lit("0"))
         for plane in planes
     ]
     return F.concat(*bits)
@@ -202,8 +307,9 @@ def ann_lsh(
     touches one partition instead of the full corpus."""
     planes = hyperplanes(n_planes, len(query_vec))
     qbits = "".join(
-        "1" if sum(c * v for c, v in zip(plane, query_vec)) >= 0 else "0" for plane in planes
+        "1" if round(sum(c * v for c, v in zip(plane, query_vec)), scale) >= 0 else "0"
+        for plane in planes
     )
-    bucketed = embeddings.withColumn("bucket", rp_lsh_bucket(F.col(vec_col), planes))
+    bucketed = embeddings.withColumn("bucket", rp_lsh_bucket(F.col(vec_col), planes, scale))
     cands = bucketed.where(F.col("bucket") == qbits)
     return knn_brute_force(cands, query_vec, k=k, id_col=id_col, vec_col=vec_col, scale=scale)

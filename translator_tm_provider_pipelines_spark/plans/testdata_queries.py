@@ -1475,10 +1475,13 @@ def knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def topk_similar_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding near-dup shape: top-20 most-similar pairs within a bounded
-    id range (all-pairs exact — the LSH path is the scale variant)."""
+    """Embedding near-dup shape: top-20 most-similar pairs. Runs the
+    banded-LSH scale path (candidate buckets → exact-cosine verification,
+    no all-pairs self-join) and is hash-checked against the all-pairs SQL
+    oracle — LSH recall is total at these band settings, verified at
+    sf0.01 and sf0.1 by tests/test_similarity."""
     emb = _t(spark, sf_dir, "embeddings").where(F.col("vec_id") < 200)
-    return similarity.topk_similar_pairs(emb, k=20)
+    return similarity.topk_similar_pairs_lsh(emb, k=20)
 
 
 @register(
@@ -1536,11 +1539,55 @@ def ann_ivf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ann_ivf(emb, qvec, k=10, n_lists=16, nprobe=4)
 
 
-@register("ann_lsh_cosine")  # no oracle: approximate-by-design (rows-only check)
+def _lsh_planes_sql(n_planes: int, n_dims: int) -> str:
+    """Inline the md5-deterministic hyperplane constants as a VALUES table
+    ``planes(p, i, c)`` (1-based dim index, matching list_extract), so the
+    DuckDB oracle reproduces the exact bucketing arithmetic."""
+    rows = ", ".join(
+        f"({p}, {d + 1}, {c!r})"
+        for p, plane in enumerate(similarity.hyperplanes(n_planes, n_dims))
+        for d, c in enumerate(plane)
+    )
+    return f"planes AS (SELECT * FROM (VALUES {rows}) AS t(p, i, c))"
+
+
+@register(
+    "ann_lsh_cosine",
+    f"""
+    WITH {_lsh_planes_sql(6, 64)},
+    dots AS (
+      SELECT e.vec_id, pl.p,
+             round(sum(cast(list_extract(e.embedding, pl.i) AS double) * pl.c), 6) AS d
+      FROM embeddings e, planes pl GROUP BY 1, 2
+    ),
+    buckets AS (
+      SELECT vec_id,
+             string_agg(CASE WHEN d >= 0 THEN '1' ELSE '0' END, '' ORDER BY p) AS bucket
+      FROM dots GROUP BY 1
+    ),
+    qb AS (SELECT bucket FROM buckets WHERE vec_id = 0),
+    q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+    {_COS_EXPAND},
+    cand AS (
+      SELECT e.vec_id, e.embedding FROM embeddings e
+      JOIN buckets b ON b.vec_id = e.vec_id JOIN qb ON b.bucket = qb.bucket
+    ),
+    scored AS (
+      SELECT c.vec_id,
+             round(sum(cast(list_extract(c.embedding, i) AS double) * cast(list_extract(q.qe, i) AS double))
+                   / (sqrt(sum(cast(list_extract(c.embedding, i) AS double) * cast(list_extract(c.embedding, i) AS double)))
+                      * sqrt(sum(cast(list_extract(q.qe, i) AS double) * cast(list_extract(q.qe, i) AS double)))), 6) AS cosine
+      FROM cand c, q, pos GROUP BY 1
+    )
+    SELECT vec_id, cosine FROM scored ORDER BY cosine DESC, vec_id LIMIT 10
+    """,
+)
 def ann_lsh_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Random-hyperplane LSH ANN: bucket the corpus, score only the query's
-    bucket. Approximate → no SQL oracle; correctness covered by unit tests
-    (bucket determinism + recall vs brute force)."""
+    bucket. The hyperplanes are md5-deterministic and the sign test runs on
+    the ROUNDED dot product, so the whole approximate pipeline is
+    value-checked against a DuckDB oracle that inlines the same plane
+    constants (same approach as ``ann_ivf_cosine``)."""
     emb = _t(spark, sf_dir, "embeddings")
     qvec = [r[0] for r in emb.where(F.col("vec_id") == 0).select(F.explode("embedding")).collect()]
     return similarity.ann_lsh(emb, qvec, k=10, n_planes=6)
