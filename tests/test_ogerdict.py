@@ -1,0 +1,133 @@
+"""OGER dictionary builders: OBO parsing, rule chain, per-ontology configs."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from translator_tm_provider_pipelines_spark.operators import ner, ogerdict
+from translator_tm_provider_pipelines_spark.sources import obo
+
+FIXTURE = os.path.join(os.path.dirname(__file__), "fixtures", "sample.obo")
+
+
+@pytest.fixture(scope="module")
+def terms(spark):
+    return obo.read_obo_terms(spark, FIXTURE)
+
+
+@pytest.fixture(scope="module")
+def built(spark, terms):
+    from translator_tm_provider_pipelines_spark.plans.testdata_queries import (
+        _TEST_DICT_CONFIG,
+    )
+
+    rows = ogerdict.build_oger_dictionary(terms, _TEST_DICT_CONFIG).collect()
+    return {(r.concept_id, r.term, r.case_sensitive) for r in rows}, rows
+
+
+def test_obo_parse_fields(terms):
+    t = {r.term_id: r for r in terms.collect()}
+    assert t["TEST:0001"].label == "merge sort"
+    assert t["TEST:0001"].exact_synonyms == ["merge-sort"]
+    assert t["TEST:0001"].related_synonyms == ["external merge"]
+    assert t["TEST:0002"].parents == ["TEST:0001"]
+    assert t["TEST:0006"].is_obsolete
+    # escaped quote in synonym is unescaped at parse time
+    assert 'seq" scan' in t["TEST:0003"].exact_synonyms
+
+
+def test_transitive_descendants(spark, terms):
+    ids = {r.id for r in ogerdict.transitive_descendants(terms, ["TEST:0008"]).collect()}
+    assert ids == {"TEST:0008", "TEST:0004"}
+    ids = {r.id for r in ogerdict.transitive_descendants(terms, ["TEST:0001"]).collect()}
+    assert ids == {"TEST:0001", "TEST:0002"}
+
+
+def test_builder_rule_chain(built):
+    keyed, rows = built
+    # label + EXACT + RELATED synonyms, plus config addition
+    for term in ("merge sort", "merge-sort", "external merge", "sort merge join"):
+        assert ("TEST:0001", term, False) in keyed
+    # stopword 'the' and short 'ab' pruned
+    assert not any(r.term in ("the", "ab") for r in rows)
+    # case-sensitive split + all-caps alternate
+    assert ("TEST:0002", "HASH1", True) in keyed
+    assert ("TEST:0002", "Hash1", True) in keyed
+    assert ("TEST:0002", "hash join", False) in keyed
+    # trailing parenthetical stripped from the label
+    assert ("TEST:0003", "table scan", False) in keyed
+    assert all(r.primary_label == "table scan" for r in rows if r.concept_id == "TEST:0003")
+    # per-class removal
+    assert not any(r.term == "full scan" for r in rows)
+    # virus + formerly augments
+    assert ("TEST:0005", "query virus", False) in keyed
+    assert ("TEST:0005", "batch stream", False) in keyed
+    # excluded root, its descendant, obsolete and excluded class emit nothing
+    assert not any(
+        r.concept_id in ("TEST:0004", "TEST:0006", "TEST:0008", "TEST:0009") for r in rows
+    )
+    # prefix filter
+    assert not any(r.concept_id.startswith("OTHER") for r in rows)
+    # mixed-case and >40%-uppercase terms are case-sensitive
+    assert ("TEST:0007", "slowDown", True) in keyed
+    assert ("TEST:0007", "BIG data", True) in keyed
+
+
+def test_id_add_on(spark, terms):
+    cfg = ogerdict.OgerDictConfig(
+        ont_key="TEST_X", main_type="t", id_prefix="TEST", id_add_on="_X"
+    )
+    ids = {
+        r.concept_id
+        for r in ogerdict.build_oger_dictionary(terms, cfg).collect()
+    }
+    assert ids and all(i.startswith("TEST_X:") for i in ids)
+
+
+def test_activity_stripped(spark):
+    t = spark.createDataFrame(
+        [("GO:1", "kinase activity", [], [], [], [], [], [], False)],
+        "term_id string, label string, exact_synonyms array<string>, "
+        "related_synonyms array<string>, broad_synonyms array<string>, "
+        "narrow_synonyms array<string>, parents array<string>, xrefs array<string>, "
+        "is_obsolete boolean",
+    )
+    cfg = ogerdict.OgerDictConfig(
+        ont_key="GO_MF", main_type="molecular_function", id_prefix="GO",
+        id_add_on="_MF", add_activity_stripped=True,
+    )
+    terms_out = {r.term for r in ogerdict.build_oger_dictionary(t, cfg).collect()}
+    assert terms_out == {"kinase activity", "kinase"}
+
+
+def test_reference_configs_registered():
+    for key in ("CL", "GO_BP", "GO_CC", "GO_MF", "HP", "MONDO", "UBERON", "NCBITaxon", "SO"):
+        cfg = ogerdict.CONFIGS[key]
+        assert cfg.ont_key == key and cfg.main_type
+    assert ogerdict.CONFIGS["MONDO"].min_term_length == 4
+    assert ogerdict.CONFIGS["GO_BP"].id_add_on == "_BP"
+
+
+def test_dictionary_feeds_ner(spark, terms):
+    from translator_tm_provider_pipelines_spark.plans.testdata_queries import (
+        _TEST_DICT_CONFIG,
+    )
+
+    d = ogerdict.build_oger_dictionary(terms, _TEST_DICT_CONFIG)
+    dictionary = ner.normalize_dictionary(
+        d.where(~F.col("case_sensitive")).select("term", "concept_id")
+    )
+    docs = spark.createDataFrame(
+        [("d1", "the table scan beats a batch stream merge sort today")],
+        "doc_id string, content string",
+    )
+    found = {
+        (r.concept_id, r.covered_text)
+        for r in ner.dictionary_concept_recognition(docs, dictionary).collect()
+    }
+    assert ("TEST:0003", "table scan") in found
+    assert ("TEST:0005", "batch stream") in found
+    assert ("TEST:0001", "merge sort") in found

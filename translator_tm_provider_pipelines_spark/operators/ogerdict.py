@@ -1,0 +1,581 @@
+"""OGER dictionary builders: ontology → (term, concept_id) match dictionary.
+
+Re-expresses the reference's ``oger/util/OgerDictFileFactory.java`` and its
+per-ontology subclasses (``oger/dict/*OgerDictFileFactory.java``) as ONE
+declarative DataFrame pipeline parameterized by :class:`OgerDictConfig`.
+Where the reference subclasses override ``augmentSynonyms`` imperatively,
+here every ontology is a config row: exclusion roots, per-class synonym
+removals/additions and spelling-variant flags — the full rule set becomes
+array expressions + two broadcast-size joins.
+
+Semantics mirrored from the reference (file:line cites inline):
+- synonym set = label + EXACT (+RELATED) synonyms, cleaned
+  (``getSynonyms``, OgerDictFileFactory.java:128-139);
+- label cleanup: unescape quotes, strip unbalanced trailing quote, strip a
+  trailing parenthetical (``fixLabel`` :644-668) — applied when the synonym
+  set is built AND again at emit, exactly like the reference (which calls
+  ``fixLabels`` in getSynonyms and ``fixLabel`` in getDictLine);
+- stopword / minimum-length pruning (``removeStopWords`` :228-240,
+  ``removeWordsLessThenLength`` :247-255);
+- case-sensitivity split + all-caps alternates (``getCaseSensitiveSynonyms``
+  :145-171, ``isCaseSensitive`` :180-222);
+- CURIE processing with optional GO sub-ontology add-on (``getDictLine``
+  :606-630).
+
+The output feeds ``ner.normalize_dictionary`` →
+``ner.dictionary_concept_recognition`` directly, closing the
+ontology-file → NER loop that the reference runs out-of-band.
+
+Scale: ontologies are dimension tables (NCBITaxon, the largest, is a few
+million terms). Parsing is distributed (sources/obo.py); everything here is
+narrow array logic plus broadcast joins against literal-sized side tables;
+the descendant closure iterates one broadcast join per hierarchy level.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.obo import curie
+from .conceptfilters import DEFAULT_STOPWORDS
+
+EXACT_ONLY = "EXACT_ONLY"
+EXACT_PLUS_RELATED = "EXACT_PLUS_RELATED"
+
+
+@dataclass(frozen=True)
+class OgerDictConfig:
+    """Declarative equivalent of one ``*OgerDictFileFactory`` subclass."""
+
+    ont_key: str
+    main_type: str
+    id_prefix: str | None = None  # CURIE prefix filter; default = ont_key
+    syn_selection: str = EXACT_ONLY
+    excluded_roots: tuple[str, ...] = ()  # CURIEs; descendants excluded too
+    excluded_classes: tuple[str, ...] = ()  # CURIEs; emit nothing for these
+    removed_synonyms: tuple[tuple[str, str], ...] = ()  # (CURIE, term) drops
+    added_synonyms: tuple[tuple[str, str], ...] = ()  # (CURIE, term) adds
+    min_term_length: int = 3
+    id_add_on: str | None = None  # '_BP' → GO_BP:0008150
+    add_virus_contractions: bool = False  # '... virus infection' → '... virus'
+    add_formerly_stripped: bool = False  # drop ', formerly' / '(formerly)'
+    add_hemo_variants: bool = False  # hemo… → haemo…
+    add_heart_cardiac: bool = False  # heart → cardiac
+    add_activity_stripped: bool = False  # '... activity' → '...' (GO_MF)
+    stopwords: tuple[str, ...] = field(default_factory=lambda: tuple(DEFAULT_STOPWORDS))
+
+
+def fix_label(c: Column) -> Column:
+    """``fixLabel`` (OgerDictFileFactory.java:644-668): unescape ``\\"``,
+    drop a trailing quote when the quote count is odd, strip one trailing
+    space-separated parenthetical, trim."""
+    c = F.regexp_replace(c, r'\\"', '"')
+    quotes = F.length(c) - F.length(F.regexp_replace(c, '"', ""))
+    c = F.when(
+        (quotes % 2 == 1) & c.endswith('"'), F.substring(c, F.lit(1), F.length(c) - 1)
+    ).otherwise(c)
+    c = F.regexp_replace(c, r" \([^)]+\)$", "")
+    return F.trim(c)
+
+
+def _single_token_cs(t: Column) -> Column:
+    """Token-level case-sensitivity (isCaseSensitive single-token rules,
+    OgerDictFileFactory.java:185-212). Note the reference's
+    ``s.matches("^\\d")`` uses Java full-string matching, so that clause
+    fires only for a lone digit character — mirrored literally."""
+    trimmed = F.trim(t)
+    uc = F.length(F.regexp_replace(trimmed, "[^A-Z0-9]", ""))
+    ratio_cs = (F.length(trimmed) > 0) & (uc / F.length(trimmed) > 0.4)
+    return t.rlike("^[0-9]$") | ratio_cs | t.rlike("[a-z][A-Z]")
+
+
+def is_case_sensitive(s: Column) -> Column:
+    """Full case-sensitivity rule incl. the any-token clause
+    (OgerDictFileFactory.java:215-221)."""
+    toks = F.split(s, " ")
+    return _single_token_cs(s) | (
+        (F.size(toks) > 1) & F.exists(toks, _single_token_cs)
+    )
+
+
+def transitive_descendants(
+    terms: DataFrame, root_ids: list[str]
+) -> DataFrame:
+    """CURIE ids of ``root_ids`` and every descendant via ``is_a``
+    (``getExclusionClasses``, OgerDictFileFactory.java:262-276).
+
+    One broadcast join per hierarchy level against the (dimension-size)
+    edge list; the loop runs on the driver but each level's data stays
+    distributed. Ontology depth is ~10-30, so this is a bounded number of
+    cheap stages, not an unbounded iteration."""
+    spark = terms.sparkSession
+    edges = terms.select(
+        F.explode("parents").alias("parent"), F.col("term_id").alias("child")
+    ).select(curie(F.col("parent")).alias("parent"), curie(F.col("child")).alias("child"))
+    acc = spark.createDataFrame([(r,) for r in root_ids], "id string").distinct()
+    frontier = acc
+    while True:
+        nxt = (
+            edges.join(F.broadcast(frontier), edges.parent == frontier.id)
+            .select(F.col("child").alias("id"))
+            .distinct()
+            .join(acc, "id", "left_anti")
+        )
+        nxt = nxt.persist()
+        if nxt.count() == 0:
+            nxt.unpersist()
+            return acc
+        acc = acc.unionByName(nxt).persist()
+        frontier = nxt
+
+
+def build_oger_dictionary(terms: DataFrame, config: OgerDictConfig) -> DataFrame:
+    """Ontology term dimension (sources/obo.read_obo_terms) →
+    (ont_key, concept_id, term, primary_label, main_type, case_sensitive).
+
+    Stage order matches ``createOgerDictionaryFile`` +
+    ``augmentSynonyms`` in the reference subclasses: synonym set → fix
+    labels → stopwords → spelling-variant augments → min-length →
+    per-class removals → per-class additions → class exclusions → case
+    split (+all-caps alternates) → CURIE/add-on processing → final label
+    fix → distinct."""
+    spark = terms.sparkSession
+    prefix = config.id_prefix or config.ont_key
+
+    base = terms.where(~F.col("is_obsolete")).where(
+        F.split(curie(F.col("term_id")), ":").getItem(0) == prefix
+    )
+    base = base.where(F.col("label").isNotNull() & (F.col("label") != ""))
+
+    if config.excluded_roots:
+        excluded = transitive_descendants(terms, list(config.excluded_roots))
+        base = base.join(
+            F.broadcast(excluded),
+            curie(base.term_id) == excluded.id,
+            "left_anti",
+        )
+
+    syn_cols = [F.array(F.col("label")), F.col("exact_synonyms")]
+    if config.syn_selection == EXACT_PLUS_RELATED:
+        syn_cols.append(F.col("related_synonyms"))
+    syns = F.array_distinct(F.transform(F.concat(*syn_cols), fix_label))
+
+    sw = [w.lower() for w in config.stopwords]
+    syns = F.filter(syns, lambda x: ~F.lower(x).isin(sw))
+
+    if config.add_virus_contractions:
+        # MondoOgerDictFileFactory.augmentVirusSynonyms :123-137
+        adds = F.transform(
+            F.filter(syns, lambda x: x.endswith("virus infection") | x.endswith("virus infections")),
+            lambda x: F.regexp_replace(x, " infections?$", ""),
+        )
+        syns = F.array_distinct(F.concat(syns, adds))
+    if config.add_formerly_stripped:
+        # MondoOgerDictFileFactory.augmentSynonymsWithFormerly :104-116
+        adds = F.transform(
+            F.filter(syns, lambda x: x.contains(", formerly") | x.contains("(formerly)")),
+            lambda x: F.replace(F.replace(x, F.lit(", formerly")), F.lit("(formerly)")),
+        )
+        syns = F.array_distinct(F.concat(syns, adds))
+    if config.add_hemo_variants:
+        # MondoOgerDictFileFactory.augmentHemoSynonyms :144-152 (startsWith,
+        # but Java String.replace replaces every occurrence)
+        adds = F.transform(
+            F.filter(syns, lambda x: x.startswith("hemo")),
+            lambda x: F.replace(x, F.lit("hemo"), F.lit("haemo")),
+        )
+        syns = F.array_distinct(F.concat(syns, adds))
+    if config.add_heart_cardiac:
+        # MondoOgerDictFileFactory.augmentHeartSynonyms :159-167
+        adds = F.transform(
+            F.filter(syns, lambda x: x.contains("heart")),
+            lambda x: F.replace(x, F.lit("heart"), F.lit("cardiac")),
+        )
+        syns = F.array_distinct(F.concat(syns, adds))
+
+    syns = F.filter(syns, lambda x: F.length(x) >= config.min_term_length)
+
+    rows = base.select(
+        curie(F.col("term_id")).alias("concept_id"),
+        fix_label(F.col("label")).alias("primary_label"),
+        F.explode(syns).alias("term"),
+    )
+
+    if config.removed_synonyms:
+        removals = spark.createDataFrame(
+            list(config.removed_synonyms), "concept_id string, term string"
+        )
+        rows = rows.join(F.broadcast(removals), ["concept_id", "term"], "left_anti")
+
+    if config.added_synonyms:
+        additions = spark.createDataFrame(
+            list(config.added_synonyms), "concept_id string, term string"
+        )
+        labels = base.select(
+            curie(F.col("term_id")).alias("concept_id"),
+            fix_label(F.col("label")).alias("primary_label"),
+        )
+        rows = rows.unionByName(
+            labels.join(F.broadcast(additions), "concept_id").select(
+                "concept_id", "primary_label", "term"
+            )
+        )
+
+    if config.add_activity_stripped:
+        # GoMfOgerDictFileFactory.augmentActivitySynonyms (runs after the
+        # min-length / per-class filters; its outputs are not re-filtered)
+        rows = rows.unionByName(
+            rows.where(F.col("term").endswith(" activity")).withColumn(
+                "term", F.regexp_replace("term", " activity$", "")
+            )
+        )
+
+    if config.excluded_classes:
+        rows = rows.where(~F.col("concept_id").isin(list(config.excluded_classes)))
+
+    # case split + all-caps alternate forms (Brca1 for BRCA1):
+    # getCaseSensitiveSynonyms, OgerDictFileFactory.java:145-171
+    rows = rows.withColumn("case_sensitive", is_case_sensitive(F.col("term")))
+    alternates = (
+        rows.where(F.col("case_sensitive") & F.col("term").rlike("^[A-Z]+[0-9]+$"))
+        .withColumn(
+            "term",
+            F.concat(
+                F.substring("term", 1, 1), F.lower(F.substring("term", 2, 10_000))
+            ),
+        )
+    )
+    rows = rows.unionByName(alternates)
+
+    if config.id_add_on:
+        parts = F.split(F.col("concept_id"), ":")
+        rows = rows.withColumn(
+            "concept_id",
+            F.concat(
+                parts.getItem(0), F.lit(config.id_add_on), F.lit(":"), parts.getItem(1)
+            ),
+        )
+
+    return rows.select(
+        F.lit(config.ont_key).alias("ont_key"),
+        "concept_id",
+        fix_label(F.col("term")).alias("term"),
+        "primary_label",
+        F.lit(config.main_type).alias("main_type"),
+        "case_sensitive",
+    ).distinct()
+
+
+# ---------------------------------------------------------------------------
+# Reference per-ontology configs (oger/dict/*OgerDictFileFactory.java) —
+# the imperative subclasses collapse to data. Exclusion/filter lists are
+# reproduced from the cited constructors/maps.
+# ---------------------------------------------------------------------------
+
+_P = ""  # CURIEs below are already prefix-form
+
+CL_CONFIG = OgerDictConfig(
+    # ClOgerDictFileFactory.java:16-40
+    ont_key="CL",
+    main_type="cell",
+    excluded_classes=("CL:0000000", "CL:0000378", "CL:0000619"),
+    added_synonyms=(
+        ("CL:0000601", "outer hair cell"),
+        ("CL:0000589", "inner hair cell"),
+    ),
+)
+
+GO_BP_CONFIG = OgerDictConfig(
+    # GoBpOgerDictFileFactory.java:18-77
+    ont_key="GO_BP",
+    main_type="biological_process",
+    id_prefix="GO",
+    id_add_on="_BP",
+    excluded_roots=("GO:0003674", "GO:0005575"),  # MF, CC
+    excluded_classes=(
+        # exclusion is checked on the raw CURIE, before the _BP add-on
+        "GO:0003002",
+        "GO:0023052",
+        "GO:0035282",
+        "GO:0007612",
+        "GO:0007610",
+        "GO:0050890",
+        "GO:0046960",
+    ),
+    removed_synonyms=(
+        ("GO:0009056", "breakdown"),
+        ("GO:0051179", "localisation"),
+    ),
+    added_synonyms=(("GO:0000380", "alternative splicing"),),
+)
+
+GO_CC_CONFIG = OgerDictConfig(
+    # GoCcOgerDictFileFactory.java:14-40
+    ont_key="GO_CC",
+    main_type="cellular_component",
+    id_prefix="GO",
+    id_add_on="_CC",
+    excluded_roots=("GO:0003674", "GO:0008150"),  # MF, BP
+    added_synonyms=(("GO:0005730", "nucleoli"),),
+)
+
+GO_MF_CONFIG = OgerDictConfig(
+    # GoMfOgerDictFileFactory.java:7-88
+    ont_key="GO_MF",
+    main_type="molecular_function",
+    id_prefix="GO",
+    id_add_on="_MF",
+    excluded_roots=("GO:0005575", "GO:0008150"),  # CC, BP
+    excluded_classes=(
+        "GO:0141047",
+        "GO:0015267",
+        "GO:0048018",
+        "GO:0022804",
+        "GO:0022836",
+        "GO:0031386",
+        # the reference also lists purl+'GO:0005488' (binding), but that
+        # string can never equal a real IRI (which uses GO_0005488) — the
+        # entry is inert there and therefore omitted here
+    ),
+    removed_synonyms=(("GO:0008158", "patched activity"),),
+    add_activity_stripped=True,
+)
+
+HP_CONFIG = OgerDictConfig(
+    # HpOgerDictFileFactory.java:14-62
+    ont_key="HP",
+    main_type="phenotype",
+    excluded_roots=(
+        "HP:0012823",
+        "HP:0040279",
+        "HP:0032443",
+        "HP:0000005",
+        "HP:0032223",
+    ),
+    excluded_classes=("HP:0001548",),
+    removed_synonyms=(
+        ("HP:0030212", "Collecting"),
+        ("HP:0000733", "Stereotyped"),
+    ),
+)
+
+MONDO_CONFIG = OgerDictConfig(
+    # MondoOgerDictFileFactory.java:15-204
+    ont_key="MONDO",
+    main_type="disease",
+    min_term_length=4,
+    add_virus_contractions=True,
+    add_formerly_stripped=True,
+    add_hemo_variants=True,
+    add_heart_cardiac=True,
+    excluded_roots=("MONDO:0021125", "MONDO:0042489"),
+    excluded_classes=(
+        "MONDO:0000001",
+        "MONDO:0002254",
+        "MONDO:0021178",
+        "MONDO:0006025",
+        "MONDO:0000429",
+        "MONDO:0003847",
+        "MONDO:0700096",
+        "MONDO:0020683",
+        "MONDO:0002409",
+        "MONDO:0002657",
+        "MONDO:0045024",
+        "MONDO:0004995",
+        "MONDO:0003900",
+        "MONDO:0004335",
+        "MONDO:0021147",
+        "MONDO:0002022",
+        "MONDO:0024458",
+        "MONDO:0005151",
+        "MONDO:0005570",
+        "MONDO:0043543",
+        "MONDO:0700007",
+        "MONDO:0005046",
+        "MONDO:0021166",
+        "MONDO:0002051",
+        "MONDO:0005066",
+        "MONDO:0044970",
+        "MONDO:0006858",
+        "MONDO:0002081",
+        "MONDO:0005071",
+        "MONDO:0005137",
+        "MONDO:0700003",
+        "MONDO:0100366",
+        "MONDO:0024623",
+        "MONDO:0100086",
+        "MONDO:0029000",
+        "MONDO:0002025",
+        "MONDO:0043459",
+        "MONDO:0005039",
+        "MONDO:0005087",
+        "MONDO:0044991",
+        "MONDO:0002118",
+    ),
+    removed_synonyms=(
+        ("MONDO:0005059", "blood"),
+        ("MONDO:0008568", "defect"),
+        ("MONDO:0015074", "THYROID"),
+        ("MONDO:0007620", "fed"),
+        ("MONDO:0000179", "nuclear localization signal"),
+        ("MONDO:0044688", "ion"),
+        ("MONDO:0015404", "rich"),
+        ("MONDO:0005002", "cold"),
+        ("MONDO:0006767", "gave"),
+        ("MONDO:0005386", "pad"),
+        ("MONDO:0010953", "face"),
+        ("MONDO:0005047", "sterile"),
+        ("MONDO:0009994", "arms"),
+        ("MONDO:0007127", "dish"),
+        ("MONDO:0019065", "amyloid"),
+        ("MONDO:0015595", "pale"),
+        ("MONDO:0006466", "settle"),
+        ("MONDO:0014493", "chai"),
+        ("MONDO:0004938", "dependence"),
+        ("MONDO:0015285", "lamb"),
+    ),
+    added_synonyms=(
+        ("MONDO:0005129", "cataracts"),
+        ("MONDO:0005044", "hypertension"),
+    ),
+)
+
+UBERON_CONFIG = OgerDictConfig(
+    # UberonOgerDictFileFactory.java:14-93
+    ont_key="UBERON",
+    main_type="anatomy",
+    excluded_roots=("UBERON:0000104",),
+    excluded_classes=(
+        "UBERON:2000106",
+        "UBERON:0004529",
+        "UBERON:0000914",
+        "UBERON:0000025",
+        "UBERON:0002542",
+        "UBERON:0002415",
+        "UBERON:0010164",
+        "UBERON:0000014",
+        "UBERON:0000026",
+        "UBERON:0000170",
+    ),
+    removed_synonyms=(
+        ("UBERON:2001463", "bars"),
+        ("UBERON:2001463", "bar"),
+        ("UBERON:2001463", "stripe"),
+        ("UBERON:2001463", "stripes"),
+        ("UBERON:0014402", "sex-specific"),
+        ("UBERON:0014402", "gender-specific"),
+        ("UBERON:2000859", "ha(pu)"),
+        ("UBERON:2000859", "ha"),
+        ("UBERON:0003062", "shield"),
+        ("UBERON:0003062", "organizer"),
+        ("UBERON:0007380", "scales"),
+        ("UBERON:0001093", "axis"),
+        ("UBERON:2000271", "radials"),
+        ("UBERON:0000104", "life"),
+        ("UBERON:2000006", "ball"),
+        ("UBERON:0001137", "back"),
+        ("UBERON:2001840", "tip"),
+        ("UBERON:2002284", "markings"),
+        ("UBERON:2000438", "phy"),
+        ("UBERON:0002488", "helix (auricula)"),
+        ("UBERON:0002488", "helix"),
+        ("UBERON:0000180", "lateral region"),
+    ),
+    added_synonyms=(
+        ("UBERON:0000970", "eyes"),
+        ("UBERON:0001690", "ears"),
+    ),
+)
+
+NCBITAXON_CONFIG = OgerDictConfig(
+    # NcbiTaxonOgerDictFileFactory.java:30-103
+    ont_key="NCBITaxon",
+    main_type="organism",
+    excluded_roots=("NCBITaxon#:taxonomic_rank",),
+    excluded_classes=("NCBITaxon:3493", "NCBITaxon:169495"),
+    removed_synonyms=(
+        ("NCBITaxon:201850", "Car"),
+        ("NCBITaxon:5882", "Glaucoma"),
+        ("NCBITaxon:1369087", "Data"),
+        ("NCBITaxon:1", "root"),
+        ("NCBITaxon:15957", "Timothy"),
+        ("NCBITaxon:6754", "Cancer"),
+        ("NCBITaxon:3554", "β"),
+        ("NCBITaxon:3554", "Beta"),
+        ("NCBITaxon:1118549", "Electron"),
+        ("NCBITaxon:79338", "Codon"),
+        ("NCBITaxon:29278", "vectors"),
+        ("NCBITaxon:1233420", "vectors (genetic code 6)"),
+        ("NCBITaxon:3863", "Lens"),
+        ("NCBITaxon:9596", "Pan"),
+        ("NCBITaxon:49990", "Thymus"),
+        ("NCBITaxon:228055", "Nasa"),
+        ("NCBITaxon:274080", "Camera"),
+        ("NCBITaxon:37965", "hybrid"),
+        ("NCBITaxon:117893", "rays"),
+        ("NCBITaxon:1925465", "Major"),
+        ("NCBITaxon:189528", "Indicator"),
+    ),
+    added_synonyms=(("NCBITaxon:6239", "C. elegans"),),
+)
+
+SO_CONFIG = OgerDictConfig(
+    # SoOgerDictFileFactory.java:14-118 (filterSpecificSynonyms map)
+    ont_key="SO",
+    main_type="sequence_feature",
+    excluded_roots=("SO:0001237", "SO:0000104", "SO:0000400", "SO:0001060"),
+    excluded_classes=("SO:0000695", "SO:0000340", "SO:0002072", "SO:0000699"),
+    removed_synonyms=(
+        ("SO:0000667", "insertion"),
+        ("SO:0000001", "region"),
+        ("SO:0000001", "sequence"),
+        ("SO:0001236", "base"),
+        ("SO:0000984", "single"),
+        ("SO:0000699", "junction"),
+        ("SO:0001411", "biological region"),
+        ("SO:0000104", "polypeptide"),
+        ("SO:0000104", "protein"),
+        ("SO:1000029", "deficiency"),
+        ("SO:0000440", "vector"),
+        ("SO:0000804", "construct"),
+        ("SO:0001514", "direct"),
+        ("SO:0001248", "assembly"),
+        ("SO:0000985", "double"),
+        ("SO:0000856", "conserved"),
+        ("SO:0000051", "probe"),
+        ("SO:0000343", "match"),
+        ("SO:0000151", "clone"),
+        ("SO:0000731", "fragment"),
+        ("SO:0001516", "free"),
+        ("SO:0000324", "tag"),
+        ("SO:0001635", "upstream"),
+        ("SO:0000068", "overlapping"),
+        ("SO:0001515", "inverted"),
+        ("SO:0000146", "capped"),
+        ("SO:0000150", "read"),
+        ("SO:0000933", "intermediate"),
+        ("SO:0000814", "rescue"),
+        ("SO:0000119", "regulated"),
+        ("SO:1000002", "substitution"),
+        ("SO:0001085", "conlict"),
+        ("SO:0000700", "remark"),
+    ),
+)
+
+CONFIGS: dict[str, OgerDictConfig] = {
+    c.ont_key: c
+    for c in (
+        CL_CONFIG,
+        GO_BP_CONFIG,
+        GO_CC_CONFIG,
+        GO_MF_CONFIG,
+        HP_CONFIG,
+        MONDO_CONFIG,
+        UBERON_CONFIG,
+        NCBITAXON_CONFIG,
+        SO_CONFIG,
+    )
+}

@@ -1961,3 +1961,220 @@ def sentence_cooccurrence_export_q(spark: SparkSession, sf_dir: str) -> DataFram
         F.lit("x").alias("covered_text"),
     )
     return ex.sentence_cooccurrence_lines(sents, concs)
+
+
+# ---------------------------------------------------------------------------
+# OGER dictionary building (oger/dict/*OgerDictFileFactory.java parity)
+# ---------------------------------------------------------------------------
+
+import os as _os
+
+from ..operators import ogerdict
+from ..sources import obo
+
+_OBO_FIXTURE = _os.path.join(
+    _os.path.dirname(_os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))),
+    "tests",
+    "fixtures",
+    "sample.obo",
+)
+
+#: fixture config exercising every builder rule: EXACT+RELATED synonyms,
+#: excluded root (+descendant via is_a), excluded individual class, per-class
+#: synonym removal/addition, virus/formerly spelling augments, stopword and
+#: min-length pruning, case-sensitivity split with all-caps alternates.
+_TEST_DICT_CONFIG = ogerdict.OgerDictConfig(
+    ont_key="TEST",
+    main_type="operator",
+    syn_selection=ogerdict.EXACT_PLUS_RELATED,
+    excluded_roots=("TEST:0008",),
+    excluded_classes=("TEST:0009",),
+    removed_synonyms=(("TEST:0003", "full scan"),),
+    added_synonyms=(("TEST:0001", "sort merge join"),),
+    add_virus_contractions=True,
+    add_formerly_stripped=True,
+)
+
+
+def _sql_fixlabel(x: str) -> str:
+    """DuckDB twin of ogerdict.fix_label (OgerDictFileFactory fixLabel)."""
+    y = f'replace({x}, \'\\"\', \'"\')'
+    dequoted = (
+        f"CASE WHEN (length({y}) - length(replace({y}, '\"', ''))) % 2 = 1 "
+        f"AND {y} LIKE '%\"' THEN substr({y}, 1, length({y}) - 1) ELSE {y} END"
+    )
+    return f"trim(regexp_replace({dequoted}, ' \\([^)]+\\)$', ''))"
+
+
+def _sql_tok_cs(t: str) -> str:
+    """DuckDB twin of ogerdict._single_token_cs."""
+    tr = f"trim({t})"
+    return (
+        f"(regexp_matches({t}, '^[0-9]$') OR "
+        f"(length({tr}) > 0 AND "
+        f"length(regexp_replace({tr}, '[^A-Z0-9]', '', 'g')) * 1.0 / length({tr}) > 0.4) OR "
+        f"regexp_matches({t}, '[a-z][A-Z]'))"
+    )
+
+
+_SQL_IS_CS = (
+    f"({_sql_tok_cs('term')} OR (array_length(string_split(term, ' ')) > 1 AND "
+    f"len(list_filter(string_split(term, ' '), zz -> {_sql_tok_cs('zz')})) > 0))"
+)
+
+_OGER_DICT_ORACLE = f"""
+    WITH RECURSIVE
+    raw AS (
+      SELECT trim(unnest(string_split(content, chr(10) || chr(10)))) AS stanza
+      FROM read_text('{_OBO_FIXTURE}')
+    ),
+    t AS (
+      SELECT regexp_extract(stanza, '(?m)^id: (\\S+)', 1) AS term_id,
+             regexp_extract(stanza, '(?m)^name: (.*?)\\s*$', 1) AS label_raw,
+             regexp_extract_all(stanza, '(?m)^synonym: "((?:[^"\\\\]|\\\\.)*)" EXACT', 1) AS exact_syns,
+             regexp_extract_all(stanza, '(?m)^synonym: "((?:[^"\\\\]|\\\\.)*)" RELATED', 1) AS rel_syns,
+             regexp_extract_all(stanza, '(?m)^is_a: (\\S+)', 1) AS parents,
+             regexp_matches(stanza, '(?m)^is_obsolete: true') AS obsolete
+      FROM raw WHERE stanza LIKE '[Term]%'
+    ),
+    excl AS (
+      SELECT 'TEST:0008' AS id
+      UNION
+      SELECT t.term_id FROM t, excl WHERE list_contains(t.parents, excl.id)
+    ),
+    base AS (
+      SELECT term_id, {_sql_fixlabel('label_raw')} AS primary_label,
+             list_distinct(list_transform(
+               list_concat(list_concat([label_raw], exact_syns), rel_syns),
+               s -> {_sql_fixlabel('s')})) AS syns0
+      FROM t
+      WHERE NOT obsolete AND term_id LIKE 'TEST:%' AND label_raw <> ''
+            AND term_id NOT IN (SELECT id FROM excl)
+    ),
+    sw AS (
+      SELECT term_id, primary_label,
+             list_filter(syns0, s -> NOT list_contains([{_STOPWORD_IN}], lower(s))) AS syns1
+      FROM base
+    ),
+    aug AS (
+      SELECT term_id, primary_label,
+        list_distinct(list_concat(list_concat(syns1,
+          list_transform(
+            list_filter(syns1, s -> s LIKE '%virus infection' OR s LIKE '%virus infections'),
+            s -> regexp_replace(s, ' infections?$', ''))),
+          list_transform(
+            list_filter(syns1, s -> s LIKE '%, formerly%' OR s LIKE '%(formerly)%'),
+            s -> replace(replace(s, ', formerly', ''), '(formerly)', '')))) AS syns2
+      FROM sw
+    ),
+    exploded AS (
+      SELECT term_id AS concept_id, primary_label,
+             unnest(list_filter(syns2, s -> length(s) >= 3)) AS term
+      FROM aug
+    ),
+    afterrm AS (
+      SELECT * FROM exploded
+      WHERE NOT (concept_id = 'TEST:0003' AND term = 'full scan')
+    ),
+    withadds AS (
+      SELECT * FROM afterrm
+      UNION ALL
+      SELECT 'TEST:0001',
+             (SELECT primary_label FROM base WHERE term_id = 'TEST:0001'),
+             'sort merge join'
+    ),
+    kept AS (SELECT * FROM withadds WHERE concept_id <> 'TEST:0009'),
+    flagged AS (
+      SELECT concept_id, primary_label, term, {_SQL_IS_CS} AS case_sensitive
+      FROM kept
+    ),
+    withalts AS (
+      SELECT * FROM flagged
+      UNION ALL
+      SELECT concept_id, primary_label,
+             substr(term, 1, 1) || lower(substr(term, 2)) AS term, true AS case_sensitive
+      FROM flagged WHERE case_sensitive AND regexp_matches(term, '^[A-Z]+[0-9]+$')
+    )
+    SELECT DISTINCT 'TEST' AS ont_key, concept_id,
+           {_sql_fixlabel('term')} AS term, primary_label,
+           'operator' AS main_type, case_sensitive
+    FROM withalts
+"""
+
+
+@register("oger_dictionary", _OGER_DICT_ORACLE)
+def oger_dictionary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ontology-file → OGER match dictionary (OgerDictFileFactory parity):
+    parses the fixture OBO distributively, applies the full synonym /
+    exclusion / case-split rule chain, value-checked against a DuckDB twin
+    that recomputes every rule (incl. a recursive-CTE descendant closure)
+    from the same file."""
+    terms = obo.read_obo_terms(spark, _OBO_FIXTURE)
+    return ogerdict.build_oger_dictionary(terms, _TEST_DICT_CONFIG)
+
+
+_ONTOLOGY_NER_ORACLE = f"""
+    WITH tok_parts AS (
+      SELECT doc_id,
+             string_split(regexp_replace(text, '([A-Za-z0-9]+)', chr(30) || '\\1' || chr(30), 'g'), chr(30)) AS ps
+      FROM documents
+    ),
+    tok_pos AS (SELECT unnest(generate_series(1, 1024)) AS p),
+    toks0 AS (
+      SELECT doc_id, p, list_extract(ps, p) AS part,
+             length(coalesce(array_to_string(list_slice(ps, 1, p - 1), ''), '')) AS off
+      FROM tok_parts, tok_pos WHERE p <= len(ps)
+    ),
+    toks AS (
+      SELECT doc_id, row_number() OVER (PARTITION BY doc_id ORDER BY p) AS ti,
+             cast(off AS int) AS start, cast(off + length(part) AS int) AS "end", part AS token
+      FROM toks0 WHERE regexp_matches(part, '^[A-Za-z0-9]+$')
+    ),
+    grams AS (
+      SELECT doc_id, start,
+             token AS t0, lead(token, 1) OVER w AS t1, lead(token, 2) OVER w AS t2,
+             "end" AS e0, lead("end", 1) OVER w AS e1, lead("end", 2) OVER w AS e2
+      FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY ti)
+    ),
+    cand AS (
+      SELECT doc_id, start, e0 AS "end", t0 AS gram FROM grams
+      UNION ALL
+      SELECT doc_id, start, e1, t0 || ' ' || t1 FROM grams WHERE t1 IS NOT NULL
+      UNION ALL
+      SELECT doc_id, start, e2, t0 || ' ' || t1 || ' ' || t2 FROM grams WHERE t2 IS NOT NULL
+    ),
+    odict AS (
+      SELECT DISTINCT
+             lower(array_to_string(regexp_extract_all(term, '([A-Za-z0-9]+)', 1), ' ')) AS term,
+             concept_id
+      FROM ({_OGER_DICT_ORACLE})
+      WHERE NOT case_sensitive
+            AND array_to_string(regexp_extract_all(term, '([A-Za-z0-9]+)', 1), ' ') <> ''
+    )
+    SELECT c.doc_id, d.concept_id, c.start, c."end", c.gram AS covered_text
+    FROM cand c JOIN odict d ON lower(c.gram) = d.term
+"""
+
+
+@register("ontology_dictionary_ner", _ONTOLOGY_NER_ORACLE)
+def ontology_dictionary_ner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end ontology → dictionary → NER: build the OGER dictionary
+    from the fixture OBO, normalize it, and run the broadcast n-gram
+    matcher over ``documents`` — closing the loop the reference runs
+    out-of-band between its dict factories and OGER services. Uses the
+    case-insensitive dictionary half, like OGER's case-insensitive file."""
+    terms = obo.read_obo_terms(spark, _OBO_FIXTURE)
+    d = ogerdict.build_oger_dictionary(terms, _TEST_DICT_CONFIG)
+    raw_terms = d.where(~F.col("case_sensitive")).select("term", "concept_id")
+    dictionary = ner.normalize_dictionary(raw_terms)
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("doc_id"), F.col("text").alias("content")
+    )
+    annots = ner.dictionary_concept_recognition(docs, dictionary, max_term_tokens=3)
+    return annots.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        "concept_id",
+        F.col("spans").getItem(0).getField("start").alias("start"),
+        F.col("spans").getItem(0).getField("end").alias("end"),
+        "covered_text",
+    )
