@@ -2178,3 +2178,141 @@ def ontology_dictionary_ner(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("spans").getItem(0).getField("end").alias("end"),
         "covered_text",
     )
+
+
+# ---------------------------------------------------------------------------
+# Ontology → KGX export (kg/ontology_kg/OntologyToKgx.java)
+# ---------------------------------------------------------------------------
+
+from ..operators import kgxontology as kgo
+
+_KG_FIXTURE = _os.path.join(
+    _os.path.dirname(_OBO_FIXTURE), "sample_kg.obo"
+)
+
+_KG_PREFIX_CASES = " ".join(
+    f"WHEN '{p}' THEN '{c}'" for p, c in kgo.PREFIX_CATEGORIES.items()
+)
+_KG_GO_CASES = " ".join(
+    f"WHEN '{n}' THEN '{c}'" for n, c in kgo.GO_NAMESPACE_CATEGORIES.items()
+)
+_KG_REL_VALUES = ", ".join(
+    f"('{rel}', '{lbl}', '{cur}')" for rel, (lbl, cur) in kgo.RELATION_MAP.items()
+)
+_KG_ASSOC_VALUES = ", ".join(
+    f"('{sc}', '{tc}', '{rel}', '{assoc}')"
+    for (sc, tc, rel), assoc in kgo.ASSOCIATION_MAP.items()
+)
+
+#: shared CTE block: parse the KG fixture, compute the SO-gene closure and
+#: per-class biolink categories exactly as OntologyToKgx does
+_KG_ATTRS_CTES = f"""
+    raw AS (
+      SELECT trim(unnest(string_split(content, chr(10) || chr(10)))) AS stanza
+      FROM read_text('{_KG_FIXTURE}')
+    ),
+    t AS (
+      SELECT regexp_extract(stanza, '(?m)^id: (\\S+)', 1) AS term_id,
+             regexp_extract(stanza, '(?m)^name: (.*?)\\s*$', 1) AS label,
+             regexp_extract(stanza, '(?m)^namespace: (.*?)\\s*$', 1) AS namespace,
+             regexp_extract_all(stanza, '(?m)^is_a: (\\S+)', 1) AS parents,
+             regexp_extract_all(stanza, '(?m)^relationship: (\\S+) (\\S+)', 1) AS rel_names,
+             regexp_extract_all(stanza, '(?m)^relationship: (\\S+) (\\S+)', 2) AS rel_targets,
+             regexp_extract_all(stanza, '(?m)^xref: (\\S+)', 1) AS xrefs,
+             regexp_matches(stanza, '(?m)^is_obsolete: true') AS obsolete
+      FROM raw WHERE stanza LIKE '[Term]%'
+    ),
+    genes AS (
+      SELECT '{kgo.SO_GENE}' AS id
+      UNION
+      SELECT t.term_id FROM t, genes WHERE list_contains(t.parents, genes.id)
+    ),
+    attrs AS (
+      SELECT term_id, label, parents, rel_names, rel_targets,
+             list_min(list_filter(xrefs, x -> x LIKE 'UniProtKB:%')) AS uniprot_id,
+             CASE WHEN cat0 IS NULL AND term_id = '{kgo.OBI_ORGANISM}'
+                  THEN '{kgo.BIOLINK_ORGANISMAL_ENTITY}'
+                  ELSE coalesce(cat0, '{kgo.BIOLINK_THING}') END AS category
+      FROM (
+        SELECT *,
+          CASE WHEN string_split(term_id, ':')[1] = 'GO'
+                 THEN (CASE namespace {_KG_GO_CASES} ELSE NULL END)
+               WHEN string_split(term_id, ':')[1] IN ({", ".join(f"'{p}'" for p in kgo.PREFIX_CATEGORIES)})
+                 THEN (CASE string_split(term_id, ':')[1] {_KG_PREFIX_CASES} ELSE NULL END)
+               WHEN term_id IN (SELECT id FROM genes) THEN 'biolink:Gene'
+               ELSE NULL END AS cat0
+        FROM t
+      )
+    )
+"""
+
+
+@register(
+    "ontology_kgx_nodes",
+    f"""
+    WITH RECURSIVE
+    {_KG_ATTRS_CTES}
+    SELECT id, name, category FROM (
+      SELECT term_id AS id, label AS name, category FROM attrs
+      UNION ALL
+      SELECT uniprot_id AS id, label AS name, 'biolink:GeneProduct' AS category
+      FROM attrs WHERE uniprot_id IS NOT NULL
+    ) QUALIFY row_number() OVER (PARTITION BY id ORDER BY id) = 1
+    """,
+)
+def ontology_kgx_nodes_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OntologyToKgx node export: per-class biolink category (prefix map,
+    GO namespace, SO-gene ancestry via recursive closure) + UniProtKB
+    GeneProduct nodes — the oracle recomputes categories from the same
+    OBO fixture with a recursive CTE."""
+    terms = obo.read_obo_terms(spark, _KG_FIXTURE)
+    return kgo.ontology_kgx_nodes(terms)
+
+
+@register(
+    "ontology_kgx_edges",
+    f"""
+    WITH RECURSIVE
+    {_KG_ATTRS_CTES},
+    rel_map(rel, edge_label, relation) AS (VALUES {_KG_REL_VALUES}),
+    assoc_map(sc, tc, rel, assoc) AS (VALUES {_KG_ASSOC_VALUES}),
+    raw_edges AS (
+      SELECT term_id AS subject, category AS sc, 'SUBCLASS_OF' AS rel,
+             unnest(parents) AS object
+      FROM attrs
+      UNION ALL
+      SELECT term_id AS subject, category AS sc,
+             list_extract(rel_names, i) AS rel, list_extract(rel_targets, i) AS object
+      FROM attrs, (SELECT unnest(generate_series(1, 64)) AS i)
+      WHERE i <= len(rel_names)
+    ),
+    typed AS (
+      SELECT e.subject, m.edge_label, e.object, m.relation,
+             coalesce(a.assoc, 'null') AS association_type
+      FROM raw_edges e
+      JOIN rel_map m ON m.rel = e.rel
+      JOIN attrs tgt ON tgt.term_id = e.object
+      LEFT JOIN assoc_map a
+        ON a.sc = e.sc AND a.tc = tgt.category
+       AND a.rel = (CASE WHEN e.rel = 'SUBCLASS_OF' THEN 'SUBCLASS_OF' ELSE m.relation END)
+    ),
+    uniprot AS (
+      SELECT term_id AS subject, 'biolink:same_as' AS edge_label,
+             uniprot_id AS object, 'owl:equivalentClass' AS relation,
+             'biolink:GeneToGeneAssociation' AS association_type
+      FROM attrs WHERE uniprot_id IS NOT NULL
+    )
+    SELECT DISTINCT subject, edge_label, object, relation, association_type
+    FROM (SELECT * FROM typed UNION ALL SELECT * FROM uniprot)
+    """,
+)
+def ontology_kgx_edges_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OntologyToKgx edge export: SUBCLASS_OF + typed relationship edges +
+    UniProt same-as, with (source cat, target cat, relation) association
+    resolution. The base64-sha1 edge id (KgxEdge.getId) is dropped from
+    the oracle-checked projection — DuckDB has no sha1 — and is pinned
+    bit-exact against hashlib in tests/test_kgx_ontology.py."""
+    terms = obo.read_obo_terms(spark, _KG_FIXTURE)
+    return kgo.ontology_kgx_edges(terms).select(
+        "subject", "edge_label", "object", "relation", "association_type"
+    )

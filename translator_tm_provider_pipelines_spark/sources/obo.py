@@ -62,6 +62,14 @@ def read_obo_terms(spark: SparkSession, path: str) -> DataFrame:
         F.regexp_extract_all(
             F.col("stanza"), F.lit(r"(?m)^is_a: (\S+)"), 1
         ).alias("parents"),
+        F.arrays_zip(
+            F.regexp_extract_all(
+                F.col("stanza"), F.lit(r"(?m)^relationship: (\S+) (\S+)"), 1
+            ).alias("rel"),
+            F.regexp_extract_all(
+                F.col("stanza"), F.lit(r"(?m)^relationship: (\S+) (\S+)"), 2
+            ).alias("target"),
+        ).alias("relationships"),
         syns("EXACT").alias("exact_synonyms"),
         syns("RELATED").alias("related_synonyms"),
         syns("BROAD").alias("broad_synonyms"),
