@@ -74,6 +74,26 @@ def main() -> None:
     }
     if errors:
         out["errors"] = errors
+
+    # regression guard: compare against the committed round-1 baseline
+    # (BASELINE_BENCH.json; VERDICT r1 asks ≤2× per query). Queries added
+    # after the baseline round have no reference point and are skipped.
+    baseline_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BASELINE_BENCH.json")
+    if os.path.isfile(baseline_path) and sf == 0.1:
+        with open(baseline_path) as f:
+            base = json.load(f)
+        shared = [q for q in timings if q in base["queries"]]
+        base_total = round(sum(base["queries"][q] for q in shared), 3)
+        cur_total = round(sum(timings[q] for q in shared), 3)
+        out["baseline"] = {
+            "total_sec": base_total,
+            "ratio": round(cur_total / base_total, 3) if base_total else None,
+            "regressions": {
+                q: round(timings[q] / base["queries"][q], 2)
+                for q in shared
+                if base["queries"][q] > 0.2 and timings[q] / base["queries"][q] > 2.0
+            },
+        }
     print(json.dumps(out))
     sys.stdout.flush()
     spark.stop()

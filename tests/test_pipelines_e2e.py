@@ -146,3 +146,54 @@ def test_register_views_sql_surface(spark, docs):
     register_views(spark, {"docs_view": docs})
     n = spark.sql("SELECT count(*) AS n FROM docs_view").collect()[0].n
     assert n == 3
+
+
+def test_write_upsert_sqlite(spark, tmp_path):
+    """K3 upsert semantics (ConceptCooccurrenceMetricsPipeline.java:316-355):
+    executor-side batched INSERT..ON CONFLICT DO UPDATE through a DB-API
+    factory — batches smaller than the row count, updates not duplicates."""
+    import functools
+    import sqlite3
+
+    db = str(tmp_path / "scores.db")
+    conn = sqlite3.connect(db)
+    conn.execute(
+        "CREATE TABLE cooccurrence_scores ("
+        "cooccurrence_id TEXT, level TEXT, pair_count INTEGER, ngd REAL, "
+        "PRIMARY KEY (cooccurrence_id, level))"
+    )
+    conn.commit()
+    conn.close()
+
+    rows = [(f"id{i}", "document", i, float(i) / 10) for i in range(10)]
+    df = spark.createDataFrame(
+        rows, "cooccurrence_id string, level string, pair_count long, ngd double"
+    )
+    connect = functools.partial(sqlite3.connect, db, timeout=30)
+    # batchsize 3 < 10 rows → multiple executemany batches per partition
+    sinks.write_upsert(
+        df, connect, "cooccurrence_scores", ["cooccurrence_id", "level"],
+        batchsize=3, num_partitions=1,
+    )
+    # second load with changed values must UPDATE in place, not append
+    updated = df.selectExpr(
+        "cooccurrence_id", "level", "pair_count + 100 AS pair_count", "ngd + 1.0 AS ngd"
+    )
+    sinks.write_upsert(
+        updated, connect, "cooccurrence_scores", ["cooccurrence_id", "level"],
+        batchsize=3, num_partitions=1,
+    )
+
+    conn = sqlite3.connect(db)
+    got = conn.execute(
+        "SELECT cooccurrence_id, pair_count, ngd FROM cooccurrence_scores ORDER BY cooccurrence_id"
+    ).fetchall()
+    conn.close()
+    assert len(got) == 10
+    assert all(pc >= 100 for _, pc, _ in got)
+    assert got[0] == ("id0", 100, 1.0)
+
+
+def test_upsert_sql_all_key_columns():
+    sql = sinks._upsert_sql("t", ["a", "b"], ["a", "b"])
+    assert sql.endswith("DO NOTHING")
