@@ -2316,3 +2316,200 @@ def ontology_kgx_edges_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kgo.ontology_kgx_edges(terms).select(
         "subject", "edge_label", "object", "relation", "association_type"
     )
+
+
+# ---------------------------------------------------------------------------
+# TRAPI backend serialization (trapi/*.java)
+# ---------------------------------------------------------------------------
+
+from ..operators import trapi
+
+_TRAPI_URI_VALUES = ", ".join(
+    f"('{p}', '{u}')" for p, u in trapi.URI_PREFIXES.items()
+)
+_BL = "https://w3id.org/biolink/vocab/"
+
+
+@register(
+    "trapi_ontology_nt",
+    f"""
+    WITH RECURSIVE
+    {_KG_ATTRS_CTES},
+    uri_map(prefix, uri) AS (VALUES {_TRAPI_URI_VALUES}),
+    nodes AS (
+      SELECT id, name, category FROM (
+        SELECT term_id AS id, label AS name, category FROM attrs
+        UNION ALL
+        SELECT uniprot_id AS id, label AS name, 'biolink:GeneProduct' AS category
+        FROM attrs WHERE uniprot_id IS NOT NULL
+      ) QUALIFY row_number() OVER (PARTITION BY id ORDER BY id) = 1
+    ),
+    nuri AS (
+      SELECT n.*, '<' || m.uri || string_split(n.id, ':')[2] || '>' AS uri
+      FROM nodes n JOIN uri_map m ON m.prefix = string_split(n.id, ':')[1]
+    ),
+    rel_map(rel, edge_label, relation) AS (VALUES {_KG_REL_VALUES}),
+    raw_edges AS (
+      SELECT term_id AS subject, 'SUBCLASS_OF' AS rel, unnest(parents) AS object
+      FROM attrs
+      UNION ALL
+      SELECT term_id AS subject, list_extract(rel_names, i) AS rel,
+             list_extract(rel_targets, i) AS object
+      FROM attrs, (SELECT unnest(generate_series(1, 64)) AS i)
+      WHERE i <= len(rel_names)
+      UNION ALL
+      SELECT term_id AS subject, 'UNIPROT_SAME_AS' AS rel, uniprot_id AS object
+      FROM attrs WHERE uniprot_id IS NOT NULL
+    ),
+    edges AS (
+      SELECT DISTINCT e.subject,
+             CASE WHEN e.rel = 'UNIPROT_SAME_AS' THEN 'biolink:same_as'
+                  ELSE m.edge_label END AS edge_label,
+             e.object
+      FROM raw_edges e LEFT JOIN rel_map m ON m.rel = e.rel
+      WHERE e.rel = 'UNIPROT_SAME_AS' OR m.rel IS NOT NULL
+    ),
+    node_lines AS (
+      SELECT uri || ' <{_BL}id> "' || id || '"@en .' AS line FROM nuri
+      UNION ALL
+      SELECT uri || ' <http://www.w3.org/2000/01/rdf-schema#label> "' || name || '"@en .' FROM nuri
+      UNION ALL
+      SELECT uri || ' <http://www.w3.org/2000/01/rdf-schema#subClassOf> <'
+             || replace(category, 'biolink:', '{_BL}') || '> .' FROM nuri
+    ),
+    edge_lines AS (
+      SELECT s.uri || ' <' || replace(e.edge_label, 'biolink:', '{_BL}') || '> ' || o.uri || ' .' AS line
+      FROM edges e
+      JOIN nuri s ON s.id = e.subject
+      JOIN nuri o ON o.id = e.object
+    )
+    SELECT line FROM node_lines UNION ALL SELECT line FROM edge_lines
+    """,
+)
+def trapi_ontology_nt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OntologyKgTrapiBackendSerializer parity: the sample-KG KGX nodes
+    and edges as N-triples lines (biolink id / rdfs label / subClassOf per
+    node, one biolink-predicate triple per edge). strict=False mirrors
+    the drop of prefixes absent from the reference's URI switch (UBERON
+    here), which the oracle reproduces with an inner join on the same
+    prefix→URI table."""
+    terms = obo.read_obo_terms(spark, _KG_FIXTURE)
+    nodes = kgo.ontology_kgx_nodes(terms)
+    edges = kgo.ontology_kgx_edges(terms)
+    return trapi.ontology_nodes_nt(nodes, strict=False).unionByName(
+        trapi.ontology_edges_nt(edges, strict=False)
+    )
+
+
+@register(
+    "trapi_assoc_nt",
+    f"""
+    WITH {_CLS_SQL},
+    ev AS (
+      SELECT sha256(doc || text || sub || '5 12' || obj || '20 30' || '{_CLS_ASSOC}') AS evid,
+             sha256(sub || obj || '{_CLS_ASSOC}') AS aid,
+             doc, text, sub, obj
+      FROM cls
+    ),
+    entities AS (
+      SELECT DISTINCT id FROM (SELECT sub AS id FROM cls UNION ALL SELECT obj FROM cls)
+    ),
+    euri AS (
+      SELECT id, '<http://purl.obolibrary.org/obo/' || replace(id, ':', '_') || '>' AS uri,
+             id LIKE 'PR:%' AS is_pr
+      FROM entities
+    ),
+    entity_lines AS (
+      SELECT uri || ' <{_BL}id> "' || id || '"@en .' AS line FROM euri
+      UNION ALL
+      SELECT uri || ' <http://www.w3.org/2000/01/rdf-schema#label> "' || id || '"@en .' FROM euri
+      UNION ALL
+      SELECT uri || ' <http://www.w3.org/2000/01/rdf-schema#subClassOf> <'
+             || '{_BL}' || (CASE WHEN is_pr THEN 'GeneProduct' ELSE 'ChemicalSubstance' END) || '> .'
+      FROM euri
+      UNION ALL
+      SELECT uri || ' <http://www.w3.org/2000/01/rdf-schema#subClassOf> <{_BL}GeneOrGeneProduct> .'
+      FROM euri WHERE is_pr
+    ),
+    evn AS (
+      SELECT '<_:' || evid || '_evidence>' AS bn, evid, aid, doc, text, sub, obj FROM ev
+    ),
+    evidence_lines AS (
+      SELECT bn || ' <http://www.w3.org/1999/02/22-rdf-syntax-ns#type> <{_BL}InformationContentEntity> .' AS line FROM evn
+      UNION ALL SELECT bn || ' <http://www.w3.org/1999/02/22-rdf-syntax-ns#type> <{_BL}TextMinedEvidence> .' FROM evn
+      UNION ALL SELECT bn || ' <{_BL}id> "' || evid || '"@en .' FROM evn
+      UNION ALL SELECT bn || ' <{_BL}name> "Evidence: ' || sub || ' -pos-reg-> ' || obj || '"@en .' FROM evn
+      UNION ALL SELECT bn || ' <{_BL}publications> "PMID:' || doc || '"@en .' FROM evn
+      UNION ALL SELECT bn || ' <{_BL}sentence> "' || text || '"@en .' FROM evn
+      UNION ALL SELECT bn || ' <{_BL}subject_spans> "start: 5, end: 12"@en .' FROM evn
+      UNION ALL SELECT bn || ' <{_BL}object_spans> "start: 20, end: 30"@en .' FROM evn
+      UNION ALL SELECT bn || ' <{_BL}provided_by> "TMProvider"@en .' FROM evn
+      UNION ALL SELECT bn || ' <{_BL}score> "0.99"^^<http://www.w3.org/2001/XMLSchema#decimal> .' FROM evn
+    ),
+    edg AS (
+      SELECT aid, sub, obj, evid,
+             '<_:' || aid || '_subj>' AS si, '<_:' || aid || '_obj>' AS oi, '<_:' || aid || '_assoc>' AS ai,
+             '<http://purl.obolibrary.org/obo/' || replace(sub, ':', '_') || '>' AS su,
+             '<http://purl.obolibrary.org/obo/' || replace(obj, ':', '_') || '>' AS ou
+      FROM ev
+    ),
+    edge_lines AS (
+      SELECT si || ' <http://www.w3.org/1999/02/22-rdf-syntax-ns#type> <{_BL}ChemicalSubstance> .' AS line FROM edg
+      UNION ALL SELECT si || ' <http://www.w3.org/1999/02/22-rdf-syntax-ns#type> ' || su || ' .' FROM edg
+      UNION ALL SELECT si || ' <http://www.openrdf.org/schema/sesame#directType> ' || su || ' .' FROM edg
+      UNION ALL SELECT oi || ' <http://www.w3.org/1999/02/22-rdf-syntax-ns#type> <{_BL}GeneProduct> .' FROM edg
+      UNION ALL SELECT oi || ' <http://www.w3.org/1999/02/22-rdf-syntax-ns#type> <{_BL}GeneOrGeneProduct> .' FROM edg
+      UNION ALL SELECT oi || ' <http://www.w3.org/1999/02/22-rdf-syntax-ns#type> ' || ou || ' .' FROM edg
+      UNION ALL SELECT oi || ' <http://www.openrdf.org/schema/sesame#directType> ' || ou || ' .' FROM edg
+      UNION ALL SELECT si || ' <http://purl.obolibrary.org/obo/RO_0002213> ' || oi || ' .' FROM edg
+      UNION ALL SELECT ai || ' <http://www.w3.org/1999/02/22-rdf-syntax-ns#type> <{_BL}ChemicalToGeneAssociation> .' FROM edg
+      UNION ALL SELECT ai || ' <http://www.w3.org/1999/02/22-rdf-syntax-ns#type> <{_BL}Association> .' FROM edg
+      UNION ALL SELECT ai || ' <{_BL}subject> ' || si || ' .' FROM edg
+      UNION ALL SELECT ai || ' <{_BL}object> ' || oi || ' .' FROM edg
+      UNION ALL SELECT ai || ' <{_BL}id> "' || aid || '"@en .' FROM edg
+      UNION ALL SELECT ai || ' <{_BL}relation> <http://purl.obolibrary.org/obo/RO_0002213> .' FROM edg
+      UNION ALL SELECT ai || ' <{_BL}evidence> <_:' || evid || '_evidence> .' FROM edg
+    )
+    SELECT line FROM entity_lines
+    UNION ALL SELECT line FROM evidence_lines
+    UNION ALL SELECT line FROM edge_lines
+    """,
+)
+def trapi_assoc_nt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AssocKgTrapiBackendSerializer parity over the synthesized
+    classified-sentence KG: entity nodes (obo-purl, PR→GeneProduct pair of
+    categories), evidence blank nodes (id/name/publications/sentence/
+    spans/provided_by/xsd:decimal score) and association edge blocks
+    (subj/obj/assoc blank nodes, RO:0002213 relation switch, one evidence
+    link per '|'-joined evidence id)."""
+    t = _cls_tables(spark, sf_dir)
+    edges = ex.kgx_edges(
+        t["assertion"], t["evidence"],
+        edge_label="biolink:positively_regulates",
+        relation_curie="RO:0002213",
+        association_type="biolink:ChemicalToGeneAssociation",
+    )
+    evn = t["evidence"].join(t["assertion"], "assertion_id").select(
+        F.col("evidence_id").alias("id"),
+        F.concat(
+            F.lit("Evidence: "), F.col("subject_curie"),
+            F.lit(" -pos-reg-> "), F.col("object_curie"),
+        ).alias("name"),
+        F.concat(F.lit("PMID:"), F.col("document_id")).alias("publications"),
+        F.lit("0.99").alias("score"),
+        F.col("sentence"),
+        F.lit("start: 5, end: 12").alias("subject_spans"),
+        F.lit("start: 20, end: 30").alias("object_spans"),
+        F.lit("TMProvider").alias("provided_by"),
+    )
+    entities = (
+        t["assertion"]
+        .select(F.explode(F.array("subject_curie", "object_curie")).alias("id"))
+        .distinct()
+        .select("id", F.col("id").alias("name"))
+    )
+    return (
+        trapi.assoc_entity_nodes_nt(entities)
+        .unionByName(trapi.assoc_evidence_nodes_nt(evn))
+        .unionByName(trapi.assoc_edges_nt(edges))
+    )
