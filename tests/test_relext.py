@@ -1,0 +1,77 @@
+"""brat → BERT training tooling: parsing, normalization, pair generation."""
+
+from __future__ import annotations
+
+import hashlib
+import os
+
+import pytest
+
+from translator_tm_provider_pipelines_spark.functions import biolink
+from translator_tm_provider_pipelines_spark.operators import relext
+from translator_tm_provider_pipelines_spark.sources import brat
+
+FIXTURE = os.path.join(os.path.dirname(__file__), "fixtures", "brat")
+ASSOC = biolink.ASSOCIATIONS["biolink:ChemicalToDiseaseOrPhenotypicFeatureAssociation"]
+
+
+@pytest.fixture(scope="module")
+def parsed(spark):
+    ann = brat.read_brat_files(spark, FIXTURE, "ann")
+    txt = brat.read_brat_files(spark, FIXTURE, "txt")
+    return (
+        brat.parse_ann_entities(ann),
+        brat.parse_ann_relations(ann),
+        brat.txt_sentences(txt),
+    )
+
+
+def test_parse_entities_and_relations(parsed):
+    ents, rels, _ = parsed
+    e = {(r.doc_id, r.ann_id): r for r in ents.collect()}
+    assert e[("doc1", "T1")].entity_type == "chemical"
+    assert (e[("doc1", "T2")].start, e[("doc1", "T2")].end) == (19, 31)
+    assert e[("doc1", "T2")].covered_text == "rare disease"
+    r = rels.collect()[0]
+    assert (r.relation, r.arg1, r.arg2) == ("treats", "T1", "T2")
+
+
+def test_txt_sentence_offsets(parsed):
+    _, _, sents = parsed
+    s = {(r.doc_id, r.sentence_text): (r.sent_start, r.sent_end) for r in sents.collect()}
+    assert s[("doc1", "Bupivacaine treats rare disease today.")] == (0, 38)
+    assert s[("doc1", "Aspirin is mentioned alone here.")] == (39, 71)
+
+
+def test_normalize_entity_types(spark, parsed):
+    ents, _, _ = parsed
+    out = relext.normalize_entity_types(ents, ASSOC).collect()
+    by = {(r.doc_id, r.ann_id): r.entity_type for r in out}
+    # corrected_disease supersedes the overlapping original T4
+    assert ("doc2", "T4") not in by
+    assert by[("doc2", "T3")] == "disease_or_phenotypic_feature"
+    assert by[("doc2", "T2")] == "disease_or_phenotypic_feature"
+    # DONE marker dropped
+    assert ("doc2", "T5") not in by
+
+
+def test_training_examples(spark, parsed):
+    ents, rels, sents = parsed
+    rows = relext.bert_training_examples(sents, ents, rels, ASSOC).collect()
+    by_sentence = {r.sentence: r for r in rows}
+    assert by_sentence["@CHEMICAL$ treats @DISEASE$ today."].relation == "treats"
+    assert by_sentence["@CHEMICAL$ affects @DISEASE$ and fever badly."].relation == "false"
+    assert by_sentence["@CHEMICAL$ affects headache and @DISEASE$ badly."].relation == "false"
+    # chemical-only sentence yields no pair
+    assert not any("Aspirin" in s or "alone" in s for s in by_sentence)
+    # id = sha1 hex of the substituted sentence (DigestUtils.shaHex)
+    for r in rows:
+        assert r.id == hashlib.sha1(r.sentence.encode()).hexdigest()
+
+
+def test_discontinuous_span_envelope(spark):
+    ann = spark.createDataFrame(
+        [("d", "T1\tchemical 0 4;10 14\tabcd efgh")], "doc_id string, content string"
+    )
+    e = brat.parse_ann_entities(ann).collect()[0]
+    assert (e.start, e.end) == (0, 14)

@@ -1,0 +1,174 @@
+"""Relation-extraction corpus tooling: brat → BERT training data.
+
+Re-expresses ``relation_extraction/BratToBertConverter.java`` as DataFrame
+joins: annotated brat directories become (id, sentence-with-placeholders,
+relation-label) training rows for the BERT relation classifier.
+
+Pipeline (reference file:line inline):
+1. entity-type normalization — ``corrected_*`` annotations supersede the
+   original annotations they overlap, ``corrected_/missed_`` prefixes are
+   stripped, disease/phenotype fold into DISEASE_OR_PHENOTYPIC_FEATURE
+   when the association uses it (``normalizeEntityTypes`` :175-232);
+2. entity → sentence assignment by span overlap
+   (``populateSentenceToEntityMap`` :348-362);
+3. subject×object assertion candidates per sentence, relation from the
+   annotated R-link when present else the NO-RELATION label
+   (``getAssertions``/``createAllAssertions`` :239-300);
+4. placeholder substitution in decreasing span order + sha1-hex example
+   id + first-wins dedup (``getTrainingExampleLine`` :364-420).
+
+Scale: annotation corpora are tiny next to the document corpus, but the
+plan is shuffle-minimal anyway — the overlap joins are per-doc
+equi-joins, pair generation is a within-sentence join, and nothing
+collects to the driver.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions import biolink
+
+
+def normalize_entity_types(
+    entities: DataFrame, association: biolink.BiolinkAssociation
+) -> DataFrame:
+    """``normalizeEntityTypes`` (BratToBertConverter.java:175-232):
+    drop annotations overlapped by a ``corrected``-typed annotation,
+    strip ``corrected_``/``missed_`` prefixes, fold disease/phenotype
+    variants into disease_or_phenotypic_feature when the association
+    uses that class. 'DONE' marker annotations are dropped
+    (``getEntityAnnots`` :455-457)."""
+    a = entities.alias("a")
+    b = entities.alias("b")
+    victims = (
+        a.join(
+            b,
+            (F.col("a.doc_id") == F.col("b.doc_id"))
+            & (F.col("a.ann_id") != F.col("b.ann_id"))
+            & (F.col("a.start") < F.col("b.end"))
+            & (F.col("b.start") < F.col("a.end"))
+            & F.col("b.entity_type").contains("corrected")
+            & ~F.col("a.entity_type").contains("corrected"),
+        )
+        .select(F.col("a.doc_id").alias("doc_id"), F.col("a.ann_id").alias("ann_id"))
+        .distinct()
+    )
+    kept = entities.join(victims, ["doc_id", "ann_id"], "left_anti")
+    t = F.regexp_replace(F.col("entity_type"), "^(corrected_|missed_)", "")
+    uses_dop = biolink.DISEASE_OR_PHENOTYPIC_FEATURE in (
+        association.subject,
+        association.object,
+    )
+    if uses_dop:
+        t = F.when(
+            F.lower(t).isin("disease", "phenotype", "phenotypic_feature"),
+            F.lit("disease_or_phenotypic_feature"),
+        ).otherwise(t)
+    return kept.where(F.upper(F.col("entity_type")) != "DONE").withColumn(
+        "entity_type", t
+    )
+
+
+def _biolink_class(entity_type: F.Column, association: biolink.BiolinkAssociation) -> F.Column:
+    """``getEntityAnnots`` (BratToBertConverter.java:447-471): CURIE-typed
+    annotations classify by ontology prefix against the association's
+    subject/object prefix lists; plain types are biolink class names."""
+    prefix = F.split(entity_type, ":").getItem(0)
+    return F.when(
+        entity_type.contains(":"),
+        F.when(prefix.isin(list(association.subject.prefixes)), F.lit(association.subject.name))
+        .when(prefix.isin(list(association.object.prefixes)), F.lit(association.object.name)),
+    ).otherwise(F.upper(entity_type))
+
+
+def bert_training_examples(
+    sentences: DataFrame,
+    entities: DataFrame,
+    relations: DataFrame,
+    association: biolink.BiolinkAssociation,
+    no_relation_label: str = biolink.NO_RELATION,
+) -> DataFrame:
+    """brat relations → (id, sentence, relation) BERT training rows.
+
+    The dedup is deterministic where the reference's ``alreadyPrinted``
+    HashSet is iteration-order dependent: per substituted sentence the
+    lexicographically smallest relation label survives."""
+    ents = normalize_entity_types(entities, association).withColumn(
+        "blclass", _biolink_class(F.col("entity_type"), association)
+    )
+    ents = ents.where(F.col("blclass").isNotNull())
+
+    # entity → containing sentence by overlap (one sentence per entity)
+    in_sent = ents.join(
+        sentences,
+        ["doc_id"],
+    ).where((F.col("start") < F.col("sent_end")) & (F.col("sent_start") < F.col("end")))
+
+    subj = in_sent.where(F.col("blclass") == association.subject.name).select(
+        "doc_id",
+        "sent_start",
+        "sent_end",
+        "sentence_text",
+        F.col("ann_id").alias("s_id"),
+        F.col("start").alias("s_start"),
+        F.col("end").alias("s_end"),
+    )
+    obj = in_sent.where(F.col("blclass") == association.object.name).select(
+        "doc_id",
+        F.col("sent_start").alias("o_sent_start"),
+        F.col("ann_id").alias("o_id"),
+        F.col("start").alias("o_start"),
+        F.col("end").alias("o_end"),
+    )
+    pairs = subj.join(obj, "doc_id").where(
+        (F.col("sent_start") == F.col("o_sent_start"))
+        & (F.col("s_id") != F.col("o_id"))
+        # subject and object must not overlap (getTrainingExampleLine :416)
+        & ~((F.col("s_start") < F.col("o_end")) & (F.col("o_start") < F.col("s_end")))
+    )
+
+    rels = relations.select(
+        "doc_id",
+        F.col("arg1").alias("s_id"),
+        F.col("arg2").alias("o_id"),
+        F.col("relation").alias("__rel"),
+    )
+    pairs = pairs.join(F.broadcast(rels), ["doc_id", "s_id", "o_id"], "left").withColumn(
+        "relation", F.coalesce(F.col("__rel"), F.lit(no_relation_label))
+    )
+
+    # placeholder substitution, decreasing span order; offsets are
+    # sentence-relative (entity spans never cross a sentence by step 2)
+    lo_is_subj = F.col("s_start") <= F.col("o_start")
+    lo_start = F.when(lo_is_subj, F.col("s_start")).otherwise(F.col("o_start")) - F.col("sent_start")
+    lo_end = F.when(lo_is_subj, F.col("s_end")).otherwise(F.col("o_end")) - F.col("sent_start")
+    hi_start = F.when(lo_is_subj, F.col("o_start")).otherwise(F.col("s_start")) - F.col("sent_start")
+    hi_end = F.when(lo_is_subj, F.col("o_end")).otherwise(F.col("s_end")) - F.col("sent_start")
+    lo_ph = F.when(lo_is_subj, F.lit(association.subject.placeholder)).otherwise(
+        F.lit(association.object.placeholder)
+    )
+    hi_ph = F.when(lo_is_subj, F.lit(association.object.placeholder)).otherwise(
+        F.lit(association.subject.placeholder)
+    )
+    text = F.col("sentence_text")
+    substituted = F.concat(
+        F.substring(text, F.lit(1), lo_start),
+        lo_ph,
+        F.substring(text, lo_end + 1, hi_start - lo_end),
+        hi_ph,
+        F.substring(text, hi_end + 1, F.length(text) - hi_end),
+    )
+
+    out = pairs.select(
+        F.sha1(substituted).alias("id"),
+        substituted.alias("sentence"),
+        "relation",
+    )
+    w = Window.partitionBy("id").orderBy("relation")
+    return (
+        out.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn")
+    )

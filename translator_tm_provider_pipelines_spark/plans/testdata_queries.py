@@ -2513,3 +2513,141 @@ def trapi_assoc_nt(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(trapi.assoc_evidence_nodes_nt(evn))
         .unionByName(trapi.assoc_edges_nt(edges))
     )
+
+
+# ---------------------------------------------------------------------------
+# Relation-extraction corpus tooling (relation_extraction/BratToBertConverter)
+# ---------------------------------------------------------------------------
+
+from ..operators import relext
+from ..sources import brat as bratsrc
+from ..functions import biolink as bl
+
+_BRAT_DIR = _os.path.join(_os.path.dirname(_OBO_FIXTURE), "brat")
+
+
+@register(
+    "brat_bert_training",
+    f"""
+    WITH ann AS (
+      SELECT regexp_replace(regexp_replace(filename, '^.*/', ''), '\\.ann$', '') AS doc_id,
+             content
+      FROM read_text('{_BRAT_DIR}/*.ann')
+    ),
+    txt AS (
+      SELECT regexp_replace(regexp_replace(filename, '^.*/', ''), '\\.txt$', '') AS doc_id,
+             content
+      FROM read_text('{_BRAT_DIR}/*.txt')
+    ),
+    tl AS (
+      SELECT doc_id, unnest(string_split(content, chr(10))) AS line FROM ann
+    ),
+    ents0 AS (
+      SELECT doc_id,
+             regexp_extract(line, '^(T\\S+)\t', 1) AS ann_id,
+             regexp_extract(line, '^T\\S+\t(\\S+) ', 1) AS entity_type,
+             list_min(list_transform(regexp_extract_all(regexp_extract(line, '^T\\S+\t\\S+ ([0-9 ;]+)\t', 1), '([0-9]+)', 1), x -> cast(x AS int))) AS estart,
+             list_max(list_transform(regexp_extract_all(regexp_extract(line, '^T\\S+\t\\S+ ([0-9 ;]+)\t', 1), '([0-9]+)', 1), x -> cast(x AS int))) AS eend
+      FROM tl WHERE regexp_matches(line, '^T\\S+\t')
+    ),
+    victims AS (
+      SELECT DISTINCT a.doc_id, a.ann_id
+      FROM ents0 a JOIN ents0 b
+        ON a.doc_id = b.doc_id AND a.ann_id <> b.ann_id
+       AND a.estart < b.eend AND b.estart < a.eend
+       AND b.entity_type LIKE '%corrected%' AND a.entity_type NOT LIKE '%corrected%'
+    ),
+    ents AS (
+      SELECT e.doc_id, e.ann_id, e.estart, e.eend,
+             CASE WHEN lower(regexp_replace(e.entity_type, '^(corrected_|missed_)', ''))
+                       IN ('disease', 'phenotype', 'phenotypic_feature')
+                  THEN 'disease_or_phenotypic_feature'
+                  ELSE regexp_replace(e.entity_type, '^(corrected_|missed_)', '') END AS entity_type
+      FROM ents0 e
+      LEFT JOIN victims v ON v.doc_id = e.doc_id AND v.ann_id = e.ann_id
+      WHERE v.ann_id IS NULL AND upper(e.entity_type) <> 'DONE'
+    ),
+    classed AS (
+      SELECT *,
+        CASE WHEN entity_type LIKE '%:%' THEN
+               CASE WHEN string_split(entity_type, ':')[1] IN ('DRUGBANK', 'CHEBI') THEN 'CHEMICAL'
+                    WHEN string_split(entity_type, ':')[1] IN ('MONDO', 'HP') THEN 'DISEASE_OR_PHENOTYPIC_FEATURE'
+                    ELSE NULL END
+             ELSE upper(entity_type) END AS blclass
+      FROM ents
+    ),
+    rl AS (
+      SELECT doc_id,
+             regexp_extract(line, '^R\\S+\t(\\S+) ', 1) AS relation,
+             regexp_extract(line, 'Arg1:(\\S+)', 1) AS s_id,
+             regexp_extract(line, 'Arg2:(\\S+)', 1) AS o_id
+      FROM tl WHERE regexp_matches(line, '^R\\S+\t')
+    ),
+    sl0 AS (
+      SELECT doc_id, i AS line_idx, list_extract(string_split(content, chr(10)), i) AS sentence_text
+      FROM txt, (SELECT unnest(generate_series(1, 1024)) AS i)
+      WHERE i <= len(string_split(content, chr(10)))
+    ),
+    sents AS (
+      SELECT doc_id, sentence_text,
+             cast(coalesce(sum(length(sentence_text) + 1)
+               OVER (PARTITION BY doc_id ORDER BY line_idx ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS int) AS sent_start
+      FROM sl0
+    ),
+    in_sent AS (
+      SELECT c.*, s.sentence_text, s.sent_start,
+             s.sent_start + length(s.sentence_text) AS sent_end
+      FROM classed c JOIN sents s
+        ON s.doc_id = c.doc_id
+       AND c.estart < s.sent_start + length(s.sentence_text)
+       AND s.sent_start < c.eend
+      WHERE s.sentence_text <> '' AND c.blclass IS NOT NULL
+    ),
+    pairs AS (
+      SELECT s.doc_id, s.sentence_text, s.sent_start,
+             s.ann_id AS s_id, s.estart AS s_start, s.eend AS s_end,
+             o.ann_id AS o_id, o.estart AS o_start, o.eend AS o_end
+      FROM in_sent s JOIN in_sent o
+        ON s.doc_id = o.doc_id AND s.sent_start = o.sent_start
+       AND s.ann_id <> o.ann_id
+       AND NOT (s.estart < o.eend AND o.estart < s.eend)
+      WHERE s.blclass = 'CHEMICAL' AND o.blclass = 'DISEASE_OR_PHENOTYPIC_FEATURE'
+    ),
+    labeled AS (
+      SELECT p.*, coalesce(r.relation, 'false') AS relation
+      FROM pairs p LEFT JOIN rl r
+        ON r.doc_id = p.doc_id AND r.s_id = p.s_id AND r.o_id = p.o_id
+    ),
+    subst AS (
+      SELECT
+        substr(sentence_text, 1, least(s_start, o_start) - sent_start)
+        || (CASE WHEN s_start <= o_start THEN '@CHEMICAL$' ELSE '@DISEASE$' END)
+        || substr(sentence_text,
+                  least(s_end, o_end) - sent_start + 1,
+                  greatest(s_start, o_start) - least(s_end, o_end))
+        || (CASE WHEN s_start <= o_start THEN '@DISEASE$' ELSE '@CHEMICAL$' END)
+        || substr(sentence_text, greatest(s_end, o_end) - sent_start + 1) AS sentence,
+        relation
+      FROM labeled
+    )
+    SELECT sentence, relation FROM subst
+    QUALIFY row_number() OVER (PARTITION BY sentence ORDER BY relation) = 1
+    """,
+)
+def brat_bert_training(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BratToBertConverter parity: annotated brat fixture directory →
+    BERT training rows (sentence with subject/object placeholders +
+    relation label; corrected/missed normalization, CURIE-prefix class
+    mapping, non-overlap pair generation, NO-RELATION fallback). The
+    sha1-hex example id is pinned by pytest (DuckDB has no sha1), so the
+    oracle checks (sentence, relation)."""
+    ann = bratsrc.read_brat_files(spark, _BRAT_DIR, "ann")
+    txt = bratsrc.read_brat_files(spark, _BRAT_DIR, "txt")
+    assoc = bl.ASSOCIATIONS["biolink:ChemicalToDiseaseOrPhenotypicFeatureAssociation"]
+    out = relext.bert_training_examples(
+        bratsrc.txt_sentences(txt),
+        bratsrc.parse_ann_entities(ann),
+        bratsrc.parse_ann_relations(ann),
+        assoc,
+    )
+    return out.select("sentence", "relation")
