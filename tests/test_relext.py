@@ -75,3 +75,62 @@ def test_discontinuous_span_envelope(spark):
     )
     e = brat.parse_ann_entities(ann).collect()[0]
     assert (e.start, e.end) == (0, 14)
+
+
+def _extracted(spark, n=5):
+    rows = []
+    for i in range(n):
+        text = f"sent {i:02d} chemical X and disease Y here padded."
+        rows.append(
+            (f"CHEBI:{i}", "chem", [(9, 17)], f"HP:{i}", "dis", [(24, 31)], text)
+        )
+    return spark.createDataFrame(
+        rows,
+        "entity1_id string, entity1_text string, entity1_spans array<struct<start:int,end:int>>, "
+        "entity2_id string, entity2_text string, entity2_spans array<struct<start:int,end:int>>, "
+        "sentence_text string",
+    )
+
+
+def test_sub_batch_id(spark):
+    from pyspark.sql import functions as F
+
+    df = spark.range(4).select(
+        relext.sub_batch_id(F.col("id").cast("int")).alias("s")
+    )
+    assert [r.s for r in df.collect()] == ["aaa", "aab", "aac", "aad"]
+
+
+def test_brat_annotation_batch_pages_and_offsets(spark):
+    ext = _extracted(spark, 5)
+    out = relext.brat_annotation_batch(
+        ext, ASSOC, batch_size=4, sentences_per_page=2
+    ).collect()
+    pages = {r.page for r in out}
+    assert pages == {"aaa", "aab"}  # 4 sentences, 2 per page
+    txt_aaa = sorted(
+        [(r.line_no, r.line) for r in out if r.page == "aaa" and r.kind == "txt"]
+    )
+    assert txt_aaa[-1][1] == "DONE" and len(txt_aaa) == 3
+    ann_aaa = sorted(
+        [(r.line_no, r.line) for r in out if r.page == "aaa" and r.kind == "ann"]
+    )
+    # T numbering continuous through the page; second sentence's spans are
+    # offset by len(first sentence) + 1
+    first_len = len(txt_aaa[0][1])
+    assert ann_aaa[0][1].startswith("T1\tchemical 9 17\t")
+    assert ann_aaa[2][1].startswith(f"T3\tchemical {9 + first_len + 1} {17 + first_len + 1}\t")
+
+
+def test_brat_annotation_batch_exclusions(spark):
+    ext = _extracted(spark, 3)
+    out = relext.brat_annotation_batch(
+        ext, ASSOC, batch_size=10, ids_to_exclude=("CHEBI:0",)
+    )
+    texts = {r.line for r in out.collect() if r.kind == "txt"}
+    assert not any("sent 00" in t for t in texts)
+    already = ext.sparkSession.createDataFrame(
+        [("x",)], "hash string"
+    )  # no matching hash: nothing dropped
+    out2 = relext.brat_annotation_batch(ext, ASSOC, batch_size=10, already_annotated=already)
+    assert sum(1 for r in out2.collect() if r.kind == "txt" and r.line != "DONE") == 3

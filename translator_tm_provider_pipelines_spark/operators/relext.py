@@ -172,3 +172,168 @@ def bert_training_examples(
         .where(F.col("__rn") == 1)
         .drop("__rn")
     )
+
+
+# ---------------------------------------------------------------------------
+# brat annotation-batch export (BratAssertionAnnotationFileCreator.java)
+# ---------------------------------------------------------------------------
+
+from ..functions.hashing import sha1_base64  # noqa: E402
+
+#: overly-general concepts never sent for annotation
+#: (BratAssertionAnnotationFileCreator.java:60-61)
+BRAT_IDENTIFIERS_TO_EXCLUDE = (
+    "CHEBI:36080",
+    "CL:0000000",
+    "PR:000000001",
+    "MONDO:0000001",
+    "DRUGBANK:DB00118",
+)
+
+SENTENCES_PER_PAGE = 20  # BratAssertionAnnotationFileCreator.java:58
+
+
+def sub_batch_id(index: F.Column) -> F.Column:
+    """0 → 'aaa', 1 → 'aab', … (getSubBatchId,
+    BratAssertionAnnotationFileCreator.java:209-222)."""
+    c = F.lit("abcdefghijklmnopqrstuvwxyz")
+
+    def letter(i: F.Column) -> F.Column:
+        return F.substring(c, (i % 26 + 1).cast("int"), 1)
+
+    return F.concat(
+        letter((index / (26 * 26)).cast("int")),
+        letter((index / 26).cast("int")),
+        letter(index),
+    )
+
+
+def brat_annotation_batch(
+    extracted: DataFrame,
+    association: biolink.BiolinkAssociation,
+    batch_size: int,
+    sentences_per_page: int = SENTENCES_PER_PAGE,
+    ids_to_exclude: tuple[str, ...] = BRAT_IDENTIFIERS_TO_EXCLUDE,
+    already_annotated: DataFrame | None = None,
+) -> DataFrame:
+    """Extracted-sentence rows → brat .ann/.txt page contents for an
+    annotation batch (createBratFiles + writeSentenceToBratFiles,
+    BratAssertionAnnotationFileCreator.java:91-404).
+
+    Mirrored semantics: rows with an excluded entity id drop; sentences
+    dedupe on the base64-sha1 text hash with previously-annotated hashes
+    (``already_annotated``: one ``hash`` column) removed; pages hold
+    ``sentences_per_page`` sentences; every page's .txt ends with a
+    ``DONE`` line; entity annotations union subject+object mentions of
+    all of a sentence's pair rows, dedupe on (type, span), sort by span,
+    and number T1.. continuously through a page with span offsets
+    accumulated over the page's sentences. One deliberate change: the
+    reference samples the batch RANDOMLY; this picks the first
+    ``batch_size`` sentences ordered by sentence text so batches are
+    reproducible.
+
+    Output rows: (page, kind 'ann'|'txt', line_no, line) — a writer
+    partitions by page and emits two files per page.
+    """
+    rows = extracted.where(
+        ~F.col("entity1_id").isin(list(ids_to_exclude))
+        & ~F.col("entity2_id").isin(list(ids_to_exclude))
+    ).withColumn("hash", sha1_base64(F.col("sentence_text")))
+    if already_annotated is not None:
+        rows = rows.join(already_annotated, "hash", "left_anti")
+
+    sents = (
+        rows.select("hash", "sentence_text")
+        .distinct()
+        .orderBy("sentence_text")
+        .limit(batch_size)
+    )
+    w_all = Window.orderBy("sentence_text")
+    sents = sents.select(
+        "hash",
+        "sentence_text",
+        (F.row_number().over(w_all) - 1).alias("__i"),
+    ).select(
+        "hash",
+        "sentence_text",
+        sub_batch_id((F.col("__i") / sentences_per_page).cast("int")).alias("page"),
+        (F.col("__i") % sentences_per_page).alias("sent_idx"),
+    )
+    w_page = Window.partitionBy("page").orderBy("sent_idx")
+    w_prev = w_page.rowsBetween(Window.unboundedPreceding, -1)
+    sents = sents.withColumn(
+        "span_offset",
+        F.coalesce(F.sum(F.length("sentence_text") + 1).over(w_prev), F.lit(0)).cast("int"),
+    )
+
+    subj_type = association.subject.placeholder[1:-1].lower()
+    obj_type = association.object.placeholder[1:-1].lower()
+    annots = rows.select(
+        "hash",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit(subj_type).alias("label"),
+                    F.col("entity1_spans").alias("spans"),
+                    F.col("entity1_text").alias("covered_text"),
+                ),
+                F.struct(
+                    F.lit(obj_type).alias("label"),
+                    F.col("entity2_spans").alias("spans"),
+                    F.col("entity2_text").alias("covered_text"),
+                ),
+            )
+        ).alias("a"),
+    ).select("hash", "a.label", "a.spans", "a.covered_text").distinct()
+
+    placed = annots.join(sents, "hash")
+    agg_start = F.array_min(F.transform("spans", lambda s: s["start"]))
+    agg_end = F.array_max(F.transform("spans", lambda s: s["end"]))
+    placed = placed.withColumn("__s", agg_start).withColumn("__e", agg_end)
+    w_ann = Window.partitionBy("page").orderBy("sent_idx", "__s", "__e", "label")
+    span_str = F.array_join(
+        F.transform(
+            F.array_sort("spans"),
+            lambda s: F.concat_ws(
+                " ",
+                (s["start"] + F.col("span_offset")).cast("string"),
+                (s["end"] + F.col("span_offset")).cast("string"),
+            ),
+        ),
+        ";",
+    )
+    ann_lines = placed.select(
+        "page",
+        F.lit("ann").alias("kind"),
+        (F.row_number().over(w_ann) - 1).alias("line_no"),
+        F.concat(
+            F.lit("T"),
+            F.row_number().over(w_ann).cast("string"),
+            F.lit("\t"),
+            F.col("label"),
+            F.lit(" "),
+            span_str,
+            F.lit("\t"),
+            F.col("covered_text"),
+        ).alias("line"),
+    )
+
+    n_sents = F.count("*").over(Window.partitionBy("page"))
+    txt_lines = sents.select(
+        "page",
+        F.lit("txt").alias("kind"),
+        F.col("sent_idx").alias("line_no"),
+        F.col("sentence_text").alias("line"),
+        n_sents.alias("__n"),
+    )
+    done_lines = (
+        txt_lines.groupBy("page")
+        .agg(F.max("__n").alias("__n"))
+        .select(
+            "page",
+            F.lit("txt").alias("kind"),
+            F.col("__n").alias("line_no"),
+            F.lit("DONE").alias("line"),
+        )
+    )
+    return ann_lines.unionByName(txt_lines.drop("__n")).unionByName(done_lines)

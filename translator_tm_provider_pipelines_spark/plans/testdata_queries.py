@@ -2651,3 +2651,78 @@ def brat_bert_training(spark: SparkSession, sf_dir: str) -> DataFrame:
         assoc,
     )
     return out.select("sentence", "relation")
+
+
+@register(
+    "brat_annotation_export",
+    """
+    WITH eligible AS (SELECT DISTINCT text FROM documents WHERE n_chars >= 40),
+    ordered AS (
+      SELECT text, row_number() OVER (ORDER BY text) - 1 AS i
+      FROM eligible QUALIFY i < 45
+    ),
+    paged AS (
+      SELECT text,
+             chr(cast(97 + ((i // 20) // 676) % 26 AS int))
+               || chr(cast(97 + ((i // 20) // 26) % 26 AS int))
+               || chr(cast(97 + (i // 20) % 26 AS int)) AS page,
+             i % 20 AS sent_idx
+      FROM ordered
+    ),
+    offs AS (
+      SELECT *,
+             cast(coalesce(sum(length(text) + 1)
+               OVER (PARTITION BY page ORDER BY sent_idx
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS int) AS off
+      FROM paged
+    ),
+    ann AS (
+      SELECT page, 'ann' AS kind, 2 * sent_idx AS line_no,
+             'T' || cast(2 * sent_idx + 1 AS varchar) || chr(9) || 'chemical '
+               || cast(5 + off AS varchar) || ' ' || cast(12 + off AS varchar)
+               || chr(9) || substr(text, 6, 7) AS line
+      FROM offs
+      UNION ALL
+      SELECT page, 'ann', 2 * sent_idx + 1,
+             'T' || cast(2 * sent_idx + 2 AS varchar) || chr(9) || 'disease '
+               || cast(20 + off AS varchar) || ' ' || cast(30 + off AS varchar)
+               || chr(9) || substr(text, 21, 10)
+      FROM offs
+    ),
+    txt AS (
+      SELECT page, 'txt' AS kind, sent_idx AS line_no, text AS line FROM paged
+      UNION ALL
+      SELECT page, 'txt', max(sent_idx) + 1, 'DONE' FROM paged GROUP BY page
+    )
+    SELECT page, kind, line_no, line FROM ann
+    UNION ALL SELECT page, kind, line_no, line FROM txt
+    """,
+)
+def brat_annotation_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BratAssertionAnnotationFileCreator parity: the synthesized
+    extracted-sentence relation → paged brat .ann/.txt contents (45
+    sentences → pages aaa/aab/aac of ≤20, per-page T numbering and span
+    offsets, DONE-terminated txt). Deterministic text-ordered batching
+    replaces the reference's random sampling; the sentence hash dedup and
+    entity-id exclusions run before paging."""
+    d = _t(spark, sf_dir, "documents").where(F.col("n_chars") >= 40)
+    docs = d.select(F.col("doc_id").cast("string").alias("doc_id"), "text", "n_chars")
+    sents = docs.select(
+        "doc_id", F.lit(0).alias("sent_idx"), F.lit(0).alias("start"),
+        F.col("n_chars").cast("int").alias("end"), F.col("text").alias("sentence"),
+    )
+    mk = lambda pfx, s, e: docs.select(  # noqa: E731
+        "doc_id",
+        F.lit("concept").alias("annot_type"),
+        F.concat(F.lit(pfx + ":"), F.col("doc_id")).alias("concept_id"),
+        F.array(F.struct(F.lit(s).cast("int").alias("start"), F.lit(e).cast("int").alias("end"))).alias("spans"),
+        F.substring("text", s + 1, e - s).alias("covered_text"),
+    )
+    concepts = mk("CHEBI", 5, 12).unionByName(mk("HP", 20, 30))
+    ext = sentops.extract_sentences(
+        sents, concepts,
+        x_prefixes=["CHEBI"], y_prefixes=["HP"],
+        x_placeholder="@CHEMICAL$", y_placeholder="@DISEASE$",
+    )
+    assoc = bl.ASSOCIATIONS["biolink:ChemicalToDiseaseOrPhenotypicFeatureAssociation"]
+    return relext.brat_annotation_batch(ext, assoc, batch_size=45)
