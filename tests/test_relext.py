@@ -134,3 +134,20 @@ def test_brat_annotation_batch_exclusions(spark):
     )  # no matching hash: nothing dropped
     out2 = relext.brat_annotation_batch(ext, ASSOC, batch_size=10, already_annotated=already)
     assert sum(1 for r in out2.collect() if r.kind == "txt" and r.line != "DONE") == 3
+
+
+def test_distant_supervision_sentences(spark):
+    ext = spark.createDataFrame(
+        [
+            ("s1", "CHEBI:1", "HP:1", "t1"),
+            ("s2", "HP:1", "CHEBI:1", "t2"),   # reversed order still matches
+            ("s3", "CHEBI:2", "HP:9", "t3"),   # pair not requested
+            ("s4", "CHEBI:36080", "HP:1", "t4"),  # excluded general id
+        ],
+        "sentence_id string, entity1_id string, entity2_id string, sentence_text string",
+    )
+    pairs = spark.createDataFrame([("HP:1", "CHEBI:1")], "concept1 string, concept2 string")
+    out = relext.distant_supervision_sentences(ext, pairs, max_per_pair=10)
+    assert {r.sentence_id for r in out.collect()} == {"s1", "s2"}
+    capped = relext.distant_supervision_sentences(ext, pairs, max_per_pair=1)
+    assert {r.sentence_id for r in capped.collect()} == {"s1"}

@@ -337,3 +337,63 @@ def brat_annotation_batch(
         )
     )
     return ann_lines.unionByName(txt_lines.drop("__n")).unionByName(done_lines)
+
+
+# ---------------------------------------------------------------------------
+# Distant supervision: concept-pair sentence mining
+# (distant_supervision/ConceptPairSentenceExtractor.java)
+# ---------------------------------------------------------------------------
+
+#: overly-general concepts excluded from distant-supervision searches
+#: (ConceptPairSentenceExtractor.java:59-75)
+DISTANT_SUPERVISION_IDS_TO_EXCLUDE = (
+    "CHEBI:36080",
+    "PR:000000001",
+    "CL:0000000",
+    "MONDO:0000001",
+    "HP:0002664",
+    "MONDO:0005070",
+    "DRUGBANK:DB00118",
+    "GO:0005575",
+    "GO:0110165",
+    "GO:0032991",
+    "GO:0044423",
+    "GO:0005622",
+)
+
+
+def distant_supervision_sentences(
+    extracted: DataFrame,
+    pairs: DataFrame,
+    max_per_pair: int = 10,
+    ids_to_exclude: tuple[str, ...] = DISTANT_SUPERVISION_IDS_TO_EXCLUDE,
+) -> DataFrame:
+    """Sentences containing a given concept pair, capped per pair — the
+    engine core of ``ConceptPairSentenceExtractor.search`` (the reference
+    issues one Elasticsearch annotated-text query per pair and keeps up
+    to ``maxReturned`` hits; here it's ONE broadcast join of the
+    unordered pair list against the extracted-sentence relation, so a
+    100 TB corpus is scanned once for every pair at once instead of once
+    per pair).
+
+    ``pairs``: (concept1, concept2) rows, order-insensitive. The per-pair
+    cap keeps the lexicographically smallest sentence ids (the
+    reference keeps whatever Elasticsearch returns first — capped but
+    unspecified; this is the deterministic analogue)."""
+    canon1 = F.least(F.col("entity1_id"), F.col("entity2_id"))
+    canon2 = F.greatest(F.col("entity1_id"), F.col("entity2_id"))
+    e = extracted.where(
+        ~F.col("entity1_id").isin(list(ids_to_exclude))
+        & ~F.col("entity2_id").isin(list(ids_to_exclude))
+    ).withColumn("__c1", canon1).withColumn("__c2", canon2)
+    p = pairs.select(
+        F.least(F.col("concept1"), F.col("concept2")).alias("__c1"),
+        F.greatest(F.col("concept1"), F.col("concept2")).alias("__c2"),
+    ).distinct()
+    hit = e.join(F.broadcast(p), ["__c1", "__c2"])
+    w = Window.partitionBy("__c1", "__c2").orderBy("sentence_id")
+    return (
+        hit.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= max_per_pair)
+        .drop("__rn", "__c1", "__c2")
+    )

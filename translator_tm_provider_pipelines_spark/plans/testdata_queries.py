@@ -2726,3 +2726,69 @@ def brat_annotation_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     assoc = bl.ASSOCIATIONS["biolink:ChemicalToDiseaseOrPhenotypicFeatureAssociation"]
     return relext.brat_annotation_batch(ext, assoc, batch_size=45)
+
+
+@register(
+    "distant_supervision_pairs",
+    """
+    WITH eligible AS (SELECT * FROM documents WHERE n_chars >= 40),
+    ext AS (
+      SELECT sha256(cast(doc_id AS varchar) || 'Unknown'
+                    || 'CHEBI:' || cast(doc_id AS varchar) || '[5..12]'
+                    || 'HP:' || cast(doc_id AS varchar) || '[20..30]'
+                    || text)                     AS sentence_id,
+             cast(doc_id AS varchar)             AS doc_id,
+             'CHEBI:' || cast(doc_id AS varchar) AS entity1_id,
+             'HP:' || cast(doc_id AS varchar)    AS entity2_id,
+             text                                AS sentence_text
+      FROM eligible
+    ),
+    pairs AS (
+      SELECT 'CHEBI:' || cast(doc_id AS varchar) AS c1,
+             'HP:' || cast(doc_id AS varchar)    AS c2
+      FROM eligible WHERE doc_id % 3 = 0
+    ),
+    hit AS (
+      SELECT e.* FROM ext e
+      JOIN pairs p
+        ON least(e.entity1_id, e.entity2_id) = least(p.c1, p.c2)
+       AND greatest(e.entity1_id, e.entity2_id) = greatest(p.c1, p.c2)
+    )
+    SELECT sentence_id, doc_id, entity1_id, entity2_id, sentence_text
+    FROM hit
+    QUALIFY row_number() OVER (
+      PARTITION BY least(entity1_id, entity2_id), greatest(entity1_id, entity2_id)
+      ORDER BY sentence_id) <= 5
+    """,
+)
+def distant_supervision_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ConceptPairSentenceExtractor parity: a concept-pair list joined
+    (broadcast, order-insensitive) against the extracted-sentence
+    relation with the general-identifier exclusions and a deterministic
+    per-pair cap — one corpus scan for all pairs instead of one
+    Elasticsearch query per pair."""
+    d = _t(spark, sf_dir, "documents").where(F.col("n_chars") >= 40)
+    docs = d.select(F.col("doc_id").cast("string").alias("doc_id"), "text", "n_chars")
+    sents = docs.select(
+        "doc_id", F.lit(0).alias("sent_idx"), F.lit(0).alias("start"),
+        F.col("n_chars").cast("int").alias("end"), F.col("text").alias("sentence"),
+    )
+    mk = lambda pfx, s, e: docs.select(  # noqa: E731
+        "doc_id",
+        F.lit("concept").alias("annot_type"),
+        F.concat(F.lit(pfx + ":"), F.col("doc_id")).alias("concept_id"),
+        F.array(F.struct(F.lit(s).cast("int").alias("start"), F.lit(e).cast("int").alias("end"))).alias("spans"),
+        F.substring("text", s + 1, e - s).alias("covered_text"),
+    )
+    concepts = mk("CHEBI", 5, 12).unionByName(mk("HP", 20, 30))
+    ext = sentops.extract_sentences(
+        sents, concepts,
+        x_prefixes=["CHEBI"], y_prefixes=["HP"],
+        x_placeholder="@CHEMICAL$", y_placeholder="@DISEASE$",
+    )
+    pairs = d.where(F.col("doc_id") % 3 == 0).select(
+        F.concat(F.lit("CHEBI:"), F.col("doc_id").cast("string")).alias("concept1"),
+        F.concat(F.lit("HP:"), F.col("doc_id").cast("string")).alias("concept2"),
+    )
+    out = relext.distant_supervision_sentences(ext, pairs, max_per_pair=5)
+    return out.select("sentence_id", "doc_id", "entity1_id", "entity2_id", "sentence_text")
