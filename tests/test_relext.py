@@ -151,3 +151,37 @@ def test_distant_supervision_sentences(spark):
     assert {r.sentence_id for r in out.collect()} == {"s1", "s2"}
     capped = relext.distant_supervision_sentences(ext, pairs, max_per_pair=1)
     assert {r.sentence_id for r in capped.collect()} == {"s1"}
+
+
+def test_ner_bert_to_bionlp(spark, tmp_path):
+    inp = "\n".join([
+        "The\td1\t0", "BRCA1\t-\t4", "gene\t-\t10", "", "TP53\td1\t15",
+    ])
+    out = "\n".join([
+        "The x O", "BRCA1 x B-gene", "gene x E-gene", "", "TP53 x S-gene",
+    ])
+    (tmp_path / "in.txt").write_text(inp)
+    (tmp_path / "out.txt").write_text(out)
+    tokens = relext.parse_bert_ner_files(
+        spark, str(tmp_path / "in.txt"), str(tmp_path / "out.txt")
+    )
+    ents = {
+        (r.covered_text, r.spans[0].start, r.spans[0].end, r.concept_id)
+        for r in relext.ner_bert_entities(tokens).collect()
+    }
+    # no O token between 'gene' and 'TP53' → fixTag's same-label rule
+    # merges them into one entity, exactly like the reference
+    assert ents == {("BRCA1 gene TP53", 4, 19, "gene")}
+    docs = {r.doc_id: r.text for r in relext.ner_bert_documents(tokens).collect()}
+    assert docs["d1"] == "The BRCA1 gene TP53"
+
+
+def test_ner_bert_adjacent_same_label_merge(spark):
+    # fixTag quirk: B- following same-label token continues the entity
+    tokens = spark.createDataFrame(
+        [("d", 1, "aa", 0, "B-x"), ("d", 2, "bb", 3, "B-x"), ("d", 3, "cc", 6, "B-y")],
+        "doc_id string, line_no long, token string, span_start int, tag string",
+    )
+    ents = relext.ner_bert_entities(tokens).collect()
+    got = {(r.covered_text, r.concept_id) for r in ents}
+    assert got == {("aa bb", "x"), ("cc", "y")}

@@ -397,3 +397,121 @@ def distant_supervision_sentences(
         .where(F.col("__rn") <= max_per_pair)
         .drop("__rn", "__c1", "__c2")
     )
+
+
+# ---------------------------------------------------------------------------
+# BERT NER output → BioNLP (relation_extraction/NerBertToBionlpConverter)
+# ---------------------------------------------------------------------------
+
+
+def parse_bert_ner_files(spark, input_path: str, output_path: str) -> DataFrame:
+    """Line-align the BERT NER input file (``token\\tdocId\\tspanStart``,
+    docId '-' on continuation rows) with the label file (``token x tag``)
+    → (doc_id, line_no, token, span_start, tag) rows
+    (EntityDocumentIterator, NerBertToBionlpConverter.java:65-137).
+
+    The two files correspond line-by-line, so this is one of the rare
+    genuinely positional reads: each file zips with its line index
+    (RDD ``zipWithIndex`` — deterministic per file), blank lines drop
+    (``fastForward`` :318-325), and the join key is the blank-skipping
+    rank. Document ids forward-fill from each sentence's first token."""
+    def indexed(path: str, name: str) -> DataFrame:
+        rdd = spark.sparkContext.textFile(path).zipWithIndex()
+        df = spark.createDataFrame(rdd, f"{name} string, idx long")
+        df = df.where(F.trim(F.col(name)) != "")
+        w = Window.orderBy("idx")
+        return df.withColumn("rank", F.row_number().over(w)).drop("idx")
+
+    inp = indexed(input_path, "in_line")
+    out = indexed(output_path, "out_line")
+    joined = inp.join(out, "rank")
+    doc_raw = F.split("in_line", "\t").getItem(1)
+    rows = joined.select(
+        F.col("rank").alias("line_no"),
+        F.split("in_line", "\t").getItem(0).alias("token"),
+        F.when(doc_raw != "-", doc_raw).alias("__doc"),
+        F.split("in_line", "\t").getItem(2).cast("int").alias("span_start"),
+        F.element_at(F.split(F.col("out_line"), r"\s+"), 3).alias("tag"),
+    )
+    w_fill = Window.orderBy("line_no").rowsBetween(Window.unboundedPreceding, 0)
+    return rows.select(
+        F.last("__doc", ignorenulls=True).over(w_fill).alias("doc_id"),
+        "line_no",
+        "token",
+        "span_start",
+        "tag",
+    )
+
+
+def ner_bert_entities(tokens: DataFrame) -> DataFrame:
+    """IOB(ES) token tags → entity annotation rows (schemas.ANNOTATION
+    shape: doc_id, annot_type, concept_id, spans, covered_text).
+
+    ``fixTag`` (NerBertToBionlpConverter.java:292-312) collapses to: a
+    token starts a new entity iff its label differs from the previous
+    token's label (B/I/E/S prefixes are normalized away, so adjacent
+    same-label entities merge — mirrored exactly). Segments aggregate to
+    min-start/max-end spans; intervening gaps pad with spaces in the
+    covered text (``addSpaces`` :277-284)."""
+    label = F.when(F.col("tag") != "O", F.element_at(F.split("tag", "-"), 2))
+    t = tokens.withColumn("__label", label)
+    w = Window.partitionBy("doc_id").orderBy("line_no")
+    new_seg = (
+        F.col("__label").isNotNull()
+        & ~F.coalesce(F.lag("__label").over(w) == F.col("__label"), F.lit(False))
+    ).cast("int")
+    t = t.withColumn("__seg", F.sum(new_seg).over(w))
+    ents = t.where(F.col("__label").isNotNull())
+    toks = F.array_sort(
+        F.collect_list(
+            F.struct(
+                F.col("span_start").alias("s"),
+                (F.col("span_start") + F.length("token")).alias("e"),
+                F.col("token").alias("tok"),
+            )
+        )
+    )
+    grouped = ents.groupBy("doc_id", "__seg").agg(
+        F.first("__label").alias("label"), toks.alias("toks")
+    )
+    covered = F.aggregate(
+        F.col("toks"),
+        F.lit(""),
+        lambda acc, x: F.concat(
+            acc,
+            F.repeat(F.lit(" "), x["s"] - F.element_at(F.col("toks"), 1)["s"] - F.length(acc)),
+            x["tok"],
+        ),
+    )
+    start = F.element_at(F.col("toks"), 1)["s"].cast("int")
+    end = F.element_at(F.col("toks"), -1)["e"].cast("int")
+    return grouped.select(
+        "doc_id",
+        F.lit("concept").alias("annot_type"),
+        F.col("label").alias("concept_id"),
+        F.array(F.struct(start.alias("start"), end.alias("end"))).alias("spans"),
+        covered.alias("covered_text"),
+    )
+
+
+def ner_bert_documents(tokens: DataFrame) -> DataFrame:
+    """Reconstruct each document's text from (span_start, token):
+    space-pad up to every token's offset then append it
+    (``populateDocumentText``, NerBertToBionlpConverter.java:226-231)."""
+    toks = F.array_sort(
+        F.collect_list(
+            F.struct(F.col("span_start").alias("s"), F.col("token").alias("tok"))
+        )
+    )
+    text = F.aggregate(
+        F.col("toks"),
+        F.lit(""),
+        lambda acc, x: F.concat(
+            acc, F.repeat(F.lit(" "), x["s"] - F.length(acc)), x["tok"]
+        ),
+    )
+    return (
+        tokens.groupBy("doc_id")
+        .agg(toks.alias("toks"))
+        .select("doc_id", text.alias("text"))
+    )

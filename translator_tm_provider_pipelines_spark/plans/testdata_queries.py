@@ -2792,3 +2792,89 @@ def distant_supervision_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = relext.distant_supervision_sentences(ext, pairs, max_per_pair=5)
     return out.select("sentence_id", "doc_id", "entity1_id", "entity2_id", "sentence_text")
+
+
+_BERT_NER_DIR = _os.path.join(_os.path.dirname(_OBO_FIXTURE), "bert_ner")
+
+
+@register(
+    "ner_bert_bionlp",
+    f"""
+    WITH inl AS (
+      SELECT i AS idx, list_extract(ls, i) AS line
+      FROM (SELECT string_split(content, chr(10)) AS ls
+            FROM read_text('{_BERT_NER_DIR}/input.txt')),
+           (SELECT unnest(generate_series(1, 4096)) AS i)
+      WHERE i <= len(ls)
+    ),
+    outl AS (
+      SELECT i AS idx, list_extract(ls, i) AS line
+      FROM (SELECT string_split(content, chr(10)) AS ls
+            FROM read_text('{_BERT_NER_DIR}/labels.txt')),
+           (SELECT unnest(generate_series(1, 4096)) AS i)
+      WHERE i <= len(ls)
+    ),
+    inr AS (
+      SELECT row_number() OVER (ORDER BY idx) AS rank, line FROM inl WHERE trim(line) <> ''
+    ),
+    outr AS (
+      SELECT row_number() OVER (ORDER BY idx) AS rank, line FROM outl WHERE trim(line) <> ''
+    ),
+    toks0 AS (
+      SELECT i.rank AS line_no,
+             string_split(i.line, chr(9))[1] AS token,
+             nullif(string_split(i.line, chr(9))[2], '-') AS doc_raw,
+             cast(string_split(i.line, chr(9))[3] AS int) AS s,
+             list_extract(regexp_split_to_array(o.line, '\\s+'), 3) AS tag
+      FROM inr i JOIN outr o ON o.rank = i.rank
+    ),
+    toks AS (
+      SELECT *,
+             last_value(doc_raw IGNORE NULLS) OVER (ORDER BY line_no
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS doc_id,
+             CASE WHEN tag <> 'O' THEN string_split(tag, '-')[2] END AS label
+      FROM toks0
+    ),
+    lagged AS (
+      SELECT *,
+             lag(label) OVER (PARTITION BY doc_id ORDER BY line_no) AS prev_label
+      FROM toks
+    ),
+    seg AS (
+      SELECT *,
+             sum(CASE WHEN label IS NOT NULL AND (prev_label IS DISTINCT FROM label)
+                      THEN 1 ELSE 0 END)
+               OVER (PARTITION BY doc_id ORDER BY line_no) AS seg_id
+      FROM lagged
+    ),
+    padded AS (
+      SELECT doc_id, seg_id, label, s, s + length(token) AS e,
+             repeat(' ', s - coalesce(lag(s + length(token))
+               OVER (PARTITION BY doc_id, seg_id ORDER BY s), s)) || token AS piece
+      FROM seg WHERE label IS NOT NULL
+    )
+    SELECT doc_id, label AS concept_id,
+           min(s) AS start, max(e) AS "end",
+           string_agg(piece, '' ORDER BY s) AS covered_text
+    FROM padded GROUP BY doc_id, seg_id, label
+    """,
+)
+def ner_bert_bionlp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NerBertToBionlpConverter parity: line-aligned BERT NER input/label
+    fixture files → entity annotations (IOB(ES) collapse with
+    adjacent-same-label merge, gap-padded covered text, doc ids
+    forward-filled from sentence heads). bionlp_lines serializes the same
+    rows to standoff blobs; the oracle checks the annotation relation."""
+    tokens = relext.parse_bert_ner_files(
+        spark,
+        _os.path.join(_BERT_NER_DIR, "input.txt"),
+        _os.path.join(_BERT_NER_DIR, "labels.txt"),
+    )
+    ents = relext.ner_bert_entities(tokens)
+    return ents.select(
+        "doc_id",
+        "concept_id",
+        F.col("spans").getItem(0).getField("start").alias("start"),
+        F.col("spans").getItem(0).getField("end").alias("end"),
+        "covered_text",
+    )
