@@ -2878,3 +2878,77 @@ def ner_bert_bionlp(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("spans").getItem(0).getField("end").alias("end"),
         "covered_text",
     )
+
+
+# ---------------------------------------------------------------------------
+# Percha-Altman bicluster training data (relation_extraction/bicluster/*)
+# ---------------------------------------------------------------------------
+
+from ..operators import bicluster
+
+_BICLUSTER_DIR = _os.path.join(_os.path.dirname(_OBO_FIXTURE), "bicluster")
+
+
+@register(
+    "bicluster_bert_training",
+    f"""
+    WITH p1l AS (
+      SELECT unnest(string_split(content, chr(10))) AS line
+      FROM read_text('{_BICLUSTER_DIR}/part1.tsv')
+    ),
+    p1 AS (SELECT string_split(line, chr(9)) AS c FROM p1l
+           WHERE line <> '' AND NOT line LIKE 'path%'),
+    path_themes AS (
+      SELECT c[1] AS dependency_path, 'B_BINDING' AS theme FROM p1 WHERE cast(c[3] AS int) > 0
+      UNION
+      SELECT c[1], 'W_ENHANCES_RESPONSE' FROM p1 WHERE cast(c[5] AS int) > 0
+      UNION
+      SELECT c[1], 'Rg_REGULATION' FROM p1 WHERE cast(c[7] AS int) > 0
+    ),
+    p2l AS (
+      SELECT unnest(string_split(content, chr(10))) AS line
+      FROM read_text('{_BICLUSTER_DIR}/part2.tsv')
+    ),
+    p2 AS (
+      SELECT string_split(line, chr(9)) AS c FROM p2l WHERE line <> ''
+    ),
+    sent AS (
+      SELECT lower(c[13]) AS dependency_path,
+             c[3] AS e1, upper(c[11]) AS t1,
+             c[5] AS e2, upper(c[12]) AS t2,
+             regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+               c[14], '-LRB- ', '(', 'g'), '-LSB- ', '[', 'g'), ' -RRB-', ')', 'g'),
+               ' -RSB-', ']', 'g'), ' ,', ',', 'g'), ' \\.', '.', 'g') AS detok
+      FROM p2
+    ),
+    sub1 AS (
+      SELECT *, CASE WHEN strpos(detok, e1) > 0 THEN
+               substr(detok, 1, strpos(detok, e1) - 1) || '@' || t1 || '$'
+               || substr(detok, strpos(detok, e1) + length(e1))
+             ELSE detok END AS s1
+      FROM sent
+    ),
+    sub2 AS (
+      SELECT dependency_path, CASE WHEN strpos(s1, e2) > 0 THEN
+               substr(s1, 1, strpos(s1, e2) - 1) || '@' || t2 || '$'
+               || substr(s1, strpos(s1, e2) + length(e2))
+             ELSE s1 END AS sentence
+      FROM sub1
+    )
+    SELECT sentence, lower(t.theme) AS theme
+    FROM sub2 s JOIN path_themes t USING (dependency_path)
+    QUALIFY row_number() OVER (PARTITION BY sentence ORDER BY lower(t.theme)) = 1
+    """,
+)
+def bicluster_bert_training(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percha-Altman bicluster chain parity: part-i flagship themes per
+    dependency path, part-ii sentences joined on the lowercased path,
+    PTB de-tokenization, first-literal-occurrence @TYPE$ placeholders,
+    cross-theme dedup (deterministic smallest-label variant). sha1-hex
+    ids pinned in pytest; oracle checks (sentence, theme)."""
+    pt = bicluster.part1_path_themes(spark, _os.path.join(_BICLUSTER_DIR, "part1.tsv"))
+    p2 = bicluster.parse_part2(spark, _os.path.join(_BICLUSTER_DIR, "part2.tsv"))
+    out = bicluster.bert_training_rows(
+        p2, pt, themes_to_include=("B_BINDING", "W_ENHANCES_RESPONSE", "Rg_REGULATION")
+    )
+    return out.select("sentence", "theme")
