@@ -131,3 +131,46 @@ def test_dictionary_feeds_ner(spark, terms):
     assert ("TEST:0003", "table scan") in found
     assert ("TEST:0005", "batch stream") in found
     assert ("TEST:0001", "merge sort") in found
+
+
+def test_taxon_promotion(spark):
+    taxon_fixture = os.path.join(os.path.dirname(__file__), "fixtures", "sample_taxon.obo")
+    terms = obo.read_obo_terms(spark, taxon_fixture)
+    cfg = ogerdict.OgerDictConfig(ont_key="NCBITaxon", main_type="organism")
+    d = ogerdict.build_oger_dictionary(terms, cfg)
+    out = ogerdict.promote_taxon_dictionary(d, terms)
+    by_term = {}
+    for r in out.collect():
+        by_term.setdefault(r.term, set()).add(r.concept_id)
+    # 'homo' maps to genus+species+subspecies → promotes to the genus
+    assert by_term["homo"] == {"NCBITaxon:9605"}
+    # 'human' maps to unrelated taxa → both kept
+    assert by_term["human"] == {"NCBITaxon:9606", "NCBITaxon:10090"}
+    # unique terms untouched
+    assert by_term["mouse"] == {"NCBITaxon:10090"}
+
+
+def test_taxon_promotion_large_group_cap(spark):
+    taxon_fixture = os.path.join(os.path.dirname(__file__), "fixtures", "sample_taxon.obo")
+    terms_df = obo.read_obo_terms(spark, taxon_fixture)
+    rows = [("NCBITaxon", f"NCBITaxon:{i}", "shared", "x", "organism", False) for i in range(25)]
+    d = spark.createDataFrame(
+        rows,
+        "ont_key string, concept_id string, term string, primary_label string, "
+        "main_type string, case_sensitive boolean",
+    )
+    out = ogerdict.promote_taxon_dictionary(d, terms_df, large_group_cap=20).collect()
+    # >20 unrelated ids for one term → deterministic single survivor (min id)
+    assert {r.concept_id for r in out} == {"NCBITaxon:0"}
+
+
+def test_ancestor_pairs_for(spark):
+    taxon_fixture = os.path.join(os.path.dirname(__file__), "fixtures", "sample_taxon.obo")
+    terms = obo.read_obo_terms(spark, taxon_fixture)
+    ids = spark.createDataFrame([("NCBITaxon:63221",)], "id string")
+    anc = {(r.id, r.anc) for r in ogerdict.ancestor_pairs_for(terms, ids).collect()}
+    assert anc == {
+        ("NCBITaxon:63221", "NCBITaxon:9606"),
+        ("NCBITaxon:63221", "NCBITaxon:9605"),
+        ("NCBITaxon:63221", "NCBITaxon:1"),
+    }

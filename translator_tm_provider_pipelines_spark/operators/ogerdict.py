@@ -36,7 +36,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass, field
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..sources.obo import curie
@@ -112,24 +112,33 @@ def transitive_descendants(
     distributed. Ontology depth is ~10-30, so this is a bounded number of
     cheap stages, not an unbounded iteration."""
     spark = terms.sparkSession
-    edges = terms.select(
-        F.explode("parents").alias("parent"), F.col("term_id").alias("child")
-    ).select(curie(F.col("parent")).alias("parent"), curie(F.col("child")).alias("child"))
+    edges = (
+        terms.select(
+            F.explode("parents").alias("parent"), F.col("term_id").alias("child")
+        )
+        .select(curie(F.col("parent")).alias("parent"), curie(F.col("child")).alias("child"))
+        # one materialization feeds every closure level; without this each
+        # level's action re-parses the ontology source
+        .persist()
+    )
     acc = spark.createDataFrame([(r,) for r in root_ids], "id string").distinct()
     frontier = acc
-    while True:
-        nxt = (
-            edges.join(F.broadcast(frontier), edges.parent == frontier.id)
-            .select(F.col("child").alias("id"))
-            .distinct()
-            .join(acc, "id", "left_anti")
-        )
-        nxt = nxt.persist()
-        if nxt.count() == 0:
-            nxt.unpersist()
-            return acc
-        acc = acc.unionByName(nxt).persist()
-        frontier = nxt
+    try:
+        while True:
+            nxt = (
+                edges.join(F.broadcast(frontier), edges.parent == frontier.id)
+                .select(F.col("child").alias("id"))
+                .distinct()
+                .join(acc, "id", "left_anti")
+            )
+            nxt = nxt.persist()
+            if nxt.count() == 0:
+                nxt.unpersist()
+                return acc
+            acc = acc.unionByName(nxt).persist()
+            frontier = nxt
+    finally:
+        edges.unpersist()
 
 
 def build_oger_dictionary(terms: DataFrame, config: OgerDictConfig) -> DataFrame:
@@ -579,3 +588,98 @@ CONFIGS: dict[str, OgerDictConfig] = {
         SO_CONFIG,
     )
 }
+
+
+# ---------------------------------------------------------------------------
+# NCBITaxon dictionary promotion
+# (NcbiTaxonOgerDictFileFactory.performTaxonPromotion :105-220)
+# ---------------------------------------------------------------------------
+
+
+def ancestor_pairs_for(terms: DataFrame, ids: DataFrame) -> DataFrame:
+    """(id, ancestor) pairs for the given ``ids`` (one ``id`` column) via
+    the ``is_a`` hierarchy — the walk goes UP from just the requested ids
+    (frontier join per level, persisted edge list), so the closure cost
+    scales with |ids| × depth, not with the whole ontology."""
+    edges = (
+        terms.select(
+            F.explode("parents").alias("parent"), F.col("term_id").alias("child")
+        )
+        .select(curie(F.col("child")).alias("child"), curie(F.col("parent")).alias("parent"))
+        .persist()
+    )
+    try:
+        acc = (
+            ids.join(edges, ids.id == edges.child)
+            .select(F.col("id"), F.col("parent").alias("anc"))
+            .distinct()
+            .persist()
+        )
+        frontier = acc
+        while True:
+            nxt = (
+                frontier.join(edges, frontier.anc == edges.child)
+                .select("id", F.col("parent").alias("anc"))
+                .distinct()
+                .join(acc, ["id", "anc"], "left_anti")
+                .persist()
+            )
+            if nxt.count() == 0:
+                nxt.unpersist()
+                return acc
+            acc = acc.unionByName(nxt).persist()
+            frontier = nxt
+    finally:
+        edges.unpersist()
+
+
+def promote_taxon_dictionary(
+    dictionary: DataFrame, terms: DataFrame, large_group_cap: int = 20
+) -> DataFrame:
+    """Taxon promotion (performPromotion/prefer,
+    NcbiTaxonOgerDictFileFactory.java:105-220): when one dictionary term
+    maps to multiple taxon ids, drop every id that has ANOTHER member of
+    the same group among its ``is_a`` ancestors — the ambiguous name
+    promotes to the most general taxon. Groups larger than
+    ``large_group_cap`` keep a single id (the reference picks an
+    arbitrary HashSet element; here the minimum id, deterministically).
+    The case-sensitive and case-insensitive halves promote independently,
+    like the reference's two dictionary files."""
+    key = ["case_sensitive", "term"]
+    counts = Window.partitionBy(*key)
+    d = dictionary.withColumn(
+        "__n", F.size(F.collect_set("concept_id").over(counts))
+    )
+    multi = d.where(F.col("__n") > 1)
+    cand_ids = multi.select(F.col("concept_id").alias("id")).distinct()
+    anc = ancestor_pairs_for(terms, cand_ids)
+
+    g1 = multi.select(*key, "concept_id")
+    g2 = multi.select(
+        *[F.col(k).alias(f"__{k}") for k in key],
+        F.col("concept_id").alias("__other"),
+    )
+    removed = (
+        g1.join(
+            g2,
+            (F.col("case_sensitive") == F.col("__case_sensitive"))
+            & (F.col("term") == F.col("__term"))
+            & (F.col("concept_id") != F.col("__other")),
+        )
+        .join(
+            anc,
+            (anc.id == F.col("concept_id")) & (anc.anc == F.col("__other")),
+            "left_semi",
+        )
+        .select(*key, "concept_id")
+        .distinct()
+    )
+
+    kept = d.join(removed, [*key, "concept_id"], "left_anti")
+    w_cap = Window.partitionBy(*key)
+    kept = (
+        kept.withColumn("__min", F.min("concept_id").over(w_cap))
+        .where((F.col("__n") <= large_group_cap) | (F.col("concept_id") == F.col("__min")))
+        .drop("__n", "__min")
+    )
+    return kept

@@ -2952,3 +2952,92 @@ def bicluster_bert_training(spark: SparkSession, sf_dir: str) -> DataFrame:
         p2, pt, themes_to_include=("B_BINDING", "W_ENHANCES_RESPONSE", "Rg_REGULATION")
     )
     return out.select("sentence", "theme")
+
+
+_TAXON_FIXTURE = _os.path.join(_os.path.dirname(_OBO_FIXTURE), "sample_taxon.obo")
+
+
+@register(
+    "taxon_promoted_dictionary",
+    f"""
+    WITH RECURSIVE
+    raw AS (
+      SELECT trim(unnest(string_split(content, chr(10) || chr(10)))) AS stanza
+      FROM read_text('{_TAXON_FIXTURE}')
+    ),
+    t AS (
+      SELECT regexp_extract(stanza, '(?m)^id: (\\S+)', 1) AS term_id,
+             regexp_extract(stanza, '(?m)^name: (.*?)\\s*$', 1) AS label_raw,
+             regexp_extract_all(stanza, '(?m)^synonym: "((?:[^"\\\\]|\\\\.)*)" EXACT', 1) AS exact_syns,
+             regexp_extract_all(stanza, '(?m)^is_a: (\\S+)', 1) AS parents,
+             regexp_matches(stanza, '(?m)^is_obsolete: true') AS obsolete
+      FROM raw WHERE stanza LIKE '[Term]%'
+    ),
+    base AS (
+      SELECT term_id, {_sql_fixlabel('label_raw')} AS primary_label,
+             list_distinct(list_transform(
+               list_concat([label_raw], exact_syns),
+               s -> {_sql_fixlabel('s')})) AS syns0,
+             parents
+      FROM t WHERE NOT obsolete AND term_id LIKE 'NCBITaxon:%' AND label_raw <> ''
+    ),
+    exploded AS (
+      SELECT term_id AS concept_id, primary_label,
+             unnest(list_filter(
+               list_filter(syns0, s -> NOT list_contains([{_STOPWORD_IN}], lower(s))),
+               s -> length(s) >= 3)) AS term
+      FROM base
+    ),
+    flagged AS (
+      SELECT concept_id, primary_label, term, {_SQL_IS_CS} AS case_sensitive
+      FROM exploded
+    ),
+    withalts AS (
+      SELECT * FROM flagged
+      UNION ALL
+      SELECT concept_id, primary_label,
+             substr(term, 1, 1) || lower(substr(term, 2)) AS term, true AS case_sensitive
+      FROM flagged WHERE case_sensitive AND regexp_matches(term, '^[A-Z]+[0-9]+$')
+    ),
+    dict AS (
+      SELECT DISTINCT 'NCBITaxon' AS ont_key, concept_id,
+             {_sql_fixlabel('term')} AS term, primary_label,
+             'organism' AS main_type, case_sensitive
+      FROM withalts
+    ),
+    anc AS (
+      SELECT t.term_id AS id, unnest(t.parents) AS anc FROM t
+      UNION
+      SELECT a.id, unnest(t2.parents) AS anc
+      FROM anc a JOIN t t2 ON t2.term_id = a.anc
+    ),
+    grp AS (
+      SELECT case_sensitive, term, concept_id FROM dict
+      GROUP BY 1, 2, 3
+      QUALIFY count(*) OVER (PARTITION BY case_sensitive, term) > 1
+    ),
+    removed AS (
+      SELECT DISTINCT g1.case_sensitive, g1.term, g1.concept_id
+      FROM grp g1
+      JOIN grp g2 ON g1.case_sensitive = g2.case_sensitive
+                 AND g1.term = g2.term AND g1.concept_id <> g2.concept_id
+      JOIN anc a ON a.id = g1.concept_id AND a.anc = g2.concept_id
+    )
+    SELECT d.* FROM dict d
+    LEFT JOIN removed r
+      ON r.case_sensitive = d.case_sensitive AND r.term = d.term
+     AND r.concept_id = d.concept_id
+    WHERE r.concept_id IS NULL
+    """,
+)
+def taxon_promoted_dictionary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NCBITaxon promotion (performTaxonPromotion,
+    NcbiTaxonOgerDictFileFactory.java:105-220): terms mapping to multiple
+    taxa drop every id whose ancestors include another group member — the
+    ambiguous name promotes to the most general taxon; CS/CI halves
+    promote independently. Oracle recomputes the dictionary and a
+    recursive ancestor closure from the same fixture."""
+    terms = obo.read_obo_terms(spark, _TAXON_FIXTURE)
+    cfg = ogerdict.OgerDictConfig(ont_key="NCBITaxon", main_type="organism")
+    d = ogerdict.build_oger_dictionary(terms, cfg)
+    return ogerdict.promote_taxon_dictionary(d, terms)
