@@ -341,3 +341,43 @@ def test_dependency_parse_import_and_augmentation_runners(spark, tmp_path):
         spark, ["--documents", str(tmp_path / "docs"), "--output", str(tmp_path / "aug")]
     )
     assert spark.read.parquet(str(tmp_path / "aug")).count() == 1
+
+
+def test_dict_kgx_trapi_runners(spark, tmp_path):
+    import os
+    fixtures = os.path.join(os.path.dirname(__file__), "fixtures")
+    out = str(tmp_path)
+    cli.main([
+        "OGER_DICT_BUILD", "--ontologyFile", os.path.join(fixtures, "sample_taxon.obo"),
+        "--config", "NCBITaxon", "--promote", "--output", f"{out}/dict",
+    ])
+    d = spark.read.parquet(f"{out}/dict")
+    assert d.where("term = 'homo'").count() == 1  # promotion applied
+    cli.main([
+        "ONTOLOGY_TO_KGX", "--ontologyFile", os.path.join(fixtures, "sample_kg.obo"),
+        "--output", f"{out}/kgx",
+    ])
+    assert spark.read.parquet(f"{out}/kgx/nodes").count() == 14
+    cli.main([
+        "TRAPI_SERIALIZE", "--mode", "ontology", "--nodes", f"{out}/kgx/nodes",
+        "--edges", f"{out}/kgx/edges", "--output", f"{out}/nt",
+    ])
+    assert spark.read.text(f"{out}/nt").count() == 48
+
+
+def test_brat_and_ner_runners(spark, tmp_path):
+    import os
+    fixtures = os.path.join(os.path.dirname(__file__), "fixtures")
+    out = str(tmp_path)
+    cli.main([
+        "BRAT_TO_BERT", "--bratDir", os.path.join(fixtures, "brat"),
+        "--association", "biolink:ChemicalToDiseaseOrPhenotypicFeatureAssociation",
+        "--output", f"{out}/bert",
+    ])
+    assert spark.read.csv(f"{out}/bert", sep="\t").count() == 3
+    cli.main([
+        "NER_BERT_TO_BIONLP", "--bertInput", os.path.join(fixtures, "bert_ner", "input.txt"),
+        "--bertLabels", os.path.join(fixtures, "bert_ner", "labels.txt"),
+        "--output", f"{out}/bionlp",
+    ])
+    assert spark.read.parquet(f"{out}/bionlp").count() == 2

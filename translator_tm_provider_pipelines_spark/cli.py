@@ -593,6 +593,132 @@ def run_doc_text_augmentation(spark: SparkSession, argv: list[str]) -> None:
     ).parquet(ns.output)
 
 
+def run_oger_dict_build(spark: SparkSession, argv: list[str]) -> None:
+    """OGER_DICT_BUILD (oger/dict/*OgerDictFileFactory): OBO ontology →
+    (term, concept_id) match dictionary with the per-ontology rule chain;
+    optional NCBITaxon promotion."""
+    from .operators import ogerdict
+    from .sources import obo
+
+    p = argparse.ArgumentParser(prog="OGER_DICT_BUILD")
+    p.add_argument("--ontologyFile", required=True, help="OBO file (.obo or .obo.gz)")
+    p.add_argument("--config", required=True, choices=sorted(ogerdict.CONFIGS))
+    p.add_argument("--promote", action="store_true", help="apply taxon promotion")
+    p.add_argument("--output", required=True)
+    ns = p.parse_args(argv)
+    terms = obo.read_obo_terms(spark, ns.ontologyFile)
+    d = ogerdict.build_oger_dictionary(terms, ogerdict.CONFIGS[ns.config])
+    if ns.promote:
+        d = ogerdict.promote_taxon_dictionary(d, terms)
+    d.write.mode("overwrite").parquet(ns.output)
+
+
+def run_ontology_to_kgx(spark: SparkSession, argv: list[str]) -> None:
+    """ONTOLOGY_TO_KGX (kg/OntologyToKgx): OBO ontology → KGX node/edge
+    tables with biolink categories and association types."""
+    from .operators import kgxontology as kgo
+    from .sources import obo
+
+    p = argparse.ArgumentParser(prog="ONTOLOGY_TO_KGX")
+    p.add_argument("--ontologyFile", required=True)
+    p.add_argument("--output", required=True, help="output dir (nodes/ + edges/)")
+    ns = p.parse_args(argv)
+    terms = obo.read_obo_terms(spark, ns.ontologyFile)
+    kgo.ontology_kgx_nodes(terms).write.mode("overwrite").parquet(f"{ns.output}/nodes")
+    kgo.ontology_kgx_edges(terms).write.mode("overwrite").parquet(f"{ns.output}/edges")
+
+
+def run_trapi_serialize(spark: SparkSession, argv: list[str]) -> None:
+    """TRAPI_SERIALIZE (trapi/*TrapiBackendSerializer): KGX node/edge
+    tables → N-triples lines for the Blazegraph TRAPI backend."""
+    from .operators import trapi
+
+    p = argparse.ArgumentParser(prog="TRAPI_SERIALIZE")
+    p.add_argument("--mode", choices=("ontology", "assoc"), required=True)
+    p.add_argument("--nodes", required=True)
+    p.add_argument("--edges", required=True)
+    p.add_argument("--evidenceNodes", help="evidence node table (assoc mode)")
+    p.add_argument("--strict", action="store_true", help="raise on unmapped prefixes")
+    p.add_argument("--output", required=True)
+    ns = p.parse_args(argv)
+    nodes = spark.read.parquet(ns.nodes)
+    edges = spark.read.parquet(ns.edges)
+    if ns.mode == "ontology":
+        lines = trapi.ontology_nodes_nt(nodes, strict=ns.strict).unionByName(
+            trapi.ontology_edges_nt(edges, strict=ns.strict)
+        )
+    else:
+        lines = trapi.assoc_entity_nodes_nt(nodes).unionByName(
+            trapi.assoc_edges_nt(edges)
+        )
+        if ns.evidenceNodes:
+            lines = lines.unionByName(
+                trapi.assoc_evidence_nodes_nt(spark.read.parquet(ns.evidenceNodes))
+            )
+    lines.write.mode("overwrite").text(ns.output)
+
+
+def run_brat_to_bert(spark: SparkSession, argv: list[str]) -> None:
+    """BRAT_TO_BERT (relation_extraction/BratToBertConverter): annotated
+    brat directory → BERT training rows."""
+    from .functions import biolink
+    from .operators import relext
+    from .sources import brat as bratsrc
+
+    p = argparse.ArgumentParser(prog="BRAT_TO_BERT")
+    p.add_argument("--bratDir", required=True)
+    p.add_argument("--association", required=True, choices=sorted(biolink.ASSOCIATIONS))
+    p.add_argument("--output", required=True)
+    ns = p.parse_args(argv)
+    ann = bratsrc.read_brat_files(spark, ns.bratDir, "ann")
+    txt = bratsrc.read_brat_files(spark, ns.bratDir, "txt")
+    relext.bert_training_examples(
+        bratsrc.txt_sentences(txt),
+        bratsrc.parse_ann_entities(ann),
+        bratsrc.parse_ann_relations(ann),
+        biolink.ASSOCIATIONS[ns.association],
+    ).write.mode("overwrite").option("sep", "\t").csv(ns.output)
+
+
+def run_brat_batch_create(spark: SparkSession, argv: list[str]) -> None:
+    """BRAT_BATCH_CREATE (BratAssertionAnnotationFileCreator): extracted
+    sentences → paged brat .ann/.txt annotation batch contents."""
+    from .functions import biolink
+    from .operators import relext
+
+    p = argparse.ArgumentParser(prog="BRAT_BATCH_CREATE")
+    p.add_argument("--extractedSentences", required=True)
+    p.add_argument("--association", required=True, choices=sorted(biolink.ASSOCIATIONS))
+    p.add_argument("--batchSize", type=int, required=True)
+    p.add_argument("--alreadyAnnotated", help="parquet with a 'hash' column")
+    p.add_argument("--output", required=True)
+    ns = p.parse_args(argv)
+    already = spark.read.parquet(ns.alreadyAnnotated) if ns.alreadyAnnotated else None
+    relext.brat_annotation_batch(
+        spark.read.parquet(ns.extractedSentences),
+        biolink.ASSOCIATIONS[ns.association],
+        batch_size=ns.batchSize,
+        already_annotated=already,
+    ).write.mode("overwrite").partitionBy("page").parquet(ns.output)
+
+
+def run_ner_bert_to_bionlp(spark: SparkSession, argv: list[str]) -> None:
+    """NER_BERT_TO_BIONLP (NerBertToBionlpConverter): line-aligned BERT
+    NER input/label files → BioNLP standoff blobs per document."""
+    from .operators import relext
+    from .operators import exports as ex
+
+    p = argparse.ArgumentParser(prog="NER_BERT_TO_BIONLP")
+    p.add_argument("--bertInput", required=True)
+    p.add_argument("--bertLabels", required=True)
+    p.add_argument("--output", required=True)
+    ns = p.parse_args(argv)
+    tokens = relext.parse_bert_ner_files(spark, ns.bertInput, ns.bertLabels)
+    ex.bionlp_lines(relext.ner_bert_entities(tokens)).write.mode("overwrite").parquet(
+        ns.output
+    )
+
+
 #: PipelineKey → runner (the implemented subset of PipelineMain.java:124-236;
 #: keys match the reference's PipelineKey enum verbatim)
 PIPELINES: dict[str, Callable[[SparkSession, list[str]], None]] = {
@@ -627,6 +753,12 @@ PIPELINES: dict[str, Callable[[SparkSession, list[str]], None]] = {
     "OGER_POST_PROCESS": run_oger_post_process,
     "DEPENDENCY_PARSE_IMPORT": run_dependency_parse_import,
     "DOC_TEXT_AUGMENTATION": run_doc_text_augmentation,
+    "OGER_DICT_BUILD": run_oger_dict_build,
+    "ONTOLOGY_TO_KGX": run_ontology_to_kgx,
+    "TRAPI_SERIALIZE": run_trapi_serialize,
+    "BRAT_TO_BERT": run_brat_to_bert,
+    "BRAT_BATCH_CREATE": run_brat_batch_create,
+    "NER_BERT_TO_BIONLP": run_ner_bert_to_bionlp,
 }
 
 
