@@ -174,3 +174,73 @@ def test_ancestor_pairs_for(spark):
         ("NCBITaxon:63221", "NCBITaxon:9605"),
         ("NCBITaxon:63221", "NCBITaxon:1"),
     }
+
+
+def test_chebi_formula_and_complexity_filter(spark):
+    t = spark.createDataFrame(
+        [
+            (
+                "CHEBI:26710", "sodium chloride",
+                ["1,2,3,4-tetra-chloro-thing-x-y", "salt"],
+                [], [], [], [], [], ["ClNa"], False,
+            )
+        ],
+        "term_id string, label string, exact_synonyms array<string>, "
+        "related_synonyms array<string>, broad_synonyms array<string>, "
+        "narrow_synonyms array<string>, parents array<string>, xrefs array<string>, "
+        "formulas array<string>, is_obsolete boolean",
+    )
+    cfg = ogerdict.OgerDictConfig(
+        ont_key="CHEBI", main_type="chemical",
+        add_formulas=True, max_hyphen_tokens=5, max_comma_tokens=4,
+        added_synonyms=(("CHEBI:26710", "NaCl"),),
+    )
+    terms_out = {r.term for r in ogerdict.build_oger_dictionary(t, cfg).collect()}
+    # complex name dropped (5 hyphen tokens / 4 comma tokens), formula kept
+    assert terms_out == {"sodium chloride", "salt", "ClNa", "NaCl"}
+
+
+def test_english_word_exclusions(spark):
+    d = spark.createDataFrame(
+        [
+            ("PR", "PR:1", "lead", "l", "protein", False),   # english word, CI → drop
+            ("PR", "PR:2", "LEAD", "l", "protein", True),    # CS survives
+            ("PR", "PR:3", "kinase", "k", "protein", False),
+        ],
+        "ont_key string, concept_id string, term string, primary_label string, "
+        "main_type string, case_sensitive boolean",
+    )
+    words = spark.createDataFrame([("lead",), ("the",)], "word string")
+    out = {r.concept_id for r in ogerdict.english_word_exclusions(d, words).collect()}
+    assert out == {"PR:2", "PR:3"}
+
+
+def test_hgnc_dictionary(spark):
+    hgnc = spark.createDataFrame(
+        [("HGNC:1100", "BRCA1", "BRCA1 DNA repair associated", "RNF53", None)],
+        "hgnc_id string, approved_symbol string, approved_name string, "
+        "alias_name string, alias_symbol string",
+    )
+    rows = ogerdict.hgnc_dictionary(hgnc).collect()
+    terms = {r.term for r in rows}
+    assert terms == {"BRCA1", "BRCA1 DNA repair associated", "RNF53"}
+    assert all(r.primary_label == "BRCA1" and r.main_type == "gene" for r in rows)
+
+
+def test_chemical_label_dictionary(spark):
+    labels = spark.createDataFrame(
+        [
+            ("PUBCHEM.COMPOUND:1", "acid, acetic"),        # single comma → flipped
+            ("PUBCHEM.COMPOUND:2", "a,b,c"),               # too many commas → drop
+            ("PUBCHEM.COMPOUND:3", "ab!"),                 # <4 chars no punct → drop
+            ("PUBCHEM.COMPOUND:4", "C1H2O3N4P5"),          # >30% digits → drop
+            ("PUBCHEM.COMPOUND:5", "[aspirin]"),           # brackets stripped
+            ("PUBCHEM.COMPOUND:444212", "Acid"),           # enumerated exclusion
+        ],
+        "pubchem_id string, label string",
+    )
+    rows = {r.concept_id: r.term for r in ogerdict.chemical_label_dictionary(labels).collect()}
+    assert rows == {
+        "PUBCHEM.COMPOUND:1": " acetic acid",
+        "PUBCHEM.COMPOUND:5": "aspirin",
+    }

@@ -65,6 +65,9 @@ class OgerDictConfig:
     add_hemo_variants: bool = False  # hemo… → haemo…
     add_heart_cardiac: bool = False  # heart → cardiac
     add_activity_stripped: bool = False  # '... activity' → '...' (GO_MF)
+    add_formulas: bool = False  # append chebi formula property values (CHEBI)
+    max_hyphen_tokens: int | None = None  # CHEBI filterSynonyms: <5 '-' tokens
+    max_comma_tokens: int | None = None  # CHEBI filterSynonyms: <4 ',' tokens
     stopwords: tuple[str, ...] = field(default_factory=lambda: tuple(DEFAULT_STOPWORDS))
 
 
@@ -207,6 +210,17 @@ def build_oger_dictionary(terms: DataFrame, config: OgerDictConfig) -> DataFrame
 
     syns = F.filter(syns, lambda x: F.length(x) >= config.min_term_length)
 
+    if config.max_hyphen_tokens is not None or config.max_comma_tokens is not None:
+        # ChebiOgerDictFileFactory.filterSynonyms :113-121 — drop
+        # complicated chemical names unlikely to ever match
+        max_h = config.max_hyphen_tokens or 10**9
+        max_c = config.max_comma_tokens or 10**9
+        syns = F.filter(
+            syns,
+            lambda x: (F.size(F.split(x, "-")) < max_h)
+            & (F.size(F.split(x, ",")) < max_c),
+        )
+
     rows = base.select(
         curie(F.col("term_id")).alias("concept_id"),
         fix_label(F.col("label")).alias("primary_label"),
@@ -218,6 +232,16 @@ def build_oger_dictionary(terms: DataFrame, config: OgerDictConfig) -> DataFrame
             list(config.removed_synonyms), "concept_id string, term string"
         )
         rows = rows.join(F.broadcast(removals), ["concept_id", "term"], "left_anti")
+
+    if config.add_formulas:
+        # ChebiOgerDictFileFactory.addChemicalFormula :93-111 — formulas
+        # join the synonym set after the length/complexity filters
+        formulas = base.select(
+            curie(F.col("term_id")).alias("concept_id"),
+            fix_label(F.col("label")).alias("primary_label"),
+            F.explode("formulas").alias("term"),
+        ).where(F.col("term") != "")
+        rows = rows.unionByName(formulas)
 
     if config.added_synonyms:
         additions = spark.createDataFrame(
@@ -683,3 +707,137 @@ def promote_taxon_dictionary(
         .drop("__n", "__min")
     )
     return kept
+
+
+CHEBI_CONFIG = OgerDictConfig(
+    # ChebiOgerDictFileFactory.java:14-130
+    ont_key="CHEBI",
+    main_type="chemical",
+    excluded_roots=(
+        "CHEBI:50906",  # role
+        "CHEBI:36342",  # subatomic particle
+        "CHEBI:33250",  # atom
+        "CHEBI:24433",  # group
+        "CHEBI:33704",  # alpha-amino acid
+    ),
+    excluded_classes=(
+        "CHEBI:15035", "CHEBI:18367", "CHEBI:26020", "CHEBI:36976",
+        "CHEBI:16670", "CHEBI:7998", "CHEBI:7999", "CHEBI:8001",
+        "CHEBI:36080", "CHEBI:8580", "CHEBI:2645", "CHEBI:33709",
+        "CHEBI:33731", "CHEBI:8762", "CHEBI:60004", "CHEBI:5386",
+        "CHEBI:33696", "CHEBI:49807", "CHEBI:15841", "CHEBI:79381",
+        "CHEBI:18059", "CHEBI:75958", "CHEBI:27889", "CHEBI:24870",
+        "CHEBI:15377", "CHEBI:25367", "CHEBI:36357", "CHEBI:46662",
+        "CHEBI:7754", "CHEBI:4705", "CHEBI:9160",
+    ),
+    removed_synonyms=(("CHEBI:37409", "crown"),),
+    added_synonyms=(("CHEBI:26710", "NaCl"),),  # formula in chebi.owl is ClNa
+    add_formulas=True,
+    max_hyphen_tokens=5,
+    max_comma_tokens=4,
+)
+
+#: PR is the most bespoke reference factory (PrOgerDictFileFactory.java:
+#: gene-template species promotion against external NCBI gene-info files,
+#: hand-curated English-word exclusions). The base rule chain is this
+#: config; curated exclusions apply via :func:`english_word_exclusions`.
+PR_CONFIG = OgerDictConfig(ont_key="PR", main_type="protein")
+
+CONFIGS["CHEBI"] = CHEBI_CONFIG
+CONFIGS["PR"] = PR_CONFIG
+
+
+def english_word_exclusions(dictionary: DataFrame, words: DataFrame) -> DataFrame:
+    """Drop CASE-INSENSITIVE dictionary terms whose lowercase form is a
+    common English word (PrOgerDictFileFactory.java:570-585 flags them;
+    the manually curated file then removes them — ``words`` is one
+    lowercase ``word`` column). Case-sensitive entries always survive,
+    like the reference."""
+    w = F.broadcast(words.select(F.lower("word").alias("__w")).distinct())
+    flagged = dictionary.join(
+        w, (~F.col("case_sensitive")) & (F.lower("term") == F.col("__w")), "left"
+    )
+    return flagged.where(F.col("__w").isNull()).drop("__w")
+
+
+# ---------------------------------------------------------------------------
+# Non-ontology dictionary sources
+# (OgerDictFileFactory.createOgerDictFileFromHGNC :339-390,
+#  createChemicalOgerDictFile + processChemicalLabel :396-500)
+# ---------------------------------------------------------------------------
+
+
+def hgnc_dictionary(hgnc: DataFrame) -> DataFrame:
+    """HGNC download rows (hgnc_id, approved_symbol, approved_name,
+    alias_name, alias_symbol) → dictionary rows: approved symbol + name
+    and the aliases, each mapped to the approved symbol as primary label,
+    type 'gene', no id processing (createOgerDictFileFromHGNC)."""
+    entries = F.array_compact(
+        F.array(
+            F.col("approved_symbol"),
+            F.col("approved_name"),
+            F.col("alias_name"),
+            F.col("alias_symbol"),
+        )
+    )
+    return (
+        hgnc.select(
+            F.lit("HGNC").alias("ont_key"),
+            F.col("hgnc_id").alias("concept_id"),
+            F.explode(entries).alias("term"),
+            F.col("approved_symbol").alias("primary_label"),
+            F.lit("gene").alias("main_type"),
+            F.lit(False).alias("case_sensitive"),
+        )
+        .where(F.col("term") != "")
+        .distinct()
+    )
+
+
+def chemical_label_dictionary(labels: DataFrame) -> DataFrame:
+    """MolePro (pubchem_id, label) rows → dictionary rows with the
+    reference's label cleanup (processChemicalLabel :484-545): drop
+    labels under 4 chars after punctuation removal, flip single-comma
+    labels (right side first), drop >1-comma labels, drop >30%-digit
+    labels, strip surrounding square brackets, and the enumerated
+    (id, label) false-positive exclusions."""
+    no_punct = F.regexp_replace("label", r"\p{Punct}", "")
+    commas = F.size(F.split(F.col("label"), ",")) - 1
+    left = F.split(F.col("label"), ",").getItem(0)
+    right = F.split(F.col("label"), ",").getItem(1)
+    flipped = F.concat(
+        right, F.when(right.endswith("-"), F.lit("")).otherwise(F.lit(" ")), left
+    )
+    no_digits = F.regexp_replace(F.regexp_replace("label", r"\d", ""), r"\s", "")
+    pct_digits = (F.length("label") - F.length(no_digits)) / F.length("label")
+    bracketed = F.col("label").startswith("[") & F.col("label").endswith("]")
+    processed = F.when(commas == 1, flipped).otherwise(
+        F.when(
+            bracketed, F.substring(F.col("label"), F.lit(2), F.length("label") - 2)
+        ).otherwise(F.col("label"))
+    )
+    exclusions = [
+        ("PUBCHEM.COMPOUND:444212", "acid"),
+        ("PUBCHEM.COMPOUND:139199449", "ligand"),
+        ("PUBCHEM.COMPOUND:4201", "solution"),
+        ("PUBCHEM.COMPOUND:3036828", "methyl"),
+        ("PUBCHEM.COMPOUND:135616186", "focus"),
+        ("PUBCHEM.COMPOUND:135438605", "focus"),
+        ("PUBCHEM.COMPOUND:4641", "optimal"),
+    ]
+    excluded = None
+    for cid, lbl in exclusions:
+        cond = (F.upper("pubchem_id") == cid) & (F.lower("label") == lbl)
+        excluded = cond if excluded is None else (excluded | cond)
+    kept = labels.where(
+        (F.length(no_punct) >= 4) & (commas <= 1) & (pct_digits <= 0.3) & ~excluded
+    )
+    out = kept.select(
+        F.lit("PUBCHEM").alias("ont_key"),
+        F.col("pubchem_id").alias("concept_id"),
+        processed.alias("term"),
+        processed.alias("primary_label"),
+        F.lit("chemical").alias("main_type"),
+        F.lit(False).alias("case_sensitive"),
+    )
+    return out.distinct()

@@ -77,6 +77,12 @@ def read_obo_terms(spark: SparkSession, path: str) -> DataFrame:
         F.regexp_extract_all(
             F.col("stanza"), F.lit(r"(?m)^xref: (\S+)"), 1
         ).alias("xrefs"),
+        # chemical formulas: property_value: .../chebi/formula "ClNa" xsd:string
+        F.regexp_extract_all(
+            F.col("stanza"),
+            F.lit(r'(?m)^property_value: \S*formula "([^"]*)"'),
+            1,
+        ).alias("formulas"),
     ).where(F.col("term_id") != "")
 
 
