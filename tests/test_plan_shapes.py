@@ -115,3 +115,17 @@ def test_topk_similar_pairs_no_all_pairs_join(spark):
     p = plan_text(spark, "topk_similar_pairs")
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_dictionary_build_all_broadcast_joins(spark):
+    # every join in the ontology-dictionary build is against a
+    # dimension-size side → none may fall back to sort-merge
+    for q in ("oger_dictionary", "ontology_kgx_edges"):
+        p = plan_text(spark, q)
+        assert "SortMergeJoin" not in p, q
+        assert "BroadcastHashJoin" in p, q
+
+
+def test_ontology_ner_broadcast_dictionary(spark):
+    p = plan_text(spark, "ontology_dictionary_ner")
+    assert "BroadcastHashJoin" in p

@@ -132,7 +132,7 @@ def transitive_descendants(
                 edges.join(F.broadcast(frontier), edges.parent == frontier.id)
                 .select(F.col("child").alias("id"))
                 .distinct()
-                .join(acc, "id", "left_anti")
+                .join(F.broadcast(acc), "id", "left_anti")
             )
             nxt = nxt.persist()
             if nxt.count() == 0:
@@ -645,7 +645,7 @@ def ancestor_pairs_for(terms: DataFrame, ids: DataFrame) -> DataFrame:
                 frontier.join(edges, frontier.anc == edges.child)
                 .select("id", F.col("parent").alias("anc"))
                 .distinct()
-                .join(acc, ["id", "anc"], "left_anti")
+                .join(F.broadcast(acc), ["id", "anc"], "left_anti")
                 .persist()
             )
             if nxt.count() == 0:
@@ -671,9 +671,11 @@ def promote_taxon_dictionary(
     like the reference's two dictionary files."""
     key = ["case_sensitive", "term"]
     counts = Window.partitionBy(*key)
+    # the (dimension-size) dictionary feeds four branches below; persist
+    # once instead of re-deriving the whole build per branch
     d = dictionary.withColumn(
         "__n", F.size(F.collect_set("concept_id").over(counts))
-    )
+    ).persist()
     multi = d.where(F.col("__n") > 1)
     cand_ids = multi.select(F.col("concept_id").alias("id")).distinct()
     anc = ancestor_pairs_for(terms, cand_ids)
@@ -699,7 +701,7 @@ def promote_taxon_dictionary(
         .distinct()
     )
 
-    kept = d.join(removed, [*key, "concept_id"], "left_anti")
+    kept = d.join(F.broadcast(removed), [*key, "concept_id"], "left_anti")
     w_cap = Window.partitionBy(*key)
     kept = (
         kept.withColumn("__min", F.min("concept_id").over(w_cap))
