@@ -73,3 +73,25 @@ def test_topk_pairs_lsh_bucket_cap(spark, emb):
     # a cap of 1 drops every bucket → no candidates survive
     capped = similarity.topk_similar_pairs_lsh(emb, k=20, max_bucket_size=1)
     assert capped.count() == 0
+
+
+def test_embedding_near_duplicates_matches_exact(spark, emb):
+    # 24 bands give total recall on this corpus (recall is corpus-dependent;
+    # the registered query's 16-band setting is verified at sf0.01/sf0.1)
+    lsh = {
+        (r.vec_a, r.vec_b, r.cosine)
+        for r in similarity.embedding_near_duplicates(emb, threshold=0.3, n_bands=24).collect()
+    }
+    a = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
+    b = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
+    exact = {
+        (r.vec_a, r.vec_b, r.cosine)
+        for r in a.join(b, F.col("vec_a") < F.col("vec_b"))
+        .select(
+            "vec_a", "vec_b",
+            F.round(similarity.cosine(F.col("ea"), F.col("eb")), 6).alias("cosine"),
+        )
+        .where(F.col("cosine") >= 0.3)
+        .collect()
+    }
+    assert lsh == exact and lsh

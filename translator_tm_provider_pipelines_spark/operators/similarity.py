@@ -313,3 +313,44 @@ def ann_lsh(
     bucketed = embeddings.withColumn("bucket", rp_lsh_bucket(F.col(vec_col), planes, scale))
     cands = bucketed.where(F.col("bucket") == qbits)
     return knn_brute_force(cands, query_vec, k=k, id_col=id_col, vec_col=vec_col, scale=scale)
+
+
+def embedding_near_duplicates(
+    embeddings: DataFrame,
+    threshold: float = 0.9,
+    n_dims: int = 64,
+    n_bands: int = 16,
+    band_planes: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 6,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: banded-LSH candidate
+    generation followed by exact cosine verification at ``threshold`` —
+    the embedding analogue of MinHash near-dup (dedup.near_duplicates).
+    Same scale shape as :func:`topk_similar_pairs_lsh`: candidate volume
+    is governed by band/bucket parameters, the exact cosine runs only on
+    survivors, and no all-pairs join exists anywhere in the plan."""
+    pairs = banded_lsh_candidate_pairs(
+        embeddings,
+        n_dims=n_dims,
+        n_bands=n_bands,
+        band_planes=band_planes,
+        id_col=id_col,
+        vec_col=vec_col,
+        scale=scale,
+        max_bucket_size=max_bucket_size,
+    )
+    ea = embeddings.select(F.col(id_col).alias("vec_a"), F.col(vec_col).alias("ea"))
+    eb = embeddings.select(F.col(id_col).alias("vec_b"), F.col(vec_col).alias("eb"))
+    scored = (
+        pairs.join(ea, "vec_a")
+        .join(eb, "vec_b")
+        .select(
+            "vec_a",
+            "vec_b",
+            F.round(cosine(F.col("ea"), F.col("eb")), scale).alias("cosine"),
+        )
+    )
+    return scored.where(F.col("cosine") >= threshold)

@@ -3041,3 +3041,32 @@ def taxon_promoted_dictionary(spark: SparkSession, sf_dir: str) -> DataFrame:
     cfg = ogerdict.OgerDictConfig(ont_key="NCBITaxon", main_type="organism")
     d = ogerdict.build_oger_dictionary(terms, cfg)
     return ogerdict.promote_taxon_dictionary(d, terms)
+
+
+@register(
+    "embedding_near_duplicates",
+    f"""
+    WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 500),
+    {_COS_EXPAND},
+    norms AS (
+      SELECT vec_id, sum(cast(list_extract(embedding, i) AS double) * cast(list_extract(embedding, i) AS double)) AS nn
+      FROM e, pos GROUP BY 1
+    ),
+    dots AS (
+      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+             sum(cast(list_extract(a.embedding, p.i) AS double) * cast(list_extract(b.embedding, p.i) AS double)) AS d
+      FROM e a JOIN e b ON a.vec_id < b.vec_id, pos p GROUP BY 1, 2
+    )
+    SELECT vec_a, vec_b, round(d / (sqrt(na.nn) * sqrt(nb.nn)), 6) AS cosine
+    FROM dots JOIN norms na ON na.vec_id = vec_a JOIN norms nb ON nb.vec_id = vec_b
+    WHERE round(d / (sqrt(na.nn) * sqrt(nb.nn)), 6) >= 0.3
+    """,
+)
+def embedding_near_duplicates_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup (LLM-data-pipeline dedup family): banded
+    random-hyperplane LSH candidates verified with exact cosine at the
+    0.3 threshold — hash-checked against the all-pairs oracle (LSH recall
+    is total at these settings, verified at sf0.01 and sf0.1), with no
+    all-pairs join in the Spark plan."""
+    emb = _t(spark, sf_dir, "embeddings").where(F.col("vec_id") < 500)
+    return similarity.embedding_near_duplicates(emb, threshold=0.3)
