@@ -185,3 +185,37 @@ def test_ner_bert_adjacent_same_label_merge(spark):
     ents = relext.ner_bert_entities(tokens).collect()
     got = {(r.covered_text, r.concept_id) for r in ents}
     assert got == {("aa bb", "x"), ("cc", "y")}
+
+
+def test_inception_subset(spark, tmp_path):
+    content = (
+        "#FORMAT=WebAnno TSV 3.3\n#T_SP=custom.Span|label\n\n"
+        "#Text=The BRCA1 gene binds TP53.\n"
+        "1-1\t10-13\tThe\t_\n"
+        "1-2\t14-19\tBRCA1\tPR:1[7]\n"
+        "1-3\t20-24\tgene\tPR:1[7]\n"
+        "1-5\t31-35\tTP53\tPR:2\n\n"
+        "#Text=Mice lack Xyz9 protein.\n"
+        "2-1\t50-54\tMice\t_\n"
+        "2-4\t64-68\tXyz9\tPR:3[9]\n"
+        "2-5\t69-76\tprotein\tPR:3[9]\n\n"
+        "#Text=The BRCA1 gene binds TP53.\n"
+        "3-1\t90-93\tThe\t_\n"
+    )
+    p = tmp_path / "w.tsv"
+    p.write_text(content)
+    blocks = relext.parse_webanno_blocks(spark, str(p))
+    out = {(r.sent_num, r.line_no): r.line for r in relext.inception_subset(blocks, 5).collect()}
+    # duplicate #Text= sentence collapses to its first occurrence → 2 sentences
+    assert max(s for s, _ in out) == 2
+    # sentence 2 packs after sentence 1's last end (35) + 1 → shift 36
+    assert out[(2, 1)] == "2-1\t86-90\tMice\t_"
+    # entity indices renumber globally in first-appearance order: [7]→[1], [9]→[2]
+    assert out[(1, 2)].endswith("PR:1[1]")
+    assert out[(2, 4)].endswith("PR:3[2]")
+    # previously annotated hashes are skipped
+    import base64
+    h = base64.b64encode(b"#Text=The BRCA1 gene binds TP53.").decode()
+    already = spark.createDataFrame([(h,)], "hash string")
+    out2 = relext.inception_subset(blocks, 5, already_annotated=already).collect()
+    assert {r.sent_num for r in out2} == {1} and any("Mice" in r.line for r in out2)

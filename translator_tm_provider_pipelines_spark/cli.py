@@ -719,6 +719,24 @@ def run_ner_bert_to_bionlp(spark: SparkSession, argv: list[str]) -> None:
     )
 
 
+def run_inception_subset(spark: SparkSession, argv: list[str]) -> None:
+    """INCEPTION_SUBSET (InceptionInputFileCreator): WebAnno TSV → a new
+    annotation subset with contiguous offsets and renumbered entities."""
+    from .operators import relext
+
+    p = argparse.ArgumentParser(prog="INCEPTION_SUBSET")
+    p.add_argument("--webannoFile", required=True)
+    p.add_argument("--batchSize", type=int, required=True)
+    p.add_argument("--alreadyAnnotated", help="parquet with a 'hash' column")
+    p.add_argument("--output", required=True)
+    ns = p.parse_args(argv)
+    already = spark.read.parquet(ns.alreadyAnnotated) if ns.alreadyAnnotated else None
+    blocks = relext.parse_webanno_blocks(spark, ns.webannoFile)
+    relext.inception_subset(blocks, ns.batchSize, already_annotated=already).write.mode(
+        "overwrite"
+    ).parquet(ns.output)
+
+
 #: PipelineKey → runner (the implemented subset of PipelineMain.java:124-236;
 #: keys match the reference's PipelineKey enum verbatim)
 PIPELINES: dict[str, Callable[[SparkSession, list[str]], None]] = {
@@ -759,6 +777,7 @@ PIPELINES: dict[str, Callable[[SparkSession, list[str]], None]] = {
     "BRAT_TO_BERT": run_brat_to_bert,
     "BRAT_BATCH_CREATE": run_brat_batch_create,
     "NER_BERT_TO_BIONLP": run_ner_bert_to_bionlp,
+    "INCEPTION_SUBSET": run_inception_subset,
 }
 
 

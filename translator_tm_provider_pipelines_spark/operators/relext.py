@@ -515,3 +515,121 @@ def ner_bert_documents(tokens: DataFrame) -> DataFrame:
         .agg(toks.alias("toks"))
         .select("doc_id", text.alias("text"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Inception (WebAnno TSV) subset creation
+# (relation_extraction/InceptionInputFileCreator.java)
+# ---------------------------------------------------------------------------
+
+
+def parse_webanno_blocks(spark, path: str) -> DataFrame:
+    """WebAnno TSV file → one row per sentence block, in file order:
+    (block_idx, text_line, tokens array<struct(tok_num,start,end,token,
+    entity)>). Blocks split on blank lines; the leading #FORMAT header
+    block (no #Text= line) is dropped (getNextSentence,
+    InceptionInputFileCreator.java:160-183)."""
+    blocks = (
+        spark.read.option("lineSep", "\n\n").text(path)
+        .rdd.zipWithIndex()
+        .map(lambda t: (t[1], t[0].value))
+        .toDF(["block_idx", "block"])
+    )
+    toks = F.filter(
+        F.split("block", "\n"), lambda l: l.rlike(r"^\d+-\d+\t")
+    )
+    tok = lambda l: F.struct(  # noqa: E731
+        F.regexp_extract(l, r"^\d+-(\d+)\t", 1).cast("int").alias("tok_num"),
+        F.regexp_extract(l, r"^\d+-\d+\t(\d+)-", 1).cast("long").alias("start"),
+        F.regexp_extract(l, r"^\d+-\d+\t\d+-(\d+)\t", 1).cast("long").alias("end"),
+        F.regexp_extract(l, r"^\d+-\d+\t\d+-\d+\t([^\t]*)\t", 1).alias("token"),
+        F.regexp_extract(l, r"^\d+-\d+\t\d+-\d+\t[^\t]*\t(.*)$", 1).alias("entity"),
+    )
+    return (
+        blocks.select(
+            "block_idx",
+            F.regexp_extract("block", r"(?m)^(#Text=.*?)\s*$", 1).alias("text_line"),
+            F.transform(toks, tok).alias("tokens"),
+        )
+        .where(F.col("text_line") != "")
+    )
+
+
+def inception_subset(
+    blocks: DataFrame, batch_size: int, already_annotated: DataFrame | None = None
+) -> DataFrame:
+    """Select a new annotation subset from WebAnno sentence blocks
+    (createNewSubset/updateSentenceData,
+    InceptionInputFileCreator.java:54-259):
+
+    - sentence identity = base64 of the #Text= line (computeHash :146);
+      previously exported hashes (``already_annotated``: one ``hash``
+      column) are skipped, duplicates collapse to their first occurrence;
+    - sentences renumber 1..batch_size; token spans shift so sentences
+      pack contiguously (next sentence starts at previous shifted
+      end + 1);
+    - multi-token entity ``[k]`` indices renumber globally in
+      first-appearance order.
+
+    The reference samples randomly; this takes the first ``batch_size``
+    sentences in file order, so subsets reproduce. Output rows:
+    (sent_num, line_no, line)."""
+    b = blocks.withColumn("hash", F.base64(F.col("text_line").cast("binary")))
+    if already_annotated is not None:
+        b = b.join(already_annotated, "hash", "left_anti")
+    w_dup = Window.partitionBy("hash").orderBy("block_idx")
+    b = b.withColumn("__rn", F.row_number().over(w_dup)).where(F.col("__rn") == 1)
+    w_all = Window.orderBy("block_idx")
+    b = (
+        b.withColumn("sent_num", F.row_number().over(w_all))
+        .where(F.col("sent_num") <= batch_size)
+    )
+    # contiguous packing: shift(i) = Σ_{j<i} (max_end(j) + 1)
+    max_end = F.array_max(F.transform("tokens", lambda t: t["end"]))
+    w_prev = w_all.rowsBetween(Window.unboundedPreceding, -1)
+    b = b.withColumn("shift", F.coalesce(F.sum(max_end + 1).over(w_prev), F.lit(0)))
+
+    toks = b.select(
+        "sent_num", "shift", F.posexplode("tokens").alias("pos", "t")
+    ).select(
+        "sent_num",
+        "shift",
+        "pos",
+        F.col("t.tok_num").alias("tok_num"),
+        (F.col("t.start") + F.col("shift")).alias("start"),
+        (F.col("t.end") + F.col("shift")).alias("end"),
+        F.col("t.token").alias("token"),
+        F.col("t.entity").alias("entity"),
+        F.regexp_extract(F.col("t.entity"), r"\[(\d+)\]", 1).alias("orig_idx"),
+    )
+    # global first-appearance renumbering of [k] entity indices
+    firsts = (
+        toks.where(F.col("orig_idx") != "")
+        .groupBy("sent_num", "orig_idx")
+        .agg(F.min(F.struct("pos", "tok_num")).alias("__first"))
+    )
+    w_idx = Window.orderBy(F.col("sent_num"), F.col("__first"))
+    firsts = firsts.select(
+        "sent_num", "orig_idx", F.row_number().over(w_idx).alias("new_idx")
+    )
+    toks = toks.join(F.broadcast(firsts), ["sent_num", "orig_idx"], "left")
+    entity_out = F.when(
+        F.col("orig_idx") != "",
+        F.regexp_replace(
+            F.col("entity"), r"\[\d+\]", F.concat(F.lit("["), F.col("new_idx"), F.lit("]"))
+        ),
+    ).otherwise(F.col("entity"))
+
+    token_lines = toks.select(
+        "sent_num",
+        F.col("tok_num").alias("line_no"),
+        F.concat(
+            F.col("sent_num").cast("string"), F.lit("-"), F.col("tok_num").cast("string"),
+            F.lit("\t"), F.col("start").cast("string"), F.lit("-"), F.col("end").cast("string"),
+            F.lit("\t"), F.col("token"), F.lit("\t"), entity_out,
+        ).alias("line"),
+    )
+    text_lines = b.select(
+        "sent_num", F.lit(0).alias("line_no"), F.col("text_line").alias("line")
+    )
+    return text_lines.unionByName(token_lines)
