@@ -3069,4 +3069,6 @@ def embedding_near_duplicates_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     is total at these settings, verified at sf0.01 and sf0.1), with no
     all-pairs join in the Spark plan."""
     emb = _t(spark, sf_dir, "embeddings").where(F.col("vec_id") < 500)
-    return similarity.embedding_near_duplicates(emb, threshold=0.3)
+    # 24 bands: recall verified total at sf0.001/sf0.01/sf0.1 (more bands
+    # only widen the candidate set; the exact-cosine gate is unchanged)
+    return similarity.embedding_near_duplicates(emb, threshold=0.3, n_bands=24)
