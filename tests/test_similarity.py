@@ -95,3 +95,24 @@ def test_embedding_near_duplicates_matches_exact(spark, emb):
         .collect()
     }
     assert lsh == exact and lsh
+
+
+def test_ivf_index_partition_pruning(spark, emb, qvec, tmp_path):
+    path = str(tmp_path / "ivf")
+    cents = similarity.write_ivf_index(emb, path, n_lists=8)
+    top = similarity.ann_ivf_from_index(spark, path, cents, qvec, k=10, nprobe=2)
+    # identical results to the in-memory IVF path with the same centroids
+    mem = similarity.ann_ivf(emb, qvec, k=10, n_lists=8, nprobe=2, centroids=cents)
+    assert [tuple(r) for r in top.collect()] == [tuple(r) for r in mem.collect()]
+    # the probed-lists predicate must prune partitions at scan time
+    plan = top._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [ivf_list" in plan
+
+
+def test_lsh_index_partition_pruning(spark, emb, qvec, tmp_path):
+    path = str(tmp_path / "lsh")
+    similarity.write_lsh_index(emb, path, n_planes=4)
+    top = similarity.ann_lsh_from_index(spark, path, qvec, k=5, n_planes=4)
+    mem = similarity.ann_lsh(emb, qvec, k=5, n_planes=4)
+    assert [tuple(r) for r in top.collect()] == [tuple(r) for r in mem.collect()]
+    assert top.collect()[0].vec_id == 0

@@ -354,3 +354,100 @@ def embedding_near_duplicates(
         )
     )
     return scored.where(F.col("cosine") >= threshold)
+
+
+# ---------------------------------------------------------------------------
+# Persisted ANN indexes — the 100 TB query path
+# ---------------------------------------------------------------------------
+
+
+def write_ivf_index(
+    embeddings: DataFrame,
+    path: str,
+    n_lists: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 6,
+    centroids: list[tuple[int, list[float]]] | None = None,
+) -> list[tuple[int, list[float]]]:
+    """Materialize the IVF-assigned corpus PARTITIONED BY list id, so a
+    query scans only its ``nprobe`` probed lists: Spark's partition
+    pruning turns the corpus read into ``nprobe/n_lists`` of the data
+    (assignment itself is the narrow zero-shuffle projection from
+    :func:`ivf_list_id`). Returns the centroids to persist alongside."""
+    if centroids is None:
+        centroids = seed_centroids(embeddings, n_lists, id_col=id_col, vec_col=vec_col)
+    assigned = embeddings.withColumn(
+        "ivf_list", ivf_list_id(F.col(vec_col), centroids, scale)
+    )
+    assigned.write.mode("overwrite").partitionBy("ivf_list").parquet(path)
+    return centroids
+
+
+def ann_ivf_from_index(
+    spark,
+    path: str,
+    centroids: list[tuple[int, list[float]]],
+    query_vec: list[float],
+    k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 6,
+) -> DataFrame:
+    """Query a persisted IVF index: the ``ivf_list IN probes`` predicate
+    prunes to the probed partitions at scan time (visible as a partition
+    filter in the physical plan — asserted in tests), then exact-scores
+    only those lists. Identical results to :func:`ann_ivf` over the same
+    corpus and centroids."""
+    def _pycos(a: list[float], b: list[float]) -> float:
+        d = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(y * y for y in b))
+        return round(d / (na * nb), scale)
+
+    probes = [
+        cid
+        for _, cid in sorted((-_pycos(query_vec, cv), cid) for cid, cv in centroids)[:nprobe]
+    ]
+    cands = spark.read.parquet(path).where(F.col("ivf_list").isin(probes))
+    return knn_brute_force(cands, query_vec, k=k, id_col=id_col, vec_col=vec_col, scale=scale)
+
+
+def write_lsh_index(
+    embeddings: DataFrame,
+    path: str,
+    n_planes: int = 8,
+    n_dims: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 6,
+) -> None:
+    """Materialize the rp-LSH bucketed corpus PARTITIONED BY bucket: an
+    :func:`ann_lsh`-style query then reads exactly one partition (plus
+    optional probe neighbors) instead of the full corpus."""
+    planes = hyperplanes(n_planes, n_dims)
+    bucketed = embeddings.withColumn("bucket", rp_lsh_bucket(F.col(vec_col), planes, scale))
+    bucketed.write.mode("overwrite").partitionBy("bucket").parquet(path)
+
+
+def ann_lsh_from_index(
+    spark,
+    path: str,
+    query_vec: list[float],
+    k: int = 10,
+    n_planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 6,
+) -> DataFrame:
+    """Query a persisted LSH index: compute the query's sign-bit bucket
+    driver-side (one dot product per plane) and scan only that
+    partition."""
+    planes = hyperplanes(n_planes, len(query_vec))
+    qbits = "".join(
+        "1" if round(sum(c * v for c, v in zip(plane, query_vec)), scale) >= 0 else "0"
+        for plane in planes
+    )
+    cands = spark.read.parquet(path).where(F.col("bucket") == qbits)
+    return knn_brute_force(cands, query_vec, k=k, id_col=id_col, vec_col=vec_col, scale=scale)
