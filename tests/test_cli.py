@@ -381,3 +381,28 @@ def test_brat_and_ner_runners(spark, tmp_path):
         "--output", f"{out}/bionlp",
     ])
     assert spark.read.parquet(f"{out}/bionlp").count() == 2
+
+
+def test_sql_upsert_runner(spark, tmp_path):
+    import sqlite3
+
+    db = str(tmp_path / "t.db")
+    conn = sqlite3.connect(db)
+    conn.execute("CREATE TABLE scores (id TEXT PRIMARY KEY, v INTEGER)")
+    conn.commit()
+    conn.close()
+    df = spark.createDataFrame([("a", 1), ("b", 2)], "id string, v long")
+    df.write.parquet(str(tmp_path / "in"))
+    cli.main([
+        "SQL_UPSERT", "--input", str(tmp_path / "in"), "--sqlite", db,
+        "--table", "scores", "--keys", "id",
+    ])
+    df.selectExpr("id", "v + 10 AS v").write.mode("overwrite").parquet(str(tmp_path / "in2"))
+    cli.main([
+        "SQL_UPSERT", "--input", str(tmp_path / "in2"), "--sqlite", db,
+        "--table", "scores", "--keys", "id",
+    ])
+    conn = sqlite3.connect(db)
+    got = dict(conn.execute("SELECT id, v FROM scores").fetchall())
+    conn.close()
+    assert got == {"a": 11, "b": 12}

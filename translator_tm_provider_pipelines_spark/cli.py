@@ -719,6 +719,34 @@ def run_ner_bert_to_bionlp(spark: SparkSession, argv: list[str]) -> None:
     )
 
 
+def run_sql_upsert(spark: SparkSession, argv: list[str]) -> None:
+    """SQL_UPSERT (K3, ConceptCooccurrenceMetricsPipeline JDBC loads):
+    batched INSERT..ON CONFLICT DO UPDATE of a parquet table into a SQL
+    database — sqlite via --sqlite here; programmatic callers pass any
+    picklable DB-API factory to sinks.write_upsert."""
+    import functools
+    import sqlite3
+
+    from .sources import sinks
+
+    p = argparse.ArgumentParser(prog="SQL_UPSERT")
+    p.add_argument("--input", required=True, help="parquet path")
+    p.add_argument("--sqlite", required=True, help="sqlite database file")
+    p.add_argument("--table", required=True)
+    p.add_argument("--keys", required=True, help="'|'-separated key columns")
+    p.add_argument("--batchSize", type=int, default=5000)
+    p.add_argument("--numPartitions", type=int, default=1)
+    ns = p.parse_args(argv)
+    sinks.write_upsert(
+        spark.read.parquet(ns.input),
+        functools.partial(sqlite3.connect, ns.sqlite, timeout=60),
+        ns.table,
+        parse_flags(ns.keys),
+        batchsize=ns.batchSize,
+        num_partitions=ns.numPartitions,
+    )
+
+
 def run_inception_subset(spark: SparkSession, argv: list[str]) -> None:
     """INCEPTION_SUBSET (InceptionInputFileCreator): WebAnno TSV → a new
     annotation subset with contiguous offsets and renumbered entities."""
@@ -778,6 +806,7 @@ PIPELINES: dict[str, Callable[[SparkSession, list[str]], None]] = {
     "BRAT_BATCH_CREATE": run_brat_batch_create,
     "NER_BERT_TO_BIONLP": run_ner_bert_to_bionlp,
     "INCEPTION_SUBSET": run_inception_subset,
+    "SQL_UPSERT": run_sql_upsert,
 }
 
 
