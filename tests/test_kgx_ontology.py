@@ -78,3 +78,22 @@ def test_edge_ids_are_base64_sha1(edges):
 def test_edges_deduplicate_by_id(spark, terms):
     df = kg.ontology_kgx_edges(terms)
     assert df.count() == df.select("id").distinct().count()
+
+
+def test_unmapped_relation_serializes_literal_null(edges):
+    """Relations absent from RELATION_MAP (develops_from here) still emit
+    an edge, with the literal 'null' label/curie baked into the TSV cells
+    AND the sha1 id — KgxEdge.getId / toKgxString String.format("%s") of
+    null fields (KgxEdge.java:28-30,61-62)."""
+    null_edges = [
+        e
+        for e in edges
+        if e.subject == "CL:0000540" and e.object == "CL:0000000" and e.edge_label == "null"
+    ]
+    assert len(null_edges) == 1
+    e = null_edges[0]
+    assert e.relation == "null"
+    assert e.association_type == "null"
+    payload = "CL:0000540|null|CL:0000000|null|null"
+    expected = base64.b64encode(hashlib.sha1(payload.encode()).digest()).decode()
+    assert e.id == expected

@@ -244,3 +244,24 @@ def test_chemical_label_dictionary(spark):
         "PUBCHEM.COMPOUND:1": " acetic acid",
         "PUBCHEM.COMPOUND:5": "aspirin",
     }
+
+
+def test_taxonomic_rank_exclusion(spark, tmp_path):
+    """NCBITAXON_CONFIG's excluded root 'NCBITaxon#:taxonomic_rank' must
+    match curie('NCBITaxon#_taxonomic_rank') — only the FIRST underscore
+    is the prefix separator (NcbiTaxonOgerDictFileFactory.java:34-36
+    excludes the raw IRI ...NCBITaxon#_taxonomic_rank and descendants)."""
+    p = tmp_path / "rank.obo"
+    p.write_text(
+        "format-version: 1.2\n\n"
+        "[Term]\nid: NCBITaxon#_taxonomic_rank\nname: taxonomic rank\n\n"
+        "[Term]\nid: NCBITaxon:species\nname: species epithet\n"
+        "is_a: NCBITaxon#_taxonomic_rank\n\n"
+        "[Term]\nid: NCBITaxon:9606\nname: Homo sapiens\n"
+    )
+    terms = obo.read_obo_terms(spark, str(p))
+    rows = ogerdict.build_oger_dictionary(terms, ogerdict.NCBITAXON_CONFIG).collect()
+    ids = {r.concept_id for r in rows}
+    assert "NCBITaxon:9606" in ids
+    # rank subtree excluded via the (now matchable) excluded root
+    assert "NCBITaxon:species" not in ids

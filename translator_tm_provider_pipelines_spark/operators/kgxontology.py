@@ -270,9 +270,16 @@ def ontology_kgx_edges(terms: DataFrame) -> DataFrame:
         .withColumn("__lblcur", rel_map[F.col("rel")])
         .select(
             "subject",
-            F.split("__lblcur", "\t").getItem(0).alias("edge_label"),
+            # relations absent from RELATION_MAP serialize as the literal
+            # "null" — KgxEdge.getId / toKgxString use String.format("%s")
+            # on null fields (KgxEdge.java:28-30,61-62)
+            F.coalesce(F.split("__lblcur", "\t").getItem(0), F.lit("null")).alias(
+                "edge_label"
+            ),
             "object",
-            F.split("__lblcur", "\t").getItem(1).alias("relation"),
+            F.coalesce(F.split("__lblcur", "\t").getItem(1), F.lit("null")).alias(
+                "relation"
+            ),
             F.coalesce(
                 assoc_map[
                     F.concat_ws(

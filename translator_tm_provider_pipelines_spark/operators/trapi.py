@@ -71,7 +71,13 @@ def full_uri(id_col: Column, strict: bool = True) -> Column:
     """``<…>``-wrapped IRI for a CURIE via :data:`URI_PREFIXES`. With
     ``strict`` unmapped prefixes raise (the reference throws
     IllegalArgumentException); otherwise they yield NULL for the caller
-    to filter."""
+    to filter.
+
+    The suffix is element 1 of the colon split — for multi-colon CURIEs
+    (``MGI:MGI:97490``) this yields the segment between the first and
+    second colon, matching the reference's ``id.split(":")[1]``
+    (OntologyKgTrapiBackendSerializer.java:69-71), which splits on every
+    colon too. Deliberately NOT substring-after-first-colon."""
     prefix = F.split(id_col, ":").getItem(0)
     suffix = F.split(id_col, ":").getItem(1)
     m = F.create_map(*[F.lit(x) for kv in URI_PREFIXES.items() for x in kv])

@@ -2287,10 +2287,13 @@ def ontology_kgx_nodes_q(spark: SparkSession, sf_dir: str) -> DataFrame:
       WHERE i <= len(rel_names)
     ),
     typed AS (
-      SELECT e.subject, m.edge_label, e.object, m.relation,
+      -- relations absent from rel_map keep their edges with the literal
+      -- 'null' label/curie (KgxEdge String.format of null fields)
+      SELECT e.subject, coalesce(m.edge_label, 'null') AS edge_label,
+             e.object, coalesce(m.relation, 'null') AS relation,
              coalesce(a.assoc, 'null') AS association_type
       FROM raw_edges e
-      JOIN rel_map m ON m.rel = e.rel
+      LEFT JOIN rel_map m ON m.rel = e.rel
       JOIN attrs tgt ON tgt.term_id = e.object
       LEFT JOIN assoc_map a
         ON a.sc = e.sc AND a.tc = tgt.category
@@ -2362,12 +2365,13 @@ _BL = "https://w3id.org/biolink/vocab/"
       FROM attrs WHERE uniprot_id IS NOT NULL
     ),
     edges AS (
+      -- unmapped relations serialize with the literal 'null' label
+      -- (getFullBiolinkUri of the KGX 'null' cell -> <null>)
       SELECT DISTINCT e.subject,
              CASE WHEN e.rel = 'UNIPROT_SAME_AS' THEN 'biolink:same_as'
-                  ELSE m.edge_label END AS edge_label,
+                  ELSE coalesce(m.edge_label, 'null') END AS edge_label,
              e.object
       FROM raw_edges e LEFT JOIN rel_map m ON m.rel = e.rel
-      WHERE e.rel = 'UNIPROT_SAME_AS' OR m.rel IS NOT NULL
     ),
     node_lines AS (
       SELECT uri || ' <{_BL}id> "' || id || '"@en .' AS line FROM nuri

@@ -94,9 +94,16 @@ def _unescape(c: F.Column) -> F.Column:
 
 def curie(id_or_iri: F.Column) -> F.Column:
     """Normalize an OBO IRI or CURIE to CURIE form: strip the purl prefix
-    and turn the single ``_`` separator into ``:`` (reference getDictLine,
-    OgerDictFileFactory.java:617-620). Already-CURIE inputs pass through."""
+    and turn the first ``_`` separator into ``:`` (reference getDictLine,
+    OgerDictFileFactory.java:617-620). Already-CURIE inputs pass through.
+
+    Only the FIRST underscore is the prefix separator: real ontology class
+    ids carry exactly one (``CHEBI_1234``), but subset markers like
+    ``NCBITaxon#_taxonomic_rank`` (NcbiTaxonOgerDictFileFactory.java:34,
+    an excluded root matched on the raw IRI in the reference) have more,
+    and replacing them all would make the configured exclusion CURIE
+    unmatchable."""
     tail = F.replace(id_or_iri, F.lit(OBO_PURL), F.lit(""))
     return F.when(
         tail.contains(":"), tail
-    ).otherwise(F.regexp_replace(tail, "_", ":"))
+    ).otherwise(F.regexp_replace(tail, r"^([^_]*)_", "$1:"))
