@@ -529,11 +529,13 @@ def parse_webanno_blocks(spark, path: str) -> DataFrame:
     entity)>). Blocks split on blank lines; the leading #FORMAT header
     block (no #Text= line) is dropped (getNextSentence,
     InceptionInputFileCreator.java:160-183)."""
+    # one whole-file row, then posexplode over the blank-line split: the
+    # block index is the split position — file order without leaving
+    # Catalyst (no RDD zipWithIndex job). WebAnno inputs are single
+    # annotation-export files, so the wholetext read is dimension-sized.
     blocks = (
-        spark.read.option("lineSep", "\n\n").text(path)
-        .rdd.zipWithIndex()
-        .map(lambda t: (t[1], t[0].value))
-        .toDF(["block_idx", "block"])
+        spark.read.text(path, wholetext=True)
+        .select(F.posexplode(F.split("value", "\n\n")).alias("block_idx", "block"))
     )
     toks = F.filter(
         F.split("block", "\n"), lambda l: l.rlike(r"^\d+-\d+\t")
