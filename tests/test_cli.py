@@ -362,7 +362,9 @@ def test_dict_kgx_trapi_runners(spark, tmp_path):
         "TRAPI_SERIALIZE", "--mode", "ontology", "--nodes", f"{out}/kgx/nodes",
         "--edges", f"{out}/kgx/edges", "--output", f"{out}/nt",
     ])
-    assert spark.read.text(f"{out}/nt").count() == 48
+    # 42 node triples + 7 edge triples (incl. the unmapped develops_from
+    # edge, which serializes with a literal <null> predicate)
+    assert spark.read.text(f"{out}/nt").count() == 49
 
 
 def test_brat_and_ner_runners(spark, tmp_path):

@@ -197,3 +197,40 @@ def test_write_upsert_sqlite(spark, tmp_path):
 def test_upsert_sql_all_key_columns():
     sql = sinks._upsert_sql("t", ["a", "b"], ["a", "b"])
     assert sql.endswith("DO NOTHING")
+
+
+def test_upsert_sql_mysql_dialect():
+    """MySQL flavor reproduces the reference's exact statement shape:
+    ON DUPLICATE KEY UPDATE col = VALUES(col) for EVERY column, keys
+    included, no conflict-target list
+    (ClassifiedSentenceStoragePipeline.java:458-461)."""
+    sql = sinks._upsert_sql(
+        "assertion",
+        ["assertion_id", "subject_curie", "object_curie", "association_curie"],
+        ["assertion_id"],
+        dialect="mysql",
+    )
+    assert sql == (
+        "INSERT INTO assertion (assertion_id, subject_curie, object_curie, "
+        "association_curie) VALUES (?, ?, ?, ?) ON DUPLICATE KEY UPDATE "
+        "assertion_id = VALUES(assertion_id), "
+        "subject_curie = VALUES(subject_curie), "
+        "object_curie = VALUES(object_curie), "
+        "association_curie = VALUES(association_curie)"
+    )
+    assert "ON CONFLICT" not in sql
+
+
+def test_upsert_dialect_from_url():
+    assert sinks.upsert_dialect_from_url("jdbc:mysql://host:3306/db") == "mysql"
+    assert sinks.upsert_dialect_from_url("mysql://u@h/db") == "mysql"
+    assert sinks.upsert_dialect_from_url("jdbc:mariadb://h/db") == "mysql"
+    assert sinks.upsert_dialect_from_url("jdbc:postgresql://h/db") == "ansi"
+    assert sinks.upsert_dialect_from_url("sqlite:///tmp/x.db") == "ansi"
+
+
+def test_upsert_unknown_dialect_rejected():
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        sinks._upsert_sql("t", ["a"], ["a"], dialect="oracle")

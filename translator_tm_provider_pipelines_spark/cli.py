@@ -736,6 +736,13 @@ def run_sql_upsert(spark: SparkSession, argv: list[str]) -> None:
     p.add_argument("--keys", required=True, help="'|'-separated key columns")
     p.add_argument("--batchSize", type=int, default=5000)
     p.add_argument("--numPartitions", type=int, default=1)
+    p.add_argument(
+        "--dialect",
+        choices=["ansi", "mysql"],
+        default="ansi",
+        help="upsert statement flavor (mysql = ON DUPLICATE KEY UPDATE, "
+        "the reference's Cloud SQL form)",
+    )
     ns = p.parse_args(argv)
     sinks.write_upsert(
         spark.read.parquet(ns.input),
@@ -744,6 +751,7 @@ def run_sql_upsert(spark: SparkSession, argv: list[str]) -> None:
         parse_flags(ns.keys),
         batchsize=ns.batchSize,
         num_partitions=ns.numPartitions,
+        dialect=ns.dialect,
     )
 
 

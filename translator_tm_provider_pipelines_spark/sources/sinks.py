@@ -64,23 +64,40 @@ def write_jdbc(
     )
 
 
-def _upsert_sql(table: str, cols: list[str], key_cols: list[str]) -> str:
-    """ANSI ``INSERT ... ON CONFLICT DO UPDATE`` equivalent of the
-    reference's MySQL ``INSERT ... ON DUPLICATE KEY UPDATE col =
-    VALUES(col)`` statements (ConceptCooccurrenceMetricsPipeline.java:
-    316-355) — every non-key column updates from the incoming row."""
+def upsert_dialect_from_url(url: str) -> str:
+    """'mysql' for MySQL/MariaDB connection URLs (``jdbc:mysql:…``,
+    ``mysql://…``, ``mariadb``), else 'ansi'."""
+    head = url.split("://", 1)[0].lower()
+    return "mysql" if ("mysql" in head or "mariadb" in head) else "ansi"
+
+
+def _upsert_sql(
+    table: str, cols: list[str], key_cols: list[str], dialect: str = "ansi"
+) -> str:
+    """Upsert statement for one row batch.
+
+    ``dialect='mysql'`` emits the reference's exact statement shape —
+    ``INSERT … ON DUPLICATE KEY UPDATE col = VALUES(col)`` for EVERY
+    column, keys included (ClassifiedSentenceStoragePipeline.java:458-461,
+    481-489, 517-518; ConceptCooccurrenceMetricsPipeline.java:316-355).
+    MySQL resolves the conflict against the table's own keys, so no
+    conflict-target list is needed.
+
+    ``dialect='ansi'`` emits ``INSERT … ON CONFLICT(keys) DO UPDATE SET
+    col = excluded.col`` for the non-key columns (sqlite/PostgreSQL),
+    which is the same net row state."""
     placeholders = ", ".join("?" for _ in cols)
+    insert = f"INSERT INTO {table} ({', '.join(cols)}) VALUES ({placeholders})"
+    if dialect == "mysql":
+        updates = ", ".join(f"{c} = VALUES({c})" for c in cols)
+        return f"{insert} ON DUPLICATE KEY UPDATE {updates}"
+    if dialect != "ansi":
+        raise ValueError(f"unknown upsert dialect: {dialect!r}")
     updates = ", ".join(f"{c} = excluded.{c}" for c in cols if c not in key_cols)
     conflict = ", ".join(key_cols)
     if not updates:  # all columns are keys → idempotent insert
-        return (
-            f"INSERT INTO {table} ({', '.join(cols)}) VALUES ({placeholders}) "
-            f"ON CONFLICT({conflict}) DO NOTHING"
-        )
-    return (
-        f"INSERT INTO {table} ({', '.join(cols)}) VALUES ({placeholders}) "
-        f"ON CONFLICT({conflict}) DO UPDATE SET {updates}"
-    )
+        return f"{insert} ON CONFLICT({conflict}) DO NOTHING"
+    return f"{insert} ON CONFLICT({conflict}) DO UPDATE SET {updates}"
 
 
 def write_upsert(
@@ -90,6 +107,7 @@ def write_upsert(
     key_cols: list[str],
     batchsize: int = 5000,
     num_partitions: int | None = None,
+    dialect: str = "ansi",
 ) -> None:
     """K3 upsert path: executor-side batched MERGE through a DB-API
     connection factory (``connect`` must be picklable — a top-level
@@ -101,9 +119,11 @@ def write_upsert(
     against a single DB endpoint is bounded with ``num_partitions``
     (replacing the reference's 14.5 rec/s rate limiter). Works against
     any DB-API driver (sqlite3 in tests; a server driver in production —
-    or use :func:`write_jdbc` for plain appends via the JVM path)."""
+    or use :func:`write_jdbc` for plain appends via the JVM path).
+    ``dialect`` picks the statement flavor ('ansi' or 'mysql' — see
+    :func:`_upsert_sql`; derive it with :func:`upsert_dialect_from_url`)."""
     cols = df.columns
-    sql = _upsert_sql(table, cols, key_cols)
+    sql = _upsert_sql(table, cols, key_cols, dialect=dialect)
 
     def _write_partition(rows) -> None:
         conn = connect()
