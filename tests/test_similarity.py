@@ -116,3 +116,97 @@ def test_lsh_index_partition_pruning(spark, emb, qvec, tmp_path):
     mem = similarity.ann_lsh(emb, qvec, k=5, n_planes=4)
     assert [tuple(r) for r in top.collect()] == [tuple(r) for r in mem.collect()]
     assert top.collect()[0].vec_id == 0
+
+
+def _planted_corpus(rng, cosines, m, dims):
+    """2*m*len(cosines) vectors; pair (2i, 2i+1) has EXACT cosine
+    cosines[i // m]: v = cos(a)*u + sin(a)*w with w ⟂ u, all unit norm."""
+    import math
+
+    import numpy as np
+
+    rows = []
+    vid = 0
+    for c in cosines:
+        a = math.acos(c)
+        for _ in range(m):
+            u = rng.normal(size=dims)
+            u /= np.linalg.norm(u)
+            w = rng.normal(size=dims)
+            w -= w.dot(u) * u
+            w /= np.linalg.norm(w)
+            v = math.cos(a) * u + math.sin(a) * w
+            rows.append((vid, [float(x) for x in u]))
+            rows.append((vid + 1, [float(x) for x in v]))
+            vid += 2
+    return rows
+
+
+def _measured_recall(spark, rows, cosines, m, dims, n_bands, band_planes):
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cands = similarity.banded_lsh_candidate_pairs(
+        df, n_dims=dims, n_bands=n_bands, band_planes=band_planes
+    )
+    got = {(r.vec_a, r.vec_b) for r in cands.collect()}
+    recall = []
+    for ci in range(len(cosines)):
+        hit = sum(
+            1 for j in range(m) if (2 * (ci * m + j), 2 * (ci * m + j) + 1) in got
+        )
+        recall.append(hit / m)
+    return recall
+
+
+def test_lsh_recall_meets_analytic_bound(spark):
+    """Measured banded-LSH recall on planted exact-cosine pairs must meet
+    1-(1-(1-θ/π)^r)^b minus binomial sampling slack — both at the
+    registered near-dup parameters (bound ≈ 1) and at a deliberately
+    weak 4×4 banding where the bound is far from 1 and the inequality
+    actually bites."""
+    import math
+
+    import numpy as np
+
+    from translator_tm_provider_pipelines_spark.plans.testdata_queries import (
+        EMB_NEARDUP_PARAMS,
+    )
+
+    dims, m = 16, 60
+    cosines = [0.95, 0.8, 0.6, 0.4, 0.3]
+    rng = np.random.default_rng(7)
+    rows = _planted_corpus(rng, cosines, m, dims)
+
+    for n_bands, band_planes in [
+        (EMB_NEARDUP_PARAMS["n_bands"], EMB_NEARDUP_PARAMS["band_planes"]),
+        (4, 4),
+    ]:
+        recall = _measured_recall(spark, rows, cosines, m, dims, n_bands, band_planes)
+        for c, rec in zip(cosines, recall):
+            bound = similarity.lsh_recall_bound(c, n_bands, band_planes)
+            slack = 3.0 * math.sqrt(bound * (1.0 - bound) / m) + 1.0 / m
+            assert rec >= bound - slack, (
+                f"bands={n_bands}x{band_planes} cos={c}: measured {rec:.3f} "
+                f"< bound {bound:.3f} - slack {slack:.3f}"
+            )
+
+
+def test_registered_band_count_satisfies_bound():
+    """The registered embedding_near_duplicates banding must keep the
+    analytic recall at its own threshold ≥ 0.999 — lowering n_bands below
+    the requirement fails here before it silently costs recall on a new
+    corpus."""
+    from translator_tm_provider_pipelines_spark.plans.testdata_queries import (
+        EMB_NEARDUP_PARAMS,
+    )
+
+    p = EMB_NEARDUP_PARAMS
+    bound = similarity.lsh_recall_bound(p["threshold"], p["n_bands"], p["band_planes"])
+    assert bound >= 0.999, f"registered banding only guarantees recall {bound:.4f}"
+    # and the margin is not accidental: one band fewer must still be
+    # checked against the same floor by whoever edits the parameters
+    weakest_ok = min(
+        b
+        for b in range(1, p["n_bands"] + 1)
+        if similarity.lsh_recall_bound(p["threshold"], b, p["band_planes"]) >= 0.999
+    )
+    assert p["n_bands"] >= weakest_ok

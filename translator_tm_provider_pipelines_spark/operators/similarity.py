@@ -187,6 +187,20 @@ def topk_similar_pairs_lsh(
 # ---------------------------------------------------------------------------
 
 
+def lsh_recall_bound(cos_threshold: float, n_bands: int, band_planes: int) -> float:
+    """Analytic candidate-recall lower bound of banded random-hyperplane
+    LSH for a pair with cosine ≥ ``cos_threshold``: a sign bit agrees with
+    probability 1 - θ/π (θ = acos cosine), a band of ``band_planes`` bits
+    collides with (1 - θ/π)^r, and the pair is a candidate iff ANY of the
+    ``n_bands`` bands collides → 1 - (1 - (1 - θ/π)^r)^b. Monotone in the
+    cosine, so evaluating at the threshold bounds every pair above it.
+    Use this to size ``n_bands`` for a target recall before trusting
+    LSH-gated results on a new corpus."""
+    theta = math.acos(min(max(cos_threshold, -1.0), 1.0))
+    p_band = (1.0 - theta / math.pi) ** band_planes
+    return 1.0 - (1.0 - p_band) ** n_bands
+
+
 def _plane_component(plane: int, dim: int) -> float:
     """Deterministic pseudo-gaussian component from md5(plane, dim) —
     Box-Muller over two 24-bit uniform draws; no RNG state, so the same

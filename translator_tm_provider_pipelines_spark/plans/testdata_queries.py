@@ -3047,6 +3047,15 @@ def taxon_promoted_dictionary(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ogerdict.promote_taxon_dictionary(d, terms)
 
 
+#: registered LSH parameters for the embedding near-dup query. 24 bands:
+#: recall verified total at sf0.001/sf0.01/sf0.1 (more bands only widen
+#: the candidate set; the exact-cosine gate is unchanged), and
+#: tests/test_similarity.py pins lsh_recall_bound(threshold, n_bands,
+#: band_planes) ≥ 0.999 so the band count can't drop below the analytic
+#: requirement unnoticed.
+EMB_NEARDUP_PARAMS = dict(threshold=0.3, n_bands=24, band_planes=2)
+
+
 @register(
     "embedding_near_duplicates",
     f"""
@@ -3073,6 +3082,4 @@ def embedding_near_duplicates_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     is total at these settings, verified at sf0.01 and sf0.1), with no
     all-pairs join in the Spark plan."""
     emb = _t(spark, sf_dir, "embeddings").where(F.col("vec_id") < 500)
-    # 24 bands: recall verified total at sf0.001/sf0.01/sf0.1 (more bands
-    # only widen the candidate set; the exact-cosine gate is unchanged)
-    return similarity.embedding_near_duplicates(emb, threshold=0.3, n_bands=24)
+    return similarity.embedding_near_duplicates(emb, **EMB_NEARDUP_PARAMS)
