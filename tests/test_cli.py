@@ -408,3 +408,42 @@ def test_sql_upsert_runner(spark, tmp_path):
     got = dict(conn.execute("SELECT id, v FROM scores").fetchall())
     conn.close()
     assert got == {"a": 11, "b": 12}
+
+
+def test_pmid_extractor_runners(spark, tmp_path):
+    xml = tmp_path / "m.xml"
+    xml.write_text(
+        """<?xml version="1.0"?>
+<PubmedArticleSet>
+  <PubmedArticle>
+    <MedlineCitation>
+      <PMID>11</PMID>
+      <Article>
+        <Journal><JournalIssue><PubDate><Year>1999</Year></PubDate></JournalIssue></Journal>
+        <ArticleTitle>Has &lt;b&gt;bold&lt;/b&gt; markup.</ArticleTitle>
+      </Article>
+    </MedlineCitation>
+  </PubmedArticle>
+  <PubmedArticle>
+    <MedlineCitation>
+      <PMID>12</PMID>
+      <Article>
+        <Journal><JournalIssue><PubDate><Year>2005</Year></PubDate></JournalIssue></Journal>
+        <ArticleTitle>Clean.</ArticleTitle>
+      </Article>
+    </MedlineCitation>
+  </PubmedArticle>
+</PubmedArticleSet>
+"""
+    )
+    out = str(tmp_path)
+    cli.main([
+        "PMID_EXTRACT", "--xml", str(xml), "--target", "contains_html",
+        "--output", f"{out}/html_ids",
+    ])
+    assert [r.value for r in spark.read.text(f"{out}/html_ids").collect()] == ["11"]
+    cli.main(["PMID_TO_YEAR", "--xml", str(xml), "--output", f"{out}/years"])
+    got = {
+        tuple(r) for r in spark.read.csv(f"{out}/years", sep="\t").collect()
+    }
+    assert got == {("PMID:11", "1999"), ("PMID:12", "2005")}

@@ -139,3 +139,82 @@ def test_load_files(spark, tmp_path):
     (tmp_path / "skip.json").write_text("{}")
     rows = {r.doc_id: r.content for r in files.load_files(spark, str(tmp_path)).collect()}
     assert rows == {"a": "content A", "b": "content B"}
+
+
+MEDLINE_HTML_XML = """<?xml version="1.0"?>
+<PubmedArticleSet>
+  <PubmedArticle>
+    <MedlineCitation>
+      <PMID>201</PMID>
+      <Article>
+        <Journal><JournalIssue><PubDate><Year>2001</Year></PubDate></JournalIssue></Journal>
+        <ArticleTitle>Effects of &lt;i&gt;E. coli&lt;/i&gt; growth.</ArticleTitle>
+      </Article>
+    </MedlineCitation>
+  </PubmedArticle>
+  <PubmedArticle>
+    <MedlineCitation>
+      <PMID>202</PMID>
+      <Article>
+        <Journal><JournalIssue><PubDate><MedlineDate>Spring 1998-1999</MedlineDate></PubDate></JournalIssue></Journal>
+        <ArticleTitle>Plain title.</ArticleTitle>
+        <Abstract><AbstractText>H&lt;sub&gt;2&lt;/sub&gt;O is water.</AbstractText></Abstract>
+      </Article>
+    </MedlineCitation>
+  </PubmedArticle>
+  <PubmedArticle>
+    <MedlineCitation>
+      <PMID>203</PMID>
+      <Article>
+        <Journal><JournalIssue><PubDate></PubDate></JournalIssue></Journal>
+        <ArticleTitle>No markup anywhere.</ArticleTitle>
+        <Abstract><AbstractText>Clean abstract.</AbstractText></Abstract>
+        <ArticleDate DateType="Electronic"><Year>2015</Year><Month>06</Month></ArticleDate>
+      </Article>
+    </MedlineCitation>
+  </PubmedArticle>
+</PubmedArticleSet>
+"""
+
+
+@pytest.fixture()
+def medline_html_raw(spark, tmp_path):
+    (tmp_path / "h.xml").write_text(MEDLINE_HTML_XML)
+    return medline.read_medline_xml(spark, str(tmp_path / "h.xml"))
+
+
+def test_pmid_extractor_html_targets(medline_html_raw):
+    """PmidExtractor parity: title <i> and abstract <sub> markup flag the
+    article; the clean article lands in the does-not-contain set."""
+    with_html = {r.pmid for r in medline.extract_pmids(medline_html_raw, True).collect()}
+    without = {r.pmid for r in medline.extract_pmids(medline_html_raw, False).collect()}
+    assert with_html == {"201", "202"}
+    assert without == {"203"}
+
+
+def test_pmid_to_year_sources(medline_html_raw):
+    """PmidToYearExtractor parity: PubDate/Year, MedlineDate 4-digit run,
+    ArticleDate fallback; 'PMID:' prefix on ids."""
+    got = {r.pmid: r.year for r in medline.pmid_to_year(medline_html_raw).collect()}
+    assert got == {"PMID:201": "2001", "PMID:202": "1998", "PMID:203": "2015"}
+
+
+def test_pmid_to_year_null_year_raises(spark, tmp_path):
+    (tmp_path / "bad.xml").write_text(
+        """<?xml version="1.0"?>
+<PubmedArticleSet>
+  <PubmedArticle>
+    <MedlineCitation>
+      <PMID>301</PMID>
+      <Article>
+        <Journal><JournalIssue><PubDate><MedlineDate>no digits</MedlineDate></PubDate></JournalIssue></Journal>
+        <ArticleTitle>t</ArticleTitle>
+      </Article>
+    </MedlineCitation>
+  </PubmedArticle>
+</PubmedArticleSet>
+"""
+    )
+    raw = medline.read_medline_xml(spark, str(tmp_path / "bad.xml"))
+    with pytest.raises(Exception, match="Null year"):
+        medline.pmid_to_year(raw).collect()

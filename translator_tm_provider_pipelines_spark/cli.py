@@ -142,6 +142,39 @@ def run_medline_xml_to_text(spark: SparkSession, argv: list[str]) -> None:
         )
 
 
+def run_pmid_extract(spark: SparkSession, argv: list[str]) -> None:
+    """PMID_EXTRACT (corpora/PmidExtractor.java): PMIDs whose
+    title/abstract does / does not contain HTML markup, as one-column
+    text shards (the .ids files)."""
+    from .sources import medline
+
+    p = argparse.ArgumentParser(prog="PMID_EXTRACT")
+    p.add_argument("--xml", required=True)
+    p.add_argument(
+        "--target",
+        required=True,
+        choices=["contains_html", "does_not_contain_html"],
+    )
+    p.add_argument("--output", required=True)
+    ns = p.parse_args(argv)
+    raw = medline.read_medline_xml(spark, ns.xml)
+    pmids = medline.extract_pmids(raw, ns.target == "contains_html")
+    pmids.write.mode("overwrite").text(ns.output)
+
+
+def run_pmid_to_year(spark: SparkSession, argv: list[str]) -> None:
+    """PMID_TO_YEAR (corpora/PmidToYearExtractor.java): (PMID:id, year)
+    TSV shards (the .pubyear.tsv files)."""
+    from .sources import medline, sinks
+
+    p = argparse.ArgumentParser(prog="PMID_TO_YEAR")
+    p.add_argument("--xml", required=True)
+    p.add_argument("--output", required=True)
+    ns = p.parse_args(argv)
+    raw = medline.read_medline_xml(spark, ns.xml)
+    sinks.write_tsv(medline.pmid_to_year(raw), ns.output)
+
+
 def run_bioc_to_text(spark: SparkSession, argv: list[str]) -> None:
     """BIOC_TO_TEXT: PMC BioC XML → documents + section annotations."""
     from .sources import bioc
@@ -781,6 +814,8 @@ PIPELINES: dict[str, Callable[[SparkSession, list[str]], None]] = {
     "CONCEPT_COOCCURRENCE_METRICS": run_concept_cooccurrence_metrics,
     "CONCEPT_IDF": run_concept_idf,
     "MEDLINE_XML_TO_TEXT": run_medline_xml_to_text,
+    "PMID_EXTRACT": run_pmid_extract,
+    "PMID_TO_YEAR": run_pmid_to_year,
     "BIOC_TO_TEXT": run_bioc_to_text,
     "BIORXIV_XML_TO_TEXT": run_biorxiv_xml_to_text,
     "FILE_LOAD": run_file_load,

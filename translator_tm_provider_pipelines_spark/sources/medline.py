@@ -77,6 +77,15 @@ MEDLINE_SCHEMA = T.StructType(
                                     True,
                                 ),
                                 T.StructField(
+                                    "ArticleDate",
+                                    T.ArrayType(
+                                        T.StructType(
+                                            [T.StructField("Year", T.StringType(), True)]
+                                        )
+                                    ),
+                                    True,
+                                ),
+                                T.StructField(
                                     "Journal",
                                     T.StructType(
                                         [
@@ -229,3 +238,83 @@ def medline_section_annotations(docs: DataFrame) -> DataFrame:
         ).alias("covered_text"),
     )
     return title_rows.unionByName(abs_rows)
+
+
+# ---------------------------------------------------------------------------
+# Corpora extractors (corpora/PmidExtractor.java, PmidToYearExtractor.java)
+# ---------------------------------------------------------------------------
+
+#: markup the PMID extractor screens title/abstract for
+#: (abstractOrTitleContainsHtml, PmidExtractor.java:97-120)
+HTML_CODES = ("<b>", "<i>", "<u>", "<sub>", "<sup>")
+
+
+def pmid_html_flags(raw: DataFrame) -> DataFrame:
+    """(pmid, contains_html) per article: true iff the title or ANY
+    abstract paragraph contains one of :data:`HTML_CODES`
+    (PmidExtractor.abstractOrTitleContainsHtml :97-120). Narrow
+    projection — screening 30 M citations is one scan."""
+    art = F.col("MedlineCitation.Article")
+
+    def any_code(col):
+        hit = F.lit(False)
+        for code in HTML_CODES:
+            hit = hit | col.contains(code)
+        return hit
+
+    title_hit = any_code(F.coalesce(art["ArticleTitle"], F.lit("")))
+    abs_hit = F.exists(
+        F.coalesce(
+            art["Abstract"]["AbstractText"], F.array().cast(_abstract_array_type())
+        ),
+        lambda t: any_code(F.coalesce(t["_VALUE"], F.lit(""))),
+    )
+    return raw.select(
+        F.col("MedlineCitation.PMID._VALUE").alias("pmid"),
+        (title_hit | abs_hit).alias("contains_html"),
+    )
+
+
+def extract_pmids(raw: DataFrame, contains_html: bool) -> DataFrame:
+    """PMIDs of articles whose title/abstract does (or does not) contain
+    HTML markup — one ``pmid`` column, the extractor's .ids file content
+    (extractPmids, PmidExtractor.java:44-95)."""
+    flags = pmid_html_flags(raw)
+    return flags.where(F.col("contains_html") == contains_html).select("pmid")
+
+
+def pmid_to_year(raw: DataFrame) -> DataFrame:
+    """('PMID:<pmid>', year) rows — the .pubyear.tsv content
+    (PmidToYearExtractor.extract :42-117): PubDate/Year first, else the
+    first standalone 4-digit run of MedlineDate, else the first
+    ArticleDate year; a citation with none raises, as the reference
+    throws IllegalArgumentException rather than silently dropping."""
+    year = F.coalesce(
+        F.col("MedlineCitation.Article.Journal.JournalIssue.PubDate.Year"),
+        F.nullif(
+            F.regexp_extract(
+                F.coalesce(
+                    F.col("MedlineCitation.Article.Journal.JournalIssue.PubDate.MedlineDate"),
+                    F.lit(""),
+                ),
+                r"\b(\d\d\d\d)\b",
+                1,
+            ),
+            F.lit(""),
+        ),
+        F.get(  # null (not ANSI error) when ArticleDate is absent/empty
+            F.transform(
+                F.coalesce(
+                    F.col("MedlineCitation.Article.ArticleDate"),
+                    F.array().cast("array<struct<Year:string>>"),
+                ),
+                lambda d: d["Year"],
+            ),
+            0,
+        ),
+    )
+    pmid = F.concat(F.lit("PMID:"), F.col("MedlineCitation.PMID._VALUE"))
+    year = F.when(year.isNotNull(), year).otherwise(
+        F.raise_error(F.concat(F.lit("Null year for "), pmid))
+    )
+    return raw.select(pmid.alias("pmid"), year.alias("year"))
