@@ -210,3 +210,81 @@ def test_registered_band_count_satisfies_bound():
         if similarity.lsh_recall_bound(p["threshold"], b, p["band_planes"]) >= 0.999
     )
     assert p["n_bands"] >= weakest_ok
+
+
+def _clustered_corpus(spark, n_clusters=8, per_cluster=40, dims=16, seed=11):
+    """Near-orthogonal clusters: cluster k sits on basis axis k with small
+    noise. Ids are cluster-major, so first-n-ids seeding degenerates to
+    cluster 0."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    rows = []
+    vid = 0
+    for k in range(n_clusters):
+        for _ in range(per_cluster):
+            v = rng.normal(scale=0.05, size=dims)
+            v[k] += 1.0
+            rows.append((vid, [float(x) for x in v]))
+            vid += 1
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def _recall_at_10(spark, emb, qvec, centroids):
+    bf = {r.vec_id for r in similarity.knn_brute_force(emb, qvec, k=10).collect()}
+    ann = {
+        r.vec_id
+        for r in similarity.ann_ivf(
+            emb, qvec, k=10, n_lists=8, nprobe=2, centroids=centroids
+        ).collect()
+    }
+    return len(bf & ann) / 10
+
+
+def test_trained_centroids_improve_recall(spark):
+    """Farthest-first init + Lloyd iterations must beat degenerate
+    first-n-ids seeding on a clustered corpus, and reach full recall@10
+    with nprobe=2 of 8 lists."""
+    emb = _clustered_corpus(spark).persist()
+    qvec = [r[0] for r in emb.where("vec_id = 130").selectExpr("explode(embedding)").collect()]
+    seed_c = similarity.seed_centroids(emb, n_lists=8)
+    trained = similarity.train_centroids(emb, n_lists=8, n_iters=3)
+    r_seed = _recall_at_10(spark, emb, qvec, seed_c)
+    r_trained = _recall_at_10(spark, emb, qvec, trained)
+    assert r_trained >= r_seed
+    assert r_trained == 1.0
+    # trained quantizer spreads one centroid per cluster: every cluster's
+    # dominant axis appears as some centroid's dominant axis
+    import numpy as np
+
+    axes = {int(np.argmax(np.abs(cv))) for _, cv in trained}
+    assert axes == set(range(8))
+    emb.unpersist()
+
+
+def test_train_centroids_deterministic_and_objective(spark):
+    """Re-training reproduces identical centroids, and the spherical
+    objective (mean cosine to assigned centroid) does not decrease from
+    the farthest-first init."""
+    from pyspark.sql import functions as SF
+
+    emb = _clustered_corpus(spark, n_clusters=4, per_cluster=25).persist()
+
+    def objective(cents):
+        assigned = emb.withColumn("__l", similarity.ivf_list_id(SF.col("embedding"), cents))
+        # per-row cosine of the ASSIGNED centroid
+        expr = None
+        for cid, cv in cents:
+            c = SF.array(*[SF.lit(float(x)) for x in cv])
+            cos = similarity.cosine(SF.col("embedding"), c)
+            expr = SF.when(SF.col("__l") == cid, cos) if expr is None else expr.when(
+                SF.col("__l") == cid, cos
+            )
+        return assigned.select(SF.avg(expr).alias("o")).collect()[0].o
+
+    init = similarity.farthest_first_centroids(emb, n_lists=4)
+    t1 = similarity.train_centroids(emb, n_lists=4, n_iters=3, init=init)
+    t2 = similarity.train_centroids(emb, n_lists=4, n_iters=3, init=init)
+    assert t1 == t2
+    assert objective(t1) >= objective(init) - 1e-9
+    emb.unpersist()

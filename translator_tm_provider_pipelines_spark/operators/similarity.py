@@ -252,6 +252,104 @@ def seed_centroids(
     return [(int(r[0]), [float(x) for x in r[1]]) for r in rows]
 
 
+def farthest_first_centroids(
+    embeddings: DataFrame,
+    n_lists: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 6,
+) -> list[tuple[int, list[float]]]:
+    """Deterministic farthest-first (k-means++-style, without randomness)
+    IVF initialization: start from the minimum id, then repeatedly take
+    the vector whose best cosine against the chosen set is lowest
+    (lowest-id tie-break). Each step is one TakeOrdered over a narrow
+    projection; the loop is bounded by ``n_lists`` (dimension-size), so
+    this stays a handful of cheap driver-coordinated jobs even on a
+    100 TB corpus. Spreads seeds across clusters where
+    :func:`seed_centroids` (first-n-ids) can degenerate."""
+    first = (
+        embeddings.select(id_col, vec_col).orderBy(id_col).limit(1).collect()[0]
+    )
+    chosen: list[tuple[int, list[float]]] = [
+        (int(first[0]), [float(x) for x in first[1]])
+    ]
+    while len(chosen) < n_lists:
+        best_cos = F.greatest(
+            *[
+                F.round(cosine(F.col(vec_col), F.array(*[F.lit(float(x)) for x in cv])), scale)
+                for _, cv in chosen
+            ]
+        ) if len(chosen) > 1 else F.round(
+            cosine(F.col(vec_col), F.array(*[F.lit(float(x)) for x in chosen[0][1]])),
+            scale,
+        )
+        row = (
+            embeddings.where(~F.col(id_col).isin([c for c, _ in chosen]))
+            .select(id_col, vec_col, best_cos.alias("__c"))
+            .orderBy(F.col("__c").asc(), F.col(id_col).asc())
+            .limit(1)
+            .collect()
+        )
+        if not row:
+            break
+        chosen.append((int(row[0][0]), [float(x) for x in row[0][1]]))
+    return chosen
+
+
+def train_centroids(
+    embeddings: DataFrame,
+    n_lists: int,
+    n_iters: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 6,
+    init: list[tuple[int, list[float]]] | None = None,
+) -> list[tuple[int, list[float]]]:
+    """Lloyd-iteration (spherical k-means) refinement of the IVF coarse
+    quantizer: assign every vector to its nearest-by-cosine centroid (the
+    same narrow :func:`ivf_list_id` projection queries use), recompute
+    each list's mean per dimension, repeat. Cosine assignment is
+    norm-invariant, so un-normalized means are valid spherical-k-means
+    updates. Per iteration: one scan + one groupBy on (list, dim) whose
+    result is ``n_lists × n_dims`` rows — a bounded collect, same
+    dimension-table role as the seed centroids. Lists that lose all
+    members keep their previous centroid. Components round to ``scale``
+    so retraining reproduces bit-identical centroids.
+
+    The persisted-index machinery (:func:`write_ivf_index` /
+    :func:`read_ivf_index` partition pruning) is unchanged — pass the
+    trained centroids through its ``centroids`` argument. The registered
+    oracle queries keep the deterministic seed path."""
+    cents = init or farthest_first_centroids(
+        embeddings, n_lists, id_col=id_col, vec_col=vec_col, scale=scale
+    )
+    emb = embeddings.select(id_col, vec_col)
+    for _ in range(n_iters):
+        assigned = emb.withColumn("__l", ivf_list_id(F.col(vec_col), cents, scale))
+        means = (
+            assigned.select("__l", F.posexplode(F.col(vec_col)).alias("__d", "__v"))
+            .groupBy("__l", "__d")
+            .agg(F.avg(F.col("__v").cast("double")).alias("__m"))
+            .collect()
+        )
+        by_list: dict[int, dict[int, float]] = {}
+        for r in means:
+            by_list.setdefault(int(r["__l"]), {})[int(r["__d"])] = float(r["__m"])
+        new_cents = []
+        for cid, old in cents:
+            dims = by_list.get(cid)
+            if dims:
+                new_cents.append(
+                    (cid, [round(dims[d], scale) for d in range(len(old))])
+                )
+            else:
+                new_cents.append((cid, old))
+        if new_cents == cents:
+            break
+        cents = new_cents
+    return cents
+
+
 def ivf_list_id(
     vec_col: Column, centroids: list[tuple[int, list[float]]], scale: int = 6
 ) -> Column:
