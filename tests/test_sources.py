@@ -218,3 +218,134 @@ def test_pmid_to_year_null_year_raises(spark, tmp_path):
     raw = medline.read_medline_xml(spark, str(tmp_path / "bad.xml"))
     with pytest.raises(Exception, match="Null year"):
         medline.pmid_to_year(raw).collect()
+
+
+UI_METADATA_XML = """<?xml version="1.0"?>
+<PubmedArticleSet>
+  <PubmedArticle>
+    <MedlineCitation>
+      <PMID>401</PMID>
+      <Article>
+        <Journal>
+          <ISOAbbreviation>J Test</ISOAbbreviation>
+          <Title>Journal of Testing</Title>
+          <JournalIssue>
+            <Volume>12</Volume>
+            <Issue>3</Issue>
+            <PubDate><Year>1999</Year><Month>05</Month><Day>3</Day></PubDate>
+          </JournalIssue>
+        </Journal>
+        <ArticleTitle>Title one.</ArticleTitle>
+        <Abstract><AbstractText>Line one
+with break.</AbstractText></Abstract>
+      </Article>
+    </MedlineCitation>
+  </PubmedArticle>
+  <PubmedArticle>
+    <MedlineCitation>
+      <PMID>402</PMID>
+      <Article>
+        <Journal><JournalIssue>
+          <PubDate><MedlineDate>1997 May-Jun</MedlineDate></PubDate>
+        </JournalIssue></Journal>
+        <ArticleTitle>Title two.</ArticleTitle>
+      </Article>
+    </MedlineCitation>
+  </PubmedArticle>
+  <PubmedArticle>
+    <MedlineCitation>
+      <PMID>403</PMID>
+      <Article>
+        <Journal><JournalIssue>
+          <PubDate><MedlineDate>Winter 2003</MedlineDate></PubDate>
+        </JournalIssue></Journal>
+        <ArticleTitle>Title three.</ArticleTitle>
+      </Article>
+    </MedlineCitation>
+  </PubmedArticle>
+  <PubmedArticle>
+    <MedlineCitation>
+      <PMID>404</PMID>
+      <Article>
+        <Journal><JournalIssue>
+          <PubDate><Year>2010</Year><Season>Summer</Season></PubDate>
+        </JournalIssue></Journal>
+        <ArticleTitle>Title four.</ArticleTitle>
+        <ArticleDate><Year>2010</Year><Month>8</Month><Day>9</Day></ArticleDate>
+      </Article>
+    </MedlineCitation>
+  </PubmedArticle>
+  <PubmedArticle>
+    <MedlineCitation>
+      <PMID>405</PMID>
+      <Article>
+        <Journal><JournalIssue>
+          <PubDate><MedlineDate>2004 Dec 15-31</MedlineDate></PubDate>
+        </JournalIssue></Journal>
+        <ArticleTitle>Title five.</ArticleTitle>
+      </Article>
+    </MedlineCitation>
+  </PubmedArticle>
+  <DeleteCitation>
+    <PMID Version="1">900</PMID>
+    <PMID Version="1">901</PMID>
+  </DeleteCitation>
+</PubmedArticleSet>
+"""
+
+
+@pytest.fixture()
+def ui_raw(spark, tmp_path):
+    (tmp_path / "ui.xml").write_text(UI_METADATA_XML)
+    return medline.read_medline_xml(spark, str(tmp_path / "ui.xml")), str(
+        tmp_path / "ui.xml"
+    )
+
+
+def test_ui_metadata_rows(ui_raw):
+    raw, _ = ui_raw
+    rows = {r.DOC_ID: r for r in medline.ui_metadata(raw).collect()}
+    r = rows["PMID:401"]
+    assert (r.year, r.month, r.day) == ("1999", "May", "03")
+    assert (r.journal, r.journal_abbrev, r.volume, r.issue) == (
+        "Journal of Testing", "J Test", "12", "3"
+    )
+    assert r.article_abstract == "Line one with break."  # \n flattened
+    # MedlineDate: first explicit month mention + 4-digit year
+    assert (rows["PMID:402"].year, rows["PMID:402"].month) == ("1997", "May")
+    assert rows["PMID:402"].day == "-"
+    assert rows["PMID:402"].journal == "-"
+    # season-pattern MedlineDate → approximate month
+    assert (rows["PMID:403"].year, rows["PMID:403"].month) == ("2003", "Jan")
+    # explicit Season element; ArticleDate ignored when PubDate resolves
+    assert (rows["PMID:404"].year, rows["PMID:404"].month) == ("2010", "Jul")
+    # MedlineDate day capture (the reference's group-13 Dec-only branch)
+    assert (rows["PMID:405"].month, rows["PMID:405"].day) == ("Dec", "15")
+
+
+def test_ui_metadata_article_date_fallback(spark, tmp_path):
+    (tmp_path / "ad.xml").write_text(
+        """<?xml version="1.0"?>
+<PubmedArticleSet>
+  <PubmedArticle>
+    <MedlineCitation>
+      <PMID>501</PMID>
+      <Article>
+        <Journal><JournalIssue><PubDate></PubDate></JournalIssue></Journal>
+        <ArticleTitle>t</ArticleTitle>
+        <ArticleDate><Year>2015</Year><Month>6</Month><Day>7</Day></ArticleDate>
+      </Article>
+    </MedlineCitation>
+  </PubmedArticle>
+</PubmedArticleSet>
+"""
+    )
+    raw = medline.read_medline_xml(spark, str(tmp_path / "ad.xml"))
+    r = medline.ui_metadata(raw).collect()[0]
+    assert (r.year, r.month, r.day) == ("2015", "Jun", "07")
+
+
+def test_deleted_pmids(spark, ui_raw):
+    _, path = ui_raw
+    got = {r.pmid for r in medline.deleted_pmids(spark, path).collect()}
+    assert got == {"PMID:900", "PMID:901"}

@@ -175,6 +175,25 @@ def run_pmid_to_year(spark: SparkSession, argv: list[str]) -> None:
     sinks.write_tsv(medline.pmid_to_year(raw), ns.output)
 
 
+def run_medline_ui_metadata(spark: SparkSession, argv: list[str]) -> None:
+    """MEDLINE_UI_METADATA (corpora/MedlineUiMetadataExtractor.java):
+    publication metadata TSV for the Translator UI team, plus the
+    DeleteCitation PMID sidecar (.delete.tsv equivalent)."""
+    from .sources import medline, sinks
+
+    p = argparse.ArgumentParser(prog="MEDLINE_UI_METADATA")
+    p.add_argument("--xml", required=True)
+    p.add_argument("--output", required=True)
+    p.add_argument("--deleteOutput", help="where to write deleted PMIDs")
+    ns = p.parse_args(argv)
+    raw = medline.read_medline_xml(spark, ns.xml)
+    sinks.write_tsv(medline.ui_metadata(raw), ns.output, header=True)
+    if ns.deleteOutput:
+        medline.deleted_pmids(spark, ns.xml).write.mode("overwrite").text(
+            ns.deleteOutput
+        )
+
+
 def run_bioc_to_text(spark: SparkSession, argv: list[str]) -> None:
     """BIOC_TO_TEXT: PMC BioC XML → documents + section annotations."""
     from .sources import bioc
@@ -816,6 +835,7 @@ PIPELINES: dict[str, Callable[[SparkSession, list[str]], None]] = {
     "MEDLINE_XML_TO_TEXT": run_medline_xml_to_text,
     "PMID_EXTRACT": run_pmid_extract,
     "PMID_TO_YEAR": run_pmid_to_year,
+    "MEDLINE_UI_METADATA": run_medline_ui_metadata,
     "BIOC_TO_TEXT": run_bioc_to_text,
     "BIORXIV_XML_TO_TEXT": run_biorxiv_xml_to_text,
     "FILE_LOAD": run_file_load,

@@ -80,7 +80,11 @@ MEDLINE_SCHEMA = T.StructType(
                                     "ArticleDate",
                                     T.ArrayType(
                                         T.StructType(
-                                            [T.StructField("Year", T.StringType(), True)]
+                                            [
+                                                T.StructField("Year", T.StringType(), True),
+                                                T.StructField("Month", T.StringType(), True),
+                                                T.StructField("Day", T.StringType(), True),
+                                            ]
                                         )
                                     ),
                                     True,
@@ -89,16 +93,41 @@ MEDLINE_SCHEMA = T.StructType(
                                     "Journal",
                                     T.StructType(
                                         [
+                                            T.StructField("Title", T.StringType(), True),
+                                            T.StructField(
+                                                "ISOAbbreviation", T.StringType(), True
+                                            ),
                                             T.StructField(
                                                 "JournalIssue",
                                                 T.StructType(
                                                     [
+                                                        T.StructField(
+                                                            "Volume", T.StringType(), True
+                                                        ),
+                                                        T.StructField(
+                                                            "Issue", T.StringType(), True
+                                                        ),
                                                         T.StructField(
                                                             "PubDate",
                                                             T.StructType(
                                                                 [
                                                                     T.StructField(
                                                                         "Year",
+                                                                        T.StringType(),
+                                                                        True,
+                                                                    ),
+                                                                    T.StructField(
+                                                                        "Month",
+                                                                        T.StringType(),
+                                                                        True,
+                                                                    ),
+                                                                    T.StructField(
+                                                                        "Day",
+                                                                        T.StringType(),
+                                                                        True,
+                                                                    ),
+                                                                    T.StructField(
+                                                                        "Season",
                                                                         T.StringType(),
                                                                         True,
                                                                     ),
@@ -110,11 +139,11 @@ MEDLINE_SCHEMA = T.StructType(
                                                                 ]
                                                             ),
                                                             True,
-                                                        )
+                                                        ),
                                                     ]
                                                 ),
                                                 True,
-                                            )
+                                            ),
                                         ]
                                     ),
                                     True,
@@ -306,7 +335,7 @@ def pmid_to_year(raw: DataFrame) -> DataFrame:
             F.transform(
                 F.coalesce(
                     F.col("MedlineCitation.Article.ArticleDate"),
-                    F.array().cast("array<struct<Year:string>>"),
+                    F.array().cast("array<struct<Year:string,Month:string,Day:string>>"),
                 ),
                 lambda d: d["Year"],
             ),
@@ -318,3 +347,198 @@ def pmid_to_year(raw: DataFrame) -> DataFrame:
         F.raise_error(F.concat(F.lit("Null year for "), pmid))
     )
     return raw.select(pmid.alias("pmid"), year.alias("year"))
+
+
+# ---------------------------------------------------------------------------
+# Translator UI metadata extractor (corpora/MedlineUiMetadataExtractor.java)
+# ---------------------------------------------------------------------------
+
+UI_METADATA_HEADER = (
+    "DOC_ID\tyear\tmonth\tday\tjournal\tjournal_abbrev\tvolume\tissue"
+    "\tarticle_title\tarticle_abstract"
+)
+
+#: numeric / name → three-letter month (getThreeLetterAbbrev :219-289)
+_MONTH_ABBREVS = {
+    **{str(i): m for i, m in enumerate(
+        "Jan Feb Mar Apr May Jun Jul Aug Sep Oct Nov Dec".split(), start=1
+    )},
+    **{f"{i:02d}": m for i, m in enumerate(
+        "Jan Feb Mar Apr May Jun Jul Aug Sep Oct Nov Dec".split(), start=1
+    )},
+    **{m: m for m in "Jan Feb Mar Apr May Jun Jul Aug Sep Oct Nov Dec".split()},
+}
+
+_SEASON_MONTHS = {
+    "winter": "Jan", "spring": "Apr", "summer": "Jul", "fall": "Oct", "autumn": "Oct"
+}
+
+#: English 3-letter + French month-name alternation
+#: (extractExplicitlyMentionedMonth :421-447) — lowercase key → abbrev
+_EXPLICIT_MONTH_RE = (
+    "(?i)(Jan)|(Feb)|(Mar)|(Apr)|(May)|(Jun)|(Jul)|(Aug)|(Sep)|(Oct)|(Nov)|(Dec)"
+    "|(janvier)|(février)|(mars)|(avril)|(mai)|(juin)|(juillet)|(aout)"
+    "|(septembre)|(octobre)|(novembre)|(décembre)"
+)
+_FRENCH_MONTHS = {
+    "janvier": "Jan", "février": "Feb", "mars": "Mar", "avril": "Apr",
+    "mai": "May", "juin": "Jun", "juillet": "Jul", "aout": "Aug",
+    "septembre": "Sep", "octobre": "Oct", "novembre": "Nov", "décembre": "Dec",
+}
+
+#: MedlineDate → approximate month, patterns VERBATIM from the reference
+#: (checkJanPatterns/..Apr../..Jul../..Oct.. :346-419, alternation quirks
+#: and all — Spark regexes run on java.util.regex, the same engine)
+_SEASON_PATTERN_MONTHS = [
+    ("Jan", [r"^\d\d\d\d (1st)|(First)|(1d) Quart(er)?$",
+             r"^\d\d\d\d Winter(-\w+)?( 01)?$",
+             r"^\d\d\d\d Winter(-\d\d\d\d \w+)?$",
+             r"^Winter \d\d\d\d$",
+             r"^\d\d\d\d-\d\d\d\d Winter(-\w+)?$"]),
+    ("Apr", [r"^\d\d\d\d (2nd)|(Second)|(2d) Quart(er)?$",
+             r"^\d\d\d\d Spring([-/]\w+)?( 01)?$",
+             r"^\d\d\d\d Spring(-\d\d\d\d \w+)?$",
+             r"^Spring \d\d\d\d$",
+             r"^\d\d\d\d-\d\d\d\d Spring(-\w+)?$"]),
+    ("Jul", [r"^\d\d\d\d (3rd)|(Third)|(3d) Quart(er)?$",
+             r"^\d\d\d\d Summer([-/]\w+)?( 01)?$",
+             r"^\d\d\d\d Summer(-\d\d\d\d \w+)?$",
+             r"^Summer \d\d\d\d$",
+             r"^\d\d\d\d-\d\d\d\d Summer(-\w+)?$"]),
+    ("Oct", [r"^\d\d\d\d (4th)|(Fourth)|(4d) Quart(er)?$",
+             r"^\d\d\d\d Fall([-/]\w+)?( 01)?$",
+             r"^\d\d\d\d Autumn([-/]\w+)?( 01)?$",
+             r"^\d\d\d\d Fall(-\d\d\d\d \w+)?$",
+             r"^\d\d\d\d Autumn(-\d\d\d\d \w+)?$",
+             r"^Fall \d\d\d\d$",
+             r"^Autumn \d\d\d\d$",
+             r"^\d\d\d\d-\d\d\d\d Fall(-\w+)?$",
+             r"^\d\d\d\d-\d\d\d\d Autumn(-\w+)?$"]),
+]
+
+#: MedlineDate day capture — group 13 of the reference's alternation
+#: (getDay :524-533); only the "yyyy Dec d(-d)?" branch reaches the group,
+#: which is replicated exactly
+_MEDLINE_DAY_RE = (
+    r"(?i)^\d\d\d\d (Jan)|(Feb)|(Mar)|(Apr)|(May)|(Jun)|(Jul)|(Aug)|(Sep)|(Oct)"
+    r"|(Nov)|(Dec) (\d+)(-\d+)?$"
+)
+
+
+def _lit_map(d: dict[str, str]):
+    return F.create_map(*[F.lit(x) for kv in d.items() for x in kv])
+
+
+def _month_from_medline_date(md) -> F.Column:
+    explicit = F.lower(F.regexp_extract(md, _EXPLICIT_MONTH_RE, 0))
+    explicit_abbrev = F.when(
+        explicit != "",
+        F.coalesce(_lit_map(_FRENCH_MONTHS)[explicit], F.initcap(explicit)),
+    )
+    out = explicit_abbrev
+    for month, patterns in _SEASON_PATTERN_MONTHS:
+        hit = F.lit(False)
+        for pat in patterns:
+            hit = hit | md.rlike("(?i)" + pat)
+        out = F.coalesce(out, F.when(hit, F.lit(month)))
+    return out
+
+
+def ui_metadata(raw: DataFrame) -> DataFrame:
+    """Translator-UI publication metadata rows (DOC_ID, year, month, day,
+    journal, journal_abbrev, volume, issue, article_title,
+    article_abstract) — MedlineUiMetadataExtractor.extract :56-105.
+
+    Dates resolve as the reference does: explicit PubDate Year/Month/Day
+    elements first (months via the numeric/name abbreviation switch,
+    seasons approximating to Jan/Apr/Jul/Oct), else MedlineDate
+    heuristics (first standalone 4-digit year; explicit English/French
+    month mention, else the season/quarter pattern set), else the first
+    ArticleDate. Missing values print '-'; title/abstract line breaks
+    and tabs flatten to spaces. Write with
+    ``sinks.write_tsv(..., header=False)`` after unioning the
+    :data:`UI_METADATA_HEADER` or with ``header=True`` column names."""
+    art = F.col("MedlineCitation.Article")
+    pd = F.col("MedlineCitation.Article.Journal.JournalIssue.PubDate")
+    md = F.coalesce(pd["MedlineDate"], F.lit(""))
+    adates = F.coalesce(
+        F.col("MedlineCitation.Article.ArticleDate"),
+        F.array().cast("array<struct<Year:string,Month:string,Day:string>>"),
+    )
+
+    year = F.coalesce(
+        pd["Year"],
+        F.nullif(F.regexp_extract(md, r"\b(\d\d\d\d)\b", 1), F.lit("")),
+        F.get(F.transform(adates, lambda d: d["Year"]), 0),
+    )
+    month = F.coalesce(
+        _lit_map(_MONTH_ABBREVS)[pd["Month"]],
+        _lit_map(_SEASON_MONTHS)[F.lower(pd["Season"])],
+        _month_from_medline_date(md),
+        _lit_map(_MONTH_ABBREVS)[
+            F.get(F.filter(adates, lambda d: d["Month"].isNotNull()), 0)["Month"]
+        ],
+    )
+    two_digit = lambda d: F.lpad(d, 2, "0")  # noqa: E731  enforceTwoDigitDay
+    day = F.coalesce(
+        two_digit(pd["Day"]),
+        two_digit(F.nullif(F.regexp_extract(md, _MEDLINE_DAY_RE, 13), F.lit(""))),
+        two_digit(F.get(F.filter(adates, lambda d: d["Day"].isNotNull()), 0)["Day"]),
+    )
+
+    title = F.coalesce(art["ArticleTitle"], F.lit(""))
+    abstract = F.array_join(
+        F.transform(
+            F.coalesce(
+                art["Abstract"]["AbstractText"],
+                F.array().cast(_abstract_array_type()),
+            ),
+            lambda t: F.when(
+                t["_Label"].isNotNull(),
+                F.concat(t["_Label"], F.lit(": "), F.coalesce(t["_VALUE"], F.lit(""))),
+            ).otherwise(F.coalesce(t["_VALUE"], F.lit(""))),
+        ),
+        "\n\n",
+    )
+
+    dash = lambda c: F.coalesce(c, F.lit("-"))  # noqa: E731
+    flat = lambda c: F.regexp_replace(c, r"[\n\t]", " ")  # noqa: E731
+    return raw.select(
+        F.concat(F.lit("PMID:"), F.col("MedlineCitation.PMID._VALUE")).alias("DOC_ID"),
+        dash(year).alias("year"),
+        dash(month).alias("month"),
+        dash(day).alias("day"),
+        dash(art["Journal"]["Title"]).alias("journal"),
+        dash(art["Journal"]["ISOAbbreviation"]).alias("journal_abbrev"),
+        dash(art["Journal"]["JournalIssue"]["Volume"]).alias("volume"),
+        dash(art["Journal"]["JournalIssue"]["Issue"]).alias("issue"),
+        flat(dash(F.nullif(title, F.lit("")))).alias("article_title"),
+        flat(dash(F.nullif(abstract, F.lit("")))).alias("article_abstract"),
+    )
+
+
+def deleted_pmids(spark: SparkSession, path: str) -> DataFrame:
+    """'PMID:<id>' rows of the file's DeleteCitation block — the UI
+    extractor's .delete.tsv sidecar (MedlineUiMetadataExtractor.java:
+    74-86). DeleteCitation sits outside PubmedArticle, so it reads with
+    its own rowTag."""
+    schema = T.StructType(
+        [
+            T.StructField(
+                "PMID",
+                T.ArrayType(
+                    T.StructType([T.StructField("_VALUE", T.StringType(), True)])
+                ),
+                True,
+            )
+        ]
+    )
+    raw = (
+        spark.read.format("xml")
+        .option("rowTag", "DeleteCitation")
+        .schema(schema)
+        .load(path)
+    )
+    return raw.select(F.explode("PMID").alias("p")).select(
+        F.concat(F.lit("PMID:"), F.col("p._VALUE")).alias("pmid")
+    )
