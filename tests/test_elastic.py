@@ -184,3 +184,16 @@ def test_http_transport_request_shape():
     t.scroll(scroll_id="abc", scroll="1m")
     assert captured["url"] == "https://es.example:9200/_search/scroll"
     assert captured["body"] == {"scroll": "1m", "scroll_id": "abc"}
+
+
+def test_catalog_sentence_ids(spark, tmp_path):
+    (tmp_path / "batch1").mkdir()
+    (tmp_path / "batch1" / "a.txt").write_text("sent one\nsent two\nDONE\n")
+    (tmp_path / "b.txt").write_text("sent two\nsent three\nDONE\n")
+    (tmp_path / "ignore.ann").write_text("sent four\n")
+    got = {r.id for r in elastic.catalog_sentence_ids(spark, str(tmp_path)).collect()}
+    expect = {
+        elastic.compute_sentence_identifier(s)
+        for s in ("sent one", "sent two", "sent three")
+    }
+    assert got == expect

@@ -349,3 +349,22 @@ def test_deleted_pmids(spark, ui_raw):
     _, path = ui_raw
     got = {r.pmid for r in medline.deleted_pmids(spark, path).collect()}
     assert got == {"PMID:900", "PMID:901"}
+
+
+def test_pmid_to_file(medline_html_raw):
+    got = {(r.pmid, r.file) for r in medline.pmid_to_file(medline_html_raw).collect()}
+    assert got == {("201", "h.xml"), ("202", "h.xml"), ("203", "h.xml")}
+
+
+def test_download_script_lines():
+    lines = medline.download_script_lines(
+        "BASELINE", 1, 2, 24, dest_template="out/{file_set}_{year}/{file_name}"
+    )
+    assert len(lines) == 4  # 2 files + 2 md5 sidecars
+    assert lines[0] == (
+        "curl ftp://ftp.ncbi.nlm.nih.gov/pubmed/baseline/pubmed24n0001.xml.gz "
+        "-o out/baseline_2024/pubmed24n0001.xml.gz"
+    )
+    assert lines[1].endswith("pubmed24n0001.xml.gz.md5")
+    with pytest.raises(ValueError):
+        medline.download_script_lines("weekly", 1, 1, 24)

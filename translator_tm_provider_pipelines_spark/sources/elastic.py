@@ -342,3 +342,20 @@ class HttpTransport:
 
     def scroll(self, scroll_id: str, scroll: str) -> dict:
         return self._post("/_search/scroll", {"scroll": scroll, "scroll_id": scroll_id})
+
+
+def catalog_sentence_ids(spark, base_dir: str) -> "DataFrame":
+    """Distinct sentence ids (sha256 hex of each non-DONE line) across
+    every .txt annotation file under ``base_dir``, recursively — the
+    already-annotated ledger fed back into :func:`search_sentences`
+    (SentenceIdFileGenerator.catalogSentences :28-48)."""
+    from pyspark.sql import functions as F
+
+    lines = spark.read.option("recursiveFileLookup", "true").text(
+        base_dir, pathGlobFilter="*.txt"
+    )
+    return (
+        lines.where(F.col("value") != "DONE")
+        .select(F.sha2(F.col("value"), 256).alias("id"))
+        .distinct()
+    )

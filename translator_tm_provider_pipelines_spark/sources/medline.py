@@ -542,3 +542,45 @@ def deleted_pmids(spark: SparkSession, path: str) -> DataFrame:
     return raw.select(F.explode("PMID").alias("p")).select(
         F.concat(F.lit("PMID:"), F.col("p._VALUE")).alias("pmid")
     )
+
+
+def pmid_to_file(raw: DataFrame) -> DataFrame:
+    """(pmid, file) rows linking every citation to its source XML shard
+    (PmidToFileExtractor.extractPmids :37-77 — the .ids file content).
+    The shard name comes from ``input_file_name`` so one distributed scan
+    covers a whole directory of files."""
+    fname = F.element_at(F.split(F.input_file_name(), "/"), -1)
+    return raw.select(
+        F.col("MedlineCitation.PMID._VALUE").alias("pmid"), fname.alias("file")
+    )
+
+
+#: public NCBI FTP layout for Medline distribution files
+PUBMED_FTP = "ftp://ftp.ncbi.nlm.nih.gov/pubmed"
+
+
+def download_script_lines(
+    file_set: str,
+    min_file_index: int,
+    max_file_index: int,
+    two_digit_year: int,
+    dest_template: str = "{file_name}",
+) -> list[str]:
+    """Shell commands fetching the Medline ``baseline``/``updatefiles``
+    shards and their .md5 sidecars (MedlineDownloadScriptBuilder
+    :32-60). The reference pipes each curl into a project-specific
+    bucket copy; destination here is caller-templated
+    (``{file_set}``/``{year}``/``{file_name}`` placeholders) so the
+    script stays deployment-neutral."""
+    fs = file_set.lower()
+    if fs not in ("baseline", "updatefiles"):
+        raise ValueError(f"unknown PubMed file set: {file_set!r}")
+    lines = []
+    for i in range(min_file_index, max_file_index + 1):
+        for suffix in ("", ".md5"):
+            file_name = f"pubmed{two_digit_year}n{i:04d}.xml.gz{suffix}"
+            dest = dest_template.format(
+                file_set=fs, year=f"20{two_digit_year}", file_name=file_name
+            )
+            lines.append(f"curl {PUBMED_FTP}/{fs}/{file_name} -o {dest}")
+    return lines
