@@ -110,10 +110,13 @@ def transitive_descendants(
     """CURIE ids of ``root_ids`` and every descendant via ``is_a``
     (``getExclusionClasses``, OgerDictFileFactory.java:262-276).
 
-    One broadcast join per hierarchy level against the (dimension-size)
-    edge list; the loop runs on the driver but each level's data stays
-    distributed. Ontology depth is ~10-30, so this is a bounded number of
-    cheap stages, not an unbounded iteration."""
+    One distributed edge-list join per hierarchy level (depth ~10-30, so
+    a bounded number of cheap stages). Each level's frontier ids come
+    back to the driver — closures are dimension-sized by construction
+    (the old per-level ``F.broadcast(acc)`` collected the same ids to
+    the driver anyway to build the broadcast), and keeping the
+    accumulator as a plain set gives ONE flat job per level instead of a
+    persist/union lineage that deepens every iteration."""
     spark = terms.sparkSession
     edges = (
         terms.select(
@@ -124,22 +127,23 @@ def transitive_descendants(
         # level's action re-parses the ontology source
         .persist()
     )
-    acc = spark.createDataFrame([(r,) for r in root_ids], "id string").distinct()
-    frontier = acc
     try:
-        while True:
-            nxt = (
-                edges.join(F.broadcast(frontier), edges.parent == frontier.id)
-                .select(F.col("child").alias("id"))
-                .distinct()
-                .join(F.broadcast(acc), "id", "left_anti")
+        acc: set[str] = set(root_ids)
+        frontier = sorted(acc)
+        while frontier:
+            fdf = F.broadcast(
+                spark.createDataFrame([(r,) for r in frontier], "id string")
             )
-            nxt = nxt.persist()
-            if nxt.count() == 0:
-                nxt.unpersist()
-                return acc
-            acc = acc.unionByName(nxt).persist()
-            frontier = nxt
+            nxt = {
+                r.child
+                for r in edges.join(fdf, edges.parent == fdf.id)
+                .select("child")
+                .distinct()
+                .collect()
+            }
+            frontier = sorted(nxt - acc)
+            acc |= nxt
+        return spark.createDataFrame([(r,) for r in sorted(acc)], "id string")
     finally:
         edges.unpersist()
 
@@ -623,8 +627,12 @@ CONFIGS: dict[str, OgerDictConfig] = {
 def ancestor_pairs_for(terms: DataFrame, ids: DataFrame) -> DataFrame:
     """(id, ancestor) pairs for the given ``ids`` (one ``id`` column) via
     the ``is_a`` hierarchy — the walk goes UP from just the requested ids
-    (frontier join per level, persisted edge list), so the closure cost
-    scales with |ids| × depth, not with the whole ontology."""
+    (one distributed frontier join per level over a persisted edge list),
+    so the closure cost scales with |ids| × depth, not with the whole
+    ontology. The per-level frontier pairs accumulate in a driver-side
+    set (candidate-scoped, bounded) — one flat job per level instead of
+    a persist/union lineage deepening every iteration."""
+    spark = terms.sparkSession
     edges = (
         terms.select(
             F.explode("parents").alias("parent"), F.col("term_id").alias("child")
@@ -633,26 +641,28 @@ def ancestor_pairs_for(terms: DataFrame, ids: DataFrame) -> DataFrame:
         .persist()
     )
     try:
-        acc = (
-            ids.join(edges, ids.id == edges.child)
-            .select(F.col("id"), F.col("parent").alias("anc"))
+        frontier = {
+            (r.id, r.anc)
+            for r in ids.join(edges, ids.id == edges.child)
+            .select(ids.id, edges.parent.alias("anc"))
             .distinct()
-            .persist()
-        )
-        frontier = acc
-        while True:
-            nxt = (
-                frontier.join(edges, frontier.anc == edges.child)
-                .select("id", F.col("parent").alias("anc"))
-                .distinct()
-                .join(F.broadcast(acc), ["id", "anc"], "left_anti")
-                .persist()
+            .collect()
+        }
+        acc: set[tuple[str, str]] = set(frontier)
+        while frontier:
+            fdf = F.broadcast(
+                spark.createDataFrame(sorted(frontier), "id string, anc string")
             )
-            if nxt.count() == 0:
-                nxt.unpersist()
-                return acc
-            acc = acc.unionByName(nxt).persist()
-            frontier = nxt
+            nxt = {
+                (r.id, r.anc)
+                for r in fdf.join(edges, fdf.anc == edges.child)
+                .select(fdf.id, edges.parent.alias("anc"))
+                .distinct()
+                .collect()
+            }
+            frontier = nxt - acc
+            acc |= nxt
+        return spark.createDataFrame(sorted(acc), "id string, anc string")
     finally:
         edges.unpersist()
 

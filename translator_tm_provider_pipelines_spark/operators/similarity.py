@@ -104,12 +104,13 @@ def banded_lsh_candidate_pairs(
     grow ``band_planes`` ~log(n) to keep bucket sizes flat as the corpus
     grows."""
     all_planes = hyperplanes(n_bands * band_planes, n_dims)
+    # one sign-bit string over ALL planes, sliced per band — the plane
+    # dots compile once (rp_lsh_bucket's single transform), not per band
+    all_bits = rp_lsh_bucket(F.col(vec_col), all_planes, scale)
     band_cols = [
         F.concat(
             F.lit(f"{b}:"),
-            rp_lsh_bucket(
-                F.col(vec_col), all_planes[b * band_planes : (b + 1) * band_planes], scale
-            ),
+            F.substring(all_bits, b * band_planes + 1, band_planes),
         )
         for b in range(n_bands)
     ]
@@ -220,15 +221,23 @@ def rp_lsh_bucket(vec_col: Column, planes: list[list[float]], scale: int = 6) ->
     as a bit string ('0110...'). Vectors in the same bucket are likely
     cosine neighbors (probability 1 - θ/π per plane). The dot product is
     ROUNDED before the sign test so the bit pattern is stable across
-    engines (summation-order float noise ≪ the rounding scale)."""
-    bits = [
-        F.when(
-            F.round(dot(vec_col, F.array(*[F.lit(c) for c in plane])), scale) >= 0,
-            F.lit("1"),
-        ).otherwise(F.lit("0"))
-        for plane in planes
-    ]
-    return F.concat(*bits)
+    engines (summation-order float noise ≪ the rounding scale).
+
+    All planes evaluate through ONE ``transform`` over a nested literal
+    array — one codegen loop instead of |planes| inlined aggregate
+    expressions, which keeps the generated code (and analysis time) flat
+    as band counts grow. Arithmetic per plane is unchanged, so bucket
+    strings are bit-identical to the per-plane form the oracles mirror."""
+    planes_lit = F.array(
+        *[F.array(*[F.lit(float(c)) for c in plane]) for plane in planes]
+    )
+    bits = F.transform(
+        planes_lit,
+        lambda p: F.when(F.round(dot(vec_col, p), scale) >= 0, F.lit("1")).otherwise(
+            F.lit("0")
+        ),
+    )
+    return F.array_join(bits, "")
 
 
 def seed_centroids(
@@ -355,13 +364,26 @@ def ivf_list_id(
 ) -> Column:
     """Nearest-centroid list assignment as a pure column expression:
     argmax of the ROUNDED cosine with centroid-id tie-break (engine-stable
-    — the DuckDB oracle ranks with the identical rule)."""
-    entries = []
-    for cid, cvec in centroids:
-        c = F.array(*[F.lit(float(x)) for x in cvec])
-        cos = F.round(cosine(vec_col, c), scale)
-        entries.append(F.struct((-cos).alias("nc"), F.lit(cid).cast("long").alias("cid")))
-    return F.array_min(F.array(*entries))["cid"]
+    — the DuckDB oracle ranks with the identical rule). The centroid set
+    is one nested literal array evaluated through a single ``transform``
+    loop, so plan size stays flat in ``n_lists``."""
+    cents_lit = F.array(
+        *[
+            F.struct(
+                F.lit(int(cid)).cast("long").alias("cid"),
+                F.array(*[F.lit(float(x)) for x in cvec]).alias("v"),
+            )
+            for cid, cvec in centroids
+        ]
+    )
+    entries = F.transform(
+        cents_lit,
+        lambda c: F.struct(
+            (-F.round(cosine(vec_col, c["v"]), scale)).alias("nc"),
+            c["cid"].alias("cid"),
+        ),
+    )
+    return F.array_min(entries)["cid"]
 
 
 def ann_ivf(
