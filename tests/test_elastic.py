@@ -197,3 +197,55 @@ def test_catalog_sentence_ids(spark, tmp_path):
         for s in ("sent one", "sent two", "sent three")
     }
     assert got == expect
+
+
+def test_allowable_concept_ids_map(spark):
+    idf = spark.createDataFrame(
+        [
+            ("CHEBI:1", "document", 5.0),
+            ("CHEBI:2", "document", 0.5),
+            ("CHEBI:3", "sentence", 9.0),   # wrong level
+            ("MONDO:1", "document", 4.0),
+            ("GO:1", "document", 3.0),
+            ("GO:2", "document", 0.1),
+            ("GO:9", "document", 8.0),      # not in the BP list
+        ],
+        "concept_id string, level string, idf double",
+    )
+    assoc = biolink.ASSOCIATIONS["biolink:ChemicalToDiseaseOrPhenotypicFeatureAssociation"]
+    # subject thresholded by prefix+idf+level; object unfiltered (negative)
+    m = elastic.allowable_concept_ids_map(idf, assoc, subject_idf_threshold=1.0)
+    assert m == {"CHEBI": {"CHEBI:1"}}
+    # GO-backed side restricts to the namespace list; negative threshold
+    # keeps every listed id regardless of idf/level
+    bp_assoc = biolink.ASSOCIATIONS["biolink:GeneToBiologicalProcessAssociation"]
+    m2 = elastic.allowable_concept_ids_map(
+        idf, bp_assoc, object_idf_threshold=-1.0, go_bp_ids={"GO:1", "GO:2"}
+    )
+    assert m2 == {"GO": {"GO:1", "GO:2"}}
+    # ...and a positive threshold prunes within the list
+    m3 = elastic.allowable_concept_ids_map(
+        idf, bp_assoc, object_idf_threshold=1.0, go_bp_ids={"GO:1", "GO:2"}
+    )
+    assert m3 == {"GO": {"GO:1"}}
+
+
+def test_allowable_map_rejects_go_go_pairing(spark):
+    import pytest as _pytest
+
+    idf = spark.createDataFrame([("GO:1", "document", 1.0)], "concept_id string, level string, idf double")
+    assoc = biolink.BiolinkAssociation(
+        "x", biolink.CELLULAR_COMPONENT, biolink.BIOLOGICAL_PROCESS, ("biolink:occurs_in",)
+    )
+    with _pytest.raises(ValueError):
+        elastic.allowable_concept_ids_map(idf, assoc)
+
+
+def test_create_brat_batch_end_to_end(spark):
+    pages = [[_hit("(aspirin)[CHEBI_1&_CHEBI] treats (fever)[HP_1&_HP]")]]
+    t = MockTransport(pages)
+    out = elastic.create_brat_batch(
+        spark, t, "sentences", ASSOC, batch_size=10
+    ).collect()
+    lines = {r.line for r in out}
+    assert "aspirin treats fever" in lines and "DONE" in lines

@@ -52,7 +52,7 @@ def knn_brute_force(
     the *rounded* score with id tie-break so results are stable across
     engines and runs. The filter+sort is a single pass; Spark's
     ``TakeOrderedAndProject`` keeps only k rows per partition."""
-    q = F.array(*[F.lit(float(v)) for v in query_vec])
+    q = F.lit([float(v) for v in query_vec])
     scored = embeddings.select(
         F.col(id_col).alias("vec_id"),
         F.round(cosine(F.col(vec_col), q), scale).alias("cosine"),
@@ -70,13 +70,26 @@ def topk_similar_pairs(
     """Top-k most-similar vector pairs (exact, all-pairs — the oracle /
     small-n reference; :func:`topk_similar_pairs_lsh` is the scale path
     and must agree with this on corpora where LSH recall is total)."""
-    a = embeddings.select(F.col(id_col).alias("vec_a"), F.col(vec_col).alias("ea"))
-    b = embeddings.select(F.col(id_col).alias("vec_b"), F.col(vec_col).alias("eb"))
+    a = embeddings.select(
+        F.col(id_col).alias("vec_a"),
+        F.col(vec_col).alias("ea"),
+        l2_norm(F.col(vec_col)).alias("na"),
+    )
+    b = embeddings.select(
+        F.col(id_col).alias("vec_b"),
+        F.col(vec_col).alias("eb"),
+        l2_norm(F.col(vec_col)).alias("nb"),
+    )
     pairs = a.join(b, F.col("vec_a") < F.col("vec_b"))
+    # norms precompute once per vector (n of them), not once per pair
+    # (n² of them); dot/(na*nb) is the same float expression cosine()
+    # builds, so scores stay bit-identical
     scored = pairs.select(
         "vec_a",
         "vec_b",
-        F.round(cosine(F.col("ea"), F.col("eb")), scale).alias("cosine"),
+        F.round(dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb")), scale).alias(
+            "cosine"
+        ),
     )
     return scored.orderBy(F.col("cosine").desc(), F.col("vec_a"), F.col("vec_b")).limit(k)
 
@@ -104,18 +117,24 @@ def banded_lsh_candidate_pairs(
     grow ``band_planes`` ~log(n) to keep bucket sizes flat as the corpus
     grows."""
     all_planes = hyperplanes(n_bands * band_planes, n_dims)
-    # one sign-bit string over ALL planes, sliced per band — the plane
-    # dots compile once (rp_lsh_bucket's single transform), not per band
-    all_bits = rp_lsh_bucket(F.col(vec_col), all_planes, scale)
+    # one sign-bit string over ALL planes, sliced per band. The bit
+    # string materializes in its OWN projection: it feeds every band
+    # column, and collapsing it into the band slices would recompute all
+    # n_bands*band_planes plane dots once per band (CollapseProject keeps
+    # multi-referenced non-cheap aliases separate).
+    with_bits = embeddings.select(
+        F.col(id_col).alias("vec_id"),
+        rp_lsh_bucket(F.col(vec_col), all_planes, scale).alias("__bits"),
+    )
     band_cols = [
         F.concat(
             F.lit(f"{b}:"),
-            F.substring(all_bits, b * band_planes + 1, band_planes),
+            F.substring(F.col("__bits"), b * band_planes + 1, band_planes),
         )
         for b in range(n_bands)
     ]
-    bucketed = embeddings.select(
-        F.col(id_col).alias("vec_id"),
+    bucketed = with_bits.select(
+        "vec_id",
         F.explode(F.array(*band_cols)).alias("band_bucket"),
     )
     buckets = (
@@ -169,15 +188,27 @@ def topk_similar_pairs_lsh(
         scale=scale,
         max_bucket_size=max_bucket_size,
     )
-    ea = embeddings.select(F.col(id_col).alias("vec_a"), F.col(vec_col).alias("ea"))
-    eb = embeddings.select(F.col(id_col).alias("vec_b"), F.col(vec_col).alias("eb"))
+    ea = embeddings.select(
+        F.col(id_col).alias("vec_a"),
+        F.col(vec_col).alias("ea"),
+        l2_norm(F.col(vec_col)).alias("na"),
+    )
+    eb = embeddings.select(
+        F.col(id_col).alias("vec_b"),
+        F.col(vec_col).alias("eb"),
+        l2_norm(F.col(vec_col)).alias("nb"),
+    )
     scored = (
         pairs.join(ea, "vec_a")
         .join(eb, "vec_b")
         .select(
             "vec_a",
             "vec_b",
-            F.round(cosine(F.col("ea"), F.col("eb")), scale).alias("cosine"),
+            # per-vector norms ride the (broadcast) join; only the dot is
+            # per-candidate — same float expression, bit-identical scores
+            F.round(
+                dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb")), scale
+            ).alias("cosine"),
         )
     )
     return scored.orderBy(F.col("cosine").desc(), F.col("vec_a"), F.col("vec_b")).limit(k)
@@ -227,10 +258,11 @@ def rp_lsh_bucket(vec_col: Column, planes: list[list[float]], scale: int = 6) ->
     array — one codegen loop instead of |planes| inlined aggregate
     expressions, which keeps the generated code (and analysis time) flat
     as band counts grow. Arithmetic per plane is unchanged, so bucket
-    strings are bit-identical to the per-plane form the oracles mirror."""
-    planes_lit = F.array(
-        *[F.array(*[F.lit(float(c)) for c in plane]) for plane in planes]
-    )
+    strings are bit-identical to the per-plane form the oracles mirror.
+    The literal ships as one nested-list ``F.lit`` — a single py4j call
+    instead of |planes|×n_dims of them, which was seconds of driver time
+    at 48×64."""
+    planes_lit = F.lit([[float(c) for c in plane] for plane in planes])
     bits = F.transform(
         planes_lit,
         lambda p: F.when(F.round(dot(vec_col, p), scale) >= 0, F.lit("1")).otherwise(
@@ -285,11 +317,11 @@ def farthest_first_centroids(
     while len(chosen) < n_lists:
         best_cos = F.greatest(
             *[
-                F.round(cosine(F.col(vec_col), F.array(*[F.lit(float(x)) for x in cv])), scale)
+                F.round(cosine(F.col(vec_col), F.lit([float(x) for x in cv])), scale)
                 for _, cv in chosen
             ]
         ) if len(chosen) > 1 else F.round(
-            cosine(F.col(vec_col), F.array(*[F.lit(float(x)) for x in chosen[0][1]])),
+            cosine(F.col(vec_col), F.lit([float(x) for x in chosen[0][1]])),
             scale,
         )
         row = (
@@ -365,22 +397,16 @@ def ivf_list_id(
     """Nearest-centroid list assignment as a pure column expression:
     argmax of the ROUNDED cosine with centroid-id tie-break (engine-stable
     — the DuckDB oracle ranks with the identical rule). The centroid set
-    is one nested literal array evaluated through a single ``transform``
-    loop, so plan size stays flat in ``n_lists``."""
-    cents_lit = F.array(
-        *[
-            F.struct(
-                F.lit(int(cid)).cast("long").alias("cid"),
-                F.array(*[F.lit(float(x)) for x in cvec]).alias("v"),
-            )
-            for cid, cvec in centroids
-        ]
-    )
+    ships as two nested-list literals (single py4j calls) evaluated
+    through one ``transform`` loop, so plan size and plan-build time stay
+    flat in ``n_lists``."""
+    vecs_lit = F.lit([[float(x) for x in cvec] for _, cvec in centroids])
+    cids_lit = F.lit([int(cid) for cid, _ in centroids])
     entries = F.transform(
-        cents_lit,
-        lambda c: F.struct(
-            (-F.round(cosine(vec_col, c["v"]), scale)).alias("nc"),
-            c["cid"].alias("cid"),
+        vecs_lit,
+        lambda v, i: F.struct(
+            (-F.round(cosine(vec_col, v), scale)).alias("nc"),
+            F.get(cids_lit, i).cast("long").alias("cid"),
         ),
     )
     return F.array_min(entries)["cid"]
@@ -476,15 +502,26 @@ def embedding_near_duplicates(
         scale=scale,
         max_bucket_size=max_bucket_size,
     )
-    ea = embeddings.select(F.col(id_col).alias("vec_a"), F.col(vec_col).alias("ea"))
-    eb = embeddings.select(F.col(id_col).alias("vec_b"), F.col(vec_col).alias("eb"))
+    ea = embeddings.select(
+        F.col(id_col).alias("vec_a"),
+        F.col(vec_col).alias("ea"),
+        l2_norm(F.col(vec_col)).alias("na"),
+    )
+    eb = embeddings.select(
+        F.col(id_col).alias("vec_b"),
+        F.col(vec_col).alias("eb"),
+        l2_norm(F.col(vec_col)).alias("nb"),
+    )
     scored = (
         pairs.join(ea, "vec_a")
         .join(eb, "vec_b")
         .select(
             "vec_a",
             "vec_b",
-            F.round(cosine(F.col("ea"), F.col("eb")), scale).alias("cosine"),
+            # norms precompute per vector; scores stay bit-identical
+            F.round(
+                dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb")), scale
+            ).alias("cosine"),
         )
     )
     return scored.where(F.col("cosine") >= threshold)

@@ -359,3 +359,97 @@ def catalog_sentence_ids(spark, base_dir: str) -> "DataFrame":
         .select(F.sha2(F.col("value"), 256).alias("id"))
         .distinct()
     )
+
+
+def allowable_concept_ids_map(
+    idf_rows: DataFrame,
+    association: biolink.BiolinkAssociation,
+    subject_idf_threshold: float = -1.0,
+    object_idf_threshold: float = -1.0,
+    go_bp_ids: set[str] | None = None,
+    go_cc_ids: set[str] | None = None,
+) -> dict[str, set[str]]:
+    """Prefix → allowable-concept-id map for :func:`search_sentences`
+    (annot_batch_cli/BatchCreateCommand.loadOntologyPrefixToAllowableConceptIdsMap
+    :196-226 + the populate/threshold helpers :246-320).
+
+    ``idf_rows`` is the (concept_id, level, idf) relation the concept-IDF
+    operator produces (the reference reads the same triple from CSV).
+    Per association side: GO-backed classes restrict to their
+    namespace id list (``go_bp_ids`` / ``go_cc_ids``) and keep listed ids
+    outright when the threshold is negative, else only document-level ids
+    above it; other classes filter by class prefix + threshold, and a
+    negative threshold means no filtering for that side at all. The
+    GO_BP + GO_CC pairing is rejected, as in the reference (the search
+    cannot distinguish the namespaces)."""
+    s_cls, o_cls = association.subject, association.object
+    go_classes = {"BIOLOGICAL_PROCESS", "CELLULAR_COMPONENT"}
+    if {s_cls.name, o_cls.name} == go_classes:
+        raise ValueError("Cannot handle GO_BP + GO_CC pairing.")
+
+    from pyspark.sql import functions as F
+
+    def input_ids(cls):
+        if cls.name == "BIOLOGICAL_PROCESS":
+            return go_bp_ids
+        if cls.name == "CELLULAR_COMPONENT":
+            return go_cc_ids
+        return None
+
+    out: dict[str, set[str]] = {}
+
+    def add(cls, threshold):
+        ids = input_ids(cls)
+        if ids:
+            rows = idf_rows.where(F.col("concept_id").isin(sorted(ids)))
+            if threshold >= 0:
+                rows = rows.where(
+                    (F.col("idf") > threshold) & (F.col("level") == "document")
+                )
+        elif threshold > 0:
+            prefix = F.split(F.col("concept_id"), ":").getItem(0)
+            rows = idf_rows.where(
+                prefix.isin(list(cls.prefixes))
+                & (F.col("idf") > threshold)
+                & (F.col("level") == "document")
+            )
+        else:
+            return
+        for r in rows.select("concept_id").distinct().collect():
+            out.setdefault(r.concept_id.split(":")[0], set()).add(r.concept_id)
+
+    add(s_cls, subject_idf_threshold)
+    add(o_cls, object_idf_threshold)
+    return out
+
+
+def create_brat_batch(
+    spark,
+    transport,
+    index: str,
+    association: biolink.BiolinkAssociation,
+    batch_size: int,
+    sentences_per_page: int = 20,
+    already_assigned_ids: set[str] | None = None,
+    allowable_concept_ids: dict[str, set[str]] | None = None,
+    max_search: int = 49999,
+) -> DataFrame:
+    """End-to-end batch creation (BatchCreateCommand.createBatch
+    :85-137): search the sentence index (capped at the reference's
+    49 999), turn survivors into extracted-sentence rows, and hand them
+    to the brat page writer. Returns the (page, kind, line_no, line)
+    relation to write one .ann/.txt pair per page."""
+    from ..operators import relext
+
+    sentences = search_sentences(
+        transport,
+        index,
+        association,
+        max_return=max_search,
+        allowable_concept_ids=allowable_concept_ids,
+        already_assigned_ids=already_assigned_ids,
+    )
+    rows = extracted_sentence_rows(spark, sentences, association)
+    return relext.brat_annotation_batch(
+        rows, association, batch_size=batch_size, sentences_per_page=sentences_per_page
+    )
