@@ -44,7 +44,10 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
-    passes = int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "2"))
+    # best-of-3: measured run-to-run swings on untouched queries reach 3×
+    # on a shared box (dictionary_ner 1.7–5.1 s across same-code runs);
+    # the minimum of three is a much tighter steady-state estimate
+    passes = int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "3"))
     for _pass in range(passes):
         for name, fn in sorted(tq.QUERIES.items()):
             t0 = time.perf_counter()

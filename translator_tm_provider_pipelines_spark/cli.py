@@ -754,6 +754,52 @@ def run_brat_batch_create(spark: SparkSession, argv: list[str]) -> None:
     ).write.mode("overwrite").partitionBy("page").parquet(ns.output)
 
 
+def run_sheet_batch_create(spark: SparkSession, argv: list[str]) -> None:
+    """SHEET_BATCH_CREATE (GoogleSheetsAssertionAnnotationSheetCreator):
+    extracted sentences → annotation-sheet rows (header+cells parquet;
+    push through operators.sheets.write_assertion_sheet with a real
+    SheetsClient to create the spreadsheet)."""
+    from .functions import biolink
+    from .operators import sheets as sheetops
+
+    p = argparse.ArgumentParser(prog="SHEET_BATCH_CREATE")
+    p.add_argument("--extractedSentences", required=True)
+    p.add_argument("--association", required=True, choices=sorted(biolink.ASSOCIATIONS))
+    p.add_argument("--batchSize", type=int, required=True)
+    p.add_argument("--includeInverse", action="store_true")
+    p.add_argument("--alreadyAnnotated", help="parquet with a 'hash' column")
+    p.add_argument("--output", required=True)
+    ns = p.parse_args(argv)
+    already = spark.read.parquet(ns.alreadyAnnotated) if ns.alreadyAnnotated else None
+    sheetops.assertion_sheet_rows(
+        spark.read.parquet(ns.extractedSentences),
+        biolink.ASSOCIATIONS[ns.association],
+        batch_size=ns.batchSize,
+        include_inverse=ns.includeInverse,
+        already_annotated=already,
+    ).write.mode("overwrite").parquet(ns.output)
+
+
+def run_sheet_to_bert(spark: SparkSession, argv: list[str]) -> None:
+    """SHEET_TO_BERT (GoogleSheetsToBertInputFileCreator): annotated
+    sheet rows → (hash, sentence, label) BERT training TSV."""
+    from .functions import biolink
+    from .operators import sheets as sheetops
+    from .sources import sinks
+
+    p = argparse.ArgumentParser(prog="SHEET_TO_BERT")
+    p.add_argument("--sheetRows", required=True, help="parquet of sheet rows")
+    p.add_argument("--association", required=True, choices=sorted(biolink.ASSOCIATIONS))
+    p.add_argument("--output", required=True)
+    ns = p.parse_args(argv)
+    sinks.write_tsv(
+        sheetops.sheet_to_bert_training(
+            spark.read.parquet(ns.sheetRows), biolink.ASSOCIATIONS[ns.association]
+        ),
+        ns.output,
+    )
+
+
 def run_ner_bert_to_bionlp(spark: SparkSession, argv: list[str]) -> None:
     """NER_BERT_TO_BIONLP (NerBertToBionlpConverter): line-aligned BERT
     NER input/label files → BioNLP standoff blobs per document."""
@@ -867,6 +913,8 @@ PIPELINES: dict[str, Callable[[SparkSession, list[str]], None]] = {
     "TRAPI_SERIALIZE": run_trapi_serialize,
     "BRAT_TO_BERT": run_brat_to_bert,
     "BRAT_BATCH_CREATE": run_brat_batch_create,
+    "SHEET_BATCH_CREATE": run_sheet_batch_create,
+    "SHEET_TO_BERT": run_sheet_to_bert,
     "NER_BERT_TO_BIONLP": run_ner_bert_to_bionlp,
     "INCEPTION_SUBSET": run_inception_subset,
     "SQL_UPSERT": run_sql_upsert,

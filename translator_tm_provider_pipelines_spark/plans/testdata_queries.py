@@ -2732,6 +2732,114 @@ def brat_annotation_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     return relext.brat_annotation_batch(ext, assoc, batch_size=45)
 
 
+from ..operators import sheets as sheetops
+
+#: shared CTE: the brat-export synthesized extraction deduped to one row
+#: per sentence text (first by entity-id order) and capped at 45, ranked
+#: by sentence text — the sheet batch's deterministic selection
+_SHEET_BATCH_SQL = """
+    eligible AS (SELECT doc_id, text FROM documents WHERE n_chars >= 40),
+    first_per_text AS (
+      SELECT text, cast(doc_id AS varchar) AS doc_id
+      FROM eligible
+      QUALIFY row_number() OVER (
+        PARTITION BY text
+        ORDER BY text, 'CHEBI:' || cast(doc_id AS varchar),
+                 'HP:' || cast(doc_id AS varchar)
+      ) = 1
+    ),
+    batch AS (
+      SELECT *, row_number() OVER (ORDER BY text) AS row_no
+      FROM first_per_text QUALIFY row_no <= 45
+    ),
+    cells AS (
+      SELECT row_no,
+             substr(text, 1, 5) || '@CHEMICAL$' || substr(text, 13, 8)
+               || '@DISEASE$' || substr(text, 31) AS sentence_with_placeholders,
+             doc_id AS document_id,
+             'CHEBI:' || doc_id AS subject_id,
+             substr(text, 6, 7) AS subject_text,
+             'HP:' || doc_id AS object_id,
+             substr(text, 21, 10) AS object_text,
+             text || '                  ' AS sentence
+      FROM batch
+    )
+"""
+
+
+def _sheet_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents").where(F.col("n_chars") >= 40)
+    docs = d.select(F.col("doc_id").cast("string").alias("doc_id"), "text", "n_chars")
+    sents = docs.select(
+        "doc_id", F.lit(0).alias("sent_idx"), F.lit(0).alias("start"),
+        F.col("n_chars").cast("int").alias("end"), F.col("text").alias("sentence"),
+    )
+    mk = lambda pfx, s, e: docs.select(  # noqa: E731
+        "doc_id",
+        F.lit("concept").alias("annot_type"),
+        F.concat(F.lit(pfx + ":"), F.col("doc_id")).alias("concept_id"),
+        F.array(F.struct(F.lit(s).cast("int").alias("start"), F.lit(e).cast("int").alias("end"))).alias("spans"),
+        F.substring("text", s + 1, e - s).alias("covered_text"),
+    )
+    concepts = mk("CHEBI", 5, 12).unionByName(mk("HP", 20, 30))
+    ext = sentops.extract_sentences(
+        sents, concepts,
+        x_prefixes=["CHEBI"], y_prefixes=["HP"],
+        x_placeholder="@CHEMICAL$", y_placeholder="@DISEASE$",
+    )
+    assoc = bl.ASSOCIATIONS["biolink:ChemicalToDiseaseOrPhenotypicFeatureAssociation"]
+    return sheetops.assertion_sheet_rows(ext, assoc, batch_size=45), assoc
+
+
+@register(
+    "annotation_sheet_export",
+    f"""
+    WITH {_SHEET_BATCH_SQL}
+    SELECT row_no, sentence_with_placeholders, document_id, subject_id,
+           subject_text, object_id, object_text, sentence,
+           true AS no_relation,
+           false AS "biolink:treats",
+           false AS "biolink:contributes_to"
+    FROM cells
+    """,
+)
+def annotation_sheet_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GoogleSheetsAssertionAnnotationSheetCreator parity over the same
+    synthesized extraction the brat export uses: one sheet row per
+    deduped sentence (text-ordered batch of 45), NO-RELATION defaulted
+    true and both predicate checkboxes false, the padded sentence cell
+    verbatim. The base64-sha1 sentence_id column is dropped from the
+    checked projection (DuckDB has no sha1) and pinned by
+    tests/test_sheets.py instead."""
+    rows, _assoc = _sheet_rows(spark, sf_dir)
+    return rows.drop("sentence_id")
+
+
+@register(
+    "sheet_bert_training",
+    f"""
+    WITH {_SHEET_BATCH_SQL}
+    SELECT sha256(sentence_with_placeholders) AS hash,
+           sentence_with_placeholders AS sentence,
+           CASE WHEN cast(document_id AS int) % 2 = 0
+                THEN 'treats' ELSE 'false' END AS label
+    FROM cells
+    """,
+)
+def sheet_bert_training(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GoogleSheetsToBertInputFileCreator parity: the created sheet rows
+    come back 'annotated' (treats checked for even document ids, the
+    NO-RELATION default kept otherwise — a deterministic stand-in for
+    the human pass) and export as BERT training rows with sha256
+    placeholder-sentence hashes, value-checked hash included."""
+    rows, assoc = _sheet_rows(spark, sf_dir)
+    even = F.col("document_id").cast("int") % 2 == 0
+    annotated = rows.withColumn("no_relation", ~even).withColumn(
+        "biolink:treats", even
+    )
+    return sheetops.sheet_to_bert_training(annotated, assoc)
+
+
 @register(
     "distant_supervision_pairs",
     """
