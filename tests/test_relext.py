@@ -219,3 +219,43 @@ def test_inception_subset(spark, tmp_path):
     already = spark.createDataFrame([(h,)], "hash string")
     out2 = relext.inception_subset(blocks, 5, already_annotated=already).collect()
     assert {r.sent_num for r in out2} == {1} and any("Mice" in r.line for r in out2)
+
+
+def test_bio_token_tags(spark):
+    """CraftToBioTagFormat parity: first overlapping token B-, rest I-,
+    others O; HP remaps to MONDO; GO namespace overrides apply; ties
+    resolve to the earliest concept."""
+    toks = spark.createDataFrame(
+        [("d1", i, s, e, t) for i, (s, e, t) in enumerate(
+            [(0, 4, "Beta"), (5, 12, "catenin"), (13, 20, "protein"),
+             (21, 26, "binds"), (27, 31, "DNA1")]
+        )],
+        "doc_id string, tok_idx int, start int, end int, token string",
+    )
+    concepts = spark.createDataFrame(
+        [
+            ("d1", "PR:1", 0, 12),    # spans two tokens -> B-PR, I-PR
+            ("d1", "HP:9", 27, 31),   # HP -> MONDO
+            ("d1", "GO:5", 21, 26),   # override below -> GO_BP
+        ],
+        "doc_id string, concept_id string, start int, end int",
+    )
+    out = relext.bio_token_tags(toks, concepts, label_overrides={"GO:5": "GO_BP"})
+    tags = {r.tok_idx: r.tag for r in out.collect()}
+    assert tags == {0: "B-PR", 1: "I-PR", 2: "O", 3: "B-GO_BP", 4: "B-MONDO"}
+    lines = {r.tok_idx: r.line for r in relext.bio_tag_lines(out).collect()}
+    assert lines[0] == "Beta\tB-PR" and lines[2] == "protein\tO"
+
+
+def test_bio_token_tags_tie_resolution(spark):
+    toks = spark.createDataFrame(
+        [("d1", 0, 0, 5, "alpha")],
+        "doc_id string, tok_idx int, start int, end int, token string",
+    )
+    concepts = spark.createDataFrame(
+        [("d1", "CHEBI:2", 0, 5), ("d1", "CHEBI:1", 2, 5)],
+        "doc_id string, concept_id string, start int, end int",
+    )
+    out = relext.bio_token_tags(toks, concepts).collect()
+    # earliest-starting concept wins the single label slot
+    assert out[0].tag == "B-CHEBI"

@@ -635,3 +635,90 @@ def inception_subset(
         "sent_num", F.lit(0).alias("line_no"), F.col("text_line").alias("line")
     )
     return text_lines.unionByName(token_lines)
+
+
+# ---------------------------------------------------------------------------
+# BIO tag format for NER training (corpora/craft/CraftToBioTagFormat.java)
+# ---------------------------------------------------------------------------
+
+
+def bio_token_tags(
+    tokens: DataFrame,
+    concepts: DataFrame,
+    label_overrides: dict[str, str] | None = None,
+) -> DataFrame:
+    """Token-level BIO tags from concept spans
+    (CraftToBioTagFormat.addBioLabelsToTokens/getLabel :116-199): per
+    concept, its overlapping tokens sort by span — the first gets
+    ``B-<prefix>``, the rest ``I-<prefix>``; unlabeled tokens get ``O``.
+    The label prefix is the CURIE prefix, with per-concept-id overrides
+    (the reference's GO→GO_BP/GO_CC/GO_MF namespace map) and the HP→MONDO
+    remap applied after. The reference assumes nested concepts were
+    removed upstream (conceptfilters.remove_nested_annotations) so each
+    token has at most one label; ties here resolve deterministically to
+    the earliest-starting (then lowest-id) concept.
+
+    ``tokens``: (doc_id, tok_idx, start, end, token) —
+    ``ner.tokenize_with_offsets`` output. ``concepts``:
+    (doc_id, concept_id, start, end). One overlap join on doc_id plus a
+    per-concept window; scales with annotation density, not corpus². The
+    output keeps (doc_id, tok_idx, token, tag); blank sentence
+    separators are the writer's job, as in CoNLL exports."""
+    overrides = label_overrides or {}
+    prefix = F.split(F.col("concept_id"), ":").getItem(0)
+    if overrides:
+        omap = F.create_map(*[F.lit(x) for kv in overrides.items() for x in kv])
+        prefix = F.coalesce(omap[F.col("concept_id")], prefix)
+    prefix = F.when(prefix == "HP", F.lit("MONDO")).otherwise(prefix)
+
+    c = concepts.select(
+        F.col("doc_id").alias("c_doc"),
+        F.col("concept_id"),
+        F.col("start").alias("c_start"),
+        F.col("end").alias("c_end"),
+        prefix.alias("c_prefix"),
+    )
+    overlap = tokens.join(
+        c,
+        (tokens.doc_id == c.c_doc)
+        & (tokens.start < c.c_end)
+        & (c.c_start < tokens.end),
+    )
+    w_concept = Window.partitionBy("c_doc", "c_start", "c_end", "concept_id").orderBy(
+        "start", "end"
+    )
+    labeled = overlap.select(
+        tokens.doc_id,
+        "tok_idx",
+        F.concat(
+            F.when(F.row_number().over(w_concept) == 1, F.lit("B-")).otherwise(
+                F.lit("I-")
+            ),
+            F.col("c_prefix"),
+        ).alias("tag"),
+        F.col("c_start"),
+        F.col("concept_id"),
+    )
+    # deterministic single label per token when concepts overlap
+    w_tok = Window.partitionBy("doc_id", "tok_idx").orderBy("c_start", "concept_id")
+    labeled = (
+        labeled.withColumn("__rn", F.row_number().over(w_tok))
+        .where(F.col("__rn") == 1)
+        .select("doc_id", "tok_idx", "tag")
+    )
+    return tokens.join(labeled, ["doc_id", "tok_idx"], "left").select(
+        "doc_id",
+        "tok_idx",
+        "token",
+        F.coalesce(F.col("tag"), F.lit("O")).alias("tag"),
+    )
+
+
+def bio_tag_lines(tagged: DataFrame) -> DataFrame:
+    """(doc_id, tok_idx, line) — the ``token<TAB>tag`` file content
+    (serializeTokensForSentence :100-113)."""
+    return tagged.select(
+        "doc_id",
+        "tok_idx",
+        F.concat_ws("\t", "token", "tag").alias("line"),
+    )

@@ -2841,6 +2841,72 @@ def sheet_bert_training(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "bio_tag_export",
+    """
+    WITH marked AS (
+      SELECT cast(doc_id AS varchar) AS doc_id,
+             string_split(
+               regexp_replace(text, '([A-Za-z0-9]+)', chr(30) || '\\1' || chr(30), 'g'),
+               chr(30)) AS ps
+      FROM documents WHERE n_chars >= 40
+    ),
+    parts AS (
+      SELECT doc_id, unnest(ps) AS part, generate_subscripts(ps, 1) AS i FROM marked
+    ),
+    offs AS (
+      SELECT doc_id, part, i,
+             cast(coalesce(sum(length(part)) OVER (
+               PARTITION BY doc_id ORDER BY i
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS int) AS strt
+      FROM parts
+    ),
+    toks AS (
+      SELECT doc_id, part AS token, strt, strt + length(part) AS fin,
+             row_number() OVER (PARTITION BY doc_id ORDER BY i) - 1 AS tok_idx
+      FROM offs WHERE regexp_matches(part, '^[A-Za-z0-9]+$')
+    ),
+    tagged AS (
+      SELECT doc_id, tok_idx, token,
+        CASE
+          WHEN strt < 12 AND 5 < fin THEN
+            CASE WHEN strt = (SELECT min(t2.strt) FROM toks t2
+                              WHERE t2.doc_id = toks.doc_id AND t2.strt < 12 AND 5 < t2.fin)
+                 THEN 'B-CHEBI' ELSE 'I-CHEBI' END
+          WHEN strt < 30 AND 20 < fin THEN
+            CASE WHEN strt = (SELECT min(t2.strt) FROM toks t2
+                              WHERE t2.doc_id = toks.doc_id AND t2.strt < 30 AND 20 < t2.fin)
+                 THEN 'B-MONDO' ELSE 'I-MONDO' END
+          ELSE 'O' END AS tag
+      FROM toks
+    )
+    SELECT doc_id, tok_idx, token || chr(9) || tag AS line FROM tagged
+    """,
+)
+def bio_tag_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CraftToBioTagFormat parity on the synthesized concept layout the
+    brat export uses: whitespace-run tokens with exact offsets, CHEBI
+    span [5,12) and HP span [20,30) per document — first overlapping
+    token B-, the rest I-, everything else O, and the reference's
+    HP→MONDO label remap. The oracle recomputes tokenization offsets
+    with the same marker-split trick in SQL."""
+    d = _t(spark, sf_dir, "documents").where(F.col("n_chars") >= 40)
+    docs = d.select(F.col("doc_id").cast("string").alias("doc_id"), "text")
+    toks = ner.tokenize_with_offsets(docs, text="text")
+    concepts = docs.select(
+        "doc_id",
+        F.concat(F.lit("CHEBI:"), F.col("doc_id")).alias("concept_id"),
+        F.lit(5).alias("start"), F.lit(12).alias("end"),
+    ).unionByName(
+        docs.select(
+            "doc_id",
+            F.concat(F.lit("HP:"), F.col("doc_id")).alias("concept_id"),
+            F.lit(20).alias("start"), F.lit(30).alias("end"),
+        )
+    )
+    return relext.bio_tag_lines(relext.bio_token_tags(toks, concepts))
+
+
+@register(
     "distant_supervision_pairs",
     """
     WITH eligible AS (SELECT * FROM documents WHERE n_chars >= 40),
