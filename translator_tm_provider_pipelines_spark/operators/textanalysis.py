@@ -130,3 +130,103 @@ def doc_fingerprints(
         F.array_min("shv").alias("fingerprint"),
         F.size(F.array_distinct("shv")).cast("bigint").alias("n_shingles"),
     )
+
+
+def repetition_metrics(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ngram: int = 3,
+) -> DataFrame:
+    """Gopher-style repetition signals per document (Rae et al. 2021 §A1.1
+    quality filters) — the standard pre-training repetition screens,
+    entirely as per-row array expressions (no shuffle, no UDF; per-doc
+    cost is O(words²) on the bigram count, bounded by document length):
+
+    - ``dup_line_frac``: 1 − distinct lines / lines — fraction of line
+      occurrences that repeat an earlier line.
+    - ``dup_line_char_frac``: characters inside those repeated line
+      occurrences / characters in all lines.
+    - ``top_bigram_char_frac``: characters covered by occurrences of the
+      single most frequent word bigram / all word characters
+      (lexicographically-smallest bigram breaks count ties).
+    - ``dup_ngram_frac``: 1 − distinct word ``ngram``-grams / ``ngram``-grams.
+
+    Documents exceeding typical thresholds (e.g. dup_line_frac > 0.3,
+    top_bigram_char_frac > 0.18) are repetition-dominated and usually
+    dropped from training corpora."""
+    text = F.col(text_col)
+    # stage the arrays as their own projections: every later lambda
+    # references a COLUMN, not the construction expression — inlining the
+    # bigram build into the nested count lambdas re-evaluates it per
+    # element and turns O(B²) into O(B³) interpreted work per document
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.split(text, "\n").alias("__lines"),
+        _words(text).alias("__words"),
+    )
+    base = base.select(
+        "doc_id",
+        "__lines",
+        "__words",
+        _ngrams(F.col("__words"), 2).alias("__bigrams"),
+        _ngrams(F.col("__words"), ngram).alias("__ngrams"),
+    )
+    base = base.select(
+        "*",
+        F.transform(
+            F.col("__bigrams"),
+            lambda b: F.size(F.filter(F.col("__bigrams"), lambda x: x == b)),
+        ).alias("__counts"),
+    )
+    # argmax count with lexicographically-smallest bigram tie-break, in
+    # one O(B) pass over the zipped (count, bigram) structs
+    best = F.array_min(
+        F.zip_with(
+            F.col("__bigrams"),
+            F.col("__counts"),
+            lambda b, c: F.struct((-c).alias("nc"), b.alias("bg")),
+        )
+    )
+    base = base.select(
+        "doc_id",
+        "__lines",
+        "__words",
+        "__ngrams",
+        F.coalesce(-best["nc"], F.lit(0)).alias("__top_count"),
+        best["bg"].alias("__top_bigram"),
+    )
+
+    lines, words, ngrams = F.col("__lines"), F.col("__words"), F.col("__ngrams")
+    n_lines = F.size(lines)
+    n_dist_lines = F.size(F.array_distinct(lines))
+    chars = lambda arr: F.aggregate(  # noqa: E731
+        F.transform(arr, F.length), F.lit(0), lambda a, x: a + x
+    )
+    top_bigram_chars = F.col("__top_count") * (F.length("__top_bigram") - 1)
+
+    frac = lambda num, den: F.round(  # noqa: E731
+        F.when(den > 0, num.cast("double") / den).otherwise(F.lit(0.0)), 8
+    )
+    return base.select(
+        "doc_id",
+        frac(n_lines - n_dist_lines, n_lines).alias("dup_line_frac"),
+        frac(chars(lines) - chars(F.array_distinct(lines)), chars(lines)).alias(
+            "dup_line_char_frac"
+        ),
+        frac(top_bigram_chars, chars(words)).alias("top_bigram_char_frac"),
+        frac(F.size(ngrams) - F.size(F.array_distinct(ngrams)), F.size(ngrams)).alias(
+            "dup_ngram_frac"
+        ),
+    )
+
+
+def _ngrams(words: Column, n: int) -> Column:
+    """Space-joined word n-grams (empty below n words) — same guard as
+    dedup.shingle_strings."""
+    idx = F.when(
+        F.size(words) >= n, F.sequence(F.lit(1), F.size(words) - F.lit(n - 1))
+    ).otherwise(F.array().cast("array<int>"))
+    return F.transform(
+        idx, lambda i: F.concat_ws(" ", *[F.element_at(words, i + j) for j in range(n)])
+    )

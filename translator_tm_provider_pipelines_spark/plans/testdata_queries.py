@@ -1239,6 +1239,62 @@ def token_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "repetition_metrics",
+    r"""
+    WITH base AS (
+      SELECT doc_id,
+             string_split(text, chr(10)) AS lines,
+             regexp_extract_all(lower(text), '([a-z0-9]+)', 1) AS words
+      FROM documents
+    ),
+    grams AS (
+      SELECT *,
+             list_transform(generate_series(1, greatest(len(words) - 1, 0)),
+                            i -> words[i] || ' ' || words[i + 1]) AS bigrams,
+             list_transform(generate_series(1, greatest(len(words) - 2, 0)),
+                            i -> words[i] || ' ' || words[i + 1] || ' ' || words[i + 2]) AS trigrams
+      FROM base
+    ),
+    counted AS (
+      SELECT *,
+             coalesce(list_max(list_transform(bigrams,
+               b -> len(list_filter(bigrams, x -> x = b)))), 0) AS top_count
+      FROM grams
+    ),
+    top AS (
+      SELECT *,
+             list_min(list_filter(bigrams,
+               b -> len(list_filter(bigrams, x -> x = b)) = top_count)) AS top_bigram,
+             coalesce(list_sum(list_transform(lines, x -> length(x))), 0) AS line_chars,
+             coalesce(list_sum(list_transform(list_distinct(lines), x -> length(x))), 0) AS dist_line_chars,
+             coalesce(list_sum(list_transform(words, x -> length(x))), 0) AS word_chars
+      FROM counted
+    )
+    SELECT doc_id,
+           round(CASE WHEN len(lines) > 0
+                 THEN (len(lines) - len(list_distinct(lines))) / cast(len(lines) AS double)
+                 ELSE 0 END, 8) AS dup_line_frac,
+           round(CASE WHEN line_chars > 0
+                 THEN (line_chars - dist_line_chars) / cast(line_chars AS double)
+                 ELSE 0 END, 8) AS dup_line_char_frac,
+           round(CASE WHEN word_chars > 0
+                 THEN top_count * (length(top_bigram) - 1) / cast(word_chars AS double)
+                 ELSE 0 END, 8) AS top_bigram_char_frac,
+           round(CASE WHEN len(trigrams) > 0
+                 THEN (len(trigrams) - len(list_distinct(trigrams))) / cast(len(trigrams) AS double)
+                 ELSE 0 END, 8) AS dup_ngram_frac
+    FROM top
+    """,
+)
+def repetition_metrics_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition screens (duplicate-line fractions, top
+    bigram character coverage, duplicate trigram fraction) as pure
+    per-row array expressions — the oracle mirrors every list operation
+    with DuckDB lambdas."""
+    return textanalysis.repetition_metrics(_t(spark, sf_dir, "documents"))
+
+
+@register(
     "quality_scores",
     r"""
     WITH s AS (
