@@ -1738,6 +1738,35 @@ def windowed_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "first_seen_events",
+    """
+    SELECT cast(user_id AS varchar) AS key,
+           max(CASE WHEN rn = 1 THEN event_type END) AS first_value,
+           count(*) - 1 AS n_dropped
+    FROM (
+      SELECT user_id, event_type,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      FROM events
+    ) GROUP BY 1
+    """,
+)
+def first_seen_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of streaming.stateful.streaming_first_seen
+    (exactly-once-per-key emission with duplicate accounting): first
+    event_type per user by (ts, event_id) plus the dropped-duplicate
+    count — one keyed shuffle with a map-side-combining min-by-struct."""
+    from ..streaming import stateful
+
+    e = _events(spark, sf_dir).select(
+        F.col("user_id").cast("string").alias("key"),
+        F.col("event_type").alias("value"),
+        "ts_ns",
+        "event_id",
+    )
+    return stateful.first_seen_batch(e, order_cols=("ts_ns", "event_id"))
+
+
+@register(
     "sessionize_events",
     """
     WITH ordered AS (

@@ -81,3 +81,31 @@ def streaming_first_seen(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def first_seen_batch(
+    df: DataFrame,
+    key_col: str = "key",
+    value_col: str = "value",
+    order_cols: tuple[str, ...] = ("ts",),
+) -> DataFrame:
+    """Deterministic batch twin of :func:`streaming_first_seen`: one row
+    per key carrying the first value by ``order_cols`` and the count of
+    dropped duplicates. The streaming form's "first" is arrival order;
+    the batch twin pins it to an explicit ordering so results are
+    reproducible and oracle-checkable (same twin pattern as the
+    windowed/session queries). One keyed shuffle; the min-by-struct
+    aggregation combines map-side."""
+    from pyspark.sql import functions as F
+
+    first = F.min(
+        F.struct(*[F.col(c) for c in order_cols], F.col(value_col).alias("__v"))
+    )
+    return (
+        df.groupBy(F.col(key_col).alias("key"))
+        .agg(
+            first.alias("__first"),
+            (F.count("*") - F.lit(1)).alias("n_dropped"),
+        )
+        .select("key", F.col("__first.__v").alias("first_value"), "n_dropped")
+    )
