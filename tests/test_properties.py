@@ -86,3 +86,18 @@ def test_semantic_version_total_order(spark, pairs):
     ).select("pipeline_version", versioning.semantic_version("pipeline_version").alias("sv"))
     for r in df.collect():
         assert r.sv >= 0  # parse never fails, garbage sorts lowest
+
+
+def test_connected_components_properties(spark):
+    """Components from min-label propagation: every node labeled by its
+    component minimum; chain graphs (worst diameter) converge; singleton
+    pairs map to their smaller end."""
+    from translator_tm_provider_pipelines_spark.operators import dedup
+
+    # a chain 0-1-2-...-9 plus a separate triangle {20,21,22}
+    chain = [(i, i + 1) for i in range(9)]
+    tri = [(20, 21), (21, 22), (20, 22)]
+    pairs = spark.createDataFrame(chain + tri, "doc_a long, doc_b long")
+    comp = {r.node: r.component for r in dedup.connected_components(pairs).collect()}
+    assert all(comp[i] == 0 for i in range(10))
+    assert all(comp[i] == 20 for i in (20, 21, 22))

@@ -359,3 +359,101 @@ def simhash(
 def hamming_distance(a, b):
     """Hamming distance between two simhash longs (bit_count of xor)."""
     return F.bit_count(a.bitwiseXOR(b))
+
+
+# ---------------------------------------------------------------------------
+# Near-dup clusters → keep list (the end state of a dedup pass)
+# ---------------------------------------------------------------------------
+
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "doc_a",
+    id_b: str = "doc_b",
+    max_iter: int = 50,
+) -> DataFrame:
+    """(node, component) for every node of the near-dup pair graph, where
+    ``component`` is the minimum member id — min-label propagation over
+    the symmetric edge list, one join + map-side-combining min per round,
+    converging in graph-diameter rounds (near-dup clusters are shallow:
+    members are mutually similar, so diameters are small). Labels only
+    decrease, so the fixpoint check is a changed-row count. For graphs
+    with adversarial diameters swap in the alternating large-star/
+    small-star iteration (Kiveris et al.) — the per-round shape here is
+    its building block."""
+    e = pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
+    # localCheckpoint (not persist): every round's frame references the
+    # previous one, so a cached-but-unbroken lineage DOUBLES the logical
+    # plan per iteration and analysis time alone goes exponential in the
+    # round count. Checkpointing truncates the plan to the materialized
+    # data — each round's plan is flat.
+    edges = e.unionByName(
+        e.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).distinct().localCheckpoint()
+    labels = (
+        edges.select(F.col("a").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("label"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        nbr = (
+            edges.join(labels, edges.b == labels.node)
+            .select(edges.a.alias("node"), "label")
+            .groupBy("node")
+            .agg(F.min("label").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(nbr, "node", "left")
+            .select(
+                "node",
+                F.least(F.col("label"), F.coalesce("nbr_min", F.col("label"))).alias(
+                    "label"
+                ),
+                (F.coalesce("nbr_min", F.col("label")) < F.col("label")).alias(
+                    "__chg"
+                ),
+            )
+            .localCheckpoint()
+        )
+        changed = new_labels.where("__chg").count()
+        labels = new_labels.drop("__chg")
+        if changed == 0:
+            break
+    return labels.select("node", F.col("label").alias("component"))
+
+
+def near_dup_keep_list(
+    docs: DataFrame,
+    threshold: float = 0.8,
+    k: int = 3,
+    num_perms: int = 16,
+    rows_per_band: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The dedup pass's end product: (doc_id, canonical_id, is_kept) for
+    EVERY document — near-duplicate clusters (MinHash-LSH candidates,
+    exact-Jaccard verification, connected components over the surviving
+    pairs) collapse to their minimum-id member; untouched documents keep
+    themselves. Filter ``is_kept`` to materialize the deduplicated
+    corpus; group by ``canonical_id`` to audit cluster sizes."""
+    pairs = near_duplicates(
+        docs,
+        threshold=threshold,
+        k=k,
+        num_perms=num_perms,
+        rows_per_band=rows_per_band,
+        text_col=text_col,
+        id_col=id_col,
+    )
+    comp = connected_components(pairs)
+    out = docs.select(F.col(id_col).alias("doc_id")).join(
+        comp, F.col("doc_id") == comp.node, "left"
+    )
+    canonical = F.coalesce(F.col("component"), F.col("doc_id"))
+    return out.select(
+        "doc_id",
+        canonical.alias("canonical_id"),
+        (canonical == F.col("doc_id")).alias("is_kept"),
+    )

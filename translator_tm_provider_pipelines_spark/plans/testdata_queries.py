@@ -1478,6 +1478,62 @@ def near_duplicates_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.near_duplicates(_t(spark, sf_dir, "documents"), threshold=0.8)
 
 
+@register(
+    "near_dup_keep_list",
+    f"""
+    WITH RECURSIVE {_MINHASH_SQL},
+    pos AS (SELECT unnest(generate_series(1, {_POS_CAP})) AS p),
+    sh AS (
+      SELECT DISTINCT doc_id,
+             list_extract(words, p) || ' ' || list_extract(words, p + 1) || ' ' || list_extract(words, p + 2) AS shingle
+      FROM docs, pos WHERE p <= len(words) - 2
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b ON a.band = b.band AND a.band_sig = b.band_sig
+      WHERE a.doc_id < b.doc_id
+    ),
+    cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+    inter AS (
+      SELECT c.doc_a, c.doc_b, count(*) AS n_inter
+      FROM cand c JOIN sh a ON a.doc_id = c.doc_a JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+      GROUP BY 1, 2
+    ),
+    nd AS (
+      SELECT c.doc_a, c.doc_b
+      FROM cand c
+      LEFT JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+      JOIN cnt ca ON ca.doc_id = c.doc_a
+      JOIN cnt cb ON cb.doc_id = c.doc_b
+      WHERE coalesce(i.n_inter, 0) / cast(ca.n + cb.n - coalesce(i.n_inter, 0) AS double) >= 0.8
+    ),
+    edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM nd
+      UNION SELECT doc_b, doc_a FROM nd
+    ),
+    reach AS (
+      SELECT a AS node, b AS x FROM edges
+      UNION
+      SELECT r.node, e.b FROM reach r JOIN edges e ON e.a = r.x
+    ),
+    canon AS (
+      SELECT node, least(node, min(x)) AS comp FROM reach GROUP BY node
+    )
+    SELECT d.doc_id,
+           coalesce(c.comp, d.doc_id) AS canonical_id,
+           coalesce(c.comp, d.doc_id) = d.doc_id AS is_kept
+    FROM documents d LEFT JOIN canon c ON c.node = d.doc_id
+    """,
+)
+def near_dup_keep_list_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup end product: every document mapped to the minimum-id
+    member of its near-duplicate cluster (MinHash-LSH → exact Jaccard →
+    connected components via min-label propagation) with an is_kept
+    flag. The oracle closes the same pair graph with a recursive
+    reachability CTE."""
+    return dedup.near_dup_keep_list(_t(spark, sf_dir, "documents"), threshold=0.8)
+
+
 # ---------------------------------------------------------------------------
 # Similarity search over embeddings
 # ---------------------------------------------------------------------------
