@@ -3398,3 +3398,55 @@ def embedding_near_duplicates_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     all-pairs join in the Spark plan."""
     emb = _t(spark, sf_dir, "embeddings").where(F.col("vec_id") < 500)
     return similarity.embedding_near_duplicates(emb, **EMB_NEARDUP_PARAMS)
+
+
+@register(
+    "embedding_keep_list",
+    f"""
+    WITH RECURSIVE e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 500),
+    {_COS_EXPAND},
+    norms AS (
+      SELECT vec_id, sum(cast(list_extract(embedding, i) AS double) * cast(list_extract(embedding, i) AS double)) AS nn
+      FROM e, pos GROUP BY 1
+    ),
+    dots AS (
+      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+             sum(cast(list_extract(a.embedding, p.i) AS double) * cast(list_extract(b.embedding, p.i) AS double)) AS d
+      FROM e a JOIN e b ON a.vec_id < b.vec_id, pos p GROUP BY 1, 2
+    ),
+    nd AS (
+      SELECT vec_a, vec_b
+      FROM dots JOIN norms na ON na.vec_id = vec_a JOIN norms nb ON nb.vec_id = vec_b
+      WHERE round(d / (sqrt(na.nn) * sqrt(nb.nn)), 6) >= 0.3
+    ),
+    edges AS (
+      SELECT vec_a AS a, vec_b AS b FROM nd UNION SELECT vec_b, vec_a FROM nd
+    ),
+    reach AS (
+      SELECT a AS node, b AS x FROM edges
+      UNION
+      SELECT r.node, e2.b FROM reach r JOIN edges e2 ON e2.a = r.x
+    ),
+    canon AS (SELECT node, least(node, min(x)) AS comp FROM reach GROUP BY node)
+    SELECT v.vec_id,
+           coalesce(c.comp, v.vec_id) AS canonical_id,
+           coalesce(c.comp, v.vec_id) = v.vec_id AS is_kept
+    FROM e v LEFT JOIN canon c ON c.node = v.vec_id
+    """,
+)
+def embedding_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The embedding-side dedup end product: every vector mapped to the
+    minimum-id member of its cosine near-duplicate cluster (banded-LSH
+    candidates → exact cosine → connected components) with an is_kept
+    flag — same keep-list shape as the MinHash document path, same
+    recursive-reachability oracle."""
+    emb = _t(spark, sf_dir, "embeddings").where(F.col("vec_id") < 500)
+    pairs = similarity.embedding_near_duplicates(emb, **EMB_NEARDUP_PARAMS)
+    comp = dedup.connected_components(pairs, id_a="vec_a", id_b="vec_b")
+    out = emb.select("vec_id").join(comp, F.col("vec_id") == comp.node, "left")
+    canonical = F.coalesce(F.col("component"), F.col("vec_id"))
+    return out.select(
+        "vec_id",
+        canonical.alias("canonical_id"),
+        (canonical == F.col("vec_id")).alias("is_kept"),
+    )
