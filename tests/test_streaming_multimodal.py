@@ -164,3 +164,28 @@ def test_streaming_first_seen(spark, tmp_path):
     assert set(rows) == {"k1", "k2"}
     assert rows["k1"].n_dropped == 1
     assert rows["k2"].n_dropped == 0
+
+
+def test_resize_media_contract(spark):
+    """Resize plumbing: Arrow-batched mapInPandas, w*h payload contract,
+    source dims preserved for scale arithmetic, strict stub boundary."""
+    from translator_tm_provider_pipelines_spark.operators import multimodal
+
+    media = spark.createDataFrame(
+        [("m1", "image", "image/png", bytearray(b"\x01\x02\x03"))],
+        "media_id string, modality string, mime_type string, payload binary",
+    )
+    out = multimodal.resize_media(media, 8, 4).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.width, r.height) == (8, 4)
+    assert len(r.payload) == 8 * 4
+    assert r.src_width >= 16 and r.src_height >= 16
+    # deterministic: same payload -> same resized bytes
+    again = multimodal.resize_media(media, 8, 4).collect()[0]
+    assert bytes(again.payload) == bytes(r.payload)
+    # strict mode raises at the stub boundary
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="NotImplementedError|resiz"):
+        multimodal.resize_media(media, 8, 4, strict=True).collect()

@@ -128,3 +128,86 @@ def media_from_binary_files(spark_df: DataFrame, modality: str) -> DataFrame:
         F.lit(None).cast("long").alias("duration_ms"),
         F.create_map().cast("map<string,string>").alias("meta"),
     )
+
+
+Resizer = Callable[[bytes, str | None, int, int], dict]
+
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.StringType(), False),
+        T.StructField("modality", T.StringType(), False),
+        T.StructField("mime_type", T.StringType(), True),
+        T.StructField("payload", T.BinaryType(), True),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("src_width", T.IntegerType(), True),
+        T.StructField("src_height", T.IntegerType(), True),
+    ]
+)
+
+
+def _fake_resize(payload: bytes, mime_type: str | None, w: int, h: int) -> dict:
+    """Deterministic fake resize: source dims from the payload digest (as
+    in _fake_decode), output payload truncated/padded to w*h bytes so the
+    size contract of a real resampler holds."""
+    digest = hashlib.sha256(payload or b"").digest()
+    src_w, src_h = 16 + digest[0], 16 + digest[1]
+    size = w * h
+    body = (payload or b"") * (size // max(len(payload or b" "), 1) + 1)
+    return {
+        "payload": body[:size],
+        "src_width": src_w,
+        "src_height": src_h,
+    }
+
+
+def resize_media(
+    media: DataFrame,
+    target_width: int,
+    target_height: int,
+    resizer: Resizer | None = None,
+    strict: bool = False,
+) -> DataFrame:
+    """Resize stage: schemas.MEDIA rows → rows with payloads resampled to
+    (target_width, target_height), via the same Arrow-batched
+    ``mapInPandas`` shape as :func:`extract_media_features`. Pass a real
+    ``resizer(payload, mime_type, w, h) -> {payload, src_width,
+    src_height}`` (PIL/ffmpeg) in production; the default is the
+    deterministic fake, and ``strict=True`` raises at the stub boundary
+    instead. Output keeps source dimensions so downstream stages can
+    compute scale factors for span/bbox arithmetic."""
+    import pandas as pd
+
+    use: Resizer
+    if resizer is not None:
+        use = resizer
+    elif strict:
+        def use(payload, mime_type, w, h):  # type: ignore[misc]
+            raise NotImplementedError(
+                "real media resizing requires a codec library; pass resizer="
+            )
+    else:
+        use = _fake_resize
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            out = []
+            for _, r in pdf.iterrows():
+                payload = bytes(r["payload"]) if r["payload"] is not None else b""
+                d = use(payload, r["mime_type"], target_width, target_height)
+                out.append(
+                    {
+                        "media_id": r["media_id"],
+                        "modality": r["modality"],
+                        "mime_type": r["mime_type"],
+                        "payload": d.get("payload"),
+                        "width": target_width,
+                        "height": target_height,
+                        "src_width": d.get("src_width"),
+                        "src_height": d.get("src_height"),
+                    }
+                )
+            yield pd.DataFrame(out, columns=[f.name for f in RESIZED_SCHEMA.fields])
+
+    cols = media.select("media_id", "modality", "mime_type", "payload")
+    return cols.mapInPandas(run, schema=RESIZED_SCHEMA)
