@@ -249,3 +249,10 @@ def test_create_brat_batch_end_to_end(spark):
     ).collect()
     lines = {r.line for r in out}
     assert "aspirin treats fever" in lines and "DONE" in lines
+
+
+def test_build_sentence_text_query():
+    q = elastic.build_sentence_text_query("TRPM4 protects hearts")
+    assert '"query": "TRPM4 protects hearts"' in q
+    assert '"operator": "and"' in q
+    json.loads(q)

@@ -453,3 +453,12 @@ def create_brat_batch(
     return relext.brat_annotation_batch(
         rows, association, batch_size=batch_size, sentences_per_page=sentences_per_page
     )
+
+
+def build_sentence_text_query(sentence_text: str) -> str:
+    """Debug/lookup query for one literal sentence: a single
+    ``annotatedText`` match stanza with the ``and`` operator
+    (ElasticsearchQueryUtil.buildSentenceQuery :77-90) — every token of
+    the sentence must appear."""
+    stanza = ANNOTATED_TEXT_MATCH_TEMPLATE.replace("QUERY_PLACEHOLDER", sentence_text)
+    return stanza.replace("BOOLEAN_OPERATOR_PLACEHOLDER", "and")
