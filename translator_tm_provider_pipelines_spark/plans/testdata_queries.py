@@ -25,6 +25,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..operators import annotbatch as ab
 from ..operators import classified as clf
 from ..operators import collections as coll
 from ..operators import conceptfilters as cf
@@ -3449,4 +3450,193 @@ def embedding_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         canonical.alias("canonical_id"),
         (canonical == F.col("vec_id")).alias("is_kept"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Annotation-repo batch tooling (annot_batch_cli: RepoStatsCommand,
+# BatchCreateCommand, OneOffAnnotationFileFixer)
+# ---------------------------------------------------------------------------
+
+#: fabricated annotation-repo line table: every eligible document text is
+#: assigned to two (annotator, batch) directories so batches genuinely
+#: overlap, plus one DONE marker line per batch to exercise the
+#: countSentences filter. Mirrored verbatim in the SQL oracles.
+_ANNOT_ASSIGN_SQL = """
+    src AS (SELECT doc_id, text FROM documents WHERE n_chars >= 40),
+    assign AS (
+      SELECT 'a' || cast(doc_id % 2 AS varchar) AS annotator,
+             'b' || cast(doc_id % 3 AS varchar) AS batch, text AS line
+      FROM src
+      UNION ALL
+      SELECT 'a' || cast((doc_id + 1) % 2 AS varchar),
+             'b' || cast((doc_id + 2) % 3 AS varchar), text
+      FROM src
+    )
+"""
+
+
+def _annot_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    src = (
+        _t(spark, sf_dir, "documents")
+        .where(F.col("n_chars") >= 40)
+        .select("doc_id", "text")
+    )
+
+    def assign(ann_shift: int, batch_shift: int) -> DataFrame:
+        return src.select(
+            F.concat(
+                F.lit("a"), ((F.col("doc_id") + ann_shift) % 2).cast("string")
+            ).alias("annotator"),
+            F.concat(
+                F.lit("b"), ((F.col("doc_id") + batch_shift) % 3).cast("string")
+            ).alias("batch"),
+            F.col("text").alias("line"),
+        )
+
+    lines = assign(0, 0).unionByName(assign(1, 2))
+    done = (
+        lines.select("annotator", "batch")
+        .distinct()
+        .withColumn("line", F.lit("DONE"))
+    )
+    return lines.unionByName(done)
+
+
+@register(
+    "annotation_batch_sizes",
+    f"""
+    WITH {_ANNOT_ASSIGN_SQL}
+    SELECT annotator, batch, count(*) AS n_sentences
+    FROM assign
+    WHERE trim(line) <> '' AND line <> 'DONE'
+    GROUP BY annotator, batch
+    """,
+)
+def annotation_batch_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The annot_batch_cli ``stats`` batch-size catalog
+    (RepoStatsCommand.countBatchSizes:126-142) over the fabricated
+    annotation-repo line table; DONE markers excluded by the same rule as
+    the reference's countSentences."""
+    return ab.batch_sentence_counts(_annot_lines(spark, sf_dir))
+
+
+@register(
+    "annotation_batch_overlap",
+    f"""
+    WITH {_ANNOT_ASSIGN_SQL},
+    ids AS (
+      SELECT DISTINCT annotator || '_' || batch AS batch_key,
+             sha256(line) AS sentence_id
+      FROM assign WHERE trim(line) <> '' AND line <> 'DONE'
+    ),
+    keys AS (SELECT DISTINCT batch_key FROM ids),
+    ov AS (
+      SELECT a.batch_key AS batch_a, b.batch_key AS batch_b,
+             count(*) AS n
+      FROM ids a JOIN ids b USING (sentence_id) GROUP BY 1, 2
+    )
+    SELECT k1.batch_key AS batch_a, k2.batch_key AS batch_b,
+           cast(coalesce(ov.n, 0) AS bigint) AS n_overlap
+    FROM keys k1 CROSS JOIN keys k2
+    LEFT JOIN ov ON ov.batch_a = k1.batch_key AND ov.batch_b = k2.batch_key
+    """,
+)
+def annotation_batch_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ``stats`` command's full batch×batch sentence-id overlap matrix
+    (RepoStatsCommand.findOverlappingBatches:205-222), sentence ids the
+    sha256 Elasticsearch hashes — one equi-join on sentence id plus a
+    broadcast key grid, hash-checked cell by cell."""
+    return ab.batch_overlap_matrix(_annot_lines(spark, sf_dir))
+
+
+@register(
+    "idf_allowed_concepts",
+    f"""
+    WITH {_UC_SQL},
+    counts AS (SELECT concept_id, count(*) AS concept_count FROM uc GROUP BY 1),
+    totals AS (SELECT count(DISTINCT text_id) AS total_docs FROM uc),
+    idf AS (
+      SELECT concept_id,
+             round(ln(cast(total_docs AS double) / cast(concept_count AS double)), 8) AS idf
+      FROM counts CROSS JOIN totals
+    )
+    SELECT DISTINCT split_part(concept_id, ':', 1) AS prefix, concept_id
+    FROM idf
+    WHERE idf > 3.2 AND split_part(concept_id, ':', 1) = 'S'
+    """,
+)
+def idf_allowed_concepts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix→allowed-concept filtering for new annotation batches
+    (BatchCreateCommand.addConceptIdsAboveIdfThreshold:246-263,
+    populatePrefixToIdMapBasedOnOntPrefixAndIdf:275-293): concepts above
+    the IDF threshold with a requested ontology prefix, chained on the A9
+    IDF computed from the same unit-concept relation as ``concept_idf``
+    (level predicate skipped — single-level IDF frame)."""
+    idf = co.concept_idf(_supplier_units(spark, sf_dir))
+    return ab.allowed_concepts_by_idf(
+        idf, 3.2, ontology_prefixes=["S"], level_col=None
+    )
+
+
+@register(
+    "pmid_reference_fix",
+    """
+    WITH src AS (SELECT doc_id, text FROM documents),
+    built AS (
+      SELECT doc_id,
+             text || ' -- PMID:' || cast(doc_id AS varchar) AS line1,
+             'End marker.' AS line2
+      FROM src
+    ),
+    fixed AS (
+      SELECT doc_id,
+             regexp_replace(line1, ' -- PMID:[0-9]+$', '') AS f1, line2,
+             length(line1)
+               - length(regexp_replace(line1, ' -- PMID:[0-9]+$', '')) AS rm,
+             length(line1) AS l1
+      FROM built
+    )
+    SELECT doc_id, f1 || chr(10) || line2 AS text,
+           cast(l1 + 1 - rm AS int) AS span_start,
+           cast(l1 + 1 + 11 - rm AS int) AS span_end
+    FROM fixed
+    """,
+)
+def pmid_reference_fix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OneOffAnnotationFileFixer.removePmidReferences:29-69 as a
+    hash-checked transform: every document gets a PMID back-reference
+    suffix and a trailing annotated line; the fixer must strip the suffix
+    and shift the trailing annotation's span left by the removed length."""
+    src = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    built = src.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" -- PMID:"),
+            F.col("doc_id").cast("string"),
+            F.lit("\nEnd marker."),
+        ).alias("text"),
+        (
+            F.length("text")
+            + F.length(F.concat(F.lit(" -- PMID:"), F.col("doc_id").cast("string")))
+        ).alias("__l1"),
+    )
+    annots = built.select(
+        "doc_id",
+        F.array(
+            F.struct(
+                (F.col("__l1") + 1).cast("int").alias("start"),
+                (F.col("__l1") + 12).cast("int").alias("end"),
+            )
+        ).alias("spans"),
+    )
+    fixed_docs, fixed_annots = ab.remove_pmid_references(
+        built.drop("__l1"), annots
+    )
+    return fixed_docs.join(fixed_annots, "doc_id").select(
+        "doc_id",
+        "text",
+        F.col("spans").getItem(0)["start"].alias("span_start"),
+        F.col("spans").getItem(0)["end"].alias("span_end"),
     )
