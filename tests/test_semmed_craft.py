@@ -1,0 +1,249 @@
+"""Tests for operators/semmed.py and operators/craftprep.py (SemMedDB +
+CRAFT corpus-preparation ports)."""
+
+import math
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from translator_tm_provider_pipelines_spark.operators import craftprep, semmed
+
+
+# ---------------------------------------------------------------------------
+# SemmedDbIdf chain
+# ---------------------------------------------------------------------------
+
+
+def test_cui_to_pmid_join(spark):
+    ents = spark.createDataFrame(
+        [("s1", "C1"), ("s1", "C2"), ("s2", "C1"), ("s3", "C9")],
+        "sentence_id string, cui string",
+    )
+    sents = spark.createDataFrame(
+        [("s1", "p1"), ("s2", "p2")], "sentence_id string, pmid string"
+    )
+    got = {(r.cui, r.pmid) for r in semmed.cui_to_pmid(ents, sents).collect()}
+    # s3 has no sentence row -> dropped (reference logs 'missing sentence id')
+    assert got == {("C1", "p1"), ("C2", "p1"), ("C1", "p2")}
+
+
+def test_isa_edges_parse(spark):
+    lines = spark.createDataFrame(
+        [("P1|x|x|x|C1|x|x|isa|", ), ("P2|x|x|x|C1|x|x|isa|",)], "line string"
+    )
+    got = {(r.child_cui, r.parent_cui) for r in semmed.isa_edges(lines).collect()}
+    assert got == {("C1", "P1"), ("C1", "P2")}
+
+
+def test_ancestor_closure_and_counts(spark):
+    # C1 -> P1 -> G1 chain plus C2 -> P1
+    edges = spark.createDataFrame(
+        [("C1", "P1"), ("C2", "P1"), ("P1", "G1")],
+        "child_cui string, parent_cui string",
+    )
+    closure = semmed.ancestor_closure(edges)
+    got = {(r.cui, r.ancestor_cui) for r in closure.collect()}
+    assert got == {
+        ("C1", "P1"), ("C1", "G1"), ("C2", "P1"), ("C2", "G1"), ("P1", "G1"),
+    }
+    pmids = spark.createDataFrame(
+        [("C1", "p1"), ("C1", "p2"), ("C2", "p2"), ("P1", "p3")],
+        "cui string, pmid string",
+    )
+    counts = {
+        r.cui: r.pmid_count
+        for r in semmed.ancestor_pmid_counts(pmids, closure).collect()
+    }
+    # P1 inherits p1,p2 and observes p3; G1 inherits everything
+    assert counts == {"C1": 2, "C2": 1, "P1": 3, "G1": 3}
+    flat = {
+        r.cui: r.pmid_count for r in semmed.ancestor_pmid_counts(pmids).collect()
+    }
+    assert flat == {"C1": 2, "C2": 1, "P1": 1}
+
+
+def test_semmed_idf_formula_and_order(spark):
+    counts = spark.createDataFrame(
+        [("C1", 100), ("C2", 10)], "cui string, pmid_count long"
+    )
+    labels = spark.createDataFrame([("C1", "alpha")], "cui string, name string")
+    rows = semmed.semmed_idf(counts, labels).collect()
+    # reference formula: ln(count / TOTAL) — negative, larger count = larger idf
+    assert rows[0].cui == "C1" and rows[1].cui == "C2"
+    assert rows[0].idf == round(math.log(100 / semmed.TOTAL_PMIDS), 3)
+    assert rows[0].name == "alpha" and rows[1].name is None
+
+
+def test_umls_hpo_xrefs(spark):
+    mk = lambda cui, src, code: "|".join(  # noqa: E731
+        [cui, "x", "x", "x", "x", "x", "x", "x", "x", "x", "x", src, "x", code, "x"]
+    )
+    lines = spark.createDataFrame(
+        [(mk("C1", "HPO", "HP:0000001"),), (mk("C2", "MSH", "D000001"),)],
+        "line string",
+    )
+    got = {(r.cui, r.hpo_id) for r in semmed.umls_hpo_xrefs(lines).collect()}
+    assert got == {("C1", "HP:0000001")}
+
+
+# ---------------------------------------------------------------------------
+# SemmedDbFileParser analysis
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize(
+    "text,expected",
+    [
+        ("a b c", 3),
+        ("a b ", 2),     # trailing empties dropped (Java split semantics)
+        (" a", 2),       # leading empty kept
+        ("", 1),         # "".split(" ") -> [""]
+        ("   ", 0),      # all-separator -> []
+        ("a  b", 3),     # interior empty kept
+    ],
+)
+def test_java_space_token_count(spark, text, expected):
+    df = spark.createDataFrame([(text,)], "t string")
+    got = df.select(semmed.java_space_token_count(F.col("t")).alias("n")).collect()
+    assert got[0].n == expected
+
+
+def test_subj_obj_pmid_counts_sums_semtype_variants(spark):
+    rows = [
+        ("TREATS\tC1\tn\tt1\tD1\tn\tt2\tp1,p2,p3",),
+        ("TREATS\tC1\tn\tt9\tD1\tn\tt8\tp4",),      # same pair, other semtypes
+        ("CAUSES\tC1\tn\tt1\tD1\tn\tt2\tp1",),       # wrong predicate
+    ]
+    lines = spark.createDataFrame(rows, "line string")
+    got = {
+        (r.subject_cui, r.object_cui): r.pmid_count
+        for r in semmed.subj_obj_pmid_counts(lines).collect()
+    }
+    assert got == {("C1", "D1"): 4}
+
+
+@pytest.fixture(scope="module")
+def predications(spark):
+    # sentence-relative spans: subj "aspirin" at 0..7, obj "headache" at 15..23
+    sent = "aspirin treats headache quickly"
+    rows = [
+        Row(
+            predication_id="pr1", sentence=sent, sent_start_index=100,
+            subject_text="aspirin", subject_cui="C1", subject_semtype="phsu",
+            subject_start_index=100, subject_end_index=107,
+            object_text="headache", object_cui="D1", object_semtype="sosy",
+            object_start_index=115, object_end_index=123,
+        ),
+        # object precedes subject -> segment between obj end and subj start
+        Row(
+            predication_id="pr2", sentence=sent, sent_start_index=0,
+            subject_text="headache", subject_cui="C2", subject_semtype="dsyn",
+            subject_start_index=15, subject_end_index=23,
+            object_text="aspirin", object_cui="D1", object_semtype="phsu",
+            object_start_index=0, object_end_index=7,
+        ),
+        # recorded subject text does not match the span -> error channel
+        Row(
+            predication_id="pr3", sentence=sent, sent_start_index=0,
+            subject_text="ibuprofen", subject_cui="C3", subject_semtype="phsu",
+            subject_start_index=0, subject_end_index=7,
+            object_text="headache", object_cui="D1", object_semtype="sosy",
+            object_start_index=15, object_end_index=23,
+        ),
+        # no pair count registered -> no_cui_key error
+        Row(
+            predication_id="pr4", sentence=sent, sent_start_index=0,
+            subject_text="aspirin", subject_cui="C9", subject_semtype="phsu",
+            subject_start_index=0, subject_end_index=7,
+            object_text="headache", object_cui="D9", object_semtype="sosy",
+            object_start_index=15, object_end_index=23,
+        ),
+    ]
+    return spark.createDataFrame(rows)
+
+
+def test_intervening_token_stats(spark, predications):
+    pair_counts = spark.createDataFrame(
+        [("C1", "D1", 3), ("C2", "D1", 12)],
+        "subject_cui string, object_cui string, pmid_count long",
+    )
+    stats, errors = semmed.intervening_token_stats(predications, pair_counts)
+    got = {r.predication_id: r for r in stats.collect()}
+    assert set(got) == {"pr1", "pr2"}
+    # segment between subj end 7 and obj start 15 = " treats " -> 2 tokens
+    # (leading empty + "treats"; trailing empties dropped)
+    assert got["pr1"].intervening_token_count == 2
+    assert got["pr1"].sentence_token_count == 4
+    assert got["pr1"].sem_types == "phsu_sosy"
+    assert got["pr1"].pmid_count_bucket == "PMID_2_4"
+    assert got["pr1"].intervening_token_count_bucket == "TOKEN_2_4"
+    assert got["pr2"].sem_types == "dsyn_phsu"
+    assert got["pr2"].pmid_count_bucket == "PMID_10_19"
+    errs = {(r.predication_id, r.error) for r in errors.collect()}
+    assert errs == {("pr3", "text_mismatch"), ("pr4", "no_cui_key")}
+
+
+def test_semtype_pair_counts(spark, predications):
+    got = {
+        (r.subject_semtype, r.object_semtype): r.n
+        for r in semmed.semtype_pair_counts(predications).collect()
+    }
+    assert got[("phsu", "sosy")] == 3
+    assert got[("dsyn", "phsu")] == 1
+
+
+# ---------------------------------------------------------------------------
+# CRAFT preparation
+# ---------------------------------------------------------------------------
+
+
+def _annots(spark, rows):
+    return spark.createDataFrame(
+        rows, "doc_id string, concept_id string, spans array<struct<start:int,end:int>>"
+    )
+
+
+def test_revert_go_mf_ext(spark):
+    orig = _annots(spark, [("d1", "GO:0001", [Row(start=0, end=4)])])
+    ext = _annots(
+        spark,
+        [
+            ("d1", "GO_EXT:0002", [Row(start=5, end=9)]),   # reverts to GO:0002
+            ("d1", "GO_EXT:9999", [Row(start=10, end=14)]),  # not in ontology
+        ],
+    )
+    ont = spark.createDataFrame([("GO:0001",), ("GO:0002",)], "term_id string")
+    got = {r.concept_id for r in craftprep.revert_go_mf_ext(orig, ext, ont).collect()}
+    assert got == {"GO:0001", "GO:0002"}
+
+
+def test_exclude_concepts_by_ontology_id(spark):
+    annots = _annots(
+        spark,
+        [
+            ("d1", "GO:0001", [Row(start=0, end=4)]),
+            ("d1", "GO:0002", [Row(start=5, end=9)]),
+        ],
+    )
+    kept = craftprep.exclude_concepts_by_ontology_id(annots, ["GO:0002"])
+    assert {r.concept_id for r in kept.collect()} == {"GO:0001"}
+    ids_df = spark.createDataFrame([("GO:0001",)], "id string")
+    kept2 = craftprep.exclude_concepts_by_ontology_id(annots, ids_df)
+    assert {r.concept_id for r in kept2.collect()} == {"GO:0002"}
+    # empty exclusion list is a no-op
+    assert craftprep.exclude_concepts_by_ontology_id(annots, []).count() == 2
+
+
+def test_choose_one_exact_overlap(spark):
+    annots = _annots(
+        spark,
+        [
+            ("d1", "PR:0001", [Row(start=0, end=4)]),
+            ("d1", "GO:0005", [Row(start=0, end=4)]),   # same span: GO < PR kept
+            ("d1", "CL:0009", [Row(start=10, end=14)]),  # unique span survives
+            ("d2", "PR:0001", [Row(start=0, end=4)]),    # other doc untouched
+        ],
+    )
+    got = {(r.doc_id, r.concept_id) for r in craftprep.choose_one_exact_overlap(annots).collect()}
+    assert got == {("d1", "GO:0005"), ("d1", "CL:0009"), ("d2", "PR:0001")}

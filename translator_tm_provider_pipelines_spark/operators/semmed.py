@@ -1,0 +1,295 @@
+"""SemMedDB corpus-preparation operators: CUI→PMID extraction, hierarchical
+PMID-count propagation, IDF, predication distance statistics, and the UMLS
+is-a / HPO cross-reference side tables.
+
+Reference (corpora/semmed/):
+- ``SemmedDbIdf.java:1`` — CUI-to-PMID assembly from the SemMedDB entity +
+  sentence tables, ancestor propagation over the UMLS is-a hierarchy, and
+  idf = ln(pmid_count / total_pmids). The reference builds a 237M-row
+  sentence→PMID HashMap and walks a 1.7B-row entity file on ONE machine
+  (createCui2PmidFile:166-224) — the exact shape Spark exists for; here it
+  is two equi-joins and a distinct-count aggregate.
+- ``SemmedDbFileParser.java:1`` — the TREATS predication export analysis:
+  per-predication intervening-token counts between subject and object
+  (getSubjectObjectDistanceDistribution:229-343), PMID-count and
+  token-count buckets (:345-388), semantic-type pair counts
+  (getSemanticTypeMatrix:456-495), per-edge PMID counts
+  (getSubjObjCuiToPmidCountMap:158-210).
+- ``CreateUmlsSubclassOntology.java:1`` — is-a edge extraction from the
+  MRREL-derived file (parent = col 0, child = col 4, pipe-delimited;
+  addSubclassAxioms:73-91). The OWL serialization is owned by the OWL API
+  in the reference; the engine keeps the edge *relation*, which is what
+  every consumer (closure, IDF) actually uses.
+- ``SemmedDbIdf.populateUmlsToHpoMaps:471-497`` — UMLS↔HPO cross-reference
+  from MRCONSO (source name col 11 == 'HPO', source code col 13).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: PubMed corpus size constant used by the reference for IDF
+#: (SemmedDbIdf.java:53).
+TOTAL_PMIDS = 34_315_455.0
+
+
+# ---------------------------------------------------------------------------
+# CUI → PMID → IDF chain (SemmedDbIdf)
+# ---------------------------------------------------------------------------
+
+
+def cui_to_pmid(entities: DataFrame, sentences: DataFrame) -> DataFrame:
+    """Distinct (cui, pmid) pairs: the entity table's (sentence_id, cui)
+    joined to the sentence table's (sentence_id, pmid)
+    (SemmedDbIdf.createCui2PmidFile:166-224). One shuffle join on
+    sentence_id + a distinct — versus the reference's single-JVM HashMap of
+    the full 237M-row sentence table."""
+    return (
+        entities.select("sentence_id", "cui")
+        .join(sentences.select("sentence_id", "pmid"), "sentence_id")
+        .select("cui", "pmid")
+        .distinct()
+    )
+
+
+def isa_edges(mrrel_lines: DataFrame, line_col: str = "line") -> DataFrame:
+    """(child_cui, parent_cui) is-a edges from the MRREL-derived
+    pipe-delimited export: parent = column 0, child = column 4
+    (CreateUmlsSubclassOntology.addSubclassAxioms:73-91)."""
+    cols = F.split(F.col(line_col), r"\|")
+    return mrrel_lines.select(
+        cols.getItem(4).alias("child_cui"), cols.getItem(0).alias("parent_cui")
+    ).distinct()
+
+
+def ancestor_closure(edges: DataFrame, max_iter: int = 50) -> DataFrame:
+    """(cui, ancestor_cui) transitive closure of the is-a edge list —
+    fully distributed iterative frontier join (one join + distinct per
+    hierarchy level, localCheckpoint to keep the plan flat), because the
+    UMLS closure is corpus-vocabulary-sized and must NOT round-trip
+    through the driver the way dimension-sized ontology closures may
+    (contrast ogerdict.transitive_descendants, which is driver-bounded by
+    design for the small OBO exclusion sets)."""
+    paths = (
+        edges.select(
+            F.col("child_cui").alias("cui"), F.col("parent_cui").alias("ancestor_cui")
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    up = edges.select(
+        F.col("child_cui").alias("__c"), F.col("parent_cui").alias("__p")
+    )
+    for _ in range(max_iter):
+        grown = (
+            paths.join(up, paths.ancestor_cui == up.__c)
+            .select("cui", F.col("__p").alias("ancestor_cui"))
+            .unionByName(paths)
+            .distinct()
+            .localCheckpoint()
+        )
+        if grown.count() == paths.count():
+            return grown
+        paths = grown
+    return paths
+
+
+def ancestor_pmid_counts(
+    cui_pmids: DataFrame, closure: DataFrame | None = None
+) -> DataFrame:
+    """(cui, pmid_count) where every CUI also receives the PMIDs of all its
+    descendants (SemmedDbIdf.createCui2PmidCountFile:224-272: each key's
+    PMID set is added to every ancestor, then sizes are written). With
+    ``closure=None`` no hierarchy is applied (the reference's
+    non-hierarchical first pass)."""
+    observed = cui_pmids.select("cui", "pmid")
+    if closure is not None:
+        inherited = observed.join(closure, "cui").select(
+            F.col("ancestor_cui").alias("cui"), "pmid"
+        )
+        observed = observed.unionByName(inherited)
+    return observed.groupBy("cui").agg(
+        F.countDistinct("pmid").cast("long").alias("pmid_count")
+    )
+
+
+def semmed_idf(
+    counts: DataFrame,
+    labels: DataFrame | None = None,
+    total_pmids: float = TOTAL_PMIDS,
+) -> DataFrame:
+    """(cui, name, idf) with idf = round(ln(pmid_count / total_pmids), 3)
+    — SemmedDbIdf.computeIdf:308-357. Faithful to the reference: the
+    formula is ``log(count/total)`` (a NEGATIVE log-frequency, not the
+    classic ln(total/count); rarer concepts score LOWER) and the output is
+    printed with ``%4.3f`` → 3 decimals, descending by idf. ``labels`` is
+    the (cui, name) relation; missing labels surface as NULL name, like the
+    reference's ``map.get`` returning null into ``%s``."""
+    out = counts.select(
+        "cui",
+        F.round(F.log(F.col("pmid_count") / F.lit(float(total_pmids))), 3).alias(
+            "idf"
+        ),
+    )
+    if labels is not None:
+        out = out.join(labels.select("cui", "name"), "cui", "left")
+    else:
+        out = out.withColumn("name", F.lit(None).cast("string"))
+    return out.select("cui", "name", "idf").orderBy(F.desc("idf"), "cui")
+
+
+def umls_hpo_xrefs(mrconso_lines: DataFrame, line_col: str = "line") -> DataFrame:
+    """(cui, hpo_id) cross-references from MRCONSO rows whose source (col
+    11) is HPO; the HPO id is source code col 13
+    (SemmedDbIdf.populateUmlsToHpoMaps:471-497). Both lookup directions
+    are projections of this one relation."""
+    cols = F.split(F.col(line_col), r"\|")
+    return (
+        mrconso_lines.where(cols.getItem(11) == "HPO")
+        .select(cols.getItem(0).alias("cui"), cols.getItem(13).alias("hpo_id"))
+        .distinct()
+    )
+
+
+# ---------------------------------------------------------------------------
+# TREATS predication analysis (SemmedDbFileParser)
+# ---------------------------------------------------------------------------
+
+
+def java_space_token_count(text: Column) -> Column:
+    """Token count with Java ``String.split(" ").length`` semantics, which
+    both engines must reproduce for parity: trailing empty strings are
+    dropped (``"a b ".split`` → 2), leading/interior empties kept
+    (``" a".split`` → 2), the empty string counts 1, and an all-separator
+    string counts 0."""
+    stripped = F.regexp_replace(text, " +$", "")
+    return (
+        F.when(text == "", F.lit(1))
+        .when(stripped == "", F.lit(0))
+        .otherwise(F.size(F.split(stripped, " ")))
+        .cast("int")
+    )
+
+
+def pmid_count_bucket(n: Column) -> Column:
+    """Somewhat-arbitrary PMID-count buckets
+    (SemmedDbFileParser.getPmidCountBucket:371-388)."""
+    return (
+        F.when(n == 1, "PMID_1")
+        .when((n > 1) & (n < 5), "PMID_2_4")
+        .when((n >= 5) & (n < 10), "PMID_5_9")
+        .when((n >= 10) & (n < 20), "PMID_10_19")
+        .otherwise("PMID_20")
+    )
+
+
+def token_count_bucket(n: Column) -> Column:
+    """Intervening-token buckets (getTokenCountBucket:345-363)."""
+    return (
+        F.when(n == 0, "TOKEN_0")
+        .when(n == 1, "TOKEN_1")
+        .when((n >= 2) & (n < 5), "TOKEN_2_4")
+        .when((n >= 5) & (n < 10), "TOKEN_5_9")
+        .when((n >= 10) & (n < 15), "TOKEN_10_14")
+        .otherwise("TOKEN_15")
+    )
+
+
+def subj_obj_pmid_counts(
+    edge_lines: DataFrame, predicate: str = "TREATS", line_col: str = "line"
+) -> DataFrame:
+    """(subject_cui, object_cui, pmid_count) from the per-edge PMID-list
+    TSV (header PREDICATE SUBJECT_CUI ... OBJECT_CUI ... PMIDS): rows for
+    the requested predicate, PMID count = list length, counts SUMMED over
+    rows that differ only in semantic types
+    (getSubjObjCuiToPmidCountMap:158-210)."""
+    cols = F.split(F.col(line_col), "\t")
+    return (
+        edge_lines.where(cols.getItem(0) == predicate)
+        .select(
+            cols.getItem(1).alias("subject_cui"),
+            cols.getItem(4).alias("object_cui"),
+            F.size(F.split(cols.getItem(7), ",")).alias("__n"),
+        )
+        .groupBy("subject_cui", "object_cui")
+        .agg(F.sum("__n").cast("long").alias("pmid_count"))
+    )
+
+
+def intervening_token_stats(
+    predications: DataFrame, pair_pmid_counts: DataFrame
+) -> tuple[DataFrame, DataFrame]:
+    """Per-predication intervening-token statistics joined with per-edge
+    PMID counts (getSubjectObjectDistanceDistribution:229-343). Returns
+    (stats, errors):
+
+    stats — (predication_id, intervening_token_count, sentence_token_count,
+    pmid_count, sem_types, pmid_count_bucket, intervening_token_count_bucket)
+    for rows whose subject/object spans reproduce the recorded entity text
+    and whose CUI pair has a PMID count;
+
+    errors — the reference's error side-channel rows: ``text_mismatch``
+    (spans don't reproduce the recorded text — the reference throws and
+    logs per line) and ``no_cui_key`` (pair absent from the PMID counts).
+
+    ``predications`` columns (the SemMedDB export projected to what the
+    analysis reads): predication_id, sentence, sent_start_index,
+    subject_text, subject_cui, subject_semtype, subject_start_index,
+    subject_end_index, object_text, object_cui, object_semtype,
+    object_start_index, object_end_index. Span indexes are document-level;
+    sentence-relative = index − sent_start_index, exactly as the reference
+    rebases them. All column expressions; the only shuffle is the
+    pair-count equi-join."""
+    p = predications
+    s_start = (F.col("subject_start_index") - F.col("sent_start_index")).cast("int")
+    s_end = (F.col("subject_end_index") - F.col("sent_start_index")).cast("int")
+    o_start = (F.col("object_start_index") - F.col("sent_start_index")).cast("int")
+    o_end = (F.col("object_end_index") - F.col("sent_start_index")).cast("int")
+    seg_start = F.when(o_start < s_start, o_end).otherwise(s_end)
+    seg_end = F.when(o_start < s_start, s_start).otherwise(o_start)
+    sent = F.col("sentence")
+    observed_subj = F.substring(sent, s_start + 1, s_end - s_start)
+    observed_obj = F.substring(sent, o_start + 1, o_end - o_start)
+    segment = F.substring(sent, seg_start + 1, seg_end - seg_start)
+
+    staged = p.select(
+        "predication_id",
+        "subject_cui",
+        "object_cui",
+        F.concat_ws("_", "subject_semtype", "object_semtype").alias("sem_types"),
+        (observed_subj == F.col("subject_text")).alias("__subj_ok"),
+        (observed_obj == F.col("object_text")).alias("__obj_ok"),
+        java_space_token_count(segment).alias("intervening_token_count"),
+        java_space_token_count(sent).alias("sentence_token_count"),
+    )
+    mismatches = staged.where(~(F.col("__subj_ok") & F.col("__obj_ok"))).select(
+        "predication_id", F.lit("text_mismatch").alias("error")
+    )
+    ok = staged.where(F.col("__subj_ok") & F.col("__obj_ok"))
+    joined = ok.join(pair_pmid_counts, ["subject_cui", "object_cui"], "left")
+    no_key = joined.where(F.col("pmid_count").isNull()).select(
+        "predication_id", F.lit("no_cui_key").alias("error")
+    )
+    stats = joined.where(F.col("pmid_count").isNotNull()).select(
+        "predication_id",
+        "intervening_token_count",
+        "sentence_token_count",
+        "pmid_count",
+        "sem_types",
+        pmid_count_bucket(F.col("pmid_count")).alias("pmid_count_bucket"),
+        token_count_bucket(F.col("intervening_token_count")).alias(
+            "intervening_token_count_bucket"
+        ),
+    )
+    return stats, mismatches.unionByName(no_key)
+
+
+def semtype_pair_counts(predications: DataFrame) -> DataFrame:
+    """(subject_semtype, object_semtype, n) — the semantic-type heatmap
+    relation (getSemanticTypeMatrix:456-495; the reference prints it as a
+    dense numpy literal, zero cells implied by the sorted axes)."""
+    return (
+        predications.groupBy("subject_semtype", "object_semtype")
+        .agg(F.count("*").cast("long").alias("n"))
+    )

@@ -3640,3 +3640,143 @@ def pmid_reference_fix(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("spans").getItem(0)["start"].alias("span_start"),
         F.col("spans").getItem(0)["end"].alias("span_end"),
     )
+
+
+# ---------------------------------------------------------------------------
+# SemMedDB corpus preparation (corpora/semmed: SemmedDbIdf, SemmedDbFileParser)
+# ---------------------------------------------------------------------------
+
+#: java String.split(" ").length semantics in DuckDB SQL — the same contract
+#: as semmed.java_space_token_count (trailing empties dropped, leading and
+#: interior kept, '' counts 1, all-spaces counts 0)
+_JAVA_SPLIT_SQL = """
+      CASE WHEN {s} = '' THEN 1
+           WHEN regexp_replace({s}, ' +$', '') = '' THEN 0
+           ELSE len(string_split(regexp_replace({s}, ' +$', ''), ' ')) END
+"""
+
+
+@register(
+    "semmed_cui_idf",
+    """
+    WITH ents AS (
+      SELECT DISTINCT cast(l_orderkey AS varchar) AS sentence_id,
+             'C' || cast(l_suppkey AS varchar) AS cui
+      FROM lineitem
+    ),
+    sents AS (
+      SELECT cast(o_orderkey AS varchar) AS sentence_id,
+             'p' || cast(o_custkey AS varchar) AS pmid
+      FROM orders
+    ),
+    cp AS (SELECT DISTINCT cui, pmid FROM ents JOIN sents USING (sentence_id)),
+    counts AS (SELECT cui, count(DISTINCT pmid) AS pmid_count FROM cp GROUP BY 1)
+    SELECT cui, cast(NULL AS varchar) AS name,
+           round(ln(cast(pmid_count AS double) / 34315455.0), 3) AS idf
+    FROM counts
+    """,
+)
+def semmed_cui_idf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemmedDbIdf chain on fabricated entity/sentence tables (lineitem
+    supplies (sentence_id, cui) observations, orders the sentence→PMID
+    map): two equi-joins + a distinct count + the reference's
+    ln(count/total) at 3 decimals — replacing the reference's single-JVM
+    HashMaps over 1.7B rows (SemmedDbIdf.createCui2PmidFile:166-224,
+    computeIdf:308-357)."""
+    from ..operators import semmed
+
+    li = _t(spark, sf_dir, "lineitem")
+    ords = _t(spark, sf_dir, "orders")
+    ents = li.select(
+        F.col("l_orderkey").cast("string").alias("sentence_id"),
+        F.concat(F.lit("C"), F.col("l_suppkey").cast("string")).alias("cui"),
+    ).distinct()
+    sents = ords.select(
+        F.col("o_orderkey").cast("string").alias("sentence_id"),
+        F.concat(F.lit("p"), F.col("o_custkey").cast("string")).alias("pmid"),
+    )
+    counts = semmed.ancestor_pmid_counts(semmed.cui_to_pmid(ents, sents))
+    return semmed.semmed_idf(counts)
+
+
+_SEMMED_PRED_SQL = """
+    pred AS (
+      SELECT doc_id, text,
+             'pr' || cast(doc_id AS varchar) AS predication_id,
+             'C' || cast(doc_id % 10 AS varchar) AS subject_cui,
+             'D' || cast(doc_id % 7 AS varchar) AS object_cui,
+             'st' || cast(doc_id % 3 AS varchar) AS subject_semtype,
+             'ot' || cast(doc_id % 2 AS varchar) AS object_semtype
+      FROM documents WHERE n_chars >= 40
+    )
+"""
+
+
+@register(
+    "semmed_token_stats",
+    f"""
+    WITH {_SEMMED_PRED_SQL},
+    pc AS (
+      SELECT subject_cui, object_cui, count(*) AS pmid_count
+      FROM pred GROUP BY 1, 2
+    ),
+    st AS (
+      SELECT p.predication_id,
+             cast({_JAVA_SPLIT_SQL.format(s="substr(p.text, 5, 6)")} AS int)
+               AS intervening_token_count,
+             cast({_JAVA_SPLIT_SQL.format(s="p.text")} AS int)
+               AS sentence_token_count,
+             cast(pc.pmid_count AS bigint) AS pmid_count,
+             p.subject_semtype || '_' || p.object_semtype AS sem_types
+      FROM pred p JOIN pc USING (subject_cui, object_cui)
+    )
+    SELECT *,
+           CASE WHEN pmid_count = 1 THEN 'PMID_1'
+                WHEN pmid_count > 1 AND pmid_count < 5 THEN 'PMID_2_4'
+                WHEN pmid_count >= 5 AND pmid_count < 10 THEN 'PMID_5_9'
+                WHEN pmid_count >= 10 AND pmid_count < 20 THEN 'PMID_10_19'
+                ELSE 'PMID_20' END AS pmid_count_bucket,
+           CASE WHEN intervening_token_count = 0 THEN 'TOKEN_0'
+                WHEN intervening_token_count = 1 THEN 'TOKEN_1'
+                WHEN intervening_token_count >= 2 AND intervening_token_count < 5 THEN 'TOKEN_2_4'
+                WHEN intervening_token_count >= 5 AND intervening_token_count < 10 THEN 'TOKEN_5_9'
+                WHEN intervening_token_count >= 10 AND intervening_token_count < 15 THEN 'TOKEN_10_14'
+                ELSE 'TOKEN_15' END AS intervening_token_count_bucket
+    FROM st
+    """,
+)
+def semmed_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemmedDbFileParser.getSubjectObjectDistanceDistribution:229-343 on
+    fabricated predications (subject = chars 0..4 at document offset 100,
+    object = chars 10..15, so the sentence-relative rebase and the
+    between-entity segment arithmetic are both exercised; per-edge PMID
+    counts come from the pair frequencies themselves). Java
+    ``split(" ")`` token semantics are reproduced exactly on both
+    engines."""
+    from ..operators import semmed
+
+    src = (
+        _t(spark, sf_dir, "documents")
+        .where(F.col("n_chars") >= 40)
+        .select("doc_id", "text")
+    )
+    pred = src.select(
+        F.concat(F.lit("pr"), F.col("doc_id").cast("string")).alias("predication_id"),
+        F.col("text").alias("sentence"),
+        F.lit(100).alias("sent_start_index"),
+        F.substring("text", 1, 4).alias("subject_text"),
+        F.concat(F.lit("C"), (F.col("doc_id") % 10).cast("string")).alias("subject_cui"),
+        F.concat(F.lit("st"), (F.col("doc_id") % 3).cast("string")).alias("subject_semtype"),
+        F.lit(100).alias("subject_start_index"),
+        F.lit(104).alias("subject_end_index"),
+        F.substring("text", 11, 5).alias("object_text"),
+        F.concat(F.lit("D"), (F.col("doc_id") % 7).cast("string")).alias("object_cui"),
+        F.concat(F.lit("ot"), (F.col("doc_id") % 2).cast("string")).alias("object_semtype"),
+        F.lit(110).alias("object_start_index"),
+        F.lit(115).alias("object_end_index"),
+    )
+    pair_counts = pred.groupBy("subject_cui", "object_cui").agg(
+        F.count("*").cast("long").alias("pmid_count")
+    )
+    stats, _errors = semmed.intervening_token_stats(pred, pair_counts)
+    return stats
