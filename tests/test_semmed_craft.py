@@ -247,3 +247,92 @@ def test_choose_one_exact_overlap(spark):
     )
     got = {(r.doc_id, r.concept_id) for r in craftprep.choose_one_exact_overlap(annots).collect()}
     assert got == {("d1", "GO:0005"), ("d1", "CL:0009"), ("d2", "PR:0001")}
+
+
+# ---------------------------------------------------------------------------
+# Relay results compilation (SemmedDbFebRelayResultsCompiler)
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def results(spark):
+    C, I = semmed.ASSERTION_CORRECT, semmed.ASSERTION_INCORRECT
+    rows = [
+        # pr1 reviewed twice: one correct, one incorrect -> incorrect wins
+        ("f1", "pr1", "a1", C, "TRUE"),
+        ("f2", "pr1", "a2", I, "TRUE"),
+        ("f2", "pr1", "a3", "Entity boundary wrong", "TRUE"),
+        # pr2 correct, with an improvement checkbox in the same session
+        ("f3", "pr2", "a4", C, "TRUE"),
+        ("f3", "pr2", "a5", "Could be more specific", "TRUE"),
+        # pr3 incorrect only
+        ("f4", "pr3", "a6", I, "TRUE"),
+        # test record -> excluded entirely
+        ("f5", "10595361", "a7", C, "TRUE"),
+    ]
+    return spark.createDataFrame(
+        rows,
+        "feedback_id string, predication_id string, answer_id string, "
+        "answer string, response string",
+    )
+
+
+TEST_IDS = ("10595361", "10612762")
+
+
+def test_resolved_answers_any_incorrect_wins(results):
+    got = {
+        r.predication_id: r.answer
+        for r in semmed.resolved_answers(results, TEST_IDS).collect()
+    }
+    assert got == {
+        "pr1": semmed.ASSERTION_INCORRECT,
+        "pr2": semmed.ASSERTION_CORRECT,
+        "pr3": semmed.ASSERTION_INCORRECT,
+    }
+
+
+def test_overall_accuracy(results):
+    row = semmed.overall_accuracy(results, TEST_IDS).collect()[0]
+    assert row.n_reviews == 4  # f1..f4 (f5 only carries the test record)
+    assert row.n_unique == 3
+    assert row.n_correct == 1 and row.n_incorrect == 2
+    assert row.accuracy == round(1 / 3, 8)
+
+
+def test_incorrect_reason_distribution(results):
+    got = {r.answer: (r.n, r.fraction) for r in
+           semmed.incorrect_reason_distribution(results, TEST_IDS).collect()}
+    # designated sessions: pr1 -> f2, pr3 -> f4; their rows: I, boundary, I
+    assert got[semmed.ASSERTION_INCORRECT] == (2, 1.0)
+    assert got["Entity boundary wrong"] == (1, 0.5)
+
+
+def test_improvement_distribution(results):
+    got = {r.answer: (r.n, r.fraction) for r in
+           semmed.improvement_distribution(results, TEST_IDS).collect()}
+    assert got[semmed.ASSERTION_CORRECT] == (1, 1.0)
+    assert got["Could be more specific"] == (1, 1.0)
+
+
+def test_accuracy_by_subject_type_and_complexity(spark, results):
+    resolved = semmed.resolved_answers(results, TEST_IDS)
+    meta = spark.createDataFrame(
+        [
+            ("pr1", 2, 10, 3, "phsu_sosy"),   # chemical subject
+            ("pr2", 15, 30, 5, "topp_dsyn"),  # treatment subject, high complexity
+            ("pr3", 1, 8, 2, "phsu_dsyn"),    # chemical subject
+        ],
+        "predication_id string, intervening_token_count int, "
+        "sentence_token_count int, pmid_count long, sem_types string",
+    )
+    by_type = {r.subject_group: r for r in
+               semmed.accuracy_by_subject_type(resolved, meta).collect()}
+    assert by_type["CHEMICAL"].n_incorrect == 2
+    assert by_type["CHEMICAL"].accuracy == 0.0
+    assert by_type["TREATMENT"].n_correct == 1
+    assert by_type["TREATMENT"].accuracy == 1.0
+    by_cx = {r.complexity: r for r in
+             semmed.accuracy_by_complexity(resolved, meta).collect()}
+    assert by_cx["LOW"].n_total == 2 and by_cx["LOW"].n_incorrect == 2
+    assert by_cx["HIGH"].n_total == 1 and by_cx["HIGH"].accuracy == 1.0

@@ -285,6 +285,210 @@ def intervening_token_stats(
     return stats, mismatches.unionByName(no_key)
 
 
+# ---------------------------------------------------------------------------
+# Relay evaluation-results compilation (SemmedDbFebRelayResultsCompiler)
+# ---------------------------------------------------------------------------
+
+ASSERTION_CORRECT = "Assertion Correct"
+ASSERTION_INCORRECT = "Assertion Incorrect"
+
+#: UMLS semantic types grouped as chemical vs treatment subjects
+#: (SemmedDbFebRelayResultsCompiler.java:27-31).
+CHEMICAL_TYPES = (
+    "aapp", "antb", "bacs", "bodm", "chem", "chvf", "chvs", "clnd", "elii",
+    "enzy", "hops", "horm", "imft", "irda", "inch", "nnon", "orch", "phsu",
+    "rcpt", "vita",
+)
+TREATMENT_TYPES = (
+    "diap", "edac", "hlca", "lbpr", "mbrt", "resa", "topp", "drdd", "medd",
+    "resd",
+)
+
+
+def resolved_answers(
+    results: DataFrame, test_predication_ids: tuple[str, ...] = ()
+) -> DataFrame:
+    """(predication_id, answer) with any-incorrect-wins resolution: a
+    predication reviewed more than once is Incorrect if ANY review marked
+    it incorrect, else Correct if any marked it correct
+    (SemmedDbFebRelayResultsCompiler.computeOverallSemmedAccuracy:63-131 —
+    the incorrect ``put`` is unconditional, the correct ``put`` only fills
+    an absent key). Reviews whose answer is neither verdict (the reason /
+    improvement checkboxes share the file) don't resolve anything.
+    ``test_predication_ids`` are dropped, as the reference skips its two
+    hard-coded test records."""
+    r = results
+    if test_predication_ids:
+        r = r.where(~F.col("predication_id").isin(*test_predication_ids))
+    return (
+        r.where(F.col("answer").isin(ASSERTION_CORRECT, ASSERTION_INCORRECT))
+        .groupBy("predication_id")
+        .agg(
+            F.when(
+                F.max(F.col("answer") == ASSERTION_INCORRECT), ASSERTION_INCORRECT
+            )
+            .otherwise(ASSERTION_CORRECT)
+            .alias("answer")
+        )
+    )
+
+
+def overall_accuracy(
+    results: DataFrame, test_predication_ids: tuple[str, ...] = ()
+) -> DataFrame:
+    """One-row summary (n_reviews, n_unique, n_correct, n_incorrect,
+    accuracy) — computeOverallSemmedAccuracy:63-131. ``n_reviews`` counts
+    distinct feedback sessions, accuracy = correct / resolved."""
+    r = results
+    if test_predication_ids:
+        r = r.where(~F.col("predication_id").isin(*test_predication_ids))
+    resolved = resolved_answers(r)
+    agg = resolved.agg(
+        F.count("*").alias("n_unique"),
+        F.sum((F.col("answer") == ASSERTION_CORRECT).cast("long")).alias(
+            "n_correct"
+        ),
+        F.sum((F.col("answer") == ASSERTION_INCORRECT).cast("long")).alias(
+            "n_incorrect"
+        ),
+    )
+    reviews = r.agg(F.countDistinct("feedback_id").alias("n_reviews"))
+    return reviews.crossJoin(agg).select(
+        "n_reviews",
+        "n_unique",
+        "n_correct",
+        "n_incorrect",
+        F.round(F.col("n_correct") / (F.col("n_correct") + F.col("n_incorrect")), 8)
+        .alias("accuracy"),
+    )
+
+
+def _designated_feedback(
+    results: DataFrame, resolved: DataFrame, verdict: str
+) -> DataFrame:
+    """(predication_id, feedback_id): one designated feedback session per
+    predication resolved to ``verdict``. The reference keeps whichever row
+    the file yields last (HashMap overwrite in file order —
+    computeIncorrectReasonDistribution:133-213); file order is an accident
+    of the export, so the engine designates max(feedback_id) —
+    deterministic under any row order, same cardinality."""
+    keep = resolved.where(F.col("answer") == verdict).select("predication_id")
+    return (
+        results.join(keep, "predication_id", "left_semi")
+        .groupBy("predication_id")
+        .agg(F.max("feedback_id").alias("feedback_id"))
+    )
+
+
+def incorrect_reason_distribution(
+    results: DataFrame, test_predication_ids: tuple[str, ...] = ()
+) -> DataFrame:
+    """(answer, n, fraction): counts of every checkbox answer ticked in the
+    feedback sessions designated for incorrect predications, as a fraction
+    of incorrect predications
+    (computeIncorrectReasonDistribution:133-213; the reference matches on
+    feedback id membership alone, so verdict rows appear in the output
+    too, exactly as its count map does)."""
+    r = results
+    if test_predication_ids:
+        r = r.where(~F.col("predication_id").isin(*test_predication_ids))
+    resolved = resolved_answers(r)
+    designated = _designated_feedback(r, resolved, ASSERTION_INCORRECT)
+    n_incorrect = designated.count()
+    matched = r.join(
+        designated.select("feedback_id").distinct(), "feedback_id", "left_semi"
+    )
+    return (
+        matched.groupBy("answer")
+        .agg(F.count("*").cast("long").alias("n"))
+        .select(
+            "answer", "n", F.round(F.col("n") / F.lit(n_incorrect), 8).alias("fraction")
+        )
+    )
+
+
+def improvement_distribution(
+    results: DataFrame, test_predication_ids: tuple[str, ...] = ()
+) -> DataFrame:
+    """(answer, n, fraction): answers ticked in the designated feedback
+    session of each CORRECT predication — matched on (predication,
+    feedback) pairs, fractions over the Assertion-Correct count
+    (computeImprovementDistribution:214-341)."""
+    r = results
+    if test_predication_ids:
+        r = r.where(~F.col("predication_id").isin(*test_predication_ids))
+    resolved = resolved_answers(r)
+    designated = _designated_feedback(r, resolved, ASSERTION_CORRECT)
+    matched = r.join(designated, ["predication_id", "feedback_id"], "left_semi")
+    counts = matched.groupBy("answer").agg(F.count("*").cast("long").alias("n"))
+    total = counts.where(F.col("answer") == ASSERTION_CORRECT).select(
+        F.col("n").alias("__t")
+    )
+    return counts.crossJoin(F.broadcast(total)).select(
+        "answer", "n", F.round(F.col("n") / F.col("__t"), 8).alias("fraction")
+    )
+
+
+def accuracy_by_subject_type(
+    resolved: DataFrame, metadata: DataFrame
+) -> DataFrame:
+    """(subject_group, n_correct, n_incorrect, n_total, accuracy) with
+    subjects grouped chemical vs treatment by their UMLS semantic type
+    (computeSemmedAccuracyBySubjectType:342-448). ``metadata`` is the
+    :func:`intervening_token_stats` output shape — subject type = the
+    first ``_``-part of ``sem_types`` (getPredicationIdToMetadataMap
+    :558-588). Predications without metadata are skipped, as the
+    reference logs-and-continues."""
+    subj = F.split(F.col("sem_types"), "_").getItem(0)
+    grouped = resolved.join(
+        metadata.select("predication_id", subj.alias("__st")), "predication_id"
+    ).select(
+        "answer",
+        F.when(F.col("__st").isin(*CHEMICAL_TYPES), "CHEMICAL")
+        .when(F.col("__st").isin(*TREATMENT_TYPES), "TREATMENT")
+        .alias("subject_group"),
+    )
+    return _group_accuracy(grouped, "subject_group")
+
+
+def accuracy_by_complexity(
+    resolved: DataFrame, metadata: DataFrame, low_max_tokens: int = 10
+) -> DataFrame:
+    """(complexity, n_correct, n_incorrect, n_total, accuracy): LOW when
+    the intervening token count is ≤ ``low_max_tokens``, HIGH above it
+    (computeSemmedAccuracyBySentenceComplexity:449-556)."""
+    grouped = resolved.join(
+        metadata.select("predication_id", "intervening_token_count"),
+        "predication_id",
+    ).select(
+        "answer",
+        F.when(
+            F.col("intervening_token_count") <= low_max_tokens, "LOW"
+        )
+        .otherwise("HIGH")
+        .alias("complexity"),
+    )
+    return _group_accuracy(grouped, "complexity")
+
+
+def _group_accuracy(grouped: DataFrame, key: str) -> DataFrame:
+    correct = F.sum((F.col("answer") == ASSERTION_CORRECT).cast("long"))
+    incorrect = F.sum((F.col("answer") == ASSERTION_INCORRECT).cast("long"))
+    return (
+        grouped.groupBy(key)
+        .agg(correct.alias("n_correct"), incorrect.alias("n_incorrect"))
+        .select(
+            key,
+            "n_correct",
+            "n_incorrect",
+            (F.col("n_correct") + F.col("n_incorrect")).alias("n_total"),
+            F.round(
+                F.col("n_correct") / (F.col("n_correct") + F.col("n_incorrect")), 8
+            ).alias("accuracy"),
+        )
+    )
+
+
 def semtype_pair_counts(predications: DataFrame) -> DataFrame:
     """(subject_semtype, object_semtype, n) — the semantic-type heatmap
     relation (getSemanticTypeMatrix:456-495; the reference prints it as a

@@ -3780,3 +3780,129 @@ def semmed_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     stats, _errors = semmed.intervening_token_stats(pred, pair_counts)
     return stats
+
+
+#: fabricated relay-evaluation results + metadata (orders supplies review
+#: sessions; custkey is the predication key), mirrored in the SQL oracles
+_SEMMED_RESULTS_SQL = """
+    res AS (
+      SELECT 'f' || cast(o_orderkey % 97 AS varchar) AS feedback_id,
+             'pr' || cast(o_custkey AS varchar) AS predication_id,
+             'a' || cast(o_orderkey AS varchar) AS answer_id,
+             CASE WHEN o_orderkey % 7 = 0 THEN 'Assertion Incorrect'
+                  WHEN o_orderkey % 7 IN (1, 2, 3) THEN 'Assertion Correct'
+                  ELSE 'Reason ' || cast(o_orderkey % 7 AS varchar) END AS answer,
+             'TRUE' AS response
+      FROM orders
+    ),
+    resolved AS (
+      SELECT predication_id,
+             CASE WHEN max(CASE WHEN answer = 'Assertion Incorrect' THEN 1 ELSE 0 END) = 1
+                  THEN 'Assertion Incorrect' ELSE 'Assertion Correct' END AS answer
+      FROM res
+      WHERE answer IN ('Assertion Correct', 'Assertion Incorrect')
+      GROUP BY 1
+    ),
+    meta AS (
+      SELECT DISTINCT 'pr' || cast(o_custkey AS varchar) AS predication_id,
+             CASE o_custkey % 3 WHEN 0 THEN 'phsu_sosy'
+                                WHEN 1 THEN 'topp_dsyn'
+                                ELSE 'chem_dsyn' END AS sem_types,
+             cast(o_custkey % 20 AS int) AS intervening_token_count
+      FROM orders
+    )
+"""
+
+
+def _semmed_eval_frames(spark: SparkSession, sf_dir: str):
+    ords = _t(spark, sf_dir, "orders")
+    res = ords.select(
+        F.concat(F.lit("f"), (F.col("o_orderkey") % 97).cast("string")).alias(
+            "feedback_id"
+        ),
+        F.concat(F.lit("pr"), F.col("o_custkey").cast("string")).alias(
+            "predication_id"
+        ),
+        F.concat(F.lit("a"), F.col("o_orderkey").cast("string")).alias("answer_id"),
+        F.when(F.col("o_orderkey") % 7 == 0, "Assertion Incorrect")
+        .when((F.col("o_orderkey") % 7).isin(1, 2, 3), "Assertion Correct")
+        .otherwise(F.concat(F.lit("Reason "), (F.col("o_orderkey") % 7).cast("string")))
+        .alias("answer"),
+        F.lit("TRUE").alias("response"),
+    )
+    meta = ords.select(
+        F.concat(F.lit("pr"), F.col("o_custkey").cast("string")).alias(
+            "predication_id"
+        ),
+        F.when(F.col("o_custkey") % 3 == 0, "phsu_sosy")
+        .when(F.col("o_custkey") % 3 == 1, "topp_dsyn")
+        .otherwise("chem_dsyn")
+        .alias("sem_types"),
+        (F.col("o_custkey") % 20).cast("int").alias("intervening_token_count"),
+    ).distinct()
+    return res, meta
+
+
+_CHEM_SQL = "('aapp','antb','bacs','bodm','chem','chvf','chvs','clnd','elii','enzy','hops','horm','imft','irda','inch','nnon','orch','phsu','rcpt','vita')"
+_TREAT_SQL = "('diap','edac','hlca','lbpr','mbrt','resa','topp','drdd','medd','resd')"
+
+
+@register(
+    "semmed_eval_accuracy",
+    f"""
+    WITH {_SEMMED_RESULTS_SQL},
+    grouped AS (
+      SELECT r.answer,
+             CASE WHEN split_part(m.sem_types, '_', 1) IN {_CHEM_SQL} THEN 'CHEMICAL'
+                  WHEN split_part(m.sem_types, '_', 1) IN {_TREAT_SQL} THEN 'TREATMENT'
+             END AS subject_group
+      FROM resolved r JOIN meta m USING (predication_id)
+    )
+    SELECT subject_group,
+           cast(sum(CASE WHEN answer = 'Assertion Correct' THEN 1 ELSE 0 END) AS bigint) AS n_correct,
+           cast(sum(CASE WHEN answer = 'Assertion Incorrect' THEN 1 ELSE 0 END) AS bigint) AS n_incorrect,
+           cast(count(*) AS bigint) AS n_total,
+           round(sum(CASE WHEN answer = 'Assertion Correct' THEN 1 ELSE 0 END)
+                 / cast(count(*) AS double), 8) AS accuracy
+    FROM grouped GROUP BY 1
+    """,
+)
+def semmed_eval_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemmedDbFebRelayResultsCompiler accuracy-by-subject-type
+    (:342-448) on fabricated review sessions: any-incorrect-wins
+    resolution per predication, chemical vs treatment grouping by the
+    UMLS semantic-type lists, per-group accuracy."""
+    from ..operators import semmed
+
+    res, meta = _semmed_eval_frames(spark, sf_dir)
+    resolved = semmed.resolved_answers(res)
+    return semmed.accuracy_by_subject_type(resolved, meta)
+
+
+@register(
+    "semmed_eval_complexity",
+    f"""
+    WITH {_SEMMED_RESULTS_SQL},
+    grouped AS (
+      SELECT r.answer,
+             CASE WHEN m.intervening_token_count <= 10 THEN 'LOW' ELSE 'HIGH' END AS complexity
+      FROM resolved r JOIN meta m USING (predication_id)
+    )
+    SELECT complexity,
+           cast(sum(CASE WHEN answer = 'Assertion Correct' THEN 1 ELSE 0 END) AS bigint) AS n_correct,
+           cast(sum(CASE WHEN answer = 'Assertion Incorrect' THEN 1 ELSE 0 END) AS bigint) AS n_incorrect,
+           cast(count(*) AS bigint) AS n_total,
+           round(sum(CASE WHEN answer = 'Assertion Correct' THEN 1 ELSE 0 END)
+                 / cast(count(*) AS double), 8) AS accuracy
+    FROM grouped GROUP BY 1
+    """,
+)
+def semmed_eval_complexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Accuracy by sentence complexity (:449-556): LOW when the recorded
+    intervening token count is ≤ 10, HIGH otherwise — same fabricated
+    sessions and resolution as ``semmed_eval_accuracy``."""
+    from ..operators import semmed
+
+    res, meta = _semmed_eval_frames(spark, sf_dir)
+    resolved = semmed.resolved_answers(res)
+    return semmed.accuracy_by_complexity(resolved, meta)
