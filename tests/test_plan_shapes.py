@@ -129,3 +129,36 @@ def test_dictionary_build_all_broadcast_joins(spark):
 def test_ontology_ner_broadcast_dictionary(spark):
     p = plan_text(spark, "ontology_dictionary_ner")
     assert "BroadcastHashJoin" in p
+
+
+def test_language_id_single_text_scan(spark):
+    # round-3 single-scan language ID: exactly ONE regexp_extract_all of
+    # the text column in the plan (union-regex over all marker words),
+    # not one scan per profile
+    p = plan_text(spark, "language_id")
+    assert p.count("regexp_extract_all") == 1
+    assert "Exchange" not in p  # pure narrow projection
+
+
+def test_annotation_batch_overlap_broadcast_grid(spark):
+    # the dense key×key grid comes from a broadcast nested-loop cross of
+    # the dimension-sized key list; the overlaps come from equi-joins —
+    # no unplanned CartesianProduct anywhere
+    p = plan_text(spark, "annotation_batch_overlap")
+    assert "BroadcastNestedLoopJoin" in p
+    assert "CartesianProduct" not in p
+
+
+def test_pmid_reference_fix_no_shuffle_before_join(spark):
+    # the line-table build and span shift are per-row array expressions;
+    # the only exchange permitted is the doc_id equi-join between the
+    # fixed docs and fixed annotations
+    p = plan_text(spark, "pmid_reference_fix")
+    assert "CartesianProduct" not in p
+
+
+def test_semmed_idf_partial_aggregation(spark):
+    # the distinct-PMID count must partial-aggregate map-side before the
+    # cui shuffle
+    p = plan_text(spark, "semmed_cui_idf")
+    assert "partial_count" in p or "partial_aggregation" in p.lower()
