@@ -447,3 +447,72 @@ def test_pmid_extractor_runners(spark, tmp_path):
         tuple(r) for r in spark.read.csv(f"{out}/years", sep="\t").collect()
     }
     assert got == {("PMID:11", "1999"), ("PMID:12", "2005")}
+
+
+def test_annot_batch_stats_runner(spark, tmp_path):
+    lines = spark.createDataFrame(
+        [
+            ("annotator1", "batch1", "One."),
+            ("annotator1", "batch1", "Two."),
+            ("annotator1", "batch1", "DONE"),
+            ("annotator2", "batch1", "Two."),
+        ],
+        "annotator string, batch string, line string",
+    )
+    src = str(tmp_path / "lines")
+    lines.write.parquet(src)
+    cli.main([
+        "ANNOT_BATCH_STATS",
+        "--lines", src,
+        "--sizesOutput", str(tmp_path / "sizes"),
+        "--overlapOutput", str(tmp_path / "overlap"),
+    ])
+    sizes = spark.read.csv(str(tmp_path / "sizes"), sep="\t", header=True)
+    got = {(r.annotator, r.batch): int(r.n_sentences) for r in sizes.collect()}
+    assert got == {("annotator1", "batch1"): 2, ("annotator2", "batch1"): 1}
+    overlap = spark.read.csv(str(tmp_path / "overlap"), sep="\t", header=True)
+    cells = {(r.batch_a, r.batch_b): int(r.n_overlap) for r in overlap.collect()}
+    assert cells[("annotator1_batch1", "annotator2_batch1")] == 1
+    assert len(cells) == 4
+
+
+def test_semmed_idf_runner(spark, tmp_path):
+    spark.createDataFrame(
+        [("s1", "C1"), ("s2", "C1"), ("s1", "C2")], "sentence_id string, cui string"
+    ).write.parquet(str(tmp_path / "ents"))
+    spark.createDataFrame(
+        [("s1", "p1"), ("s2", "p2")], "sentence_id string, pmid string"
+    ).write.parquet(str(tmp_path / "sents"))
+    cli.main([
+        "SEMMED_IDF",
+        "--entities", str(tmp_path / "ents"),
+        "--sentences", str(tmp_path / "sents"),
+        "--totalPmids", "100",
+        "--output", str(tmp_path / "idf"),
+    ])
+    out = spark.read.csv(str(tmp_path / "idf"), sep="\t", header=True)
+    got = {r.cui: float(r.idf) for r in out.collect()}
+    import math
+
+    assert got["C1"] == round(math.log(2 / 100), 3)
+    assert got["C2"] == round(math.log(1 / 100), 3)
+
+
+def test_semmed_eval_runner(spark, tmp_path):
+    spark.createDataFrame(
+        [
+            ("f1", "pr1", "a1", "Assertion Correct", "TRUE"),
+            ("f2", "pr2", "a2", "Assertion Incorrect", "TRUE"),
+        ],
+        "feedback_id string, predication_id string, answer_id string, "
+        "answer string, response string",
+    ).write.parquet(str(tmp_path / "results"))
+    cli.main([
+        "SEMMED_EVAL",
+        "--results", str(tmp_path / "results"),
+        "--output", str(tmp_path / "eval"),
+    ])
+    acc = spark.read.csv(str(tmp_path / "eval/accuracy"), sep="\t", header=True)
+    row = acc.collect()[0]
+    assert int(row.n_correct) == 1 and int(row.n_incorrect) == 1
+    assert float(row.accuracy) == 0.5

@@ -871,6 +871,104 @@ def run_inception_subset(spark: SparkSession, argv: list[str]) -> None:
     ).parquet(ns.output)
 
 
+def run_annot_batch_stats(spark: SparkSession, argv: list[str]) -> None:
+    """ANNOT_BATCH_STATS (relation_extraction/annot_batch_cli/
+    RepoStatsCommand.java, the ``stats`` command): per-annotator batch
+    sentence counts + the batch×batch overlap matrix, from a parquet line
+    table (annotator, batch, line)."""
+    from .operators import annotbatch
+    from .sources import sinks
+
+    p = argparse.ArgumentParser(prog="ANNOT_BATCH_STATS")
+    p.add_argument("--lines", required=True, help="parquet: annotator, batch, line")
+    p.add_argument("--sizesOutput", required=True)
+    p.add_argument("--overlapOutput", required=True)
+    ns = p.parse_args(argv)
+    lines = spark.read.parquet(ns.lines)
+    sinks.write_tsv(annotbatch.batch_sentence_counts(lines), ns.sizesOutput, header=True)
+    sinks.write_tsv(annotbatch.batch_overlap_matrix(lines), ns.overlapOutput, header=True)
+
+
+def run_semmed_idf(spark: SparkSession, argv: list[str]) -> None:
+    """SEMMED_IDF (corpora/semmed/SemmedDbIdf.java): entity⋈sentence
+    CUI→PMID assembly, optional UMLS is-a ancestor propagation, and the
+    reference's ln(count/total) IDF at 3 decimals."""
+    from .operators import semmed
+    from .sources import sinks
+
+    p = argparse.ArgumentParser(prog="SEMMED_IDF")
+    p.add_argument("--entities", required=True, help="parquet: sentence_id, cui")
+    p.add_argument("--sentences", required=True, help="parquet: sentence_id, pmid")
+    p.add_argument("--mrrelIsa", help="text lines of the MRREL isa export")
+    p.add_argument("--labels", help="parquet: cui, name")
+    p.add_argument("--totalPmids", type=float, default=semmed.TOTAL_PMIDS)
+    p.add_argument("--output", required=True)
+    ns = p.parse_args(argv)
+    cp = semmed.cui_to_pmid(
+        spark.read.parquet(ns.entities), spark.read.parquet(ns.sentences)
+    )
+    closure = None
+    if ns.mrrelIsa:
+        closure = semmed.ancestor_closure(
+            semmed.isa_edges(spark.read.text(ns.mrrelIsa).withColumnRenamed("value", "line"))
+        )
+    counts = semmed.ancestor_pmid_counts(cp, closure)
+    labels = spark.read.parquet(ns.labels) if ns.labels else None
+    sinks.write_tsv(
+        semmed.semmed_idf(counts, labels, total_pmids=ns.totalPmids),
+        ns.output,
+        header=True,
+    )
+
+
+def run_semmed_eval(spark: SparkSession, argv: list[str]) -> None:
+    """SEMMED_EVAL (corpora/semmed/SemmedDbFebRelayResultsCompiler.java):
+    compile relay review sessions into overall accuracy, reason /
+    improvement distributions, and accuracy by subject type + sentence
+    complexity."""
+    from .operators import semmed
+    from .sources import sinks
+
+    p = argparse.ArgumentParser(prog="SEMMED_EVAL")
+    p.add_argument(
+        "--results",
+        required=True,
+        help="parquet: feedback_id, predication_id, answer_id, answer, response",
+    )
+    p.add_argument("--metadata", help="parquet shaped like intervening_token_stats")
+    p.add_argument("--testPredicationIds", default="", help="comma-separated")
+    p.add_argument("--output", required=True, help="output directory")
+    ns = p.parse_args(argv)
+    results = spark.read.parquet(ns.results)
+    test_ids = tuple(t for t in ns.testPredicationIds.split(",") if t)
+    sinks.write_tsv(
+        semmed.overall_accuracy(results, test_ids), f"{ns.output}/accuracy", header=True
+    )
+    sinks.write_tsv(
+        semmed.incorrect_reason_distribution(results, test_ids),
+        f"{ns.output}/incorrect_reasons",
+        header=True,
+    )
+    sinks.write_tsv(
+        semmed.improvement_distribution(results, test_ids),
+        f"{ns.output}/improvements",
+        header=True,
+    )
+    if ns.metadata:
+        meta = spark.read.parquet(ns.metadata)
+        resolved = semmed.resolved_answers(results, test_ids)
+        sinks.write_tsv(
+            semmed.accuracy_by_subject_type(resolved, meta),
+            f"{ns.output}/accuracy_by_type",
+            header=True,
+        )
+        sinks.write_tsv(
+            semmed.accuracy_by_complexity(resolved, meta),
+            f"{ns.output}/accuracy_by_complexity",
+            header=True,
+        )
+
+
 #: PipelineKey → runner (the implemented subset of PipelineMain.java:124-236;
 #: keys match the reference's PipelineKey enum verbatim)
 PIPELINES: dict[str, Callable[[SparkSession, list[str]], None]] = {
@@ -918,6 +1016,9 @@ PIPELINES: dict[str, Callable[[SparkSession, list[str]], None]] = {
     "NER_BERT_TO_BIONLP": run_ner_bert_to_bionlp,
     "INCEPTION_SUBSET": run_inception_subset,
     "SQL_UPSERT": run_sql_upsert,
+    "ANNOT_BATCH_STATS": run_annot_batch_stats,
+    "SEMMED_IDF": run_semmed_idf,
+    "SEMMED_EVAL": run_semmed_eval,
 }
 
 
