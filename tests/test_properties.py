@@ -101,3 +101,60 @@ def test_connected_components_properties(spark):
     comp = {r.node: r.component for r in dedup.connected_components(pairs).collect()}
     assert all(comp[i] == 0 for i in range(10))
     assert all(comp[i] == 20 for i in (20, 21, 22))
+
+
+def _java_split_space_len(s: str) -> int:
+    """Reference model of Java String.split(" ").length: split on every
+    single space, then drop trailing empty strings; ''.split -> [''] = 1."""
+    parts = s.split(" ")
+    while len(parts) > 1 and parts[-1] == "":
+        parts.pop()
+    if parts == [""] and s != "":
+        return 0  # all-separator input: Java drops every trailing empty
+    return len(parts)
+
+
+@settings(**_SETTINGS)
+@given(st.lists(st.text(alphabet=" ab\tz", max_size=20), min_size=1, max_size=30))
+def test_java_space_token_count_matches_model(spark, texts):
+    from pyspark.sql import functions as F
+
+    from translator_tm_provider_pipelines_spark.operators import semmed
+
+    df = spark.createDataFrame([(t,) for t in texts], "t string")
+    got = [
+        r.n
+        for r in df.select(semmed.java_space_token_count(F.col("t")).alias("n"))
+        .collect()
+    ]
+    # row order of createDataFrame is preserved for a single partition read
+    want = [_java_split_space_len(t) for t in texts]
+    assert sorted(got) == sorted(want)
+
+
+@settings(**_SETTINGS)
+@given(st.lists(st.text(alphabet="ab ", min_size=0, max_size=60), min_size=1, max_size=12))
+def test_top_bigram_sorted_runs_match_brute_force(spark, texts):
+    """The sorted-run top-bigram (O(B log B)) must agree with a brute-force
+    python count (max count, lexicographically-smallest tie-break)."""
+    import re
+    from collections import Counter
+
+    from translator_tm_provider_pipelines_spark.operators import textanalysis
+
+    docs = spark.createDataFrame(
+        [(str(i), t) for i, t in enumerate(texts)], "doc_id string, text string"
+    )
+    rows = {r.doc_id: r for r in textanalysis.repetition_metrics(docs).collect()}
+    for i, t in enumerate(texts):
+        words = re.findall(r"[a-z0-9]+", t.lower())
+        bigrams = [" ".join(words[j : j + 2]) for j in range(len(words) - 1)]
+        row = rows[str(i)]
+        if not bigrams:
+            continue
+        counts = Counter(bigrams)
+        best_cnt = max(counts.values())
+        best_bg = min(b for b, c in counts.items() if c == best_cnt)
+        total_chars = sum(len(w) for w in words)
+        want = round(best_cnt * (len(best_bg) - 1) / total_chars, 8) if total_chars else 0.0
+        assert row.top_bigram_char_frac == want, (t, best_bg, best_cnt)
