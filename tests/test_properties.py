@@ -101,6 +101,13 @@ def test_connected_components_properties(spark):
     comp = {r.node: r.component for r in dedup.connected_components(pairs).collect()}
     assert all(comp[i] == 0 for i in range(10))
     assert all(comp[i] == 20 for i in (20, 21, 22))
+    # the distributed label-propagation path (driver_threshold=0) must
+    # produce the identical labeling as the driver union-find fast path
+    dist = {
+        r.node: r.component
+        for r in dedup.connected_components(pairs, driver_threshold=0).collect()
+    }
+    assert dist == comp
 
 
 def _java_split_space_len(s: str) -> int:

@@ -371,6 +371,7 @@ def connected_components(
     id_a: str = "doc_a",
     id_b: str = "doc_b",
     max_iter: int = 50,
+    driver_threshold: int = 100_000,
 ) -> DataFrame:
     """(node, component) for every node of the near-dup pair graph, where
     ``component`` is the minimum member id — min-label propagation over
@@ -380,8 +381,43 @@ def connected_components(
     decrease, so the fixpoint check is a changed-row count. For graphs
     with adversarial diameters swap in the alternating large-star/
     small-star iteration (Kiveris et al.) — the per-round shape here is
-    its building block."""
+    its building block.
+
+    Scale-adaptive: surviving near-dup edge sets are usually FAR smaller
+    than the corpus (the whole point of dedup), and each distributed
+    round costs a fixed multi-job overhead that dwarfs the work at that
+    size. Up to ``driver_threshold`` edges the components come from a
+    driver-side union-find on the collected edge list — identical output
+    (min member id per component), one job instead of
+    diameter × (join + count). Above the threshold, or with
+    ``driver_threshold=0``, the distributed loop runs."""
     e = pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
+
+    if driver_threshold:
+        head = e.limit(driver_threshold + 1).collect()
+        if len(head) <= driver_threshold:
+            parent: dict = {}
+
+            def find(x):
+                root = x
+                while parent.get(root, root) != root:
+                    root = parent[root]
+                while parent.get(x, x) != x:  # path compression
+                    parent[x], x = root, parent[x]
+                return root
+
+            for r in head:
+                ra, rb = find(r.a), find(r.b)
+                if ra != rb:
+                    # union by min so the representative IS the min id
+                    lo, hi = (ra, rb) if ra < rb else (rb, ra)
+                    parent[hi] = lo
+            nodes = {x for r in head for x in (r.a, r.b)}
+            rows = [(n, find(n)) for n in sorted(nodes)]
+            schema = e.schema["a"].dataType
+            return pairs.sparkSession.createDataFrame(
+                rows, f"node {schema.simpleString()}, component {schema.simpleString()}"
+            )
     # localCheckpoint (not persist): every round's frame references the
     # previous one, so a cached-but-unbroken lineage DOUBLES the logical
     # plan per iteration and analysis time alone goes exponential in the
