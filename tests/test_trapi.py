@@ -71,3 +71,30 @@ def test_assoc_edges_relation_switch(spark):
     bad = edges.withColumn("relation", F.lit("RO:9999999"))
     with pytest.raises(Exception, match="Unhandled relation"):
         trapi.assoc_edges_nt(bad).collect()
+
+
+def test_pr_to_uniprot_map(spark):
+    """PrToUniProtMapFileCreator semantics: direct xrefs, gene-level walk
+    (children before grandchildren, human + UniProtKB required), gene's own
+    xref ignored, no-match genes absent."""
+    import os
+
+    from translator_tm_provider_pipelines_spark.operators import trapi
+    from translator_tm_provider_pipelines_spark.sources import obo
+
+    fixture = os.path.join(os.path.dirname(__file__), "fixtures", "sample_pr.obo")
+    terms = obo.read_obo_terms(spark, fixture)
+    got = {r.pr_id: (r.uniprot_id, r.taxon_id) for r in trapi.pr_to_uniprot_map(terms).collect()}
+    assert got["PR:000004803"] == ("UniProtKB:P38398", "NCBITaxon:9606")
+    # multiple xrefs -> deterministic min (reference iterates a HashSet)
+    assert got["PR:000004804"] == ("UniProtKB:A12345", None)
+    # gene-level: own xref (ZZZZZZ) ignored, human child's mapping wins
+    assert got["PR:000010000"] == ("UniProtKB:P04637", "NCBITaxon:9606")
+    # gene-level with human match only at grandchild depth
+    assert got["PR:000020000"] == ("UniProtKB:O15350", "NCBITaxon:9606")
+    # gene-level with no human descendant emits nothing
+    assert "PR:000030000" not in got
+    # class without any xref emits nothing
+    assert "PR:000040000" not in got
+    # non-gene descendants still map directly on their own
+    assert got["PR:000010002"] == ("UniProtKB:P02340", "NCBITaxon:10090")

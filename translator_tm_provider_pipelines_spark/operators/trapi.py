@@ -249,3 +249,99 @@ def assoc_edges_nt(edges: DataFrame) -> DataFrame:
         _t(F.col("__assoc_i"), f"<{BIOLINK}relation>", F.col("__rel")),
     )
     return df.select(F.explode(F.concat(fixed, ev_links)).alias("line"))
+
+
+# ---------------------------------------------------------------------------
+# PR → UniProt map (trapi/PrToUniProtMapFileCreator.java)
+# ---------------------------------------------------------------------------
+
+#: the only_in_taxon object property (PrToUniProtMapFileCreator.java:31);
+#: OBO flat files write the relationship under either shorthand
+ONLY_IN_TAXON_RELS = ("only_in_taxon", "RO:0002160")
+HUMAN_TAXON = "NCBITaxon:9606"
+
+
+def pr_to_uniprot_map(terms: DataFrame) -> DataFrame:
+    """(pr_id, uniprot_id, taxon_id) — PrToUniProtMapFileCreator
+    .createPrToUniProtMapFile:34-66 over the PR term dimension:
+
+    - a non-gene class with a ``UniProtKB:`` xref maps directly
+      (retrieveUniProtMappingDirect:84-97), taxon from its
+      ``only_in_taxon`` relationship when present;
+    - a gene-level class (comment contains ``Category=gene.`` —
+      isGeneLevel:130-140) IGNORES its own xrefs and walks at most two
+      subclass levels for a HUMAN class carrying a UniProtKB xref
+      (findHumanSubclassWithUniprotXref:99-128); its pr_id is emitted with
+      the found descendant's uniprot/taxon. Children beat grandchildren;
+      the reference breaks remaining ties by HashSet iteration order, so
+      the engine picks the minimum (child, grandchild) id path —
+      deterministic under any partitioning.
+
+    Plan shape: the term dimension joins itself twice on the ``is_a`` edge
+    list (ontologies are dimension-sized; these are broadcast-scale
+    equi-joins) and a per-gene window picks the winning path."""
+    from pyspark.sql import Window
+
+    taxon_of = F.array_min(
+        F.filter(
+            F.col("relationships"),
+            lambda r: r["rel"].isin(*ONLY_IN_TAXON_RELS),
+        )
+    )["target"]
+    base = terms.select(
+        F.col("term_id"),
+        F.array_min(
+            F.filter(F.col("xrefs"), lambda x: x.startswith("UniProtKB:"))
+        ).alias("uniprot_id"),
+        taxon_of.alias("taxon_id"),
+        F.coalesce(F.col("comment").contains("Category=gene."), F.lit(False)).alias(
+            "__is_gene"
+        ),
+        F.col("parents"),
+    )
+    edges = base.select(
+        F.explode("parents").alias("parent"), F.col("term_id").alias("child")
+    )
+    direct = base.where(~F.col("__is_gene") & F.col("uniprot_id").isNotNull()).select(
+        F.col("term_id").alias("pr_id"), "uniprot_id", "taxon_id"
+    )
+
+    qualifying = base.where(
+        (F.col("taxon_id") == HUMAN_TAXON) & F.col("uniprot_id").isNotNull()
+    ).select(
+        F.col("term_id").alias("__q"), "uniprot_id", "taxon_id"
+    )
+    genes = base.where(F.col("__is_gene")).select(F.col("term_id").alias("pr_id"))
+    level1 = (
+        genes.join(edges, genes.pr_id == edges.parent)
+        .join(qualifying, F.col("child") == F.col("__q"))
+        .select(
+            "pr_id",
+            "uniprot_id",
+            "taxon_id",
+            F.lit(1).alias("__lvl"),
+            F.col("child").alias("__path"),
+        )
+    )
+    grand = edges.select(
+        F.col("parent").alias("gp"), F.col("child").alias("mid")
+    ).join(edges, F.col("mid") == edges.parent)
+    level2 = (
+        genes.join(grand, genes.pr_id == F.col("gp"))
+        .join(qualifying, F.col("child") == F.col("__q"))
+        .select(
+            "pr_id",
+            "uniprot_id",
+            "taxon_id",
+            F.lit(2).alias("__lvl"),
+            F.concat_ws("|", "mid", "child").alias("__path"),
+        )
+    )
+    w = Window.partitionBy("pr_id").orderBy("__lvl", "__path")
+    via_descendants = (
+        level1.unionByName(level2)
+        .withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .select("pr_id", "uniprot_id", "taxon_id")
+    )
+    return direct.unionByName(via_descendants)

@@ -3906,3 +3906,74 @@ def semmed_eval_complexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     res, meta = _semmed_eval_frames(spark, sf_dir)
     resolved = semmed.resolved_answers(res)
     return semmed.accuracy_by_complexity(resolved, meta)
+
+
+# ---------------------------------------------------------------------------
+# PR → UniProt map (trapi/PrToUniProtMapFileCreator.java)
+# ---------------------------------------------------------------------------
+
+_PR_FIXTURE = _os.path.join(_os.path.dirname(_OBO_FIXTURE), "sample_pr.obo")
+
+
+@register(
+    "pr_uniprot_map",
+    f"""
+    WITH raw AS (
+      SELECT trim(unnest(string_split(content, chr(10) || chr(10)))) AS stanza
+      FROM read_text('{{pr_fixture}}')
+    ),
+    t AS (
+      SELECT regexp_extract(stanza, '(?m)^id: (\\S+)', 1) AS term_id,
+             regexp_extract_all(stanza, '(?m)^is_a: (\\S+)', 1) AS parents,
+             list_min(list_filter(
+               regexp_extract_all(stanza, '(?m)^xref: (\\S+)', 1),
+               x -> x LIKE 'UniProtKB:%')) AS uniprot_id,
+             nullif(regexp_extract(stanza,
+               '(?m)^relationship: (?:only_in_taxon|RO:0002160) (\\S+)', 1), '')
+               AS taxon_id,
+             regexp_matches(stanza, '(?m)^comment: .*Category=gene\\.') AS is_gene
+      FROM raw WHERE stanza LIKE '[Term]%'
+    ),
+    edges AS (SELECT unnest(parents) AS parent, term_id AS child FROM t),
+    q AS (
+      SELECT term_id, uniprot_id, taxon_id FROM t
+      WHERE taxon_id = 'NCBITaxon:9606' AND uniprot_id IS NOT NULL
+    ),
+    direct AS (
+      SELECT term_id AS pr_id, uniprot_id, taxon_id FROM t
+      WHERE NOT is_gene AND uniprot_id IS NOT NULL
+    ),
+    l1 AS (
+      SELECT g.term_id AS pr_id, q.uniprot_id, q.taxon_id,
+             1 AS lvl, e.child AS path
+      FROM t g JOIN edges e ON e.parent = g.term_id
+               JOIN q ON q.term_id = e.child
+      WHERE g.is_gene
+    ),
+    l2 AS (
+      SELECT g.term_id AS pr_id, q.uniprot_id, q.taxon_id,
+             2 AS lvl, e1.child || '|' || e2.child AS path
+      FROM t g JOIN edges e1 ON e1.parent = g.term_id
+               JOIN edges e2 ON e2.parent = e1.child
+               JOIN q ON q.term_id = e2.child
+      WHERE g.is_gene
+    ),
+    via AS (
+      SELECT pr_id, uniprot_id, taxon_id FROM (
+        SELECT *, row_number() OVER (PARTITION BY pr_id ORDER BY lvl, path) AS rn
+        FROM (SELECT * FROM l1 UNION ALL SELECT * FROM l2)
+      ) WHERE rn = 1
+    )
+    SELECT pr_id, uniprot_id, taxon_id FROM direct
+    UNION ALL
+    SELECT pr_id, uniprot_id, taxon_id FROM via
+    """.replace("{pr_fixture}", _PR_FIXTURE),
+)
+def pr_uniprot_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PrToUniProtMapFileCreator.createPrToUniProtMapFile:34-66: the
+    (pr_id, uniprot_id, taxon_id) map with the two-level human-descendant
+    walk for gene-level classes — the oracle re-derives the walk from the
+    same OBO fixture with the identical (level, path) precedence."""
+    from ..operators import trapi as trapi_ops
+
+    return trapi_ops.pr_to_uniprot_map(obo.read_obo_terms(spark, _PR_FIXTURE))

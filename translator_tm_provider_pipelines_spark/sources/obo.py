@@ -33,9 +33,9 @@ def _line(field: str) -> F.Column:
 def read_obo_terms(spark: SparkSession, path: str) -> DataFrame:
     """Parse ``[Term]`` stanzas of an OBO file into a term dimension:
 
-    (term_id, label, namespace, is_obsolete, parents[],
-     exact_synonyms[], related_synonyms[], broad_synonyms[],
-     narrow_synonyms[], xrefs[])
+    (term_id, label, namespace, comment, is_obsolete, parents[],
+     relationships[], exact_synonyms[], related_synonyms[],
+     broad_synonyms[], narrow_synonyms[], xrefs[], formulas[])
 
     ``term_id``/``parents`` are CURIEs as written (e.g. ``GO:0008150``).
     """
@@ -58,6 +58,7 @@ def read_obo_terms(spark: SparkSession, path: str) -> DataFrame:
         _line("id").alias("term_id"),
         _unescape(_line("name")).alias("label"),
         _line("namespace").alias("namespace"),
+        _line("comment").alias("comment"),
         (_line("is_obsolete") == "true").alias("is_obsolete"),
         F.regexp_extract_all(
             F.col("stanza"), F.lit(r"(?m)^is_a: (\S+)"), 1
