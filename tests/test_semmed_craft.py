@@ -336,3 +336,49 @@ def test_accuracy_by_subject_type_and_complexity(spark, results):
              semmed.accuracy_by_complexity(resolved, meta).collect()}
     assert by_cx["LOW"].n_total == 2 and by_cx["LOW"].n_incorrect == 2
     assert by_cx["HIGH"].n_total == 1 and by_cx["HIGH"].accuracy == 1.0
+
+
+# ---------------------------------------------------------------------------
+# Metadata enrichment + BERT input (SemmedDbMetadataRetriever)
+# ---------------------------------------------------------------------------
+
+
+def test_bert_input_sentences(spark, predications):
+    out, errors = semmed.bert_input_sentences(predications)
+    got = {r.predication_id: r.sentence for r in out.collect()}
+    # subject first in pr1, object first in pr2 — both orders must land
+    # the placeholders on the right entities
+    assert got["pr1"] == "@CHEMICAL$ treats @DISEASE$ quickly"
+    assert got["pr2"] == "@DISEASE$ treats @CHEMICAL$ quickly"
+    assert {r.predication_id for r in errors.collect()} == {"pr3"}
+
+
+def test_enriched_metadata(spark):
+    existing = spark.createDataFrame(
+        [("pr1", "x"), ("pr2", "y")], "predication_id string, extra string"
+    )
+    meta = spark.createDataFrame(
+        [
+            ("pr1", "title", "901", "888", "C1", "D1"),
+            ("pr2", "abstract", "700", "650", "C2", "D9"),
+        ],
+        "predication_id string, zone string, subject_score string, "
+        "object_score string, subject_cui string, object_cui string",
+    )
+    treats = spark.createDataFrame(
+        [("pr1", True), ("pr2", False)], "predication_id string, tmkp_treats boolean"
+    )
+    ic = spark.createDataFrame([("C1", 83.2), ("D1", 55.0)], "cui string, value double")
+    idf = spark.createDataFrame([("C1", -4.1)], "cui string, value double")
+    rows = {
+        r.predication_id: r
+        for r in semmed.enriched_metadata(existing, meta, treats, ic, idf).collect()
+    }
+    r1 = rows["pr1"]
+    assert r1.zone == "title" and r1.tmkp_treats is True
+    assert r1.subj_nodenorm_ic == 83.2 and r1.obj_nodenorm_ic == 55.0
+    assert r1.subj_idf == -4.1 and r1.obj_idf is None
+    r2 = rows["pr2"]
+    # CUIs absent from the lookup relations stay null (reference emits null)
+    assert r2.subj_nodenorm_ic is None and r2.obj_nodenorm_ic is None
+    assert r2.tmkp_treats is False and r2.extra == "y"

@@ -497,3 +497,121 @@ def semtype_pair_counts(predications: DataFrame) -> DataFrame:
         predications.groupBy("subject_semtype", "object_semtype")
         .agg(F.count("*").cast("long").alias("n"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Metadata enrichment + BERT input (SemmedDbMetadataRetriever)
+# ---------------------------------------------------------------------------
+
+SUBJECT_PLACEHOLDER = "@CHEMICAL$"
+OBJECT_PLACEHOLDER = "@DISEASE$"
+
+
+def bert_input_sentences(
+    predications: DataFrame,
+    subject_placeholder: str = SUBJECT_PLACEHOLDER,
+    object_placeholder: str = OBJECT_PLACEHOLDER,
+) -> tuple[DataFrame, DataFrame]:
+    """(predication_id, sentence) BERT-input rows with the subject/object
+    entity text replaced by placeholders —
+    SemmedDbMetadataRetriever.getSentenceWithPlaceholders:383-437. The
+    reference replaces the later-starting entity first so the earlier
+    span's offsets stay valid; building the output as a 5-piece concat
+    (prefix + placeholder + middle + placeholder + suffix) has the same
+    effect in one expression. Rows whose recorded entity text does not
+    match the span (the reference throws) land in the errors frame.
+
+    Input columns as :func:`intervening_token_stats`; span indexes are
+    document-level and rebased by ``sent_start_index``."""
+    s_start = (F.col("subject_start_index") - F.col("sent_start_index")).cast("int")
+    s_end = (F.col("subject_end_index") - F.col("sent_start_index")).cast("int")
+    o_start = (F.col("object_start_index") - F.col("sent_start_index")).cast("int")
+    o_end = (F.col("object_end_index") - F.col("sent_start_index")).cast("int")
+    sent = F.col("sentence")
+    subj_ok = F.substring(sent, s_start + 1, s_end - s_start) == F.col("subject_text")
+    obj_ok = F.substring(sent, o_start + 1, o_end - o_start) == F.col("object_text")
+
+    first_s, first_e, first_ph = (
+        F.when(s_start <= o_start, s_start).otherwise(o_start),
+        F.when(s_start <= o_start, s_end).otherwise(o_end),
+        F.when(s_start <= o_start, F.lit(subject_placeholder)).otherwise(
+            F.lit(object_placeholder)
+        ),
+    )
+    second_s, second_e, second_ph = (
+        F.when(s_start <= o_start, o_start).otherwise(s_start),
+        F.when(s_start <= o_start, o_end).otherwise(s_end),
+        F.when(s_start <= o_start, F.lit(object_placeholder)).otherwise(
+            F.lit(subject_placeholder)
+        ),
+    )
+    replaced = F.concat(
+        F.substring(sent, 1, first_s),
+        first_ph,
+        F.substring(sent, first_e + 1, second_s - first_e),
+        second_ph,
+        F.substring(sent, second_e + 1, F.length(sent) - second_e),
+    )
+    staged = predications.select(
+        "predication_id",
+        (subj_ok & obj_ok).alias("__ok"),
+        replaced.alias("sentence"),
+    )
+    out = staged.where(F.col("__ok")).select("predication_id", "sentence")
+    errors = staged.where(~F.col("__ok")).select(
+        "predication_id", F.lit("text_mismatch").alias("error")
+    )
+    return out, errors
+
+
+def enriched_metadata(
+    existing: DataFrame,
+    predication_meta: DataFrame,
+    is_treats: DataFrame,
+    nodenorm_ic: DataFrame | None = None,
+    cui_idf: DataFrame | None = None,
+) -> DataFrame:
+    """The updated relay metadata relation —
+    SemmedDbMetadataRetriever.writeUpdatedMetadataFile:553-600: every
+    existing metadata row extended with zone, subject/object scores, the
+    TM-KP treats verdict, and (when provided) per-CUI node-norm
+    information content and IDF for both entities. ``predication_meta``
+    and ``is_treats`` are required per row, matching the reference's
+    unchecked map lookups (inner joins); the IC/IDF lookups are nullable
+    left joins.
+
+    ``predication_meta`` columns: predication_id, zone, subject_score,
+    object_score, subject_cui, object_cui. ``is_treats``:
+    (predication_id, tmkp_treats). ``nodenorm_ic`` / ``cui_idf``:
+    (cui, value) relations."""
+    out = existing.join(
+        predication_meta.select(
+            "predication_id", "zone", "subject_score", "object_score",
+            "subject_cui", "object_cui",
+        ),
+        "predication_id",
+    ).join(is_treats.select("predication_id", "tmkp_treats"), "predication_id")
+
+    if nodenorm_ic is not None:
+        ic = nodenorm_ic.select(F.col("cui"), F.col("value").alias("__ic"))
+        out = (
+            out.join(ic.withColumnRenamed("cui", "subject_cui"), "subject_cui", "left")
+            .withColumnRenamed("__ic", "subj_nodenorm_ic")
+            .join(ic.withColumnRenamed("cui", "object_cui"), "object_cui", "left")
+            .withColumnRenamed("__ic", "obj_nodenorm_ic")
+        )
+    else:
+        out = out.withColumn("subj_nodenorm_ic", F.lit(None).cast("double"))
+        out = out.withColumn("obj_nodenorm_ic", F.lit(None).cast("double"))
+    if cui_idf is not None:
+        idf = cui_idf.select(F.col("cui"), F.col("value").alias("__idf"))
+        out = (
+            out.join(idf.withColumnRenamed("cui", "subject_cui"), "subject_cui", "left")
+            .withColumnRenamed("__idf", "subj_idf")
+            .join(idf.withColumnRenamed("cui", "object_cui"), "object_cui", "left")
+            .withColumnRenamed("__idf", "obj_idf")
+        )
+    else:
+        out = out.withColumn("subj_idf", F.lit(None).cast("double"))
+        out = out.withColumn("obj_idf", F.lit(None).cast("double"))
+    return out

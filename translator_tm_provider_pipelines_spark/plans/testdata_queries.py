@@ -3977,3 +3977,40 @@ def pr_uniprot_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators import trapi as trapi_ops
 
     return trapi_ops.pr_to_uniprot_map(obo.read_obo_terms(spark, _PR_FIXTURE))
+
+
+@register(
+    "semmed_bert_input",
+    f"""
+    WITH {_SEMMED_PRED_SQL}
+    SELECT predication_id,
+           '@CHEMICAL$' || substr(text, 5, 6) || '@DISEASE$' || substr(text, 16)
+             AS sentence
+    FROM pred
+    """,
+)
+def semmed_bert_input(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemmedDbMetadataRetriever.getSentenceWithPlaceholders:383-437 on the
+    same fabricated predications as ``semmed_token_stats``: subject and
+    object spans replaced by @CHEMICAL$/@DISEASE$ with the
+    later-entity-first substitution, expressed as one five-piece concat."""
+    from ..operators import semmed
+
+    src = (
+        _t(spark, sf_dir, "documents")
+        .where(F.col("n_chars") >= 40)
+        .select("doc_id", "text")
+    )
+    pred = src.select(
+        F.concat(F.lit("pr"), F.col("doc_id").cast("string")).alias("predication_id"),
+        F.col("text").alias("sentence"),
+        F.lit(100).alias("sent_start_index"),
+        F.substring("text", 1, 4).alias("subject_text"),
+        F.lit(100).alias("subject_start_index"),
+        F.lit(104).alias("subject_end_index"),
+        F.substring("text", 11, 5).alias("object_text"),
+        F.lit(110).alias("object_start_index"),
+        F.lit(115).alias("object_end_index"),
+    )
+    out, _errors = semmed.bert_input_sentences(pred)
+    return out
