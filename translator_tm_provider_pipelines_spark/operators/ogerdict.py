@@ -105,18 +105,19 @@ def is_case_sensitive(s: Column) -> Column:
 
 
 def transitive_descendants(
-    terms: DataFrame, root_ids: list[str]
+    terms: DataFrame, root_ids: list[str], driver_threshold: int = 1_000_000
 ) -> DataFrame:
     """CURIE ids of ``root_ids`` and every descendant via ``is_a``
     (``getExclusionClasses``, OgerDictFileFactory.java:262-276).
 
-    One distributed edge-list join per hierarchy level (depth ~10-30, so
-    a bounded number of cheap stages). Each level's frontier ids come
-    back to the driver — closures are dimension-sized by construction
-    (the old per-level ``F.broadcast(acc)`` collected the same ids to
-    the driver anyway to build the broadcast), and keeping the
-    accumulator as a plain set gives ONE flat job per level instead of a
-    persist/union lineage that deepens every iteration."""
+    Scale-adaptive: ontology edge lists are dimension tables, and for the
+    common case (≤ ``driver_threshold`` edges) the whole closure runs
+    driver-side off ONE collected edge list — one job total, versus one
+    job per hierarchy level. Giant hierarchies (NCBITaxon-scale) exceed
+    the threshold and take the level-wise distributed walk below, whose
+    per-level frontier ids come back to the driver anyway (the old
+    per-level ``F.broadcast(acc)`` did the same to build the broadcast).
+    """
     spark = terms.sparkSession
     edges = (
         terms.select(
@@ -128,6 +129,21 @@ def transitive_descendants(
         .persist()
     )
     try:
+        if driver_threshold:
+            head = edges.limit(driver_threshold + 1).collect()
+            if len(head) <= driver_threshold:
+                children: dict[str, list[str]] = {}
+                for r in head:
+                    children.setdefault(r.parent, []).append(r.child)
+                acc = set(root_ids)
+                stack = list(acc)
+                while stack:
+                    for c in children.get(stack.pop(), ()):
+                        if c not in acc:
+                            acc.add(c)
+                            stack.append(c)
+                return spark.createDataFrame([(r,) for r in sorted(acc)], "id string")
+
         acc: set[str] = set(root_ids)
         frontier = sorted(acc)
         while frontier:
@@ -624,14 +640,19 @@ CONFIGS: dict[str, OgerDictConfig] = {
 # ---------------------------------------------------------------------------
 
 
-def ancestor_pairs_for(terms: DataFrame, ids: DataFrame) -> DataFrame:
+def ancestor_pairs_for(
+    terms: DataFrame, ids: DataFrame, driver_threshold: int = 1_000_000
+) -> DataFrame:
     """(id, ancestor) pairs for the given ``ids`` (one ``id`` column) via
-    the ``is_a`` hierarchy — the walk goes UP from just the requested ids
-    (one distributed frontier join per level over a persisted edge list),
+    the ``is_a`` hierarchy — the walk goes UP from just the requested ids,
     so the closure cost scales with |ids| × depth, not with the whole
-    ontology. The per-level frontier pairs accumulate in a driver-side
-    set (candidate-scoped, bounded) — one flat job per level instead of
-    a persist/union lineage deepening every iteration."""
+    ontology.
+
+    Scale-adaptive like :func:`transitive_descendants`: up to
+    ``driver_threshold`` edges the collected edge list is walked
+    driver-side in one job; above it, one distributed frontier join per
+    level over the persisted edge list, per-level pairs accumulating in a
+    driver set (candidate-scoped, bounded)."""
     spark = terms.sparkSession
     edges = (
         terms.select(
@@ -641,6 +662,28 @@ def ancestor_pairs_for(terms: DataFrame, ids: DataFrame) -> DataFrame:
         .persist()
     )
     try:
+        if driver_threshold:
+            head = edges.limit(driver_threshold + 1).collect()
+            if len(head) <= driver_threshold:
+                parents: dict[str, list[str]] = {}
+                for r in head:
+                    parents.setdefault(r.child, []).append(r.parent)
+                want = [r.id for r in ids.select("id").distinct().collect()]
+                acc: set[tuple[str, str]] = set()
+                for i in want:
+                    stack = list(parents.get(i, ()))
+                    seen: set[str] = set()
+                    while stack:
+                        a = stack.pop()
+                        if a in seen:
+                            continue
+                        seen.add(a)
+                        acc.add((i, a))
+                        stack.extend(parents.get(a, ()))
+                return spark.createDataFrame(
+                    sorted(acc) or [], "id string, anc string"
+                )
+
         frontier = {
             (r.id, r.anc)
             for r in ids.join(edges, ids.id == edges.child)
