@@ -390,11 +390,21 @@ def connected_components(
     driver-side union-find on the collected edge list — identical output
     (min member id per component), one job instead of
     diameter × (join + count). Above the threshold, or with
-    ``driver_threshold=0``, the distributed loop runs."""
+    ``driver_threshold=0``, the distributed loop runs.
+
+    The threshold probe must not evaluate the (possibly expensive)
+    upstream twice: the pair frame is persisted, the probe's incremental
+    ``limit`` caches the partitions it scans, and a large graph reuses
+    that cache when the distributed path materializes the symmetric edge
+    checkpoint."""
+    from pyspark.storagelevel import StorageLevel
+
     e = pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
 
+    e_probe = None
     if driver_threshold:
-        head = e.limit(driver_threshold + 1).collect()
+        e_probe = e.persist(StorageLevel.MEMORY_AND_DISK)
+        head = e_probe.limit(driver_threshold + 1).collect()
         if len(head) <= driver_threshold:
             parent: dict = {}
 
@@ -415,9 +425,12 @@ def connected_components(
             nodes = {x for r in head for x in (r.a, r.b)}
             rows = [(n, find(n)) for n in sorted(nodes)]
             schema = e.schema["a"].dataType
+            e_probe.unpersist()
             return pairs.sparkSession.createDataFrame(
                 rows, f"node {schema.simpleString()}, component {schema.simpleString()}"
             )
+        e = e_probe
+
     # localCheckpoint (not persist): every round's frame references the
     # previous one, so a cached-but-unbroken lineage DOUBLES the logical
     # plan per iteration and analysis time alone goes exponential in the
@@ -426,6 +439,8 @@ def connected_components(
     edges = e.unionByName(
         e.select(F.col("b").alias("a"), F.col("a").alias("b"))
     ).distinct().localCheckpoint()
+    if e_probe is not None:
+        e_probe.unpersist()
     labels = (
         edges.select(F.col("a").alias("node"))
         .distinct()
