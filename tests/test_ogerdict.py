@@ -44,6 +44,15 @@ def test_transitive_descendants(spark, terms):
     assert ids == {"TEST:0008", "TEST:0004"}
     ids = {r.id for r in ogerdict.transitive_descendants(terms, ["TEST:0001"]).collect()}
     assert ids == {"TEST:0001", "TEST:0002"}
+    # the distributed level-walk (driver_threshold=0) must agree with the
+    # one-job driver walk
+    dist = {
+        r.id
+        for r in ogerdict.transitive_descendants(
+            terms, ["TEST:0001"], driver_threshold=0
+        ).collect()
+    }
+    assert dist == ids
 
 
 def test_builder_rule_chain(built):
@@ -174,6 +183,11 @@ def test_ancestor_pairs_for(spark):
         ("NCBITaxon:63221", "NCBITaxon:9605"),
         ("NCBITaxon:63221", "NCBITaxon:1"),
     }
+    dist = {
+        (r.id, r.anc)
+        for r in ogerdict.ancestor_pairs_for(terms, ids, driver_threshold=0).collect()
+    }
+    assert dist == anc
 
 
 def test_chebi_formula_and_complexity_filter(spark):
