@@ -308,11 +308,48 @@ def test_incorrect_reason_distribution(results):
     assert got["Entity boundary wrong"] == (1, 0.5)
 
 
+def test_incorrect_reason_designated_only_from_incorrect_rows(spark):
+    # Conflicting reviews where the CORRECT-marking session has the larger
+    # feedback_id: the reference's put only fires on incorrect rows
+    # (computeIncorrectReasonDistribution:171-175), so f1 must stay the
+    # designated session and f9's improvement checkbox must NOT count.
+    C, I = semmed.ASSERTION_CORRECT, semmed.ASSERTION_INCORRECT
+    rows = [
+        ("f1", "pr1", "a1", I, "TRUE"),
+        ("f1", "pr1", "a2", "Entity boundary wrong", "TRUE"),
+        ("f9", "pr1", "a3", C, "TRUE"),
+        ("f9", "pr1", "a4", "Could be more specific", "TRUE"),
+    ]
+    results = spark.createDataFrame(
+        rows,
+        "feedback_id string, predication_id string, answer_id string, "
+        "answer string, response string",
+    )
+    got = {r.answer: (r.n, r.fraction) for r in
+           semmed.incorrect_reason_distribution(results).collect()}
+    assert got == {I: (1, 1.0), "Entity boundary wrong": (1, 1.0)}
+
+
 def test_improvement_distribution(results):
     got = {r.answer: (r.n, r.fraction) for r in
            semmed.improvement_distribution(results, TEST_IDS).collect()}
     assert got[semmed.ASSERTION_CORRECT] == (1, 1.0)
     assert got["Could be more specific"] == (1, 1.0)
+
+
+def test_accuracy_by_subject_type_unknown_group(spark, results):
+    # A subject semtype in neither list makes the reference throw
+    # IllegalStateException; the engine surfaces it as UNKNOWN.
+    resolved = semmed.resolved_answers(results, TEST_IDS)
+    meta = spark.createDataFrame(
+        [("pr2", 1, 5, 2, "zzzz_dsyn")],
+        "predication_id string, intervening_token_count int, "
+        "sentence_token_count int, pmid_count long, sem_types string",
+    )
+    by_type = {r.subject_group: r for r in
+               semmed.accuracy_by_subject_type(resolved, meta).collect()}
+    assert set(by_type) == {"UNKNOWN"}
+    assert by_type["UNKNOWN"].n_correct == 1
 
 
 def test_accuracy_by_subject_type_and_complexity(spark, results):
@@ -351,6 +388,40 @@ def test_bert_input_sentences(spark, predications):
     assert got["pr1"] == "@CHEMICAL$ treats @DISEASE$ quickly"
     assert got["pr2"] == "@DISEASE$ treats @CHEMICAL$ quickly"
     assert {r.predication_id for r in errors.collect()} == {"pr3"}
+
+
+def _overlapping_predication(spark):
+    # subject 0..14 "aspirin treats", object 8..23 "treats headache":
+    # spans overlap, seg_end (8) < seg_start (14)
+    sent = "aspirin treats headache quickly"
+    return spark.createDataFrame([Row(
+        predication_id="pov", sentence=sent, sent_start_index=0,
+        subject_text="aspirin treats", subject_cui="C1", subject_semtype="phsu",
+        subject_start_index=0, subject_end_index=14,
+        object_text="treats headache", object_cui="D1", object_semtype="sosy",
+        object_start_index=8, object_end_index=23,
+    )])
+
+
+def test_intervening_token_stats_overlap_errors(spark):
+    pred = _overlapping_predication(spark)
+    pair_counts = spark.createDataFrame(
+        [("C1", "D1", 3)],
+        "subject_cui string, object_cui string, pmid_count long",
+    )
+    stats, errors = semmed.intervening_token_stats(pred, pair_counts)
+    assert stats.count() == 0
+    assert [(r.predication_id, r.error) for r in errors.collect()] == [
+        ("pov", "span_overlap")
+    ]
+
+
+def test_bert_input_sentences_overlap_errors(spark):
+    out, errors = semmed.bert_input_sentences(_overlapping_predication(spark))
+    assert out.count() == 0
+    assert [(r.predication_id, r.error) for r in errors.collect()] == [
+        ("pov", "span_overlap")
+    ]
 
 
 def test_enriched_metadata(spark):

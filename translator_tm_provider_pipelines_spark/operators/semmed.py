@@ -231,7 +231,12 @@ def intervening_token_stats(
 
     errors — the reference's error side-channel rows: ``text_mismatch``
     (spans don't reproduce the recorded text — the reference throws and
-    logs per line) and ``no_cui_key`` (pair absent from the PMID counts).
+    logs per line), ``span_overlap`` (seg_end < seg_start, i.e. the
+    subject/object spans overlap — the reference's segment
+    ``substring(segStart, segEnd)`` throws StringIndexOutOfBounds into the
+    same catch; checked AFTER text match, as the reference's mismatch
+    throw precedes the segment substring), and ``no_cui_key`` (pair
+    absent from the PMID counts).
 
     ``predications`` columns (the SemMedDB export projected to what the
     analysis reads): predication_id, sentence, sent_start_index,
@@ -260,13 +265,20 @@ def intervening_token_stats(
         F.concat_ws("_", "subject_semtype", "object_semtype").alias("sem_types"),
         (observed_subj == F.col("subject_text")).alias("__subj_ok"),
         (observed_obj == F.col("object_text")).alias("__obj_ok"),
+        (seg_end < seg_start).alias("__overlap"),
         java_space_token_count(segment).alias("intervening_token_count"),
         java_space_token_count(sent).alias("sentence_token_count"),
     )
     mismatches = staged.where(~(F.col("__subj_ok") & F.col("__obj_ok"))).select(
         "predication_id", F.lit("text_mismatch").alias("error")
     )
-    ok = staged.where(F.col("__subj_ok") & F.col("__obj_ok"))
+    overlaps = staged.where(
+        F.col("__subj_ok") & F.col("__obj_ok") & F.col("__overlap")
+    ).select("predication_id", F.lit("span_overlap").alias("error"))
+    mismatches = mismatches.unionByName(overlaps)
+    ok = staged.where(
+        F.col("__subj_ok") & F.col("__obj_ok") & ~F.col("__overlap")
+    )
     joined = ok.join(pair_pmid_counts, ["subject_cui", "object_cui"], "left")
     no_key = joined.where(F.col("pmid_count").isNull()).select(
         "predication_id", F.lit("no_cui_key").alias("error")
@@ -368,13 +380,30 @@ def _designated_feedback(
 ) -> DataFrame:
     """(predication_id, feedback_id): one designated feedback session per
     predication resolved to ``verdict``. The reference keeps whichever row
-    the file yields last (HashMap overwrite in file order —
-    computeIncorrectReasonDistribution:133-213); file order is an accident
-    of the export, so the engine designates max(feedback_id) —
-    deterministic under any row order, same cardinality."""
+    the file yields last (HashMap overwrite in file order); file order is
+    an accident of the export, so the engine designates max(feedback_id) —
+    deterministic under any row order, same cardinality.
+
+    WHICH rows compete differs by verdict, matching the reference's two
+    overwrite loops exactly:
+
+    - INCORRECT (computeIncorrectReasonDistribution:133-213): the ``put``
+      sits inside ``if (answer.equals(ASSERTION_INCORRECT))`` — only
+      incorrect-marking rows overwrite, so the designated session must
+      itself have marked the predication incorrect. Without this
+      restriction a conflicting correct-marking session with a larger
+      feedback_id would have its improvement checkboxes miscounted as
+      incorrect reasons.
+    - CORRECT (computeImprovementDistribution:214-341): the ``put`` runs
+      for EVERY row of a correct-resolved predication (the loop only gates
+      on the resolved verdict), so all of the predication's rows compete.
+    """
     keep = resolved.where(F.col("answer") == verdict).select("predication_id")
+    pool = results
+    if verdict == ASSERTION_INCORRECT:
+        pool = pool.where(F.col("answer") == verdict)
     return (
-        results.join(keep, "predication_id", "left_semi")
+        pool.join(keep, "predication_id", "left_semi")
         .groupBy("predication_id")
         .agg(F.max("feedback_id").alias("feedback_id"))
     )
@@ -438,7 +467,12 @@ def accuracy_by_subject_type(
     :func:`intervening_token_stats` output shape — subject type = the
     first ``_``-part of ``sem_types`` (getPredicationIdToMetadataMap
     :558-588). Predications without metadata are skipped, as the
-    reference logs-and-continues."""
+    reference logs-and-continues. A subject type in NEITHER list makes
+    the reference throw IllegalStateException
+    (computeSemmedAccuracyBySubjectType:398-404) — i.e. it never occurs
+    on reference data; the engine surfaces such rows as an explicit
+    ``UNKNOWN`` group (documented deviation: visible, not fatal) rather
+    than letting a NULL group silently absorb typo'd types."""
     subj = F.split(F.col("sem_types"), "_").getItem(0)
     grouped = resolved.join(
         metadata.select("predication_id", subj.alias("__st")), "predication_id"
@@ -446,6 +480,7 @@ def accuracy_by_subject_type(
         "answer",
         F.when(F.col("__st").isin(*CHEMICAL_TYPES), "CHEMICAL")
         .when(F.col("__st").isin(*TREATMENT_TYPES), "TREATMENT")
+        .otherwise("UNKNOWN")
         .alias("subject_group"),
     )
     return _group_accuracy(grouped, "subject_group")
@@ -519,7 +554,12 @@ def bert_input_sentences(
     span's offsets stay valid; building the output as a 5-piece concat
     (prefix + placeholder + middle + placeholder + suffix) has the same
     effect in one expression. Rows whose recorded entity text does not
-    match the span (the reference throws) land in the errors frame.
+    match the span (the reference throws) land in the errors frame as
+    ``text_mismatch``; rows whose subject/object spans OVERLAP land there
+    as ``span_overlap`` — in the reference the first replacement alters
+    the overlapped region so the second replacement's covered-text check
+    throws IllegalArgumentException (replaceEntityTextWithPlaceholder
+    :425-437), it never silently emits a corrupted sentence.
 
     Input columns as :func:`intervening_token_stats`; span indexes are
     document-level and rebased by ``sent_start_index``."""
@@ -552,14 +592,23 @@ def bert_input_sentences(
         second_ph,
         F.substring(sent, second_e + 1, F.length(sent) - second_e),
     )
+    overlap = second_s < first_e
     staged = predications.select(
         "predication_id",
         (subj_ok & obj_ok).alias("__ok"),
+        overlap.alias("__overlap"),
         replaced.alias("sentence"),
     )
-    out = staged.where(F.col("__ok")).select("predication_id", "sentence")
+    out = staged.where(F.col("__ok") & ~F.col("__overlap")).select(
+        "predication_id", "sentence"
+    )
     errors = staged.where(~F.col("__ok")).select(
         "predication_id", F.lit("text_mismatch").alias("error")
+    )
+    errors = errors.unionByName(
+        staged.where(F.col("__ok") & F.col("__overlap")).select(
+            "predication_id", F.lit("span_overlap").alias("error")
+        )
     )
     return out, errors
 
