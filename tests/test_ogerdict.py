@@ -279,3 +279,84 @@ def test_taxonomic_rank_exclusion(spark, tmp_path):
     assert "NCBITaxon:9606" in ids
     # rank subtree excluded via the (now matchable) excluded root
     assert "NCBITaxon:species" not in ids
+
+
+def test_drugbank_dictionary(spark):
+    syn = lambda *xs: list(xs)
+    rows_in = [
+        # plain drug: name + synonyms, 'Xy' too short (<3), 'the'
+        # stopworded, all-caps+digit synonym gets a Brca1-style alternate
+        ("DB00945", "Aspirin", "pain reliever",
+         syn("Acetylsalicylic acid", "Xy", "the", "BAY1019036")),
+        # description-based allergy rejection
+        ("DB99901", "Timothy grass", "allergenic extract of pollen", syn()),
+        ("DB99902", "Cow milk", "animal extract for testing", syn("milk")),
+        # record-level regex rejection: ANY synonym matching drops ALL
+        ("DB99903", "Bee venom", None, syn("apitoxin")),
+        ("DB99904", "Cod", None, syn("Cod liver oil")),
+        ("DB99905", "Ragweed", None, syn("Ragweed extract")),
+        # antivenom has no word boundary before 'venom' -> survives
+        ("DB99906", "Antivenom", None, syn("antivenom preparation")),
+        # excluded individual class
+        ("DB09145", "Water", None, syn("dihydrogen oxide")),
+    ]
+    drugs = spark.createDataFrame(
+        rows_in,
+        "drugbank_id string, name string, description string, synonyms array<string>",
+    )
+    out = ogerdict.drugbank_dictionary(drugs)
+    rows = {(r.concept_id, r.term): r for r in out.collect()}
+    terms_by_id = {}
+    for (cid, term), r in rows.items():
+        terms_by_id.setdefault(cid, set()).add(term)
+    assert terms_by_id["DRUGBANK:DB00945"] == {
+        "Aspirin", "Acetylsalicylic acid", "BAY1019036", "Bay1019036"
+    }
+    assert rows[("DRUGBANK:DB00945", "BAY1019036")].case_sensitive
+    assert rows[("DRUGBANK:DB00945", "Bay1019036")].case_sensitive
+    assert not rows[("DRUGBANK:DB00945", "Aspirin")].case_sensitive
+    assert rows[("DRUGBANK:DB00945", "Aspirin")].primary_label == "Aspirin"
+    assert rows[("DRUGBANK:DB00945", "Aspirin")].ont_key == "DrugBank"
+    assert rows[("DRUGBANK:DB00945", "Aspirin")].main_type == "drug"
+    assert terms_by_id.get("DRUGBANK:DB99906") == {"Antivenom", "antivenom preparation"}
+    for gone in ("DB99901", "DB99902", "DB99903", "DB99904", "DB99905", "DB09145"):
+        assert f"DRUGBANK:{gone}" not in terms_by_id
+
+
+def test_procedure_dictionary(spark):
+    rels = spark.createDataFrame(
+        [
+            (ogerdict.PROCEDURE_SNOMED_ID, "80146002"),   # appendectomy
+            (ogerdict.PROCEDURE_SNOMED_ID, "387713003"),  # excluded class
+            (ogerdict.PROCEDURE_SNOMED_ID, "363779003"),  # specific-filter target
+            ("138875005", "12345678"),                    # not under procedure root
+        ],
+        "supertype_id string, subtype_id string",
+    )
+    descs = spark.createDataFrame(
+        [
+            ("80146002", "Appendectomy"),
+            ("80146002", "Appendicectomy"),
+            ("80146002", "at"),           # stopword/short -> pruned
+            ("387713003", "operation"),   # excluded individual class
+            ("363779003", "genotype"),
+            ("363779003", "genotype determination"),
+            ("12345678", "not a procedure"),
+        ],
+        "concept_id string, term string",
+    )
+    out = ogerdict.procedure_dictionary(descs, rels)
+    got = {(r.concept_id, r.term) for r in out.collect()}
+    assert ("SNOMEDCT:80146002", "Appendectomy") in got
+    assert ("SNOMEDCT:80146002", "Appendicectomy") in got
+    assert not any(cid == "SNOMEDCT:387713003" for cid, _ in got)
+    assert not any(cid == "SNOMEDCT:12345678" for cid, _ in got)
+    assert ("SNOMEDCT:363779003", "genotype") in got  # specific filter OFF by default
+    # primary label = deterministic min over the raw synonym set
+    labels = {r.concept_id: r.primary_label for r in out.collect()}
+    assert labels["SNOMEDCT:80146002"] == "Appendectomy"
+
+    filtered = ogerdict.procedure_dictionary(descs, rels, apply_specific_filter=True)
+    got_f = {(r.concept_id, r.term) for r in filtered.collect()}
+    assert ("SNOMEDCT:363779003", "genotype") not in got_f
+    assert ("SNOMEDCT:363779003", "genotype determination") in got_f

@@ -849,6 +849,216 @@ def hgnc_dictionary(hgnc: DataFrame) -> DataFrame:
     )
 
 
+#: Individual Drugbank records excluded outright — allergy-test extracts and
+#: catch-all entries (DrugbankOgerDictFileFactory.java:31-49).
+DRUGBANK_EXCLUDED_CLASSES = (
+    "DRUGBANK:DB10415", "DRUGBANK:DB10633", "DRUGBANK:DB14245",
+    "DRUGBANK:DB14244", "DRUGBANK:DB10509", "DRUGBANK:DB10551",
+    "DRUGBANK:DB09393", "DRUGBANK:DB09145", "DRUGBANK:DB04540",
+    "DRUGBANK:DB11017", "DRUGBANK:DB10632", "DRUGBANK:DB12938",
+    "DRUGBANK:DB10519", "DRUGBANK:DB02891", "DRUGBANK:DB11577",
+    "DRUGBANK:DB10549", "DRUGBANK:DB10537", "DRUGBANK:DB10561",
+)
+
+#: Record-level rejection regexes: ANY synonym matching one of these drops
+#: the record's whole synonym set (DrugbankOgerDictFileFactory.java:118-133
+#: — the loop sets ``toReturn = emptySet`` on a match, it does not remove
+#: just the matching synonym).
+_DRUGBANK_REJECT_REGEXES = (
+    r"\b[Ee]xtracts?\b",
+    r"\b[Vv]enom\b",
+    r"\b[Dd]ander\b",
+    r"\b[Aa]llergenic\b",
+    r"\b[Ss]tomach\b",
+    r"\b[Ll]iver\b",
+)
+
+
+def _caps_alternates(rows: DataFrame) -> DataFrame:
+    """All-caps alternate forms (Brca1 for BRCA1) for case-sensitive terms
+    — getCaseSensitiveSynonyms, OgerDictFileFactory.java:145-171 — plus
+    the union with the input rows."""
+    alternates = rows.where(
+        F.col("case_sensitive") & F.col("term").rlike("^[A-Z]+[0-9]+$")
+    ).withColumn(
+        "term",
+        F.concat(F.substring("term", 1, 1), F.lower(F.substring("term", 2, 10_000))),
+    )
+    return rows.unionByName(alternates)
+
+
+def drugbank_dictionary(
+    drugs: DataFrame, stopwords: tuple[str, ...] = tuple(DEFAULT_STOPWORDS)
+) -> DataFrame:
+    """Drugbank record frame → OGER drug dictionary
+    (DrugbankOgerDictFileFactory.java:25-135).
+
+    ``drugs`` columns: ``drugbank_id`` (bare DBxxxxx accession), ``name``,
+    ``description`` (nullable), ``synonyms array<string>`` (nullable) —
+    the fields DrugbankXmlFileRecordReader yields that the factory reads.
+
+    Chain, in the reference's order:
+
+    1. drop records whose description contains ``allergenic`` or
+       ``animal extract`` (:66-71 — the allergy-test entries);
+    2. synonym set = drug name + synonyms (:73-82);
+    3. ``augmentSynonyms`` (:111-135): stopword removal (lowercase
+       compare), min term length 3, the 18 excluded individual classes,
+       and the record-level extract/venom/dander/allergenic/stomach/liver
+       regex rejection evaluated against the RAW synonym set;
+    4. case-sensitivity split + all-caps alternates;
+    5. emit with ``processId=false`` (:97-106) — the DRUGBANK CURIE is
+       used as-is and labels are only trimmed, never ``fixLabel``-ed.
+
+    Output schema matches :func:`build_oger_dictionary`; ``ont_key`` is
+    the reference's dict-line source column, ``DrugBank``. Scale: narrow
+    per-record array expressions, no joins, no shuffle before the final
+    ``distinct``."""
+    desc = F.coalesce(F.col("description"), F.lit(""))
+    kept = drugs.where(
+        ~(desc.contains("allergenic") | desc.contains("animal extract"))
+    )
+    cid = F.concat(F.lit("DRUGBANK:"), F.col("drugbank_id"))
+    kept = kept.where(~cid.isin(list(DRUGBANK_EXCLUDED_CLASSES)))
+
+    raw = F.array_distinct(
+        F.concat(
+            F.array(F.col("name")),
+            F.coalesce(F.col("synonyms"), F.array().cast("array<string>")),
+        )
+    )
+    reject_rx = "|".join(f"(?:{rx})" for rx in _DRUGBANK_REJECT_REGEXES)
+    kept = kept.where(~F.exists(raw, lambda x: x.rlike(reject_rx)))
+
+    sw = [w.lower() for w in stopwords]
+    syns = F.filter(raw, lambda x: ~F.lower(x).isin(sw))
+    syns = F.filter(syns, lambda x: F.length(x) >= 3)
+
+    rows = kept.select(
+        cid.alias("concept_id"),
+        F.col("name").alias("primary_label"),
+        F.explode(syns).alias("term"),
+    ).withColumn("case_sensitive", is_case_sensitive(F.col("term")))
+    rows = _caps_alternates(rows)
+    return rows.select(
+        F.lit("DrugBank").alias("ont_key"),
+        "concept_id",
+        F.trim("term").alias("term"),
+        F.trim("primary_label").alias("primary_label"),
+        F.lit("drug").alias("main_type"),
+        "case_sensitive",
+    ).distinct()
+
+
+#: SNOMED procedure concepts excluded outright — overly generic terms
+#: (ProcedureOgerDictFileFactory.java:170-260).
+PROCEDURE_EXCLUDED_CLASSES = (
+    "243114000", "10012005", "14788002", "119265000", "118629009",
+    "119271006", "122467006", "122465003", "122464004", "122869004",
+    "122546009", "122502001", "14509009", "1431002", "19207007",
+    "18629005", "183376001", "182832007", "169443000", "223482009",
+    "223458004", "21147007", "225313009", "225307000", "225414002",
+    "243115004", "233546007", "231097002", "229824005", "229494005",
+    "229169001", "250194009", "252628008", "2677003", "252886007",
+    "29513000", "28485005", "29703006", "304383000", "313556000",
+    "313402005", "33230000", "32750006", "35860002", "33879002",
+    "33747003", "363778006", "387713003", "386639001", "386476006",
+    "386453008", "386053000", "373784005", "39250009", "392230005",
+    "39857003", "410617001", "410614008", "410538000", "410025003",
+    "41902000", "4365001", "444635008", "67191004", "781087000",
+    "8378006", "91400004", "115979005", "115956009", "122545008",
+    "231287002", "229057006", "257941004",
+)
+
+#: Per-concept synonym drops the reference DEFINES but never calls
+#: (filterSpecificSynonyms, ProcedureOgerDictFileFactory.java:263-287 —
+#: the factory is marked "TODO: implement this" upstream and the method is
+#: dead code there). Exposed behind ``apply_specific_filter`` so a user
+#: can engage the evidently-intended behavior.
+PROCEDURE_SPECIFIC_SYNONYM_DROPS = (
+    ("363778006", "phenotype"),
+    ("386397008", "presence"),
+    ("363779003", "genotype"),
+    ("4365001", "repair"),
+    ("122501008", "fusion"),
+)
+
+#: SNOMED id of the 'procedure' root concept
+#: (ProcedureOgerDictFileFactory.java:30).
+PROCEDURE_SNOMED_ID = "71388002"
+
+
+def snomed_procedure_ids(
+    transitive_subclass: DataFrame, root_id: str = PROCEDURE_SNOMED_ID
+) -> DataFrame:
+    """(id) frame of procedure concept ids: subtype ids (column
+    ``subtype_id``) of rows whose ``supertype_id`` is the procedure root —
+    ProcedureOgerDictFileFactory.loadIdentifiers:52-74. The input is the
+    already-transitive SNOMED subclass-relations export, so no closure is
+    computed here; faithfully, the root itself is only included if the
+    export lists it as its own subtype."""
+    return (
+        transitive_subclass.where(F.col("supertype_id") == root_id)
+        .select(F.col("subtype_id").alias("id"))
+        .distinct()
+    )
+
+
+def procedure_dictionary(
+    descriptions: DataFrame,
+    transitive_subclass: DataFrame,
+    stopwords: tuple[str, ...] = tuple(DEFAULT_STOPWORDS),
+    apply_specific_filter: bool = False,
+) -> DataFrame:
+    """SNOMED descriptions + transitive-subclass relations → OGER
+    procedure dictionary (ProcedureOgerDictFileFactory.java:28-287; the
+    reference file is itself marked "TODO: implement this" upstream and
+    was never finished — this port covers the code that exists).
+
+    ``descriptions`` columns: ``concept_id`` (descriptions-file column 4),
+    ``term`` (column 7). ``transitive_subclass``: ``supertype_id``,
+    ``subtype_id``. Chain: keep concepts that are procedure descendants
+    (semi-join against :func:`snomed_procedure_ids` — the reference's
+    in-memory HashSet becomes a broadcast join), primary label = the
+    reference's ``synonyms.iterator().next()`` which is an ARBITRARY
+    HashSet element, made deterministic here as min(term) over the raw
+    set; then ``augmentSynonyms`` (stopwords, min length 3, excluded
+    individual classes :170-260), case split + alternates, emit with
+    ``processId=false``."""
+    proc_ids = snomed_procedure_ids(transitive_subclass)
+    rows = descriptions.select("concept_id", "term").join(
+        F.broadcast(proc_ids), F.col("concept_id") == F.col("id"), "left_semi"
+    )
+    # deterministic stand-in for the reference's arbitrary iterator().next()
+    # (taken from the RAW synonym set, before augmentSynonyms)
+    labels = rows.groupBy("concept_id").agg(F.min("term").alias("primary_label"))
+
+    rows = rows.where(~F.col("concept_id").isin(list(PROCEDURE_EXCLUDED_CLASSES)))
+    sw = [w.lower() for w in stopwords]
+    rows = rows.where(~F.lower("term").isin(sw)).where(F.length("term") >= 3)
+    if apply_specific_filter:
+        drops = F.broadcast(
+            rows.sparkSession.createDataFrame(
+                list(PROCEDURE_SPECIFIC_SYNONYM_DROPS), "concept_id string, term string"
+            )
+        )
+        rows = rows.join(drops, ["concept_id", "term"], "left_anti")
+
+    rows = (
+        rows.join(labels, "concept_id")
+        .withColumn("case_sensitive", is_case_sensitive(F.col("term")))
+    )
+    rows = _caps_alternates(rows)
+    return rows.select(
+        F.lit("SNOMEDCT").alias("ont_key"),
+        F.concat(F.lit("SNOMEDCT:"), F.col("concept_id")).alias("concept_id"),
+        F.trim("term").alias("term"),
+        F.trim("primary_label").alias("primary_label"),
+        F.lit("procedure").alias("main_type"),
+        "case_sensitive",
+    ).distinct()
+
+
 def chemical_label_dictionary(labels: DataFrame) -> DataFrame:
     """MolePro (pubchem_id, label) rows → dictionary rows with the
     reference's label cleanup (processChemicalLabel :484-545): drop

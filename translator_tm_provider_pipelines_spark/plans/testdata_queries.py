@@ -4014,3 +4014,179 @@ def semmed_bert_input(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out, _errors = semmed.bert_input_sentences(pred)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Drugbank + SNOMED-procedure OGER dictionaries
+# (oger/dict/DrugbankOgerDictFileFactory.java,
+#  oger/dict/ProcedureOgerDictFileFactory.java)
+# ---------------------------------------------------------------------------
+
+from ..operators import ogerdict as _ogd
+
+_DRUGBANK_EXCL_IN = ", ".join(
+    f"'{c}'" for c in _ogd.DRUGBANK_EXCLUDED_CLASSES
+)
+
+_DRUGBANK_REJECT_SQL = (
+    r"(?:\b[Ee]xtracts?\b)|(?:\b[Vv]enom\b)|(?:\b[Dd]ander\b)"
+    r"|(?:\b[Aa]llergenic\b)|(?:\b[Ss]tomach\b)|(?:\b[Ll]iver\b)"
+)
+
+
+@register(
+    "drugbank_dictionary",
+    f"""
+    WITH drugs AS (
+      SELECT 'DB' || lpad(cast(p_partkey AS varchar), 5, '0') AS drugbank_id,
+             p_name AS name,
+             CASE WHEN p_partkey % 17 = 0 THEN 'allergenic extract for testing'
+                  WHEN p_partkey % 23 = 0 THEN 'animal extract preparation'
+                  ELSE p_brand END AS description,
+             [p_brand, upper(string_split(p_name, ' ')[1]),
+              CASE WHEN p_partkey % 19 = 0 THEN 'dried venom powder' ELSE p_type END,
+              'the', 'Xy'] AS synonyms
+      FROM part
+    ),
+    kept AS (
+      SELECT 'DRUGBANK:' || drugbank_id AS concept_id, name,
+             list_distinct(list_concat([name], synonyms)) AS raw
+      FROM drugs
+      WHERE NOT (contains(description, 'allergenic')
+                 OR contains(description, 'animal extract'))
+        AND 'DRUGBANK:' || drugbank_id NOT IN ({_DRUGBANK_EXCL_IN})
+    ),
+    norej AS (
+      SELECT * FROM kept
+      WHERE len(list_filter(raw, s -> regexp_matches(s, '{_DRUGBANK_REJECT_SQL}'))) = 0
+    ),
+    expl AS (
+      SELECT concept_id, name AS primary_label,
+             unnest(list_filter(
+               list_filter(raw, s -> NOT list_contains([{_STOPWORD_IN}], lower(s))),
+               s -> length(s) >= 3)) AS term
+      FROM norej
+    ),
+    flagged AS (
+      SELECT concept_id, primary_label, term, {_SQL_IS_CS} AS case_sensitive
+      FROM expl
+    ),
+    withalts AS (
+      SELECT * FROM flagged
+      UNION ALL
+      SELECT concept_id, primary_label,
+             substr(term, 1, 1) || lower(substr(term, 2)) AS term, true AS case_sensitive
+      FROM flagged WHERE case_sensitive AND regexp_matches(term, '^[A-Z]+[0-9]+$')
+    )
+    SELECT DISTINCT 'DrugBank' AS ont_key, concept_id, trim(term) AS term,
+           trim(primary_label) AS primary_label, 'drug' AS main_type, case_sensitive
+    FROM withalts
+    """,
+)
+def drugbank_dictionary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DrugbankOgerDictFileFactory.java:25-135 on Drugbank-shaped records
+    fabricated from ``part``: description-based allergy rejection
+    (allergenic / animal extract), record-level synonym regex rejection
+    (a 'venom' synonym drops the whole record), stopword + min-length-3
+    pruning, excluded individual classes, case split with all-caps
+    alternates — value-checked against a DuckDB twin of the full chain."""
+    p = _t(spark, sf_dir, "part")
+    drugs = p.select(
+        F.concat(
+            F.lit("DB"), F.lpad(F.col("p_partkey").cast("string"), 5, "0")
+        ).alias("drugbank_id"),
+        F.col("p_name").alias("name"),
+        F.when(F.col("p_partkey") % 17 == 0, "allergenic extract for testing")
+        .when(F.col("p_partkey") % 23 == 0, "animal extract preparation")
+        .otherwise(F.col("p_brand"))
+        .alias("description"),
+        F.array(
+            F.col("p_brand"),
+            F.upper(F.split("p_name", " ").getItem(0)),
+            F.when(F.col("p_partkey") % 19 == 0, F.lit("dried venom powder"))
+            .otherwise(F.col("p_type")),
+            F.lit("the"),
+            F.lit("Xy"),
+        ).alias("synonyms"),
+    )
+    return _ogd.drugbank_dictionary(drugs)
+
+
+_PROCEDURE_EXCL_IN = ", ".join(
+    f"'{c}'" for c in _ogd.PROCEDURE_EXCLUDED_CLASSES
+)
+
+
+@register(
+    "procedure_dictionary",
+    f"""
+    WITH s AS (SELECT s_suppkey, s_name FROM supplier),
+    proc_ids AS (
+      SELECT DISTINCT cast(s_suppkey AS varchar) AS id FROM s WHERE s_suppkey % 3 = 0
+    ),
+    descs AS (
+      SELECT cast(s_suppkey AS varchar) AS concept_id,
+             unnest([s_name, lower(s_name),
+                     'PROC' || cast(s_suppkey % 50 AS varchar), 'on', 'xy']) AS term
+      FROM s
+    ),
+    kept AS (
+      SELECT d.concept_id, d.term FROM descs d JOIN proc_ids p ON d.concept_id = p.id
+    ),
+    labels AS (
+      SELECT concept_id, min(term) AS primary_label FROM kept GROUP BY 1
+    ),
+    pruned AS (
+      SELECT * FROM kept
+      WHERE concept_id NOT IN ({_PROCEDURE_EXCL_IN})
+        AND NOT list_contains([{_STOPWORD_IN}], lower(term))
+        AND length(term) >= 3
+    ),
+    flagged AS (
+      SELECT p.concept_id, l.primary_label, p.term, {_SQL_IS_CS} AS case_sensitive
+      FROM pruned p JOIN labels l USING (concept_id)
+    ),
+    withalts AS (
+      SELECT * FROM flagged
+      UNION ALL
+      SELECT concept_id, primary_label,
+             substr(term, 1, 1) || lower(substr(term, 2)) AS term, true AS case_sensitive
+      FROM flagged WHERE case_sensitive AND regexp_matches(term, '^[A-Z]+[0-9]+$')
+    )
+    SELECT DISTINCT 'SNOMEDCT' AS ont_key, 'SNOMEDCT:' || concept_id AS concept_id,
+           trim(term) AS term, trim(primary_label) AS primary_label,
+           'procedure' AS main_type, case_sensitive
+    FROM withalts
+    """,
+)
+def procedure_dictionary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ProcedureOgerDictFileFactory.java:28-287 on SNOMED-shaped frames
+    fabricated from ``supplier``: every third supplier is a descendant of
+    the procedure root in the transitive-subclass relation, descriptions
+    supply the synonym rows (name, lowercased name, an all-caps+digits
+    token that takes the Brca1-style alternate, a stopword and a
+    too-short term), primary label is the deterministic min over the raw
+    synonym set, then the shared augment/case-split chain. Value-checked
+    against a DuckDB twin."""
+    s = _t(spark, sf_dir, "supplier")
+    rels = s.select(
+        F.when(
+            F.col("s_suppkey") % 3 == 0, F.lit(_ogd.PROCEDURE_SNOMED_ID)
+        )
+        .otherwise(F.lit("138875005"))
+        .alias("supertype_id"),
+        F.col("s_suppkey").cast("string").alias("subtype_id"),
+    )
+    descs = s.select(
+        F.col("s_suppkey").cast("string").alias("concept_id"),
+        F.explode(
+            F.array(
+                F.col("s_name"),
+                F.lower(F.col("s_name")),
+                F.concat(F.lit("PROC"), (F.col("s_suppkey") % 50).cast("string")),
+                F.lit("on"),
+                F.lit("xy"),
+            )
+        ).alias("term"),
+    )
+    return _ogd.procedure_dictionary(descs, rels)
