@@ -95,6 +95,40 @@ def test_lsh_bucket_cap(spark):
     assert capped.count() == 1  # the 5-doc bucket is dropped, the pair stays
 
 
+def test_bucket_cap_reaches_end_to_end_api(spark):
+    # The boilerplate-bucket guard must be engageable from the end-to-end
+    # near_duplicates / near_dup_keep_list API, not just lsh_candidate_pairs:
+    # 40 identical boilerplate docs form one pathological bucket; an
+    # unrelated near-dup pair must still dedup when the bucket is dropped.
+    from translator_tm_provider_pipelines_spark.operators import dedup
+
+    boiler = "this exact same boilerplate footer text repeats everywhere verbatim"
+    rows = [(f"b{i:02d}", boiler) for i in range(40)] + [
+        ("x1", "the quick brown fox jumps over the lazy dog near the river"),
+        ("x2", "the quick brown fox jumps over the lazy dog near the riverbank"),
+        ("solo", "completely unrelated text about spark physical plans and shuffles"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id string, text string")
+
+    uncapped = dedup.near_duplicates(docs, threshold=0.5)
+    capped = dedup.near_duplicates(docs, threshold=0.5, max_bucket_size=10)
+    un_pairs = {(r.doc_a, r.doc_b) for r in uncapped.collect()}
+    cap_pairs = {(r.doc_a, r.doc_b) for r in capped.collect()}
+    assert ("x1", "x2") in un_pairs and ("x1", "x2") in cap_pairs
+    assert any(a.startswith("b") for a, _ in un_pairs)
+    assert not any(a.startswith("b") or b.startswith("b") for a, b in cap_pairs)
+    # output otherwise identical: dropping the bucket only removes b-pairs
+    assert cap_pairs == {(a, b) for a, b in un_pairs
+                         if not (a.startswith("b") or b.startswith("b"))}
+
+    keep = {r.doc_id: r for r in
+            dedup.near_dup_keep_list(docs, threshold=0.5, max_bucket_size=10).collect()}
+    assert all(keep[f"b{i:02d}"].is_kept for i in range(40))  # bucket dropped
+    assert keep["x1"].is_kept and not keep["x2"].is_kept
+    assert keep["x2"].canonical_id == "x1"
+    assert keep["solo"].is_kept
+
+
 def test_lsh_band_join_not_ambiguous(spark):
     # variable-length decimal sig values must hash with a separator:
     # without one, ('123','45','6','789') and ('12','3456','78','9') both

@@ -284,9 +284,15 @@ def near_duplicates(
     text_col: str = "text",
     id_col: str = "doc_id",
     persist: bool = False,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """MinHash-LSH near-dup pipeline: shingle → signature → bands →
     candidates → exact-Jaccard filter ≥ threshold.
+
+    ``max_bucket_size`` reaches :func:`lsh_candidate_pairs` — the
+    operational guard for pathological boilerplate buckets (one wide
+    bucket row AQE cannot split at 100 TB): buckets above the cap are
+    dropped before pair expansion. ``None`` keeps every bucket.
 
     Candidate generation runs on the zero-shuffle
     :func:`minhash_signatures_doc` path (never touches the shingle
@@ -305,7 +311,9 @@ def near_duplicates(
     sig = minhash_signatures_doc(
         docs, k=k, num_perms=num_perms, text_col=text_col, id_col=id_col
     )
-    cands = lsh_candidate_pairs(lsh_bands(sig, rows_per_band))
+    cands = lsh_candidate_pairs(
+        lsh_bands(sig, rows_per_band), max_bucket_size=max_bucket_size
+    )
     cand_ids = cands.select(
         F.explode(F.array("doc_a", "doc_b")).alias("__cand_id")
     ).distinct()
@@ -482,13 +490,17 @@ def near_dup_keep_list(
     rows_per_band: int = 4,
     text_col: str = "text",
     id_col: str = "doc_id",
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """The dedup pass's end product: (doc_id, canonical_id, is_kept) for
     EVERY document — near-duplicate clusters (MinHash-LSH candidates,
     exact-Jaccard verification, connected components over the surviving
     pairs) collapse to their minimum-id member; untouched documents keep
     themselves. Filter ``is_kept`` to materialize the deduplicated
-    corpus; group by ``canonical_id`` to audit cluster sizes."""
+    corpus; group by ``canonical_id`` to audit cluster sizes.
+    ``max_bucket_size`` passes through to :func:`lsh_candidate_pairs` —
+    members of dropped over-cap boilerplate buckets (absent other
+    surviving pairs) keep themselves."""
     pairs = near_duplicates(
         docs,
         threshold=threshold,
@@ -497,6 +509,7 @@ def near_dup_keep_list(
         rows_per_band=rows_per_band,
         text_col=text_col,
         id_col=id_col,
+        max_bucket_size=max_bucket_size,
     )
     comp = connected_components(pairs)
     out = docs.select(F.col(id_col).alias("doc_id")).join(
