@@ -360,3 +360,28 @@ def test_procedure_dictionary(spark):
     got_f = {(r.concept_id, r.term) for r in filtered.collect()}
     assert ("SNOMEDCT:363779003", "genotype") not in got_f
     assert ("SNOMEDCT:363779003", "genotype determination") in got_f
+
+
+def test_distributed_closure_never_collects_to_driver(spark, terms, monkeypatch):
+    """Above the driver threshold the closure walk must be fully
+    distributed: no DataFrame.collect / toPandas of frontier rows
+    (VERDICT r3 item 4 — per-level driver roundtrips don't survive
+    NCBITaxon-scale inputs). Only the isEmpty termination probe and the
+    final caller-side collect are allowed."""
+    from pyspark.sql import DataFrame
+
+    real_collect = DataFrame.collect
+
+    def forbidden(self):
+        raise AssertionError("driver-side collect inside distributed closure")
+
+    monkeypatch.setattr(DataFrame, "collect", forbidden)
+    monkeypatch.setattr(DataFrame, "toPandas", forbidden, raising=False)
+    try:
+        desc = ogerdict.transitive_descendants(terms, ["TEST:0001"], driver_threshold=0)
+        ids = spark.createDataFrame([("TEST:0002",)], "id string")
+        anc = ogerdict.ancestor_pairs_for(terms, ids, driver_threshold=0)
+    finally:
+        monkeypatch.setattr(DataFrame, "collect", real_collect)
+    assert {r.id for r in desc.collect()} == {"TEST:0001", "TEST:0002"}
+    assert {(r.id, r.anc) for r in anc.collect()} == {("TEST:0002", "TEST:0001")}

@@ -114,9 +114,11 @@ def transitive_descendants(
     common case (≤ ``driver_threshold`` edges) the whole closure runs
     driver-side off ONE collected edge list — one job total, versus one
     job per hierarchy level. Giant hierarchies (NCBITaxon-scale) exceed
-    the threshold and take the level-wise distributed walk below, whose
-    per-level frontier ids come back to the driver anyway (the old
-    per-level ``F.broadcast(acc)`` did the same to build the broadcast).
+    the threshold and take a FULLY distributed level-wise walk: each
+    level is one join + anti-join + localCheckpoint (the same shape as
+    ``dedup.connected_components``), and no frontier ids ever round-trip
+    through the driver — the only per-level driver traffic is the
+    ``isEmpty`` termination probe.
     """
     spark = terms.sparkSession
     edges = (
@@ -144,22 +146,22 @@ def transitive_descendants(
                             stack.append(c)
                 return spark.createDataFrame([(r,) for r in sorted(acc)], "id string")
 
-        acc: set[str] = set(root_ids)
-        frontier = sorted(acc)
-        while frontier:
-            fdf = F.broadcast(
-                spark.createDataFrame([(r,) for r in frontier], "id string")
-            )
-            nxt = {
-                r.child
-                for r in edges.join(fdf, edges.parent == fdf.id)
-                .select("child")
+        acc = spark.createDataFrame(
+            [(r,) for r in sorted(set(root_ids))], "id string"
+        ).localCheckpoint()
+        frontier = acc
+        while True:
+            nxt = (
+                edges.join(frontier, edges.parent == frontier.id, "left_semi")
+                .select(F.col("child").alias("id"))
                 .distinct()
-                .collect()
-            }
-            frontier = sorted(nxt - acc)
-            acc |= nxt
-        return spark.createDataFrame([(r,) for r in sorted(acc)], "id string")
+                .join(acc, "id", "left_anti")
+                .localCheckpoint()
+            )
+            if nxt.isEmpty():
+                return acc
+            acc = acc.unionByName(nxt).localCheckpoint()
+            frontier = nxt
     finally:
         edges.unpersist()
 
@@ -650,9 +652,10 @@ def ancestor_pairs_for(
 
     Scale-adaptive like :func:`transitive_descendants`: up to
     ``driver_threshold`` edges the collected edge list is walked
-    driver-side in one job; above it, one distributed frontier join per
-    level over the persisted edge list, per-level pairs accumulating in a
-    driver set (candidate-scoped, bounded)."""
+    driver-side in one job; above it, one distributed frontier join +
+    anti-join + localCheckpoint per level over the persisted edge list —
+    no pair ever round-trips through the driver, only the per-level
+    ``isEmpty`` termination probe."""
     spark = terms.sparkSession
     edges = (
         terms.select(
@@ -684,28 +687,24 @@ def ancestor_pairs_for(
                     sorted(acc) or [], "id string, anc string"
                 )
 
-        frontier = {
-            (r.id, r.anc)
-            for r in ids.join(edges, ids.id == edges.child)
+        frontier = (
+            ids.join(edges, ids.id == edges.child)
             .select(ids.id, edges.parent.alias("anc"))
             .distinct()
-            .collect()
-        }
-        acc: set[tuple[str, str]] = set(frontier)
-        while frontier:
-            fdf = F.broadcast(
-                spark.createDataFrame(sorted(frontier), "id string, anc string")
-            )
-            nxt = {
-                (r.id, r.anc)
-                for r in fdf.join(edges, fdf.anc == edges.child)
-                .select(fdf.id, edges.parent.alias("anc"))
+            .localCheckpoint()
+        )
+        acc = frontier
+        while not frontier.isEmpty():
+            nxt = (
+                frontier.join(edges, frontier.anc == edges.child)
+                .select(frontier.id, edges.parent.alias("anc"))
                 .distinct()
-                .collect()
-            }
-            frontier = nxt - acc
-            acc |= nxt
-        return spark.createDataFrame(sorted(acc), "id string, anc string")
+                .join(acc, ["id", "anc"], "left_anti")
+                .localCheckpoint()
+            )
+            acc = acc.unionByName(nxt).localCheckpoint()
+            frontier = nxt
+        return acc
     finally:
         edges.unpersist()
 
