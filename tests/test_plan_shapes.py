@@ -196,3 +196,38 @@ def test_semmed_idf_partial_aggregation(spark):
     # cui shuffle
     p = plan_text(spark, "semmed_cui_idf")
     assert "partial_count" in p or "partial_aggregation" in p.lower()
+
+
+def test_star_components_long_chain_logarithmic(spark):
+    # A 10k-node path graph has diameter 9999: min-label propagation would
+    # need ~10k rounds, the alternating star iteration must finish inside
+    # max_iter=30 (O(log n)) with every node labeled by the chain minimum.
+    from translator_tm_provider_pipelines_spark.operators import dedup
+
+    n = 10_000
+    pairs = spark.createDataFrame(
+        [(f"n{i:05d}", f"n{i + 1:05d}") for i in range(n - 1)],
+        "doc_a string, doc_b string",
+    )
+    comp = dedup.connected_components_star(pairs, max_iter=30).collect()
+    assert len(comp) == n
+    assert {r.component for r in comp} == {"n00000"}
+
+
+def test_star_components_agree_with_label_propagation(spark):
+    from translator_tm_provider_pipelines_spark.operators import dedup
+
+    # several clusters incl. a chain, a triangle, reversed edge order
+    edges = [
+        ("b", "a"), ("b", "c"), ("c", "d"),      # chain with min 'a'
+        ("x", "y"), ("y", "z"), ("z", "x"),      # triangle
+        ("q", "p"),                               # simple pair
+    ]
+    pairs = spark.createDataFrame(edges, "doc_a string, doc_b string")
+    star = {(r.node, r.component)
+            for r in dedup.connected_components_star(pairs).collect()}
+    label = {(r.node, r.component)
+             for r in dedup.connected_components(pairs, driver_threshold=0).collect()}
+    driver = {(r.node, r.component)
+              for r in dedup.connected_components(pairs).collect()}
+    assert star == label == driver
