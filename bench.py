@@ -6,6 +6,12 @@ JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 Each query is fully materialized with the noop sink (no driver collect, no
 result-size bias). First query absorbs session/JIT warmup; a tiny warmup
 query runs first to keep that out of the measurements.
+
+Correctness coverage: this benches EVERY registered query. The round
+driver's CORRECTNESS_r*.json only value-checks a 50-query subset frozen at
+the round-2 registry; `scripts/oracle_check.py` is the authoritative
+value-level sweep over the full registry (see README "Coverage note" for
+the sweep-only list).
 """
 
 from __future__ import annotations
