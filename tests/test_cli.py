@@ -516,3 +516,41 @@ def test_semmed_eval_runner(spark, tmp_path):
     row = acc.collect()[0]
     assert int(row.n_correct) == 1 and int(row.n_incorrect) == 1
     assert float(row.accuracy) == 0.5
+
+
+def test_dictionary_dict_build_runners(spark, tmp_path):
+    out = str(tmp_path)
+    drugs = spark.createDataFrame(
+        [("DB00945", "Aspirin", "pain reliever", ["Acetylsalicylic acid"]),
+         ("DB99903", "Bee venom", None, ["apitoxin"])],
+        "drugbank_id string, name string, description string, synonyms array<string>",
+    )
+    drugs.write.parquet(f"{out}/drugs")
+    cli.main([
+        "DRUGBANK_DICT_BUILD", "--drugs", f"{out}/drugs",
+        "--output", f"{out}/dbdict",
+    ])
+    d = spark.read.parquet(f"{out}/dbdict")
+    assert {r.concept_id for r in d.collect()} == {"DRUGBANK:DB00945"}
+
+    descs = spark.createDataFrame(
+        [("80146002", "Appendectomy"), ("363779003", "genotype"),
+         ("12345678", "not a procedure")],
+        "concept_id string, term string",
+    )
+    rels = spark.createDataFrame(
+        [("71388002", "80146002"), ("71388002", "363779003")],
+        "supertype_id string, subtype_id string",
+    )
+    descs.write.parquet(f"{out}/descs")
+    rels.write.parquet(f"{out}/rels")
+    cli.main([
+        "PROCEDURE_DICT_BUILD", "--descriptions", f"{out}/descs",
+        "--relations", f"{out}/rels", "--applySpecificFilter",
+        "--output", f"{out}/procdict",
+    ])
+    pd_ = spark.read.parquet(f"{out}/procdict")
+    got = {(r.concept_id, r.term) for r in pd_.collect()}
+    assert ("SNOMEDCT:80146002", "Appendectomy") in got
+    assert ("SNOMEDCT:363779003", "genotype") not in got  # specific filter on
+    assert not any(c == "SNOMEDCT:12345678" for c, _ in got)

@@ -665,6 +665,45 @@ def run_oger_dict_build(spark: SparkSession, argv: list[str]) -> None:
     d.write.mode("overwrite").parquet(ns.output)
 
 
+def run_drugbank_dict_build(spark: SparkSession, argv: list[str]) -> None:
+    """DRUGBANK_DICT_BUILD (oger/dict/DrugbankOgerDictFileFactory.java:25-135):
+    Drugbank-record parquet (drugbank_id, name, description,
+    synonyms array<string>) → drug match dictionary."""
+    from .operators import ogerdict
+
+    p = argparse.ArgumentParser(prog="DRUGBANK_DICT_BUILD")
+    p.add_argument("--drugs", required=True, help="Drugbank-record parquet")
+    p.add_argument("--output", required=True)
+    ns = p.parse_args(argv)
+    d = ogerdict.drugbank_dictionary(spark.read.parquet(ns.drugs))
+    d.write.mode("overwrite").parquet(ns.output)
+
+
+def run_procedure_dict_build(spark: SparkSession, argv: list[str]) -> None:
+    """PROCEDURE_DICT_BUILD (oger/dict/ProcedureOgerDictFileFactory.java:28-287):
+    SNOMED descriptions parquet (concept_id, term) + transitive-subclass
+    relations parquet (supertype_id, subtype_id) → procedure dictionary."""
+    from .operators import ogerdict
+
+    p = argparse.ArgumentParser(prog="PROCEDURE_DICT_BUILD")
+    p.add_argument("--descriptions", required=True, help="(concept_id, term) parquet")
+    p.add_argument(
+        "--relations", required=True, help="(supertype_id, subtype_id) parquet"
+    )
+    p.add_argument(
+        "--applySpecificFilter", action="store_true",
+        help="engage the reference's dead-code per-concept synonym drops",
+    )
+    p.add_argument("--output", required=True)
+    ns = p.parse_args(argv)
+    d = ogerdict.procedure_dictionary(
+        spark.read.parquet(ns.descriptions),
+        spark.read.parquet(ns.relations),
+        apply_specific_filter=ns.applySpecificFilter,
+    )
+    d.write.mode("overwrite").parquet(ns.output)
+
+
 def run_ontology_to_kgx(spark: SparkSession, argv: list[str]) -> None:
     """ONTOLOGY_TO_KGX (kg/OntologyToKgx): OBO ontology → KGX node/edge
     tables with biolink categories and association types."""
@@ -1007,6 +1046,8 @@ PIPELINES: dict[str, Callable[[SparkSession, list[str]], None]] = {
     "DEPENDENCY_PARSE_IMPORT": run_dependency_parse_import,
     "DOC_TEXT_AUGMENTATION": run_doc_text_augmentation,
     "OGER_DICT_BUILD": run_oger_dict_build,
+    "DRUGBANK_DICT_BUILD": run_drugbank_dict_build,
+    "PROCEDURE_DICT_BUILD": run_procedure_dict_build,
     "ONTOLOGY_TO_KGX": run_ontology_to_kgx,
     "TRAPI_SERIALIZE": run_trapi_serialize,
     "BRAT_TO_BERT": run_brat_to_bert,
