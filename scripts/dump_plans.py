@@ -25,6 +25,8 @@ SHOWCASE = {
     "dictionary_ner": "broadcast-hash dictionary matcher",
     "semmed_cui_idf": "partial aggregation before the cui shuffle",
     "universal_input_join": "one scan for all criteria + doc_id-keyed joins",
+    "drugbank_dictionary": "single-Exchange narrow rule chain (one distinct shuffle)",
+    "procedure_dictionary": "broadcast procedure-id semi-join; dimension-sized aggregations",
 }
 
 KEEP = re.compile(
