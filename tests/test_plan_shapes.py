@@ -231,3 +231,17 @@ def test_star_components_agree_with_label_propagation(spark):
     driver = {(r.node, r.component)
               for r in dedup.connected_components(pairs).collect()}
     assert star == label == driver
+
+
+def test_ner_token_chain_single_exchange_and_sort(spark):
+    # tokenize → n-gram → broadcast-dict match: the corpus-side token
+    # relation must shuffle ONCE (hashpartitioning on doc_id) and sort
+    # ONCE — the n-gram lead window orders by the tokenizer's part_idx so
+    # it reuses the offset windows' sort (round-4 fix: ordering by the
+    # derived tok_idx inserted a second Sort and kept an otherwise-pruned
+    # row_number window alive)
+    p = plan_text(spark, "dictionary_ner")
+    # one corpus-side shuffle on doc_id; the other hash exchange is the
+    # dimension-sized dictionary distinct feeding the broadcast
+    assert p.count("Exchange hashpartitioning(doc_id") == 1
+    assert p.count("+- Sort") == 1

@@ -32,11 +32,17 @@ _TOKEN = r"[A-Za-z0-9]+"
 def tokenize_with_offsets(
     docs: DataFrame, doc_id: str = "doc_id", text: str = "content"
 ) -> DataFrame:
-    """(doc_id, text) → (doc_id, tok_idx, start, end, token), spans exact.
+    """(doc_id, text) → (doc_id, part_idx, tok_idx, start, end, token),
+    spans exact.
 
     Marker characters are inserted around every ``[A-Za-z0-9]+`` run; the
     split parts concatenate back to the original text, so offsets are the
-    cumulative part lengths; token rows are the parts that are token runs."""
+    cumulative part lengths; token rows are the parts that are token runs.
+
+    ``part_idx`` is the physical order column the offset windows sorted
+    by; downstream windows that order by it (instead of the derived
+    ``tok_idx``) reuse that sort, so the whole tokenize→n-gram chain
+    costs ONE Exchange and ONE Sort of the token relation."""
     marked = F.regexp_replace(F.col(text), f"({_TOKEN})", _RS + "$1" + _RS)
     parts = docs.select(
         F.col(doc_id).alias("doc_id"),
@@ -61,6 +67,7 @@ def tokenize_with_offsets(
     w2 = Window.partitionBy("doc_id").orderBy("part_idx")
     return toks.select(
         "doc_id",
+        "part_idx",
         (F.row_number().over(w2) - 1).alias("tok_idx"),
         "start",
         "end",
@@ -88,7 +95,9 @@ def dictionary_concept_recognition(
     toks = tokenize_with_offsets(docs, doc_id=doc_id, text=text)
     norm = (lambda c: F.lower(c)) if case_insensitive else (lambda c: c)
 
-    w = Window.partitionBy("doc_id").orderBy("tok_idx")
+    # order by part_idx (same order as tok_idx): the tokenizer's windows
+    # sorted on it already, so this window adds NO extra Sort
+    w = Window.partitionBy("doc_id").orderBy("part_idx")
     grams = toks.select(
         "doc_id",
         "start",
