@@ -245,3 +245,29 @@ def test_ner_token_chain_single_exchange_and_sort(spark):
     # dimension-sized dictionary distinct feeding the broadcast
     assert p.count("Exchange hashpartitioning(doc_id") == 1
     assert p.count("+- Sort") == 1
+
+
+def test_paragraph_dedup(spark):
+    from translator_tm_provider_pipelines_spark.operators import dedup
+
+    docs = spark.createDataFrame(
+        [
+            ("d1", "alpha paragraph\n\nSHARED FOOTER\n\nAD\n\nbeta paragraph"),
+            ("d2", "gamma paragraph\n\nSHARED FOOTER\n\nAD"),
+            ("d3", "SHARED FOOTER"),          # everything duplicated -> empty
+            ("d4", "delta\n\n\n\ndelta"),      # intra-doc dup + empty para
+        ],
+        "doc_id string, text string",
+    )
+    out = {r.doc_id: r for r in dedup.paragraph_dedup(docs, min_chars=5).collect()}
+    # first occurrence (min doc_id, pos) keeps the shared footer
+    assert out["d1"].text == "alpha paragraph\n\nSHARED FOOTER\n\nAD\n\nbeta paragraph"
+    assert out["d1"].n_paragraphs == 4 and out["d1"].n_kept == 4
+    # later docs lose it; short 'AD' (< min_chars) is never deduped
+    assert out["d2"].text == "gamma paragraph\n\nAD"
+    assert out["d2"].n_kept == 2
+    assert out["d3"].text == "" and out["d3"].n_kept == 0
+    assert out["d3"].n_paragraphs == 1
+    # intra-doc duplicate collapses to the first position; empties dropped
+    assert out["d4"].text == "delta"
+    assert out["d4"].n_paragraphs == 2 and out["d4"].n_kept == 1

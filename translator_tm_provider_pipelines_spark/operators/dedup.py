@@ -601,3 +601,84 @@ def near_dup_keep_list(
         canonical.alias("canonical_id"),
         (canonical == F.col("doc_id")).alias("is_kept"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Cross-document paragraph dedup (C4 / MassiveText-style)
+# ---------------------------------------------------------------------------
+
+
+def paragraph_dedup(
+    docs: DataFrame,
+    sep: str = "\n\n",
+    min_chars: int = 1,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus-wide exact paragraph dedup (the C4/MassiveText recipe that
+    complements document-level dedup): split every document on ``sep``,
+    keep each distinct trimmed paragraph only at its FIRST occurrence —
+    deterministically min(doc_id, paragraph position) — and reassemble
+    documents from their surviving paragraphs in original order.
+
+    Paragraphs shorter than ``min_chars`` after trimming are never
+    treated as duplicates (boilerplate-level fragments like list bullets
+    stay put); empty paragraphs are dropped from the reassembly like the
+    split artifacts they are.
+
+    Output: (doc_id, text, n_paragraphs, n_kept) — documents whose every
+    paragraph was a duplicate come back with empty text and n_kept = 0,
+    so the caller can filter or audit.
+
+    Scale: one explode (narrow), one groupBy on the paragraph hash with a
+    map-side-combining min(struct) — shuffle volume is one small struct
+    per DISTINCT paragraph per partition, never the paragraph text — one
+    min-struct semi-side join back on the hash, and one per-doc
+    reassembly groupBy. No driver-side state."""
+    paras = (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.posexplode(F.split(F.col(text_col), F.lit(sep))).alias("pos", "para"),
+        )
+        .withColumn("para", F.trim("para"))
+        .where(F.length("para") > 0)
+    )
+    dedupable = paras.where(F.length("para") >= min_chars)
+    winners = dedupable.select(
+        F.md5(F.col("para")).alias("h"),
+        F.struct(F.col("doc_id"), F.col("pos")).alias("o"),
+    ).groupBy("h").agg(F.min("o").alias("w"))
+    tagged = paras.join(
+        winners,
+        F.md5(F.col("para")) == F.col("h"),
+        "left",
+    ).where(
+        (F.length("para") < min_chars)
+        | ((F.col("w.doc_id") == F.col("doc_id")) & (F.col("w.pos") == F.col("pos")))
+    )
+    return (
+        paras.groupBy("doc_id")
+        .agg(F.count("*").alias("n_paragraphs"))
+        .join(
+            tagged.groupBy("doc_id").agg(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(F.struct(F.col("pos"), F.col("para")))
+                        ),
+                        lambda s: s["para"],
+                    ),
+                    sep,
+                ).alias("text"),
+                F.count("*").alias("n_kept"),
+            ),
+            "doc_id",
+            "left",
+        )
+        .select(
+            "doc_id",
+            F.coalesce("text", F.lit("")).alias("text"),
+            "n_paragraphs",
+            F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+        )
+    )

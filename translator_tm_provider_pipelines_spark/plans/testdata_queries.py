@@ -4190,3 +4190,72 @@ def procedure_dictionary(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("term"),
     )
     return _ogd.procedure_dictionary(descs, rels)
+
+
+# ---------------------------------------------------------------------------
+# Cross-document paragraph dedup (LLM-data-pipeline extension)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "paragraph_dedup",
+    """
+    WITH base AS (
+      SELECT cast(doc_id AS varchar) AS doc_id,
+             [substr(text, 1, 80), 'SHARED BOILERPLATE FOOTER PARAGRAPH',
+              'AD', substr(text, 81, 80)] AS parts
+      FROM documents WHERE n_chars >= 200
+    ),
+    paras0 AS (
+      SELECT doc_id, unnest(range(4)) AS pos, trim(unnest(parts)) AS para
+      FROM base
+    ),
+    paras AS (SELECT * FROM paras0 WHERE length(para) > 0),
+    winners AS (
+      SELECT md5(para) AS h, doc_id, pos FROM (
+        SELECT para, doc_id, pos,
+               row_number() OVER (PARTITION BY md5(para) ORDER BY doc_id, pos) AS rn
+        FROM paras WHERE length(para) >= 10
+      ) WHERE rn = 1
+    ),
+    kept AS (
+      SELECT p.doc_id, p.pos, p.para
+      FROM paras p LEFT JOIN winners w ON md5(p.para) = w.h
+      WHERE length(p.para) < 10 OR (w.doc_id = p.doc_id AND w.pos = p.pos)
+    ),
+    reassembled AS (
+      SELECT doc_id,
+             string_agg(para, chr(10) || chr(10) ORDER BY pos) AS text,
+             cast(count(*) AS bigint) AS n_kept
+      FROM kept GROUP BY doc_id
+    )
+    SELECT a.doc_id, coalesce(r.text, '') AS text,
+           cast(a.n_paragraphs AS bigint) AS n_paragraphs,
+           coalesce(r.n_kept, 0) AS n_kept
+    FROM (SELECT doc_id, count(*) AS n_paragraphs FROM paras GROUP BY 1) a
+    LEFT JOIN reassembled r USING (doc_id)
+    """,
+)
+def paragraph_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide exact paragraph dedup (C4/MassiveText recipe) on a
+    paragraph-shaped corpus fabricated from ``documents``: two 80-char
+    body slices per doc plus a shared boilerplate footer paragraph (the
+    cross-document duplicate every doc loses except the first) and a
+    short 'AD' fragment under the min_chars floor (never deduped).
+    First-occurrence = min(doc_id, pos), reassembly in original order —
+    value-checked against a DuckDB twin."""
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .where(F.col("n_chars") >= 200)
+        .select(
+            F.col("doc_id").cast("string").alias("doc_id"),
+            F.concat_ws(
+                "\n\n",
+                F.substring("text", 1, 80),
+                F.lit("SHARED BOILERPLATE FOOTER PARAGRAPH"),
+                F.lit("AD"),
+                F.substring("text", 81, 80),
+            ).alias("text"),
+        )
+    )
+    return dedup.paragraph_dedup(docs, min_chars=10)
