@@ -288,3 +288,48 @@ def test_train_centroids_deterministic_and_objective(spark):
     assert t1 == t2
     assert objective(t1) >= objective(init) - 1e-9
     emb.unpersist()
+
+
+def test_pq_encode_deterministic_and_narrow(spark, emb):
+    books = similarity.pq_seed_codebooks(emb, m=8, n_codes=16)
+    assert len(books) == 8 and len(books[0]) == 16 and len(books[0][0]) == 8
+    codes = similarity.pq_encode(emb, books)
+    plan = codes._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan  # pure narrow projection
+    rows = {r.vec_id: list(r.codes) for r in codes.collect()}
+    assert len(rows) == emb.count()
+    assert all(0 <= c < 16 for cs in rows.values() for c in cs)
+    # a seed vector encodes to itself in every subspace (distance 0)
+    seed_ids = [r.vec_id for r in emb.orderBy("vec_id").limit(16).collect()]
+    assert rows[seed_ids[3]] == [3] * 8
+    # re-encoding is bit-identical
+    assert {r.vec_id: list(r.codes) for r in similarity.pq_encode(emb, books).collect()} == rows
+
+
+def test_pq_adc_recall_and_refinement(spark, emb, qvec):
+    # cosine via PQ = L2-normalize first (unit vectors: L2² = 2 − 2·cos),
+    # then L2-metric codes; exact baseline stays raw-cosine
+    nemb = similarity.l2_normalize(emb)
+    qn = sum(x * x for x in qvec) ** 0.5
+    nqvec = [x / qn for x in qvec]
+    books = similarity.pq_train_codebooks(nemb, m=16, n_codes=16, n_iters=3)
+    codes = similarity.pq_encode(nemb, books)
+    approx = [r.vec_id for r in similarity.pq_adc_search(codes, books, nqvec, k=10).collect()]
+    exact = [r.vec_id for r in similarity.knn_brute_force(emb, qvec, k=10).collect()]
+    # ADC shortlist overlaps the exact top-10 (coarse recall; measured 5)
+    assert len(set(approx) & set(exact)) >= 3
+    # two-stage refinement ~recovers the exact top-10 (measured 9/10)
+    refined = [r.vec_id for r in
+               similarity.pq_search_refined(nemb, books, nqvec, k=10, rerank=50).collect()]
+    hits = len(set(refined) & set(exact))
+    assert hits >= 7, (refined, exact)
+    # the ADC plan is a TakeOrdered over the codes column, no join/shuffle
+    p = similarity.pq_adc_search(codes, books, nqvec, k=10)._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in p
+    assert "Join" not in p
+
+
+def test_pq_train_deterministic(spark, emb):
+    b1 = similarity.pq_train_codebooks(emb, m=4, n_codes=8, n_iters=2)
+    b2 = similarity.pq_train_codebooks(emb, m=4, n_codes=8, n_iters=2)
+    assert b1 == b2

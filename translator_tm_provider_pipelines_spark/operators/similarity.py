@@ -622,3 +622,233 @@ def ann_lsh_from_index(
     )
     cands = spark.read.parquet(path).where(F.col("bucket") == qbits)
     return knn_brute_force(cands, query_vec, k=k, id_col=id_col, vec_col=vec_col, scale=scale)
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) — the memory-bounded 100 TB search path
+# ---------------------------------------------------------------------------
+
+
+def _l2sq(a: Column, b) -> Column:
+    """Squared L2 between a vector column and a (column or literal list)
+    in DOUBLE arithmetic — float32 inputs promote before any multiply, so
+    the DuckDB oracles (which compute in double) agree bit-for-bit."""
+    bb = F.lit([float(x) for x in b]) if isinstance(b, list) else b
+    return F.aggregate(
+        F.zip_with(
+            a, bb, lambda x, y: (x.cast("double") - y.cast("double")) ** 2
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def pq_seed_codebooks(
+    embeddings: DataFrame,
+    m: int = 8,
+    n_codes: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[list[float]]]:
+    """Deterministic PQ codebooks: the first ``n_codes`` vectors by id
+    supply the code words — codebook ``s`` is their s-th subvectors,
+    position-indexed (code j = j-th seed). No training iterations, so the
+    whole encode/search pipeline is SQL-expressible and oracle-checkable;
+    swap in :func:`pq_train_codebooks` at production scale — the
+    encode/search machinery is unchanged. The collect is bounded by
+    ``n_codes`` (a dimension table, like the IVF seed centroids)."""
+    rows = (
+        embeddings.select(id_col, vec_col).orderBy(id_col).limit(n_codes).collect()
+    )
+    dim = len(rows[0][1])
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    sub = dim // m
+    return [
+        [[float(x) for x in r[1][s * sub : (s + 1) * sub]] for r in rows]
+        for s in range(m)
+    ]
+
+
+def pq_train_codebooks(
+    embeddings: DataFrame,
+    m: int = 8,
+    n_codes: int = 16,
+    n_iters: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 6,
+) -> list[list[list[float]]]:
+    """Lloyd-refined PQ codebooks: per subspace, k-means on the
+    subvectors under squared L2 (assign to nearest code word, recompute
+    code words as member means, repeat). ALL ``m`` subspaces train in the
+    SAME pass — one scan + one groupBy per iteration whose result is
+    ``m × n_codes × subdim`` rows (a bounded collect, dimension-table
+    sized), not one job per subspace. Empty codes keep their previous
+    word; components round to ``scale`` so retraining is bit-identical."""
+    books = pq_seed_codebooks(
+        embeddings, m=m, n_codes=n_codes, id_col=id_col, vec_col=vec_col
+    )
+    sub = len(books[0][0])
+    emb = embeddings.select(F.col(vec_col).alias("__v"))
+    for _ in range(n_iters):
+        assigns = []
+        for s in range(m):
+            subv = F.slice("__v", s * sub + 1, sub)
+            entries = F.transform(
+                F.lit(books[s]),
+                lambda w, i: F.struct(
+                    F.round(_l2sq(subv, w), scale).alias("d"),
+                    i.cast("long").alias("j"),
+                ),
+            )
+            assigns.append(
+                F.struct(
+                    F.lit(s).alias("s"),
+                    F.array_min(entries)["j"].alias("j"),
+                    F.transform(subv, lambda x: x.cast("double")).alias("sv"),
+                )
+            )
+        means = (
+            emb.select(F.explode(F.array(*assigns)).alias("a"))
+            .select("a.s", "a.j", F.posexplode("a.sv").alias("d", "v"))
+            .groupBy("s", "j", "d")
+            .agg(F.avg("v").alias("mv"))
+            .collect()
+        )
+        got: dict[tuple[int, int], dict[int, float]] = {}
+        for r in means:
+            got.setdefault((int(r["s"]), int(r["j"])), {})[int(r["d"])] = float(r["mv"])
+        new_books = [
+            [
+                [round(got[(s, j)][d], scale) for d in range(sub)]
+                if (s, j) in got
+                else books[s][j]
+                for j in range(n_codes)
+            ]
+            for s in range(m)
+        ]
+        if new_books == books:
+            break
+        books = new_books
+    return books
+
+
+def pq_encode(
+    embeddings: DataFrame,
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 6,
+) -> DataFrame:
+    """(id, codes ARRAY<INT>[m]): each vector compressed to one code per
+    subspace — nearest code word by ROUNDED squared L2, smaller code
+    index on ties (engine-stable). A pure narrow projection (the
+    codebooks ship as nested literals, evaluated through ``transform``
+    loops): zero shuffles, embarrassingly parallel, and the output is
+    ``m`` small ints per vector instead of ``4·dim`` bytes — the ~32×
+    compression that makes a 100 TB embedding set rescannable."""
+    m = len(codebooks)
+    sub = len(codebooks[0][0])
+    code_cols = []
+    for s in range(m):
+        subv = F.slice(F.col(vec_col), s * sub + 1, sub)
+        entries = F.transform(
+            F.lit(codebooks[s]),
+            lambda w, i: F.struct(
+                F.round(_l2sq(subv, w), scale).alias("d"),
+                i.cast("int").alias("j"),
+            ),
+        )
+        code_cols.append(F.array_min(entries)["j"])
+    return embeddings.select(
+        F.col(id_col).alias(id_col), F.array(*code_cols).alias("codes")
+    )
+
+
+def pq_adc_search(
+    codes: DataFrame,
+    codebooks: list[list[list[float]]],
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    scale: int = 6,
+) -> DataFrame:
+    """Asymmetric-distance top-k over PQ codes: the query stays exact,
+    each corpus vector is approximated by its code words, and the
+    distance is a TABLE LOOKUP — the per-subspace query↔code-word squared
+    L2s are computed driver-side (m × n_codes doubles) and shipped as one
+    literal, so the scan reads ONLY the codes column and does ``m`` array
+    gets + adds per row. TakeOrderedAndProject top-k, no shuffle, no
+    all-pairs anything. Returns (id, approx_dist) ascending (nearest
+    first), id tie-break."""
+    m = len(codebooks)
+    sub = len(codebooks[0][0])
+    table = [
+        [
+            round(
+                sum(
+                    (float(query_vec[s * sub + i]) - float(w[i])) ** 2
+                    for i in range(sub)
+                ),
+                scale,
+            )
+            for w in codebooks[s]
+        ]
+        for s in range(m)
+    ]
+    tab_lit = F.lit(table)
+    dist = None
+    for s in range(m):
+        term = F.get(F.get(tab_lit, s), F.get(F.col("codes"), s))
+        dist = term if dist is None else dist + term
+    return (
+        codes.select(id_col, F.round(dist, scale).alias("approx_dist"))
+        .orderBy(F.col("approx_dist").asc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
+def pq_search_refined(
+    embeddings: DataFrame,
+    codebooks: list[list[list[float]]],
+    query_vec: list[float],
+    k: int = 10,
+    rerank: int = 50,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 6,
+) -> DataFrame:
+    """PQ-ADC shortlist → exact rescoring: take the ``rerank`` nearest by
+    approximate distance, join back to the raw vectors (semi-join scoped
+    to the shortlist — the wide embedding column is read for ``rerank``
+    rows, not the corpus), exact cosine top-k. The standard two-stage
+    recall repair for PQ's quantization error."""
+    shortlist = pq_adc_search(
+        pq_encode(embeddings, codebooks, id_col=id_col, vec_col=vec_col, scale=scale),
+        codebooks,
+        query_vec,
+        k=rerank,
+        id_col=id_col,
+        scale=scale,
+    )
+    cands = embeddings.join(F.broadcast(shortlist.select(id_col)), id_col, "left_semi")
+    return knn_brute_force(
+        cands, query_vec, k=k, id_col=id_col, vec_col=vec_col, scale=scale
+    )
+
+
+def l2_normalize(
+    embeddings: DataFrame, vec_col: str = "embedding", scale: int | None = None
+) -> DataFrame:
+    """Unit-normalize the vector column (double precision). On unit
+    vectors squared L2 = 2 − 2·cosine, so L2-metric structures (PQ,
+    k-means) rank identically to cosine — normalize once at ingest and
+    every downstream ANN stage gets both metrics for free. ``scale``
+    optionally rounds components for bit-stable cross-engine parity."""
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    n = F.sqrt(F.aggregate(v, F.lit(0.0), lambda a, x: a + x * x))
+    out = F.transform(v, lambda x: x / n)
+    if scale is not None:
+        out = F.transform(out, lambda x: F.round(x, scale))
+    return embeddings.withColumn(vec_col, out)

@@ -4259,3 +4259,61 @@ def paragraph_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return dedup.paragraph_dedup(docs, min_chars=10)
+
+
+@register(
+    "pq_adc_topk",
+    """
+    WITH e AS (SELECT vec_id, embedding FROM embeddings),
+    seeds AS (
+      SELECT row_number() OVER (ORDER BY vec_id) - 1 AS j, embedding
+      FROM (SELECT * FROM e ORDER BY vec_id LIMIT 16)
+    ),
+    subs AS (SELECT unnest(range(8)) AS s),
+    asgn AS (
+      SELECT e.vec_id, subs.s, seeds.j,
+             round(list_sum(list_transform(range(1, 9),
+               i -> (cast(e.embedding[subs.s*8+i] AS double)
+                   - cast(seeds.embedding[subs.s*8+i] AS double)) ** 2)), 6) AS d
+      FROM e, subs, seeds
+    ),
+    best AS (
+      SELECT vec_id, s, j FROM (
+        SELECT vec_id, s, j,
+               row_number() OVER (PARTITION BY vec_id, s ORDER BY d, j) AS rn
+        FROM asgn) WHERE rn = 1
+    ),
+    q AS (SELECT embedding AS qe FROM e WHERE vec_id = 0),
+    qtab AS (
+      SELECT subs.s, seeds.j,
+             round(list_sum(list_transform(range(1, 9),
+               i -> (cast(q.qe[subs.s*8+i] AS double)
+                   - cast(seeds.embedding[subs.s*8+i] AS double)) ** 2)), 6) AS qd
+      FROM q, subs, seeds
+    ),
+    dist AS (
+      SELECT b.vec_id, round(sum(t.qd), 6) AS approx_dist
+      FROM best b JOIN qtab t ON b.s = t.s AND b.j = t.j
+      GROUP BY 1
+    )
+    SELECT vec_id, approx_dist FROM dist ORDER BY approx_dist, vec_id LIMIT 10
+    """,
+)
+def pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN: 8×8 seed codebooks (first 16 vectors'
+    subvectors — deterministic, SQL-expressible), every vector encoded to
+    8 small codes by rounded-L2 argmin, then asymmetric-distance top-10
+    against the vec_id=0 query via the driver-computed lookup table. The
+    whole compress→search pipeline value-matches a DuckDB twin; the
+    Lloyd-trained codebooks and the exact-rerank stage are covered by
+    tests/test_similarity.py (recall asserted against brute force)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = [
+        r[0]
+        for r in emb.where(F.col("vec_id") == 0)
+        .select(F.explode("embedding"))
+        .collect()
+    ]
+    books = similarity.pq_seed_codebooks(emb, m=8, n_codes=16)
+    codes = similarity.pq_encode(emb, books)
+    return similarity.pq_adc_search(codes, books, qvec, k=10)
