@@ -165,3 +165,51 @@ def test_top_bigram_sorted_runs_match_brute_force(spark, texts):
         total_chars = sum(len(w) for w in words)
         want = round(best_cnt * (len(best_bg) - 1) / total_chars, 8) if total_chars else 0.0
         assert row.top_bigram_char_frac == want, (t, best_bg, best_cnt)
+
+
+@settings(**_SETTINGS)
+@given(
+    st.lists(
+        st.lists(
+            st.text(
+                alphabet=st.characters(
+                    codec="utf-8",
+                    exclude_characters="\x1e\n",
+                    exclude_categories=("Cs",),
+                ),
+                max_size=40,
+            ),
+            min_size=1,
+            max_size=5,
+        ),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_paragraph_dedup_idempotent_and_counted(spark, doc_paras):
+    """Invariants for ANY corpus: (1) every surviving paragraph string is
+    globally unique among the >= min_chars population, (2) n_kept <=
+    n_paragraphs, (3) re-running dedup on its own output keeps everything
+    (idempotence)."""
+    from translator_tm_provider_pipelines_spark.operators import dedup
+
+    docs = spark.createDataFrame(
+        [(f"d{i:03d}", "\n\n".join(ps)) for i, ps in enumerate(doc_paras)],
+        "doc_id string, text string",
+    )
+    docs = docs.where("length(trim(text)) > 0")
+    if docs.count() == 0:
+        return
+    out = dedup.paragraph_dedup(docs, min_chars=3)
+    rows = out.collect()
+    seen = []
+    for r in rows:
+        assert r.n_kept <= r.n_paragraphs
+        for para in (p for p in r.text.split("\n\n") if p):
+            if len(para) >= 3:
+                seen.append(para)
+    assert len(seen) == len(set(seen))  # no surviving duplicates
+    again = dedup.paragraph_dedup(
+        out.select("doc_id", "text"), min_chars=3
+    ).collect()
+    assert all(r.n_kept == r.n_paragraphs for r in again)
