@@ -334,11 +334,13 @@ def sentence_cooccurrence_lines(
         (F.col("c_end") - F.col("start")).alias("e"),
         F.col("concept_id").alias("cid"),
     )
-    # grouping keys extend (doc_id, start) with the functionally-dependent
-    # sentence attributes needed for the post-agg hash; the join output is
-    # already clustered by doc_id, so this adds no exchange
-    per_sent = ov.groupBy("doc_id", "start", "covered_text").agg(
-        F.array_sort(F.collect_set(entry)).alias("cs")
+    # group on the narrow (doc_id, start) key; the sentence text needed for
+    # the post-agg hash is functionally dependent on it and rides along as
+    # first() — on real corpora the full sentence string would otherwise be
+    # part of every hash-aggregate key comparison and of the shuffle key
+    per_sent = ov.groupBy("doc_id", "start").agg(
+        F.array_sort(F.collect_set(entry)).alias("cs"),
+        F.first("covered_text").alias("covered_text"),
     )
     body = per_sent.select(
         "doc_id",
