@@ -27,6 +27,8 @@ SHOWCASE = {
     "universal_input_join": "one scan for all criteria + doc_id-keyed joins",
     "drugbank_dictionary": "single-Exchange narrow rule chain (one distinct shuffle)",
     "procedure_dictionary": "broadcast procedure-id semi-join; dimension-sized aggregations",
+    "paragraph_dedup": "narrow explode + min-struct hash groupBy + in-order reassembly",
+    "pq_adc_topk": "codes-only scan, lookup-table distance, TakeOrderedAndProject",
 }
 
 KEEP = re.compile(
