@@ -4317,3 +4317,156 @@ def pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     books = similarity.pq_seed_codebooks(emb, m=8, n_codes=16)
     codes = similarity.pq_encode(emb, books)
     return similarity.pq_adc_search(codes, books, qvec, k=10)
+
+
+# ---------------------------------------------------------------------------
+# Embedding-based label quality tooling (oger/util/LabelFilterByEmbedding)
+# ---------------------------------------------------------------------------
+
+from ..operators import labelembed as _le
+
+
+@register(
+    "overlapping_labels",
+    """
+    WITH labels AS (
+      SELECT 'PUBCHEM.COMPOUND:' || cast(p_partkey AS varchar) AS concept_id,
+             p_type AS label
+      FROM part
+    ),
+    grouped AS (
+      SELECT label, cast(count(DISTINCT concept_id) AS bigint) AS n_ids,
+             array_to_string((list_sort(list(DISTINCT concept_id)))[1:20], ';')
+               AS sample_ids
+      FROM labels GROUP BY 1
+    )
+    SELECT label, n_ids, sample_ids FROM grouped
+    WHERE n_ids >= 2 ORDER BY n_ids DESC, label LIMIT 102
+    """,
+)
+def overlapping_labels_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """findOverlappingLabels (LabelFilterByEmbedding.java:89-138) on
+    part-type labels: labels shared by ≥2 identifiers, ordered by id
+    count, ≤20 sorted example ids each, the reference's 102-row print
+    cutoff."""
+    p = _t(spark, sf_dir, "part")
+    labels = p.select(
+        F.concat(F.lit("PUBCHEM.COMPOUND:"), F.col("p_partkey").cast("string")).alias(
+            "concept_id"
+        ),
+        F.col("p_type").alias("label"),
+    )
+    out = _le.overlapping_labels(labels)
+    # ';'-joined sample (the reference prints the list inline anyway);
+    # array-typed columns break the sweep's pandas multi-key sort
+    return out.select(
+        "label", "n_ids", F.array_join("sample_ids", ";").alias("sample_ids")
+    )
+
+
+@register(
+    "embedding_domain_average",
+    """
+    WITH domain AS (
+      SELECT 'w' || cast(vec_id AS varchar) AS word, embedding
+      FROM embeddings WHERE vec_id < 100
+    ),
+    ranked AS (
+      SELECT row_number() OVER (ORDER BY word) AS r,
+             count(*) OVER () AS n, embedding
+      FROM domain
+    ),
+    weighted AS (
+      SELECT CASE WHEN r = 1 THEN power(0.5, n - 1)
+                  ELSE power(0.5, n - r + 1) END AS wt,
+             unnest(range(1, 65)) AS i, embedding
+      FROM ranked
+    )
+    SELECT cast(i - 1 AS int) AS d,
+           round(sum(cast(embedding[i] AS double) * wt), 6) AS value
+    FROM weighted GROUP BY 1 ORDER BY 1
+    """,
+)
+def embedding_domain_average_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """createAverageEmbedding (LabelFilterByEmbedding.java:35-80): the
+    reference's avg=(avg+e)/2 fold over a domain's term embeddings,
+    reproduced as a rank-weighted sum (weight 2^-(n-r+1), first word
+    2^-(n-1)) in ascending word order — the HashSet iteration the
+    reference folds over is nondeterministic, the engine's order is
+    fixed and the DuckDB twin recomputes the identical weights."""
+    emb = _t(spark, sf_dir, "embeddings")
+    domain = emb.where(F.col("vec_id") < 100).select(
+        F.concat(F.lit("w"), F.col("vec_id").cast("string")).alias("word"),
+        "embedding",
+    )
+    out = _le.domain_average_embedding(domain)
+    return out.select(F.col("d").cast("int").alias("d"), "value")
+
+
+@register(
+    "label_embedding_flags",
+    """
+    WITH domain AS (
+      SELECT 'w' || cast(vec_id AS varchar) AS word, embedding
+      FROM embeddings WHERE vec_id < 100
+    ),
+    ranked AS (
+      SELECT row_number() OVER (ORDER BY word) AS r,
+             count(*) OVER () AS n, embedding
+      FROM domain
+    ),
+    weighted AS (
+      SELECT CASE WHEN r = 1 THEN power(0.5, n - 1)
+                  ELSE power(0.5, n - r + 1) END AS wt,
+             unnest(range(1, 65)) AS i, embedding
+      FROM ranked
+    ),
+    avg_emb AS (
+      SELECT i, sum(cast(embedding[i] AS double) * wt) AS av
+      FROM weighted GROUP BY 1
+    ),
+    labels AS (
+      SELECT 'PUBCHEM.COMPOUND:' || cast(p_partkey AS varchar) AS concept_id,
+             'w' || cast(p_partkey % 500 AS varchar) AS label
+      FROM part
+    ),
+    vecs AS (SELECT 'w' || cast(vec_id AS varchar) AS label, embedding FROM embeddings),
+    scored AS (
+      SELECT l.concept_id, l.label,
+             sum(cast(v.embedding[a.i] AS double) * a.av) AS d,
+             sum(cast(v.embedding[a.i] AS double) * cast(v.embedding[a.i] AS double)) AS nv,
+             sum(a.av * a.av) AS na
+      FROM labels l JOIN vecs v USING (label), avg_emb a
+      GROUP BY 1, 2
+    )
+    SELECT concept_id, label, round(d / (sqrt(nv) * sqrt(na)), 6) AS cosine
+    FROM scored WHERE round(d / (sqrt(nv) * sqrt(na)), 6) < 0.0
+    """,
+)
+def label_embedding_flags_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The "possible bad label" filter (LabelFilterByEmbedding.java
+    :283-296): single-token labels whose embedding's cosine against the
+    domain-average embedding falls below the threshold. Labels come from
+    part keyed into the embedding vocabulary; the average is the
+    reference fold over the vec_id<100 domain (bounded 64-row collect);
+    threshold 0 flags the anti-domain half."""
+    emb = _t(spark, sf_dir, "embeddings")
+    domain = emb.where(F.col("vec_id") < 100).select(
+        F.concat(F.lit("w"), F.col("vec_id").cast("string")).alias("word"),
+        "embedding",
+    )
+    avg = [
+        r.value
+        for r in _le.domain_average_embedding(domain, scale=12).orderBy("d").collect()
+    ]
+    p = _t(spark, sf_dir, "part")
+    labels = p.select(
+        F.concat(F.lit("PUBCHEM.COMPOUND:"), F.col("p_partkey").cast("string")).alias(
+            "concept_id"
+        ),
+        F.concat(F.lit("w"), (F.col("p_partkey") % 500).cast("string")).alias("label"),
+    )
+    vecs = emb.select(
+        F.concat(F.lit("w"), F.col("vec_id").cast("string")).alias("word"), "embedding"
+    )
+    return _le.label_embedding_flags(labels, vecs, avg, threshold=0.0)
