@@ -4470,3 +4470,200 @@ def label_embedding_flags_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(F.lit("w"), F.col("vec_id").cast("string")).alias("word"), "embedding"
     )
     return _le.label_embedding_flags(labels, vecs, avg, threshold=0.0)
+
+
+# ---------------------------------------------------------------------------
+# Ontology side-table factories (etl/util/*MapFactory.java)
+# ---------------------------------------------------------------------------
+
+from ..operators import ontmaps as _om
+
+_TAXON_FIXTURE = _os.path.join(_os.path.dirname(_OBO_FIXTURE), "sample_taxon.obo")
+_MONDO_FIXTURE = _os.path.join(_os.path.dirname(_OBO_FIXTURE), "sample_mondo.obo")
+_HP_FIXTURE = _os.path.join(_os.path.dirname(_OBO_FIXTURE), "sample_hp.obo")
+
+_OBO_STANZA_SQL = """
+      SELECT trim(unnest(string_split(content, chr(10) || chr(10)))) AS stanza
+      FROM read_text('{path}')
+"""
+
+
+@register(
+    "ontology_ancestor_map",
+    f"""
+    WITH RECURSIVE
+    raw AS ({_OBO_STANZA_SQL.format(path=_TAXON_FIXTURE)}),
+    t AS (
+      SELECT regexp_extract(stanza, '(?m)^id: (\\S+)', 1) AS term_id,
+             regexp_extract_all(stanza, '(?m)^is_a: (\\S+)', 1) AS parents
+      FROM raw WHERE stanza LIKE '[Term]%'
+    ),
+    edges AS (SELECT term_id AS child, unnest(parents) AS parent FROM t),
+    anc AS (
+      SELECT child AS concept_id, parent AS ancestor_id FROM edges
+      UNION
+      SELECT a.concept_id, e.parent AS ancestor_id
+      FROM anc a JOIN edges e ON a.ancestor_id = e.child
+    )
+    SELECT DISTINCT concept_id, ancestor_id FROM anc
+    """,
+)
+def ontology_ancestor_map_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Class → is_a ancestor relation (NcbiTaxonPromotionMapFactory.java
+    :20-38 / OntologyClassAncestorMapFactory / AncestorTableFileFactory)
+    on the taxon fixture — value-checked against a recursive-CTE DuckDB
+    twin; classes without ancestors are absent on both engines."""
+    terms = obo.read_obo_terms(spark, _TAXON_FIXTURE)
+    return _om.ontology_ancestor_map(terms)
+
+
+@register(
+    "pr_promotion_map",
+    f"""
+    WITH RECURSIVE
+    raw AS ({_OBO_STANZA_SQL.format(path=_PR_FIXTURE)}),
+    t AS (
+      SELECT regexp_extract(stanza, '(?m)^id: (\\S+)', 1) AS term_id,
+             regexp_extract_all(stanza, '(?m)^is_a: (\\S+)', 1) AS parents,
+             regexp_matches(stanza, '(?m)^comment: .*Category=gene\\.') AS is_gene
+      FROM raw WHERE stanza LIKE '[Term]%'
+    ),
+    edges AS (SELECT term_id AS child, unnest(parents) AS parent FROM t),
+    anc AS (
+      SELECT child AS id, parent AS anc FROM edges
+      UNION
+      SELECT a.id, e.parent FROM anc a JOIN edges e ON a.anc = e.child
+    ),
+    gene AS (SELECT term_id AS gid FROM t WHERE is_gene),
+    gla AS (
+      SELECT a.id, a.anc AS g FROM anc a
+      JOIN gene ON a.anc = gene.gid
+      WHERE a.id NOT IN (SELECT gid FROM gene)
+    ),
+    gdepth AS (
+      SELECT a.id AS g, count(*) AS depth FROM anc a
+      JOIN gene g1 ON a.id = g1.gid JOIN gene g2 ON a.anc = g2.gid
+      GROUP BY 1
+    ),
+    ranked AS (
+      SELECT gla.id, gla.g,
+             row_number() OVER (
+               PARTITION BY gla.id
+               ORDER BY coalesce(gdepth.depth, 0) DESC, gla.g
+             ) AS rn
+      FROM gla LEFT JOIN gdepth ON gla.g = gdepth.g
+    )
+    SELECT id AS concept_id, g AS promoted_id FROM ranked WHERE rn = 1
+    """,
+)
+def pr_promotion_map_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-gene PR class → deepest gene-level ancestor
+    (PrPromotionMapFactory.java:15-55; Category=gene. comments mark gene
+    level, incomparable ties break to min id — documented deviation from
+    the reference's HashSet-order pick) on the PR fixture."""
+    terms = obo.read_obo_terms(spark, _PR_FIXTURE)
+    return _om.pr_promotion_map(terms)
+
+
+@register(
+    "hp_to_mondo_map",
+    f"""
+    WITH
+    mraw AS ({_OBO_STANZA_SQL.format(path=_MONDO_FIXTURE)}),
+    mondo AS (
+      SELECT regexp_extract(stanza, '(?m)^id: (\\S+)', 1) AS mondo_id,
+             regexp_extract(stanza, '(?m)^name: (.*?)\\s*$', 1) AS mondo_label,
+             regexp_extract_all(stanza, '(?m)^xref: (\\S+)', 1) AS xrefs,
+             regexp_extract_all(stanza, '(?m)^property_value: (\\S*exactMatch) (\\S+)', 2) AS ems
+      FROM mraw WHERE stanza LIKE '[Term]%' AND contains(stanza, 'MONDO')
+    ),
+    hraw AS ({_OBO_STANZA_SQL.format(path=_HP_FIXTURE)}),
+    hp AS (
+      SELECT regexp_extract(stanza, '(?m)^id: (\\S+)', 1) AS hp_id,
+             regexp_extract(stanza, '(?m)^name: (.*?)\\s*$', 1) AS hp_label,
+             regexp_extract_all(stanza, '(?m)^xref: (\\S+)', 1) AS xrefs
+      FROM hraw WHERE stanza LIKE '[Term]%' AND contains(stanza, 'HP')
+    ),
+    direct AS (
+      SELECT hp_id, mondo_id, true AS is_direct FROM (
+        SELECT unnest(xrefs) AS hp_id, mondo_id FROM mondo
+      ) WHERE contains(hp_id, 'HP:')
+    ),
+    mbridge AS (
+      SELECT CASE
+               WHEN contains(em, 'http://identifiers.org/mesh/')
+                 THEN 'MSH:' || replace(em, 'http://identifiers.org/mesh/', '')
+               WHEN contains(em, 'http://linkedlifedata.com/resource/umls/id/')
+                 THEN 'UMLS:' || replace(em, 'http://linkedlifedata.com/resource/umls/id/', '')
+               WHEN contains(em, 'http://identifiers.org/snomedct/')
+                 THEN 'SNOMEDCT_US:' || replace(em, 'http://identifiers.org/snomedct/', '')
+             END AS key, mondo_id
+      FROM (SELECT mondo_id, unnest(ems) AS em FROM mondo)
+    ),
+    mbridge2 AS (SELECT key, mondo_id FROM mbridge WHERE key IS NOT NULL),
+    hbridge AS (
+      SELECT DISTINCT unnest(xrefs) AS key, hp_id FROM hp
+    ),
+    bridged AS (
+      SELECT h.hp_id, m.mondo_id, false AS is_direct
+      FROM (SELECT DISTINCT key, mondo_id FROM mbridge2) m
+      JOIN hbridge h USING (key)
+    ),
+    pairs AS (SELECT * FROM direct UNION ALL SELECT * FROM bridged),
+    labeled AS (
+      SELECT p.hp_id, p.mondo_id, p.is_direct, m.mondo_label, h.hp_label
+      FROM pairs p
+      LEFT JOIN mondo m USING (mondo_id)
+      LEFT JOIN hp h USING (hp_id)
+    ),
+    per_hp AS (
+      SELECT hp_id,
+             list_sort(list(DISTINCT {{'mondo_id': mondo_id, 'mondo_label': mondo_label}})) AS ms,
+             max(is_direct) AS any_direct,
+             max(lower(coalesce(hp_label, chr(1))) = lower(coalesce(mondo_label, chr(2)))) AS any_exact,
+             any_value(hp_label) AS hp_label
+      FROM labeled GROUP BY 1
+    )
+    SELECT CASE WHEN any_direct THEN '**' WHEN any_exact THEN '####' ELSE '' END AS indicator,
+           hp_id,
+           array_to_string(list_transform(ms, m -> m.mondo_id), '|') AS mondo_ids,
+           hp_label,
+           array_to_string(list_transform(ms, m -> coalesce(m.mondo_label, 'null')), '|') AS mondo_labels
+    FROM per_hp
+    """,
+)
+def hp_to_mondo_map_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HP↔MONDO equivalence rows (MondoToHpEquivalenceMapFileFactory.java
+    :38-165): direct MONDO-side HP xrefs plus MeSH/UMLS/SNOMED
+    skos:exactMatch bridges, ** / #### indicators — value-checked against
+    a DuckDB twin over the committed MONDO/HP fixtures."""
+    mondo = obo.read_obo_terms(spark, _MONDO_FIXTURE)
+    hp = obo.read_obo_terms(spark, _HP_FIXTURE)
+    return _om.hp_to_mondo_map(mondo, hp)
+
+
+@register(
+    "id_to_dict_entries",
+    """
+    WITH d AS (
+      SELECT 'C' || cast(p_partkey % 50 AS varchar) AS concept_id,
+             p_type AS term
+      FROM part
+    )
+    SELECT concept_id,
+           array_to_string(list_sort(list(DISTINCT term)), '|') AS dict_entries
+    FROM d GROUP BY 1
+    """,
+)
+def id_to_dict_entries_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concept → pipe-joined dictionary entries
+    (IdToOgerDictEntryMapFileFactory.java:20-52) over part-type terms
+    grouped into 50 concepts."""
+    p = _t(spark, sf_dir, "part")
+    d = p.select(
+        F.concat(F.lit("C"), (F.col("p_partkey") % 50).cast("string")).alias(
+            "concept_id"
+        ),
+        F.col("p_type").alias("term"),
+    )
+    return _om.id_to_dict_entries(d)

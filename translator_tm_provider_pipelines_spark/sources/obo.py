@@ -84,6 +84,16 @@ def read_obo_terms(spark: SparkSession, path: str) -> DataFrame:
             F.lit(r'(?m)^property_value: \S*formula "([^"]*)"'),
             1,
         ).alias("formulas"),
+        # generic (property, value) pairs — e.g. MONDO's skos:exactMatch
+        # URL targets, consumed by operators/ontmaps.hp_to_mondo_map
+        F.arrays_zip(
+            F.regexp_extract_all(
+                F.col("stanza"), F.lit(r"(?m)^property_value: (\S+) (\S+)"), 1
+            ).alias("prop"),
+            F.regexp_extract_all(
+                F.col("stanza"), F.lit(r"(?m)^property_value: (\S+) (\S+)"), 2
+            ).alias("value"),
+        ).alias("property_values"),
     ).where(F.col("term_id") != "")
 
 
