@@ -259,3 +259,55 @@ def test_bio_token_tags_tie_resolution(spark):
     out = relext.bio_token_tags(toks, concepts).collect()
     # earliest-starting concept wins the single label slot
     assert out[0].tag == "B-CHEBI"
+
+
+def test_concept_pairs_file_parser(spark):
+    RO = "http://purl.obolibrary.org/obo/RO_0002200"
+    rows = [
+        ("http://purl.obolibrary.org/obo/MONDO_0000001\thttp://purl.obolibrary.org/obo/HP_0000662\t" + RO,),
+        ("http://purl.obolibrary.org/obo/MONDO_0000001\thttp://purl.obolibrary.org/obo/HP_0000111\t" + RO,),
+        ("http://purl.obolibrary.org/obo/MONDO_0000002\thttp://purl.obolibrary.org/obo/HP_0000111\t" + RO,),
+        ("http://purl.obolibrary.org/obo/MONDO_0000003\thttp://purl.obolibrary.org/obo/HP_0000999\t"
+         "http://purl.obolibrary.org/obo/RO_0001025",),  # other predicate
+        ("   ",),  # blank line skipped
+    ]
+    lines = spark.createDataFrame(rows, "line string")
+    pos = {(r.subject_curie, r.object_curie, r.predicate_biolink)
+           for r in relext.positive_concept_pairs(lines, RO).collect()}
+    assert pos == {
+        ("MONDO:0000001", "HP:0000662", "biolink:has_phenotype"),
+        ("MONDO:0000001", "HP:0000111", "biolink:has_phenotype"),
+        ("MONDO:0000002", "HP:0000111", "biolink:has_phenotype"),
+    }
+    negs = {r.subject_curie: sorted(r.object_curies)
+            for r in relext.negative_concept_pairs(lines, RO).collect()}
+    # universe = {HP:0000662, HP:0000111}; MONDO:1 has both -> no negatives
+    assert negs == {"MONDO:0000002": ["HP:0000662"]}
+    # chunking: universe of 3 split into <=2-element groups
+    rows2 = rows[:3] + [
+        ("http://purl.obolibrary.org/obo/MONDO_0000002\thttp://purl.obolibrary.org/obo/HP_0000222\t" + RO,),
+        ("http://purl.obolibrary.org/obo/MONDO_0000009\thttp://purl.obolibrary.org/obo/HP_0000333\t" + RO,),
+    ]
+    lines2 = spark.createDataFrame(rows2, "line string")
+    chunks = [sorted(r.object_curies) for r in
+              relext.negative_concept_pairs(lines2, RO, chunk_size=2).collect()
+              if r.subject_curie == "MONDO:0000009"]
+    # MONDO:9's negatives = universe minus its own {333} = {662,111,222}, chunked 2+1
+    assert sorted(len(c) for c in chunks) == [1, 2]
+    assert sorted(x for c in chunks for x in c) == ["HP:0000111", "HP:0000222", "HP:0000662"]
+
+
+def test_promote_pair_subjects(spark):
+    lines = spark.createDataFrame(
+        [("PR_000010001\thttp://x/CL_0000001\tpred",),
+         ("PR_999999999\thttp://x/CL_0000002\tpred",)],
+        "line string",
+    )
+    pmap = spark.createDataFrame(
+        [("PR:000010001", "PR:000010000")], "concept_id string, promoted_id string"
+    )
+    got = sorted(r.line for r in relext.promote_pair_subjects(lines, pmap).collect())
+    assert got == [
+        "PR_000010000\thttp://x/CL_0000001\tpred",   # promoted
+        "PR_999999999\thttp://x/CL_0000002\tpred",   # unmapped passes through
+    ]

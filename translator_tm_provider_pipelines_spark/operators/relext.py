@@ -399,6 +399,110 @@ def distant_supervision_sentences(
     )
 
 
+#: RO predicate URI → biolink slot, the only mappings the reference
+#: handles (ConceptPairsFileParser.getBiolink:115-127 — anything else
+#: throws there; here unmapped predicates never match target_predicate).
+CONCEPT_PAIR_PREDICATES = {
+    "http://purl.obolibrary.org/obo/RO_0002200": "biolink:has_phenotype",
+    "http://purl.obolibrary.org/obo/RO_0001025": "biolink:located_in",
+}
+
+
+def positive_concept_pairs(
+    pair_lines: DataFrame, target_predicate_uri: str, line_col: str = "line"
+) -> DataFrame:
+    """(subject_curie, object_curie, predicate_biolink) from the
+    distant-supervision pair TSV (subject URI, object URI, predicate
+    URI) — ConceptPairsFileParser.extractPositivePairs:30-56: rows with
+    the target predicate, URIs normalized to CURIEs (strip the OBO purl,
+    first ``_`` → ``:``), predicate mapped to its biolink slot."""
+    from ..sources.obo import curie
+
+    cols = F.split(F.col(line_col), "\t")
+    biolink = CONCEPT_PAIR_PREDICATES.get(target_predicate_uri)
+    if biolink is None:
+        raise ValueError(f"unhandled predicate URI: {target_predicate_uri!r}")
+    return (
+        pair_lines.where(F.trim(F.col(line_col)) != "")
+        .where(cols.getItem(2) == target_predicate_uri)
+        .select(
+            curie(cols.getItem(0)).alias("subject_curie"),
+            curie(cols.getItem(1)).alias("object_curie"),
+            F.lit(biolink).alias("predicate_biolink"),
+        )
+        .distinct()
+    )
+
+
+def negative_concept_pairs(
+    pair_lines: DataFrame,
+    target_predicate_uri: str,
+    chunk_size: int = 1000,
+    line_col: str = "line",
+) -> DataFrame:
+    """(subject_curie, object_curies ARRAY, predicate_biolink='false'):
+    for every positive subject, all object CURIEs seen in the file MINUS
+    the subject's own positives, subdivided into ≤ ``chunk_size`` groups
+    (extractNegativePairs:58-113 + subdivideNegativeCuries:97-113; the
+    reference chunks HashSet order — nondeterministic — so the engine
+    chunks sorted object order). The object universe is a one-row
+    broadcast (dimension-sized: distinct positive objects)."""
+    pos = positive_concept_pairs(pair_lines, target_predicate_uri, line_col=line_col)
+    all_objs = pos.select(
+        F.array_sort(F.collect_set("object_curie")).alias("__all")
+    )
+    per_subj = pos.groupBy("subject_curie").agg(
+        F.collect_set("object_curie").alias("__own")
+    )
+    negs = per_subj.crossJoin(F.broadcast(all_objs)).select(
+        "subject_curie",
+        F.array_sort(F.array_except("__all", "__own")).alias("__negs"),
+    )
+    n_chunks = F.ceil(F.size("__negs") / F.lit(chunk_size)).cast("int")
+    chunked = negs.where(F.size("__negs") > 0).select(
+        "subject_curie",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), n_chunks - 1),
+                lambda i: F.slice("__negs", i * chunk_size + 1, chunk_size),
+            )
+        ).alias("object_curies"),
+    )
+    return chunked.select(
+        "subject_curie", "object_curies", F.lit("false").alias("predicate_biolink")
+    )
+
+
+def promote_pair_subjects(
+    pair_lines: DataFrame, promotion_map: DataFrame, line_col: str = "line"
+) -> DataFrame:
+    """Concept-pair TSV lines with column 0 promoted to its
+    species-agnostic PR class (PrPromoter.createFileWithPromotedPrConcepts
+    :20-46): the promotion map's CURIEs normalize ``:`` → ``_`` to match
+    the underscore-form concepts in the pair files; unmapped concepts
+    pass through (the reference logs NOT PROMOTED and keeps them).
+    ``promotion_map`` = (concept_id, promoted_id), e.g.
+    :func:`~translator_tm_provider_pipelines_spark.operators.ontmaps.pr_promotion_map`.
+    Returns one ``line`` column, tabs intact."""
+    cols = F.split(F.col(line_col), "\t")
+    m = F.broadcast(
+        promotion_map.select(
+            F.replace(F.col("concept_id"), F.lit(":"), F.lit("_")).alias("__k"),
+            F.replace(F.col("promoted_id"), F.lit(":"), F.lit("_")).alias("__v"),
+        ).distinct()
+    )
+    joined = pair_lines.join(m, cols.getItem(0) == F.col("__k"), "left")
+    out_cols = F.split(F.col(line_col), "\t")
+    return joined.select(
+        F.concat_ws(
+            "\t",
+            F.coalesce(F.col("__v"), out_cols.getItem(0)),
+            out_cols.getItem(1),
+            out_cols.getItem(2),
+        ).alias("line")
+    )
+
+
 # ---------------------------------------------------------------------------
 # BERT NER output → BioNLP (relation_extraction/NerBertToBionlpConverter)
 # ---------------------------------------------------------------------------

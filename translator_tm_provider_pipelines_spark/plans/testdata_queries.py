@@ -4667,3 +4667,107 @@ def id_to_dict_entries_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p_type").alias("term"),
     )
     return _om.id_to_dict_entries(d)
+
+
+_DS_PAIR_LINES_SQL = """
+    lines AS (
+      SELECT 'http://purl.obolibrary.org/obo/MONDO_' || cast(o_custkey % 200 AS varchar)
+             || chr(9) || 'http://purl.obolibrary.org/obo/HP_' || cast(o_orderkey % 30 AS varchar)
+             || chr(9) || CASE WHEN o_orderkey % 3 = 0
+                               THEN 'http://purl.obolibrary.org/obo/RO_0002200'
+                               ELSE 'http://purl.obolibrary.org/obo/RO_0001025' END AS line
+      FROM orders
+    )
+"""
+
+
+def _ds_pair_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    return o.select(
+        F.concat(
+            F.lit("http://purl.obolibrary.org/obo/MONDO_"),
+            (F.col("o_custkey") % 200).cast("string"),
+            F.lit("\thttp://purl.obolibrary.org/obo/HP_"),
+            (F.col("o_orderkey") % 30).cast("string"),
+            F.lit("\t"),
+            F.when(
+                F.col("o_orderkey") % 3 == 0,
+                "http://purl.obolibrary.org/obo/RO_0002200",
+            ).otherwise("http://purl.obolibrary.org/obo/RO_0001025"),
+        ).alias("line")
+    )
+
+
+@register(
+    "ds_positive_pairs",
+    f"""
+    WITH {_DS_PAIR_LINES_SQL},
+    split AS (
+      SELECT string_split(line, chr(9)) AS c FROM lines
+    )
+    SELECT DISTINCT
+           replace(replace(c[1], 'http://purl.obolibrary.org/obo/', ''), '_', ':') AS subject_curie,
+           replace(replace(c[2], 'http://purl.obolibrary.org/obo/', ''), '_', ':') AS object_curie,
+           'biolink:has_phenotype' AS predicate_biolink
+    FROM split
+    WHERE c[3] = 'http://purl.obolibrary.org/obo/RO_0002200'
+    """,
+)
+def ds_positive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distant-supervision positive pairs
+    (ConceptPairsFileParser.extractPositivePairs:30-56) on fabricated
+    pair-file lines: target-predicate rows, URIs → CURIEs, biolink
+    predicate mapping."""
+    from ..operators import relext
+
+    return relext.positive_concept_pairs(
+        _ds_pair_lines(spark, sf_dir), "http://purl.obolibrary.org/obo/RO_0002200"
+    )
+
+
+@register(
+    "ds_negative_pairs",
+    f"""
+    WITH {_DS_PAIR_LINES_SQL},
+    split AS (SELECT string_split(line, chr(9)) AS c FROM lines),
+    pos AS (
+      SELECT DISTINCT
+             replace(replace(c[1], 'http://purl.obolibrary.org/obo/', ''), '_', ':') AS s,
+             replace(replace(c[2], 'http://purl.obolibrary.org/obo/', ''), '_', ':') AS o
+      FROM split WHERE c[3] = 'http://purl.obolibrary.org/obo/RO_0002200'
+    ),
+    univ AS (SELECT list_sort(list(DISTINCT o)) AS allo FROM pos),
+    per_subj AS (SELECT s, list(DISTINCT o) AS own FROM pos GROUP BY 1),
+    negs AS (
+      SELECT s, list_sort(list_filter(u.allo, x -> NOT list_contains(own, x))) AS ns
+      FROM per_subj, univ u
+    ),
+    chunked AS (
+      SELECT s, unnest(range(cast(ceil(len(ns) / 7.0) AS int))) AS i, ns
+      FROM negs WHERE len(ns) > 0
+    )
+    SELECT s AS subject_curie,
+           array_to_string(ns[i*7 + 1 : (i+1)*7], '|') AS object_curies,
+           'false' AS predicate_biolink
+    FROM chunked
+    """,
+)
+def ds_negative_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distant-supervision negative pairs
+    (extractNegativePairs:58-113 + subdivideNegativeCuries:97-113):
+    per positive subject, the global object universe minus its own
+    positives, subdivided into ≤7-element chunks in sorted order (the
+    reference chunks HashSet order); pipe-joined for the value
+    comparison."""
+    from ..operators import relext
+
+    out = relext.negative_concept_pairs(
+        _ds_pair_lines(spark, sf_dir),
+        "http://purl.obolibrary.org/obo/RO_0002200",
+        chunk_size=7,
+    )
+    return out.select(
+        "subject_curie",
+        F.array_join("object_curies", "|").alias("object_curies"),
+        "predicate_biolink",
+    )
