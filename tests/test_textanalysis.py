@@ -1,0 +1,81 @@
+from __future__ import annotations
+
+from translator_tm_provider_pipelines_spark.operators import textanalysis as ta
+
+
+def test_pii_redaction(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "mail a.b+c@x-corp.io or Bob_99@sub.example.org today"),
+            (2, "call 303-555-0147 from 10.1.2.3 or 192.168.0.1"),
+            (3, "clean text, no identifiers here"),
+            (4, "edge: 1234-555-0147 is not a phone, 1.2.3.4.5 leads with an ip"),
+        ],
+        "doc_id int, text string",
+    )
+    rows = {r.doc_id: r for r in ta.pii_redaction(docs).collect()}
+    assert (rows[1].n_emails, rows[1].n_phones, rows[1].n_ips) == (2, 0, 0)
+    assert rows[1].redacted_text == "mail <EMAIL> or <EMAIL> today"
+    assert (rows[2].n_emails, rows[2].n_phones, rows[2].n_ips) == (0, 1, 2)
+    assert rows[2].redacted_text == "call <PHONE> from <IP> or <IP>"
+    assert rows[3].pii_free
+    assert rows[3].redacted_text == "clean text, no identifiers here"
+    # \b guards: 4-digit prefix breaks the phone match; the 5-octet string
+    # still contains a valid leading IPv4 (same as Java regex semantics)
+    assert rows[4].n_phones == 0 and rows[4].n_ips == 1
+    assert not rows[4].pii_free
+
+
+def test_benchmark_decontamination(spark):
+    corpus = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "completely novel words appear in this sentence only"),
+            (3, "too short"),  # below n -> zero n-grams, still reported
+            (4, "quick brown fox jumps over and over again here"),
+        ],
+        "doc_id int, text string",
+    )
+    benchmark = spark.createDataFrame(
+        [(100, "a benchmark holds the quick brown fox jumps over its fence")],
+        "doc_id int, text string",
+    )
+    out = {
+        r.doc_id: r
+        for r in ta.benchmark_decontamination(corpus, benchmark, n=5).collect()
+    }
+    assert set(out) == {1, 2, 3, 4}
+    # doc 1 shares 'the quick brown fox jumps' and 'quick brown fox jumps over'
+    assert out[1].n_contaminated == 2 and out[1].contaminated
+    assert out[1].n_ngrams == 5
+    assert abs(out[1].contaminated_frac - 0.4) < 1e-9
+    assert out[2].n_contaminated == 0 and not out[2].contaminated
+    assert out[3].n_ngrams == 0 and out[3].n_contaminated == 0
+    assert out[3].contaminated_frac == 0.0
+    assert out[4].n_contaminated == 1  # only 'quick brown fox jumps over'
+
+    # min_hits raises the drop threshold
+    strict = {
+        r.doc_id: r.contaminated
+        for r in ta.benchmark_decontamination(
+            corpus, benchmark, n=5, min_hits=2
+        ).collect()
+    }
+    assert strict[1] and not strict[4]
+
+
+def test_benchmark_decontamination_plan_broadcasts(spark):
+    corpus = spark.createDataFrame(
+        [(i, f"w{i} x y z a b c d e f") for i in range(20)],
+        "doc_id int, text string",
+    )
+    benchmark = spark.createDataFrame([(99, "x y z a b c")], "doc_id int, text string")
+    plan = (
+        ta.benchmark_decontamination(corpus, benchmark, n=5)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # the benchmark dim must broadcast; the corpus text must never sort-merge
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan

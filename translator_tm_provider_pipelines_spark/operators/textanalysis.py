@@ -262,3 +262,103 @@ def _ngrams(words: Column, n: int) -> Column:
     return F.transform(
         idx, lambda i: F.concat_ws(" ", *[F.element_at(words, i + j) for j in range(n)])
     )
+
+
+# PII patterns chosen to parse identically under Java regex (Spark) and
+# RE2 (DuckDB oracle): no lookaround, no backreferences. The phone shape
+# is the NANP dashed form; broaden per-deployment as needed.
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE_RE = r"\b\d{3}-\d{3}-\d{4}\b"
+PII_IPV4_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+
+
+def pii_redaction(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document PII scrub (LLM-data-pipeline extension): counts of
+    email / dashed-phone / IPv4 literals plus the text with each match
+    replaced by a typed placeholder — the standard C4-style pre-training
+    hygiene pass.
+
+    Counts are taken on the ORIGINAL text (each pattern independently);
+    redaction applies email → phone → IPv4 in that order (the shapes are
+    mutually exclusive, so order only matters for pathological inputs).
+    Pure ``regexp_replace``/``regexp_extract_all`` column expressions —
+    zero shuffle, whole-stage codegen, linear in corpus bytes."""
+    text = F.col(text_col)
+    n_of = lambda pat: F.size(  # noqa: E731
+        F.regexp_extract_all(text, F.lit(f"({pat})"), 1)
+    ).cast("long")
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(text, PII_EMAIL_RE, "<EMAIL>"),
+            PII_PHONE_RE,
+            "<PHONE>",
+        ),
+        PII_IPV4_RE,
+        "<IP>",
+    )
+    n_email, n_phone, n_ip = n_of(PII_EMAIL_RE), n_of(PII_PHONE_RE), n_of(PII_IPV4_RE)
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        n_email.alias("n_emails"),
+        n_phone.alias("n_phones"),
+        n_ip.alias("n_ips"),
+        (n_email + n_phone + n_ip == 0).alias("pii_free"),
+        redacted.alias("redacted_text"),
+    )
+
+
+def benchmark_decontamination(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    n: int = 8,
+    min_hits: int = 1,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Benchmark decontamination (LLM-data-pipeline extension): for every
+    corpus document, how many of its DISTINCT word ``n``-grams appear
+    anywhere in the benchmark/eval set, the contaminated fraction, and a
+    drop flag at ``min_hits`` — the n-gram-overlap rule used to keep eval
+    data out of training corpora (GPT-3 §C / PaLM-style, typically n=8..13).
+
+    Scale shape: the benchmark side (eval sets — small by construction)
+    is reduced to a distinct n-gram dimension and BROADCAST; the corpus
+    side never shuffles its text. Per-doc n-grams explode in place
+    (explode preserves partitioning, so the doc_id hash-aggregate's
+    partial combine emits ONE row per doc per partition) — the only
+    exchange carries one row per corpus document."""
+    text = F.col(text_col)
+    per_doc = corpus.select(
+        F.col(id_col).alias("doc_id"),
+        F.array_distinct(_ngrams(_words(text), n)).alias("__g"),
+    ).select("doc_id", F.size("__g").cast("long").alias("n_ngrams"), "__g")
+    bench = (
+        benchmark.select(
+            F.explode(F.array_distinct(_ngrams(_words(text), n))).alias("__gram")
+        )
+        .distinct()
+        .withColumn("__hit", F.lit(1))
+    )
+    exploded = per_doc.select(
+        "doc_id", "n_ngrams", F.explode_outer("__g").alias("__gram")
+    )
+    agg = (
+        exploded.join(F.broadcast(bench), "__gram", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.first("n_ngrams").alias("n_ngrams"),
+            F.count("__hit").alias("n_contaminated"),
+        )
+    )
+    frac = F.when(
+        F.col("n_ngrams") > 0, F.col("n_contaminated") / F.col("n_ngrams")
+    ).otherwise(F.lit(0.0))
+    return agg.select(
+        "doc_id",
+        "n_ngrams",
+        "n_contaminated",
+        F.round(frac, 8).alias("contaminated_frac"),
+        (F.col("n_contaminated") >= min_hits).alias("contaminated"),
+    )

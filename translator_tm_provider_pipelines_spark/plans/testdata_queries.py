@@ -4771,3 +4771,125 @@ def ds_negative_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_join("object_curies", "|").alias("object_curies"),
         "predicate_biolink",
     )
+
+
+@register(
+    "pii_redaction",
+    r"""
+    WITH fab AS (
+      SELECT c_custkey AS doc_id,
+             'Reach ' || c_name
+             || CASE WHEN c_custkey % 3 = 0
+                     THEN ' at user' || cast(c_custkey AS varchar) || '@example.com'
+                     ELSE '' END
+             || CASE WHEN c_custkey % 4 = 0
+                     THEN ' call ' || cast(c_custkey % 900 + 100 AS varchar)
+                          || '-555-' || cast(c_custkey % 9000 + 1000 AS varchar)
+                     ELSE '' END
+             || CASE WHEN c_custkey % 5 = 0
+                     THEN ' from 10.' || cast(c_nationkey AS varchar)
+                          || '.0.' || cast(c_custkey % 256 AS varchar)
+                     ELSE '' END
+             || ' segment ' || c_mktsegment AS text
+      FROM customer
+    )
+    SELECT doc_id,
+           cast(len(regexp_extract_all(text, '([A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,})', 1)) AS bigint) AS n_emails,
+           cast(len(regexp_extract_all(text, '(\b\d{3}-\d{3}-\d{4}\b)', 1)) AS bigint) AS n_phones,
+           cast(len(regexp_extract_all(text, '(\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b)', 1)) AS bigint) AS n_ips,
+           len(regexp_extract_all(text, '([A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,})', 1))
+             + len(regexp_extract_all(text, '(\b\d{3}-\d{3}-\d{4}\b)', 1))
+             + len(regexp_extract_all(text, '(\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b)', 1)) = 0 AS pii_free,
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+               '\b\d{3}-\d{3}-\d{4}\b', '<PHONE>', 'g'),
+             '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g') AS redacted_text
+    FROM fab
+    """,
+)
+def pii_redaction_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub (email / dashed phone / IPv4 counts + placeholder
+    redaction) over text fabricated from the customer table so every
+    pattern actually fires; rows without injected PII keep pii_free."""
+    c = _t(spark, sf_dir, "customer")
+    fab = c.select(
+        F.col("c_custkey").alias("doc_id"),
+        F.concat(
+            F.lit("Reach "),
+            F.col("c_name"),
+            F.when(
+                F.col("c_custkey") % 3 == 0,
+                F.concat(
+                    F.lit(" at user"),
+                    F.col("c_custkey").cast("string"),
+                    F.lit("@example.com"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("c_custkey") % 4 == 0,
+                F.concat(
+                    F.lit(" call "),
+                    (F.col("c_custkey") % 900 + 100).cast("string"),
+                    F.lit("-555-"),
+                    (F.col("c_custkey") % 9000 + 1000).cast("string"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("c_custkey") % 5 == 0,
+                F.concat(
+                    F.lit(" from 10."),
+                    F.col("c_nationkey").cast("string"),
+                    F.lit(".0."),
+                    (F.col("c_custkey") % 256).cast("string"),
+                ),
+            ).otherwise(F.lit("")),
+            F.lit(" segment "),
+            F.col("c_mktsegment"),
+        ).alias("text"),
+    )
+    return textanalysis.pii_redaction(fab)
+
+
+@register(
+    "benchmark_decontamination",
+    r"""
+    WITH w AS (
+      SELECT doc_id, regexp_extract_all(lower(text), '([a-z0-9]+)', 1) AS ws
+      FROM documents
+    ),
+    g AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(1, greatest(len(ws) - 3, 1)),
+                                          i -> array_to_string(ws[i:i+4], ' '))) AS gs
+      FROM w
+    ),
+    bench AS (SELECT DISTINCT unnest(gs) AS gram FROM g WHERE doc_id % 50 = 0),
+    corp AS (SELECT doc_id, gs, cast(len(gs) AS bigint) AS n_ngrams
+             FROM g WHERE doc_id % 50 <> 0),
+    hits AS (
+      SELECT u.doc_id, cast(count(*) AS bigint) AS nc
+      FROM (SELECT doc_id, unnest(gs) AS gram FROM corp) u
+      JOIN bench USING (gram)
+      GROUP BY u.doc_id
+    )
+    SELECT c.doc_id, c.n_ngrams,
+           cast(coalesce(h.nc, 0) AS bigint) AS n_contaminated,
+           round(CASE WHEN c.n_ngrams > 0
+                      THEN coalesce(h.nc, 0) / cast(c.n_ngrams AS double)
+                      ELSE 0.0 END, 8) AS contaminated_frac,
+           coalesce(h.nc, 0) >= 1 AS contaminated
+    FROM corp c LEFT JOIN hits h USING (doc_id)
+    """,
+)
+def benchmark_decontamination_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-set n-gram decontamination: documents with doc_id % 50 = 0
+    act as the benchmark; every other document reports how many of its
+    distinct 5-grams leak from the benchmark (broadcast n-gram dim, one
+    row-per-doc exchange)."""
+    d = _t(spark, sf_dir, "documents")
+    return textanalysis.benchmark_decontamination(
+        d.where(F.col("doc_id") % 50 != 0),
+        d.where(F.col("doc_id") % 50 == 0),
+        n=5,
+    )
