@@ -1,0 +1,80 @@
+from __future__ import annotations
+
+import pytest
+
+from translator_tm_provider_pipelines_spark.operators import training as tr
+
+
+def test_hex_threshold_bounds():
+    assert tr._hex_threshold(0.0) == "0000"  # nothing sorts below "0000"
+    assert tr._hex_threshold(0.25) == "4000"
+    assert tr._hex_threshold(0.5) == "8000"
+    assert tr._hex_threshold(1.0) == "g"  # above every hex key
+    with pytest.raises(ValueError):
+        tr._hex_threshold(1.5)
+
+
+def test_pack_sequences(spark):
+    docs = spark.createDataFrame(
+        # one shard (n_shards=1), capacity 10:
+        # doc 0: 4 toks -> block 0, offset 0
+        # doc 1: 5 toks -> block 0, offset 4
+        # doc 2: 3 toks -> starts offset 9, spans blocks 0-1
+        # doc 3: 0 toks -> zero-width, spans nothing
+        # doc 4: 25 toks -> starts block 1 offset 2, spans 1-3 (3 blocks)
+        [(0, 4), (1, 5), (2, 3), (3, 0), (4, 25)],
+        "doc_id int, n_tokens int",
+    )
+    out = {r.doc_id: r for r in tr.pack_sequences(docs, capacity=10).collect()}
+    assert (out[0].start_block, out[0].block_offset, out[0].n_blocks_spanned) == (0, 0, 1)
+    assert (out[1].start_block, out[1].block_offset, out[1].n_blocks_spanned) == (0, 4, 1)
+    assert (out[2].start_block, out[2].block_offset, out[2].n_blocks_spanned) == (0, 9, 2)
+    assert (out[3].start_block, out[3].block_offset, out[3].n_blocks_spanned) == (1, 2, 0)
+    assert (out[4].start_block, out[4].block_offset, out[4].n_blocks_spanned) == (1, 2, 3)
+
+    # sharding: streams pack independently
+    sharded = tr.pack_sequences(docs, capacity=10, n_shards=2).collect()
+    by_shard = {}
+    for r in sharded:
+        by_shard.setdefault(r.shard, []).append(r)
+    assert set(by_shard) == {0, 1}
+    # shard 0 = docs 0,2,4 (4+3+25 tokens); doc 2 starts at offset 4
+    s0 = {r.doc_id: r for r in by_shard[0]}
+    assert (s0[2].start_block, s0[2].block_offset) == (0, 4)
+
+    with pytest.raises(ValueError):
+        tr.pack_sequences(docs, capacity=0)
+
+
+def test_deterministic_sample(spark):
+    docs = spark.createDataFrame([(i,) for i in range(2000)], "doc_id int")
+    assert tr.deterministic_sample(docs, 1.0).count() == 2000
+    assert tr.deterministic_sample(docs, 0.0).count() == 0
+    a = sorted(r.doc_id for r in tr.deterministic_sample(docs, 0.3, seed="x").collect())
+    b = sorted(r.doc_id for r in tr.deterministic_sample(docs, 0.3, seed="x").collect())
+    assert a == b  # stable across runs
+    assert 0.25 < len(a) / 2000 < 0.35  # rate within md5-uniformity tolerance
+    c = sorted(r.doc_id for r in tr.deterministic_sample(docs, 0.3, seed="y").collect())
+    assert a != c  # seed changes the keep set
+    # nesting property: a smaller fraction is a subset of a larger one
+    d = set(r.doc_id for r in tr.deterministic_sample(docs, 0.1, seed="x").collect())
+    assert d <= set(a)
+
+
+def test_stratified_sample(spark):
+    docs = spark.createDataFrame(
+        [(i, "keepall" if i % 2 else "drop") for i in range(1000)],
+        "doc_id int, stratum string",
+    )
+    out = tr.stratified_sample(
+        docs, {"keepall": 1.0}, stratum_col="stratum", default_fraction=0.0
+    ).collect()
+    assert len(out) == 500 and all(r.stratum == "keepall" for r in out)
+    half = tr.stratified_sample(
+        docs, {"keepall": 0.5, "drop": 0.1}, stratum_col="stratum"
+    ).collect()
+    kept = {"keepall": 0, "drop": 0}
+    for r in half:
+        kept[r.stratum] += 1
+    assert 0.4 < kept["keepall"] / 500 < 0.6
+    assert 0.04 < kept["drop"] / 500 < 0.18

@@ -4893,3 +4893,96 @@ def benchmark_decontamination_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.where(F.col("doc_id") % 50 == 0),
         n=5,
     )
+
+
+from ..operators import training as _tr  # noqa: E402
+
+
+@register(
+    "sequence_packing",
+    r"""
+    WITH s AS (
+      SELECT doc_id,
+             cast(len(regexp_extract_all(lower(text), '([a-z0-9]+)', 1)) AS bigint) AS n_tokens,
+             cast(doc_id % 4 AS int) AS shard
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, shard, n_tokens,
+             sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM s
+    )
+    SELECT doc_id, shard, n_tokens,
+           cast((cum - n_tokens) // 2048 AS bigint) AS start_block,
+           cast((cum - n_tokens) % 2048 AS bigint) AS block_offset,
+           cast(CASE WHEN n_tokens > 0
+                     THEN (cum - 1) // 2048 - (cum - n_tokens) // 2048 + 1
+                     ELSE 0 END AS bigint) AS n_blocks_spanned
+    FROM c
+    """,
+)
+def sequence_packing_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-then-chunk packing of the documents table into 2048-token
+    blocks across 4 independent shards (word count as the token proxy);
+    the oracle mirrors the sharded running sum."""
+    d = _t(spark, sf_dir, "documents")
+    staged = d.select(
+        "doc_id",
+        F.size(
+            F.regexp_extract_all(F.lower(F.col("text")), F.lit("([a-z0-9]+)"), 1)
+        ).alias("n_tokens"),
+    )
+    return _tr.pack_sequences(staged, capacity=2048, n_shards=4)
+
+
+_SAMPLE_THR = _tr._hex_threshold(0.35)
+_MIX_THRS = {
+    "src1": _tr._hex_threshold(1.0),
+    "src2": _tr._hex_threshold(0.5),
+    "src3": _tr._hex_threshold(0.25),
+}
+_MIX_DEFAULT_THR = _tr._hex_threshold(0.1)
+
+
+@register(
+    "deterministic_corpus_sample",
+    f"""
+    SELECT doc_id, source
+    FROM documents
+    WHERE substr(md5('s0:' || cast(doc_id AS varchar)), 1, 4) < '{_SAMPLE_THR}'
+    """,
+)
+def deterministic_corpus_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible 35% Bernoulli sample of the documents table via the
+    md5 keep rule — the oracle reproduces the exact keep set, which no
+    engine-native random sample can."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    return _tr.deterministic_sample(d, 0.35, seed="s0")
+
+
+@register(
+    "stratified_corpus_mixture",
+    f"""
+    SELECT doc_id, source
+    FROM documents
+    WHERE substr(md5('mix:' || cast(doc_id AS varchar)), 1, 4) <
+          CASE source
+            WHEN 'src1' THEN '{_MIX_THRS["src1"]}'
+            WHEN 'src2' THEN '{_MIX_THRS["src2"]}'
+            WHEN 'src3' THEN '{_MIX_THRS["src3"]}'
+            ELSE '{_MIX_DEFAULT_THR}'
+          END
+    """,
+)
+def stratified_corpus_mixture_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus mixing: keep all of src1, half of src2, a quarter of src3,
+    10% of everything else — per-stratum deterministic md5 sampling."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    return _tr.stratified_sample(
+        d,
+        {"src1": 1.0, "src2": 0.5, "src3": 0.25},
+        stratum_col="source",
+        seed="mix",
+        default_fraction=0.1,
+    )
