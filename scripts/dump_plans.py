@@ -29,6 +29,12 @@ SHOWCASE = {
     "procedure_dictionary": "broadcast procedure-id semi-join; dimension-sized aggregations",
     "paragraph_dedup": "narrow explode + min-struct hash groupBy + in-order reassembly",
     "pq_adc_topk": "codes-only scan, lookup-table distance, TakeOrderedAndProject",
+    "pii_redaction": "zero-shuffle regexp chain, pure narrow",
+    "benchmark_decontamination": (
+        "benchmark n-gram dim broadcast; partial combine leaves one "
+        "row per doc on the only exchange"
+    ),
+    "sequence_packing": "one hash exchange on shard; window sort parallel across shards",
 }
 
 KEEP = re.compile(
