@@ -271,3 +271,31 @@ def test_paragraph_dedup(spark):
     # intra-doc duplicate collapses to the first position; empties dropped
     assert out["d4"].text == "delta"
     assert out["d4"].n_paragraphs == 2 and out["d4"].n_kept == 1
+
+
+def test_pii_redaction_zero_shuffle(spark):
+    # the scrub is a pure narrow regexp chain; the fabricated-input scan
+    # must also prune to the columns the text is built from
+    p = plan_text(spark, "pii_redaction")
+    assert "Exchange" not in p
+    assert "c_acctbal" not in p.split("ReadSchema:")[1].splitlines()[0]
+
+
+def test_benchmark_decontamination_corpus_never_shuffles(spark):
+    # the benchmark n-gram dim broadcasts; the corpus side's only
+    # exchange is the one-row-per-doc aggregate AFTER partial combine
+    p = plan_text(spark, "benchmark_decontamination")
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+    assert "partial_count" in p  # map-side combine on doc_id
+
+
+def test_sequence_packing_single_shard_exchange(spark):
+    p = plan_text(spark, "sequence_packing")
+    assert p.count("Exchange hashpartitioning(shard") == 1
+    assert "Exchange SinglePartition" not in p  # no one-reducer global sort
+
+
+def test_deterministic_sample_zero_shuffle(spark):
+    for q in ("deterministic_corpus_sample", "stratified_corpus_mixture"):
+        assert "Exchange" not in plan_text(spark, q), q
