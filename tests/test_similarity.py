@@ -333,3 +333,46 @@ def test_pq_train_deterministic(spark, emb):
     b1 = similarity.pq_train_codebooks(emb, m=4, n_codes=8, n_iters=2)
     b2 = similarity.pq_train_codebooks(emb, m=4, n_codes=8, n_iters=2)
     assert b1 == b2
+
+
+def test_semantic_dedup_cluster_scoped(spark):
+    # two tight clusters on orthogonal axes + one exact-dup pair inside
+    # each; a cross-cluster near-dup CANNOT be found (the SemDeDup
+    # trade-off) because candidates are cluster-scoped
+    def v(axis, eps, d=8):
+        base = [0.0] * d
+        base[axis] = 1.0
+        base[(axis + 4) % d] = eps
+        return base
+
+    rows = [
+        (0, v(0, 0.0)),   # centroid seed A
+        (1, v(1, 0.0)),   # centroid seed B
+        (2, v(0, 0.01)),  # near-dup of 0 (cluster A)
+        (3, v(1, 0.01)),  # near-dup of 1 (cluster B)
+        (4, v(2, 0.0)),   # isolated direction
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    pairs = {
+        (r.vec_a, r.vec_b)
+        for r in similarity.semantic_near_duplicates(
+            emb, threshold=0.9, n_lists=2
+        ).collect()
+    }
+    assert (0, 2) in pairs and (1, 3) in pairs
+    # vectors in different clusters never pair, whatever their cosine
+    assert all(a != 4 and b != 4 for a, b in pairs)
+
+    keep = {
+        r.vec_id: r.keep
+        for r in similarity.semantic_dedup_keep_list(
+            emb, threshold=0.9, n_lists=2
+        ).collect()
+    }
+    assert keep == {0: True, 1: True, 2: False, 3: False, 4: True}
+
+    # the bucket guard drops a degenerate cluster instead of going quadratic
+    capped = similarity.semantic_near_duplicates(
+        emb, threshold=0.9, n_lists=2, max_bucket_size=1
+    ).count()
+    assert capped == 0

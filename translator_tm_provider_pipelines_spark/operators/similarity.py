@@ -160,20 +160,28 @@ def banded_lsh_candidate_pairs(
     )
     if max_bucket_size is not None:
         buckets = buckets.where(F.size("vs") <= max_bucket_size)
-    pair = F.explode(
+    return buckets.select(_sorted_set_pairs().alias("p")).select(
+        "p.vec_a", "p.vec_b"
+    ).distinct()
+
+
+def _sorted_set_pairs(vs: str = "vs") -> Column:
+    """Exploded (vec_a, vec_b) structs for every a < b combination of a
+    SORTED in-bucket id array ``vs`` — the JVM-side pair expansion shared
+    by every bucketed candidate generator (no join against the corpus)."""
+    return F.explode(
         F.flatten(
             F.transform(
-                F.col("vs"),
+                F.col(vs),
                 lambda x, i: F.transform(
                     F.slice(
-                        F.col("vs"), i + F.lit(2), F.greatest(F.size("vs") - i - 1, F.lit(0))
+                        F.col(vs), i + F.lit(2), F.greatest(F.size(vs) - i - 1, F.lit(0))
                     ),
                     lambda y: F.struct(x.alias("vec_a"), y.alias("vec_b")),
                 ),
             )
         )
     )
-    return buckets.select(pair.alias("p")).select("p.vec_a", "p.vec_b").distinct()
 
 
 def topk_similar_pairs_lsh(
@@ -518,6 +526,17 @@ def embedding_near_duplicates(
         scale=scale,
         max_bucket_size=max_bucket_size,
     )
+    return _exact_cosine_pairs(embeddings, pairs, id_col, vec_col, scale).where(
+        F.col("cosine") >= threshold
+    )
+
+
+def _exact_cosine_pairs(
+    embeddings: DataFrame, pairs: DataFrame, id_col: str, vec_col: str, scale: int
+) -> DataFrame:
+    """Exact rounded cosine for candidate (vec_a, vec_b) pairs — the
+    survivor-scoped verification join shared by every candidate
+    generator. Norms precompute per vector; scores stay bit-identical."""
     ea = embeddings.select(
         F.col(id_col).alias("vec_a"),
         F.col(vec_col).alias("ea"),
@@ -528,19 +547,125 @@ def embedding_near_duplicates(
         F.col(vec_col).alias("eb"),
         l2_norm(F.col(vec_col)).alias("nb"),
     )
-    scored = (
+    return (
         pairs.join(ea, "vec_a")
         .join(eb, "vec_b")
         .select(
             "vec_a",
             "vec_b",
-            # norms precompute per vector; scores stay bit-identical
             F.round(
                 dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb")), scale
             ).alias("cosine"),
         )
     )
-    return scored.where(F.col("cosine") >= threshold)
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup — cluster-scoped semantic deduplication (Abbas et al. 2023)
+# ---------------------------------------------------------------------------
+
+
+def semantic_cluster_candidates(
+    embeddings: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 6,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Candidate (vec_a, vec_b) pairs scoped to a shared nearest-centroid
+    cluster — the SemDeDup candidate rule: embeddings are k-means-
+    clustered and only WITHIN-cluster pairs are ever compared (the
+    documented trade-off: cross-cluster near-dups are invisible, in
+    exchange for candidate volume bounded by Σ|cluster|² instead of n²).
+
+    Same scale shape as the LSH generators: assignment is a narrow
+    column expression over a broadcast centroid literal
+    (:func:`ivf_list_id`), ONE shuffle groups ids per cluster, pairs
+    expand JVM-side inside the bucket row, and ``max_bucket_size``
+    guards degenerate clusters (re-train with more lists instead of
+    letting one cluster go quadratic)."""
+    buckets = (
+        embeddings.select(
+            F.col(id_col).alias("vec_id"),
+            ivf_list_id(F.col(vec_col), centroids, scale).alias("list_id"),
+        )
+        .groupBy("list_id")
+        .agg(F.array_sort(F.collect_set("vec_id")).alias("vs"))
+        .where(F.size("vs") >= 2)
+    )
+    if max_bucket_size is not None:
+        buckets = buckets.where(F.size("vs") <= max_bucket_size)
+    return buckets.select(_sorted_set_pairs().alias("p")).select("p.vec_a", "p.vec_b")
+
+
+def semantic_near_duplicates(
+    embeddings: DataFrame,
+    threshold: float = 0.95,
+    n_lists: int = 16,
+    centroids: list[tuple[int, list[float]]] | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 6,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """SemDeDup near-duplicate pairs: within-cluster candidates verified
+    by exact rounded cosine at ``threshold``. ``centroids`` defaults to
+    the deterministic seed quantizer (first ``n_lists`` ids); pass
+    :func:`train_centroids` output for production-quality clusters —
+    candidate generation and verification are unchanged."""
+    if centroids is None:
+        centroids = seed_centroids(embeddings, n_lists, id_col=id_col, vec_col=vec_col)
+    pairs = semantic_cluster_candidates(
+        embeddings,
+        centroids,
+        id_col=id_col,
+        vec_col=vec_col,
+        scale=scale,
+        max_bucket_size=max_bucket_size,
+    )
+    return _exact_cosine_pairs(embeddings, pairs, id_col, vec_col, scale).where(
+        F.col("cosine") >= threshold
+    )
+
+
+def semantic_dedup_keep_list(
+    embeddings: DataFrame,
+    threshold: float = 0.95,
+    n_lists: int = 16,
+    centroids: list[tuple[int, list[float]]] | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 6,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """(vec_id, keep) over the whole corpus: semantic near-dup pairs →
+    connected components → keep the minimum id per component (every
+    unpaired vector keeps). The end state of a SemDeDup pass, mirroring
+    ``dedup.near_dup_keep_list``'s contract on the text side."""
+    from .dedup import connected_components
+
+    pairs = semantic_near_duplicates(
+        embeddings,
+        threshold=threshold,
+        n_lists=n_lists,
+        centroids=centroids,
+        id_col=id_col,
+        vec_col=vec_col,
+        scale=scale,
+        max_bucket_size=max_bucket_size,
+    )
+    comps = connected_components(pairs, id_a="vec_a", id_b="vec_b")
+    return (
+        embeddings.select(F.col(id_col).alias("vec_id"))
+        .join(comps, F.col("vec_id") == F.col("node"), "left")
+        .select(
+            "vec_id",
+            (F.col("component").isNull() | (F.col("component") == F.col("vec_id"))).alias(
+                "keep"
+            ),
+        )
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -4986,3 +4986,83 @@ def stratified_corpus_mixture_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         seed="mix",
         default_fraction=0.1,
     )
+
+
+_SEMDEDUP_SQL_BODY = f"""
+    e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 500),
+    {_COS_EXPAND.strip()},
+    cent AS (SELECT vec_id AS cid, embedding AS c FROM embeddings WHERE vec_id < 16),
+    sims AS (
+      SELECT e.vec_id, cent.cid,
+             round(sum(cast(list_extract(e.embedding, i) AS double) * cast(list_extract(cent.c, i) AS double))
+                   / (sqrt(sum(cast(list_extract(e.embedding, i) AS double) * cast(list_extract(e.embedding, i) AS double)))
+                      * sqrt(sum(cast(list_extract(cent.c, i) AS double) * cast(list_extract(cent.c, i) AS double)))), 6) AS cs
+      FROM e, cent, pos GROUP BY 1, 2
+    ),
+    assigned AS (
+      SELECT vec_id, cid FROM (
+        SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cid) AS rn
+        FROM sims
+      ) WHERE rn = 1
+    ),
+    norms AS (
+      SELECT vec_id, sum(cast(list_extract(embedding, i) AS double) * cast(list_extract(embedding, i) AS double)) AS nn
+      FROM e, pos GROUP BY 1
+    ),
+    dots AS (
+      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+             sum(cast(list_extract(a.embedding, p.i) AS double) * cast(list_extract(b.embedding, p.i) AS double)) AS d
+      FROM e a
+      JOIN assigned ca ON ca.vec_id = a.vec_id
+      JOIN e b ON a.vec_id < b.vec_id
+      JOIN assigned cb ON cb.vec_id = b.vec_id AND cb.cid = ca.cid,
+      pos p
+      GROUP BY 1, 2
+    ),
+    nd AS (
+      SELECT vec_a, vec_b, round(d / (sqrt(na.nn) * sqrt(nb.nn)), 6) AS cosine
+      FROM dots JOIN norms na ON na.vec_id = vec_a JOIN norms nb ON nb.vec_id = vec_b
+      WHERE round(d / (sqrt(na.nn) * sqrt(nb.nn)), 6) >= 0.3
+    )
+"""
+
+
+@register(
+    "semantic_near_duplicates",
+    f"""
+    WITH {_SEMDEDUP_SQL_BODY}
+    SELECT vec_a, vec_b, cosine FROM nd
+    """,
+)
+def semantic_near_duplicates_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup pair discovery (Abbas et al. 2023): seed-centroid cluster
+    assignment scopes the candidate set, exact rounded cosine verifies —
+    the oracle mirrors the cluster scoping (NOT all pairs), because the
+    scoping IS the semantics."""
+    emb = _t(spark, sf_dir, "embeddings").where(F.col("vec_id") < 500)
+    return similarity.semantic_near_duplicates(emb, threshold=0.3, n_lists=16)
+
+
+@register(
+    "semantic_keep_list",
+    f"""
+    WITH RECURSIVE {_SEMDEDUP_SQL_BODY},
+    edges AS (
+      SELECT vec_a AS a, vec_b AS b FROM nd UNION SELECT vec_b, vec_a FROM nd
+    ),
+    reach AS (
+      SELECT a AS node, b AS x FROM edges
+      UNION
+      SELECT r.node, e2.b FROM reach r JOIN edges e2 ON e2.a = r.x
+    ),
+    canon AS (SELECT node, least(node, min(x)) AS comp FROM reach GROUP BY node)
+    SELECT v.vec_id, coalesce(c.comp, v.vec_id) = v.vec_id AS keep
+    FROM e v LEFT JOIN canon c ON c.node = v.vec_id
+    """,
+)
+def semantic_keep_list_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SemDeDup end state: within-cluster cosine near-dup components,
+    minimum id kept — the embedding twin of the MinHash keep list with
+    cluster-scoped (not LSH) candidates."""
+    emb = _t(spark, sf_dir, "embeddings").where(F.col("vec_id") < 500)
+    return similarity.semantic_dedup_keep_list(emb, threshold=0.3, n_lists=16)
