@@ -35,6 +35,10 @@ SHOWCASE = {
         "row per doc on the only exchange"
     ),
     "sequence_packing": "one hash exchange on shard; window sort parallel across shards",
+    "semantic_near_duplicates": (
+        "centroid assignment as a narrow broadcast-literal expression; "
+        "one cluster-keyed shuffle; survivor-scoped cosine joins"
+    ),
 }
 
 KEEP = re.compile(
