@@ -682,3 +682,81 @@ def paragraph_dedup(
             F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
         )
     )
+
+
+def repeated_kgram_spans(
+    docs: DataFrame,
+    k: int = 50,
+    stride: int | None = None,
+    min_count: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact-substring duplication spans (the Lee et al. 2021
+    "Deduplicating Training Data Makes Language Models Better" family,
+    re-expressed for distribution): every ``stride``-aligned ``k``-char
+    window whose content occurs ≥ ``min_count`` times anywhere in the
+    corpus (other documents OR elsewhere in the same one) marks its
+    characters duplicated; overlapping/adjacent marked windows merge
+    into maximal (doc_id, span_start, span_end) rows, end exclusive.
+    With the default ``stride = k // 2`` any repeated substring of
+    length ≥ 2k is guaranteed to contain a marked window — the
+    suffix-array recall guarantee at window resolution, without the
+    suffix array.
+
+    Scale shape: windows hash to md5 BEFORE the shuffle (constant-width
+    keys — and the DuckDB oracle reproduces them bit-for-bit, which no
+    engine-native hash would allow); duplicate detection is one count
+    window over the gram key (no join-back); span merging shuffles ONLY
+    the duplicated positions on doc_id — corpus text never shuffles.
+    ~2/k rows per character keeps the exploded frame a bounded multiple
+    of the corpus."""
+    from pyspark.sql import Window
+
+    stride = stride or max(1, k // 2)
+    text = F.col(text_col)
+    npos = F.when(
+        F.length(text) >= k, ((F.length(text) - k) / stride).cast("int") + 1
+    ).otherwise(F.lit(0))
+    staged = docs.select(F.col(id_col).alias("doc_id"), text.alias("__t"), npos.alias("__n"))
+    exploded = staged.select(
+        "doc_id",
+        F.explode(
+            F.when(
+                F.col("__n") > 0,
+                F.transform(
+                    F.sequence(F.lit(0), F.col("__n") - 1),
+                    lambda i: F.struct(
+                        (i * stride).alias("pos"),
+                        F.md5(F.substring(F.col("__t"), i * stride + 1, k)).alias("g"),
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<struct<pos:int,g:string>>"))
+        ).alias("w"),
+    ).select("doc_id", F.col("w.pos").alias("pos"), F.col("w.g").alias("g"))
+    dup = (
+        exploded.withColumn("__c", F.count("*").over(Window.partitionBy("g")))
+        .where(F.col("__c") >= min_count)
+        .select("doc_id", "pos")
+    )
+    w_doc = Window.partitionBy("doc_id").orderBy("pos")
+    marked = dup.select("doc_id", "pos", F.lag("pos").over(w_doc).alias("__prev"))
+    islands = marked.select(
+        "doc_id",
+        "pos",
+        F.sum(
+            F.when(
+                F.col("__prev").isNull() | (F.col("pos") > F.col("__prev") + k), 1
+            ).otherwise(0)
+        )
+        .over(w_doc)
+        .alias("__isl"),
+    )
+    return (
+        islands.groupBy("doc_id", "__isl")
+        .agg(
+            F.min("pos").cast("long").alias("span_start"),
+            (F.max("pos") + k).cast("long").alias("span_end"),
+        )
+        .select("doc_id", "span_start", "span_end")
+    )

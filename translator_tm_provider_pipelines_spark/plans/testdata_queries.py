@@ -5066,3 +5066,41 @@ def semantic_keep_list_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     cluster-scoped (not LSH) candidates."""
     emb = _t(spark, sf_dir, "embeddings").where(F.col("vec_id") < 500)
     return similarity.semantic_dedup_keep_list(emb, threshold=0.3, n_lists=16)
+
+
+@register(
+    "repeated_kgram_spans",
+    r"""
+    WITH p AS (
+      SELECT doc_id, text,
+             unnest(range(0, CASE WHEN len(text) >= 60
+                                  THEN ((len(text) - 60) // 30) + 1
+                                  ELSE 0 END)) AS i
+      FROM documents
+    ),
+    g AS (SELECT doc_id, cast(i * 30 AS int) AS pos,
+                 md5(substr(text, cast(i * 30 + 1 AS int), 60)) AS gk
+          FROM p),
+    dup AS (
+      SELECT doc_id, pos FROM (
+        SELECT doc_id, pos, count(*) OVER (PARTITION BY gk) AS c FROM g
+      ) WHERE c >= 2
+    ),
+    m AS (SELECT doc_id, pos,
+                 lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+          FROM dup),
+    isl AS (SELECT doc_id, pos,
+                   sum(CASE WHEN prev IS NULL OR pos > prev + 60 THEN 1 ELSE 0 END)
+                     OVER (PARTITION BY doc_id ORDER BY pos) AS island
+            FROM m)
+    SELECT doc_id, cast(min(pos) AS bigint) AS span_start,
+           cast(max(pos) + 60 AS bigint) AS span_end
+    FROM isl GROUP BY doc_id, island
+    """,
+)
+def repeated_kgram_spans_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring duplication spans (Lee et al. 2021 family) over
+    the documents table at k=60/stride=30 — md5 window keys reproduce
+    bit-for-bit in the oracle, which mirrors the count-window duplicate
+    rule and the gaps-and-islands span merge."""
+    return dedup.repeated_kgram_spans(_t(spark, sf_dir, "documents"), k=60)
