@@ -39,6 +39,10 @@ SHOWCASE = {
         "centroid assignment as a narrow broadcast-literal expression; "
         "one cluster-keyed shuffle; survivor-scoped cosine joins"
     ),
+    "repeated_kgram_spans": (
+        "md5 window keys hashed before the gram shuffle; no join-back; "
+        "span merge shuffles only duplicated positions"
+    ),
 }
 
 KEEP = re.compile(

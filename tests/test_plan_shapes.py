@@ -299,3 +299,11 @@ def test_sequence_packing_single_shard_exchange(spark):
 def test_deterministic_sample_zero_shuffle(spark):
     for q in ("deterministic_corpus_sample", "stratified_corpus_mixture"):
         assert "Exchange" not in plan_text(spark, q), q
+
+
+def test_repeated_kgram_spans_two_exchanges(spark):
+    # exactly two data exchanges: the gram-key count window and the
+    # doc-keyed span merge — the corpus text itself never re-shuffles
+    p = plan_text(spark, "repeated_kgram_spans")
+    assert p.count("Exchange hashpartitioning") == 2
+    assert "SortMergeJoin" not in p and "CartesianProduct" not in p
