@@ -43,6 +43,10 @@ SHOWCASE = {
         "md5 window keys hashed before the gram shuffle; no join-back; "
         "span merge shuffles only duplicated positions"
     ),
+    "curation_manifest": (
+        "five curation rules fused over one corpus scan; only the "
+        "dedup-hash window and the pack-shard window exchange"
+    ),
 }
 
 KEEP = re.compile(

@@ -78,3 +78,42 @@ def test_stratified_sample(spark):
         kept[r.stratum] += 1
     assert 0.4 < kept["keepall"] / 500 < 0.6
     assert 0.04 < kept["drop"] / 500 < 0.18
+
+
+def test_curation_manifest_matches_stepwise(spark):
+    from translator_tm_provider_pipelines_spark.operators import textanalysis as ta
+    from pyspark.sql import functions as F
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox and the lazy dog of the north in a field"),
+            (2, "the quick brown fox and the lazy dog of the north in a field"),  # exact dup
+            (3, "der hund und die katze und das haus und nicht mehr"),  # German
+            (4, "x"),  # fails the quality floor
+            (5, "a tale of two cities and the best of times in the spring"),
+            (6, "the cat sat on the mat and looked to the hills in the morning sun"),
+        ],
+        "doc_id int, text string",
+    )
+    fused = tr.curation_manifest(
+        docs, min_quality=0.2, lang="en", sample_fraction=1.0, capacity=16, n_shards=2
+    )
+    # stepwise: quality -> language -> exact-dup keep -> pack
+    q = ta.quality_scores(docs).where(F.col("quality_score") >= 0.2)
+    l = ta.language_id(docs).where(F.col("pred_lang") == "en")
+    keep = (
+        docs.withColumn("__h", F.md5("text"))
+        .groupBy("__h")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    survivors = (
+        q.select("doc_id", "n_tokens")
+        .join(l.select("doc_id"), "doc_id")
+        .join(keep, "doc_id")
+    )
+    stepwise = tr.pack_sequences(survivors, capacity=16, n_shards=2)
+    assert sorted(map(tuple, fused.collect())) == sorted(map(tuple, stepwise.collect()))
+    ids = {r.doc_id for r in fused.collect()}
+    assert 2 not in ids and 3 not in ids and 4 not in ids
+    assert {1, 5, 6} <= ids

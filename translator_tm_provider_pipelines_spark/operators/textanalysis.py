@@ -53,6 +53,20 @@ def token_stats(
     )
 
 
+def _quality_blend(nt: Column, n_types: Column, n_stopwords: Column):
+    """(ttr, stop_ratio, score) columns from raw counts — the single
+    source of the blend formula, shared by :func:`quality_scores` and the
+    fused curation pass."""
+    nt = nt.cast("double")
+    ttr = F.when(nt > 0, n_types / nt).otherwise(F.lit(0.0))
+    stop_ratio = F.when(nt > 0, n_stopwords / nt).otherwise(F.lit(0.0))
+    len_sat = F.least(nt / F.lit(100.0), F.lit(1.0))
+    score = F.lit(0.4) * len_sat + F.lit(0.3) * ttr + F.lit(0.3) * F.least(
+        stop_ratio * 5.0, F.lit(1.0)
+    )
+    return ttr, stop_ratio, score
+
+
 def quality_scores(
     docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
@@ -61,12 +75,8 @@ def quality_scores(
     shape for web/corpus text (cf. C4/Gopher rules). Deterministic column
     arithmetic; weights documented in the expression."""
     stats = token_stats(docs, text_col=text_col, id_col=id_col)
-    nt = F.col("n_tokens").cast("double")
-    ttr = F.when(nt > 0, F.col("n_types") / nt).otherwise(F.lit(0.0))
-    stop_ratio = F.when(nt > 0, F.col("n_stopwords") / nt).otherwise(F.lit(0.0))
-    len_sat = F.least(nt / F.lit(100.0), F.lit(1.0))
-    score = F.lit(0.4) * len_sat + F.lit(0.3) * ttr + F.lit(0.3) * F.least(
-        stop_ratio * 5.0, F.lit(1.0)
+    ttr, stop_ratio, score = _quality_blend(
+        F.col("n_tokens"), F.col("n_types"), F.col("n_stopwords")
     )
     return stats.select(
         "doc_id",
@@ -86,25 +96,39 @@ def language_id(
     """Stopword-profile language ID: score = marker-word hits per language;
     prediction = argmax with lexicographic tie-break (deterministic). A
     'und' (undetermined) prediction is emitted when no profile scores."""
-    import re as _re
-
     profiles = profiles or DEFAULT_LANG_PROFILES
     text = F.col(text_col)
-    # ONE full-text regex scan over the union of all marker words (the text
-    # is the 100 TB side; the marker sets are tiny), then per-profile scores
-    # are array ops over the small match list. Scanning once instead of
-    # len(profiles) times is ~2.6x at sf0.1 and the gap widens with more
-    # profiles.
+    # scanning once for all profiles instead of len(profiles) times is
+    # ~2.6x at sf0.1 and the gap widens with more profiles
+    matches = lang_marker_matches(text, profiles)
+    staged = docs.select(F.col(id_col).alias("doc_id"), matches.alias("__m"))
+    best_lang, best_score = _lang_argmax(F.col("__m"), profiles)
+    return staged.select(
+        "doc_id",
+        best_lang.alias("pred_lang"),
+        best_score.cast("long").alias("lang_score"),
+    )
+
+
+def lang_marker_matches(text: Column, profiles: dict[str, tuple[str, ...]]) -> Column:
+    """ONE full-text regex scan over the union of all marker words (the
+    text is the 100 TB side; the marker sets are tiny) — stage this as
+    its own projection, then score per profile with array ops."""
+    import re as _re
+
     union = sorted({w for ws in profiles.values() for w in ws})
     pat = r"\b(" + "|".join(_re.escape(w) for w in union) + r")\b"
-    matches = F.regexp_extract_all(F.lower(text), F.lit(f"({pat})"), 1)
-    staged = docs.select(F.col(id_col).alias("doc_id"), matches.alias("__m"))
+    return F.regexp_extract_all(F.lower(text), F.lit(f"({pat})"), 1)
+
+
+def _lang_argmax(matches: Column, profiles: dict[str, tuple[str, ...]]):
+    """(pred_lang, best_score) from a staged marker-match array — the
+    single source of the argmax + lexicographic tie-break, shared by
+    :func:`language_id` and the fused curation pass."""
     scored = F.array(
         *[
             F.struct(
-                F.size(
-                    F.filter(F.col("__m"), lambda w: w.isin(*words))
-                ).alias("score"),
+                F.size(F.filter(matches, lambda w: w.isin(*words))).alias("score"),
                 F.lit(lang).alias("lang"),
             )
             for lang, words in sorted(profiles.items())
@@ -114,13 +138,12 @@ def language_id(
     # ties deterministic toward the *lexicographically smallest* lang we
     # invert: take max score, then min lang among maxima.
     best_score = F.array_max(F.transform(scored, lambda s: s["score"]))
-    best_lang = F.array_min(
-        F.filter(scored, lambda s: s["score"] == best_score)
-    )["lang"]
-    return staged.select(
-        "doc_id",
-        F.when(best_score > 0, best_lang).otherwise(F.lit("und")).alias("pred_lang"),
-        best_score.cast("long").alias("lang_score"),
+    best_lang = F.array_min(F.filter(scored, lambda s: s["score"] == best_score))[
+        "lang"
+    ]
+    return (
+        F.when(best_score > 0, best_lang).otherwise(F.lit("und")),
+        best_score,
     )
 
 

@@ -113,3 +113,69 @@ def stratified_sample(
             F.col(stratum_col) == value, F.lit(_hex_threshold(frac))
         ).otherwise(thr)
     return docs.where(sample_hash_key(seed, id_col) < thr)
+
+
+def curation_manifest(
+    docs: DataFrame,
+    min_quality: float = 0.4,
+    lang: str = "en",
+    sample_fraction: float = 1.0,
+    seed: str = "cur",
+    capacity: int = 2048,
+    n_shards: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    profiles: dict[str, tuple[str, ...]] | None = None,
+) -> DataFrame:
+    """The end-to-end corpus-curation capstone: quality floor → language
+    filter → exact-dedup keep (minimum id per identical text) →
+    deterministic md5 sample → sequence packing, FUSED into one corpus
+    scan and two shuffles (the md5-text dedup window, then the pack
+    shard window). Every rule reuses the single-source column logic of
+    its standalone operator (``_quality_blend``, ``_lang_argmax``,
+    :func:`sample_hash_key`, :func:`pack_sequences`), so the composed
+    pipeline is definitionally consistent with running the steps one by
+    one — without re-scanning the text per step.
+
+    Returns the training manifest: the :func:`pack_sequences` columns
+    for every surviving document."""
+    from .textanalysis import (
+        DEFAULT_LANG_PROFILES,
+        EN_STOPWORDS,
+        _count_words,
+        _lang_argmax,
+        _quality_blend,
+        _words,
+        lang_marker_matches,
+    )
+
+    profiles = profiles or DEFAULT_LANG_PROFILES
+    text = F.col(text_col)
+    staged = docs.select(
+        F.col(id_col).alias("doc_id"),
+        _words(text).alias("__w"),
+        lang_marker_matches(text, profiles).alias("__m"),
+        F.md5(text).alias("__h"),
+        _count_words(text, EN_STOPWORDS).alias("__nstop"),
+    )
+    nt = F.size("__w")
+    _, _, score = _quality_blend(nt, F.size(F.array_distinct("__w")), F.col("__nstop"))
+    pred_lang, _ = _lang_argmax(F.col("__m"), profiles)
+    scored = staged.select(
+        "doc_id",
+        "__h",
+        nt.cast("long").alias("n_tokens"),
+        F.round(score, 8).alias("__q"),
+        pred_lang.alias("__lang"),
+    )
+    kept = scored.withColumn(
+        "__minid", F.min("doc_id").over(Window.partitionBy("__h"))
+    ).where(
+        (F.col("doc_id") == F.col("__minid"))
+        & (F.col("__q") >= min_quality)
+        & (F.col("__lang") == lang)
+        & (sample_hash_key(seed) < F.lit(_hex_threshold(sample_fraction)))
+    )
+    return pack_sequences(
+        kept.select("doc_id", "n_tokens"), capacity=capacity, n_shards=n_shards
+    )

@@ -5104,3 +5104,70 @@ def repeated_kgram_spans_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit-for-bit in the oracle, which mirrors the count-window duplicate
     rule and the gaps-and-islands span merge."""
     return dedup.repeated_kgram_spans(_t(spark, sf_dir, "documents"), k=60)
+
+
+_CUR_SAMPLE_THR = _tr._hex_threshold(0.6)
+
+
+@register(
+    "curation_manifest",
+    rf"""
+    WITH s AS (
+      SELECT doc_id, text,
+        cast(len(regexp_extract_all(lower(text), '([a-z0-9]+)', 1)) AS bigint) AS nt,
+        cast(len(list_distinct(regexp_extract_all(lower(text), '([a-z0-9]+)', 1))) AS bigint) AS ntypes,
+        cast(len(regexp_extract_all(lower(text), '(\b(the|a|of|and|to|in|is)\b)', 1)) AS bigint) AS nstop,
+        cast(len(regexp_extract_all(lower(text), '(\b(der|die|das|und|nicht)\b)', 1)) AS bigint) AS s_de,
+        cast(len(regexp_extract_all(lower(text), '(\b(the|and|of|to|a)\b)', 1)) AS bigint)      AS s_en,
+        cast(len(regexp_extract_all(lower(text), '(\b(el|la|los|que|y)\b)', 1)) AS bigint)      AS s_es,
+        cast(len(regexp_extract_all(lower(text), '(\b(le|la|les|et|que)\b)', 1)) AS bigint)     AS s_fr,
+        md5(text) AS h
+      FROM documents
+    ),
+    q AS (
+      SELECT doc_id, nt,
+        round(0.4 * least(nt / 100.0, 1.0)
+              + 0.3 * (CASE WHEN nt > 0 THEN ntypes / cast(nt AS double) ELSE 0.0 END)
+              + 0.3 * least((CASE WHEN nt > 0 THEN nstop / cast(nt AS double) ELSE 0.0 END) * 5.0, 1.0), 8) AS qsc,
+        CASE WHEN greatest(s_de, s_en, s_es, s_fr) = 0 THEN 'und'
+             WHEN s_de = greatest(s_de, s_en, s_es, s_fr) THEN 'de'
+             WHEN s_en = greatest(s_de, s_en, s_es, s_fr) THEN 'en'
+             WHEN s_es = greatest(s_de, s_en, s_es, s_fr) THEN 'es'
+             ELSE 'fr' END AS plang,
+        min(doc_id) OVER (PARTITION BY h) AS minid
+      FROM s
+    ),
+    kept AS (
+      SELECT doc_id, nt AS n_tokens, cast(doc_id % 4 AS int) AS shard FROM q
+      WHERE doc_id = minid AND qsc >= 0.4 AND plang = 'en'
+        AND substr(md5('cur:' || cast(doc_id AS varchar)), 1, 4) < '{_CUR_SAMPLE_THR}'
+    ),
+    c AS (
+      SELECT doc_id, shard, n_tokens,
+             sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM kept
+    )
+    SELECT doc_id, shard, n_tokens,
+           cast((cum - n_tokens) // 512 AS bigint) AS start_block,
+           cast((cum - n_tokens) % 512 AS bigint) AS block_offset,
+           cast(CASE WHEN n_tokens > 0
+                     THEN (cum - 1) // 512 - (cum - n_tokens) // 512 + 1
+                     ELSE 0 END AS bigint) AS n_blocks_spanned
+    FROM c
+    """,
+)
+def curation_manifest_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus curation in one fused scan: quality >= 0.4,
+    pred_lang = 'en', exact-dedup keep, 60% deterministic sample, packed
+    into 512-token blocks across 4 shards — the oracle chains the exact
+    per-step SQL fragments of the standalone queries."""
+    return _tr.curation_manifest(
+        _t(spark, sf_dir, "documents"),
+        min_quality=0.4,
+        lang="en",
+        sample_fraction=0.6,
+        seed="cur",
+        capacity=512,
+        n_shards=4,
+    )
