@@ -213,3 +213,35 @@ def test_paragraph_dedup_idempotent_and_counted(spark, doc_paras):
         out.select("doc_id", "text"), min_chars=3
     ).collect()
     assert all(r.n_kept == r.n_paragraphs for r in again)
+
+
+@settings(**_SETTINGS)
+@given(
+    st.lists(st.integers(min_value=0, max_value=500), min_size=1, max_size=40),
+    st.integers(min_value=1, max_value=64),
+    st.integers(min_value=1, max_value=4),
+)
+def test_pack_sequences_matches_reference(spark, tokens, capacity, n_shards):
+    from translator_tm_provider_pipelines_spark.operators import training as tr
+
+    rows = [(i, t) for i, t in enumerate(tokens)]
+    docs = spark.createDataFrame(rows, "doc_id int, n_tokens int")
+    got = {
+        r.doc_id: (r.shard, r.start_block, r.block_offset, r.n_blocks_spanned)
+        for r in tr.pack_sequences(docs, capacity=capacity, n_shards=n_shards).collect()
+    }
+    # pure-Python reference: concat per shard in id order, chunk by capacity
+    cursors = {}
+    for i, t in rows:
+        sh = i % n_shards
+        start = cursors.get(sh, 0)
+        cursors[sh] = start + t
+        end = start + t
+        expected = (
+            sh,
+            start // capacity,
+            start % capacity,
+            ((end - 1) // capacity - start // capacity + 1) if t > 0 else 0,
+        )
+        assert got[i] == expected, (i, got[i], expected)
+        assert 0 <= got[i][2] < capacity
