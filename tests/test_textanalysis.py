@@ -79,3 +79,25 @@ def test_benchmark_decontamination_plan_broadcasts(spark):
     # the benchmark dim must broadcast; the corpus text must never sort-merge
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_c4_line_filters(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, 'a good long sentence here.\nshort.\nno punctuation line\nends with quote said "ok."'),
+            (2, "fine first line stays here.\nbut lorem ipsum poisons the doc."),
+            (3, "clean enough to keep entirely!\nand a second proper line too?"),
+            (4, "function f() { return 1; }\nthe brace blocks this document."),
+        ],
+        "doc_id int, text string",
+    )
+    out = {r.doc_id: r for r in ta.c4_line_filters(docs).collect()}
+    # line rules: terminal punctuation AND >= 3 words
+    assert out[1].n_lines == 4 and out[1].n_kept_lines == 2
+    assert out[1].clean_text == 'a good long sentence here.\nends with quote said "ok."'
+    assert not out[1].doc_blocked
+    # lorem ipsum blocks the whole document
+    assert out[2].doc_blocked and out[2].clean_text == ""
+    assert out[3].n_kept_lines == 2 and out[3].clean_text == docs.collect()[2].text
+    # curly brace blocks code-ish docs
+    assert out[4].doc_blocked and out[4].clean_text == ""

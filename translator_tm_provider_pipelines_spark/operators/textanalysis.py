@@ -390,3 +390,34 @@ def benchmark_decontamination(
         F.round(frac, 8).alias("contaminated_frac"),
         (F.col("n_contaminated") >= min_hits).alias("contaminated"),
     )
+
+
+def c4_line_filters(
+    docs: DataFrame,
+    min_line_words: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """C4-style line-level cleaning (Raffel et al. 2020 §2.2): keep only
+    lines that end in terminal punctuation (. ! ? ") and carry at least
+    ``min_line_words`` words; flag-and-drop whole documents containing
+    "lorem ipsum" or a curly brace (code/boilerplate tell). Emits the
+    cleaned text plus the per-document accounting a curation report
+    needs. Pure per-row array expressions — zero shuffle, one scan."""
+    text = F.col(text_col)
+    lines = F.split(text, "\n")
+    kept = F.filter(
+        lines,
+        lambda ln: F.trim(ln).rlike(r'[.!?"]$')
+        & (F.size(F.regexp_extract_all(F.lower(ln), F.lit(WORD_RE), 1)) >= min_line_words),
+    )
+    doc_blocked = F.lower(text).contains("lorem ipsum") | text.contains("{")
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(lines).cast("long").alias("n_lines"),
+        F.size(kept).cast("long").alias("n_kept_lines"),
+        doc_blocked.alias("doc_blocked"),
+        F.when(doc_blocked, F.lit("")).otherwise(F.concat_ws("\n", kept)).alias(
+            "clean_text"
+        ),
+    )

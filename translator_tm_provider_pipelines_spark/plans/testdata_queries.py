@@ -5171,3 +5171,55 @@ def curation_manifest_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         capacity=512,
         n_shards=4,
     )
+
+
+@register(
+    "c4_line_filters",
+    r"""
+    WITH fab AS (
+      SELECT o_orderkey AS doc_id,
+             'Order placed on time.' || chr(10)
+             || 'status ' || o_orderstatus || chr(10)
+             || CASE WHEN o_orderkey % 7 = 0 THEN 'code { block'
+                     ELSE 'the clerk noted the priority carefully.' END || chr(10)
+             || CASE WHEN o_orderkey % 11 = 0 THEN 'lorem ipsum dolor sit.'
+                     ELSE 'final remark with a question?' END AS text
+      FROM orders
+    ),
+    k AS (
+      SELECT doc_id, text, string_split(text, chr(10)) AS lines,
+             list_filter(string_split(text, chr(10)),
+                         ln -> regexp_matches(trim(ln), '[.!?"]$')
+                               AND len(regexp_extract_all(lower(ln), '([a-z0-9]+)', 1)) >= 3) AS kept,
+             (contains(lower(text), 'lorem ipsum') OR contains(text, '{')) AS blocked
+      FROM fab
+    )
+    SELECT doc_id,
+           cast(len(lines) AS bigint) AS n_lines,
+           cast(len(kept) AS bigint) AS n_kept_lines,
+           blocked AS doc_blocked,
+           CASE WHEN blocked THEN '' ELSE array_to_string(kept, chr(10)) END AS clean_text
+    FROM k
+    """,
+)
+def c4_line_filters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 line-level cleaning (terminal-punctuation + min-words line
+    rules, lorem-ipsum / curly-brace document blocks) over fabricated
+    line-structured text so every rule fires."""
+    o = _t(spark, sf_dir, "orders")
+    fab = o.select(
+        F.col("o_orderkey").alias("doc_id"),
+        F.concat(
+            F.lit("Order placed on time.\nstatus "),
+            F.col("o_orderstatus"),
+            F.lit("\n"),
+            F.when(
+                F.col("o_orderkey") % 7 == 0, F.lit("code { block")
+            ).otherwise(F.lit("the clerk noted the priority carefully.")),
+            F.lit("\n"),
+            F.when(
+                F.col("o_orderkey") % 11 == 0, F.lit("lorem ipsum dolor sit.")
+            ).otherwise(F.lit("final remark with a question?")),
+        ).alias("text"),
+    )
+    return textanalysis.c4_line_filters(fab)
