@@ -101,3 +101,32 @@ def test_c4_line_filters(spark):
     assert out[3].n_kept_lines == 2 and out[3].clean_text == docs.collect()[2].text
     # curly brace blocks code-ish docs
     assert out[4].doc_blocked and out[4].clean_text == ""
+
+
+def test_tfidf_terms_and_topk(spark):
+    import math
+
+    docs = spark.createDataFrame(
+        [
+            (0, "apple banana apple"),
+            (1, "apple banana cherry"),
+            (2, "dog dog dog dog"),
+        ],
+        "doc_id int, text string",
+    )
+    w = {
+        (r.doc_id, r.term): (r.tf, r.idf, r.weight)
+        for r in ta.tfidf_terms(docs).collect()
+    }
+    # N=3; df(apple)=2 -> idf = ln(4/3)+1; tf(doc0, apple)=2
+    idf_apple = math.log(4 / 3) + 1
+    assert w[(0, "apple")][0] == 2
+    assert abs(w[(0, "apple")][1] - round(idf_apple, 8)) < 1e-8
+    assert abs(w[(0, "apple")][2] - round(2 * idf_apple, 8)) < 1e-8
+    # df(dog)=1 -> rarer term, higher idf
+    assert w[(2, "dog")][1] > w[(0, "apple")][1]
+
+    top = ta.tfidf_topk_similar(docs, query_doc_id=0, k=5).collect()
+    # doc 1 shares apple+banana with doc 0; doc 2 shares nothing
+    assert [r.doc_id for r in top] == [1]
+    assert 0 < top[0].cosine < 1

@@ -421,3 +421,65 @@ def c4_line_filters(
             "clean_text"
         ),
     )
+
+
+def tfidf_terms(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Sparse TF-IDF document vectors as (doc_id, term, tf, idf, weight)
+    rows — the classic IR weighting (smoothed idf
+    ``ln((N+1)/(df+1)) + 1``, the scikit-learn convention). Two keyed
+    shuffles, both map-side combinable: per-(doc, term) counts, then the
+    term document-frequency dimension, which is vocabulary-sized and
+    BROADCAST back onto the term rows."""
+    text = F.col(text_col)
+    terms = docs.select(
+        F.col(id_col).alias("doc_id"), F.explode(_words(text)).alias("term")
+    )
+    tf = terms.groupBy("doc_id", "term").agg(F.count("*").cast("long").alias("tf"))
+    n_docs = docs.count()
+    df = tf.groupBy("term").agg(F.count("*").cast("long").alias("df"))
+    idf = F.log((F.lit(float(n_docs + 1))) / (F.col("df") + 1)) + 1.0
+    return tf.join(F.broadcast(df), "term").select(
+        "doc_id",
+        "term",
+        "tf",
+        F.round(idf, 8).alias("idf"),
+        F.round(F.col("tf") * idf, 8).alias("weight"),
+    )
+
+
+def tfidf_topk_similar(
+    docs: DataFrame,
+    query_doc_id,
+    k: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-``k`` documents by TF-IDF cosine against one query document
+    (excluded from its own results): the query's sparse vector collects
+    to a broadcast dimension (bounded by one document's vocabulary), so
+    scoring is a broadcast join on ``term`` + one doc-keyed aggregate —
+    the corpus side never joins itself. Rounded score + id ordering keeps
+    ranking engine-stable."""
+    w = tfidf_terms(docs, text_col=text_col, id_col=id_col)
+    qvec = w.where(F.col("doc_id") == query_doc_id).select(
+        "term", F.col("weight").alias("qw")
+    )
+    norms = w.groupBy("doc_id").agg(
+        F.sqrt(F.sum(F.col("weight") * F.col("weight"))).alias("norm")
+    )
+    qnorm = float(
+        norms.where(F.col("doc_id") == query_doc_id).select("norm").collect()[0][0]
+    )
+    dots = (
+        w.where(F.col("doc_id") != query_doc_id)
+        .join(F.broadcast(qvec), "term")
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("weight") * F.col("qw")).alias("dot"))
+    )
+    scored = dots.join(norms, "doc_id").select(
+        "doc_id",
+        F.round(F.col("dot") / (F.col("norm") * F.lit(qnorm)), 6).alias("cosine"),
+    )
+    return scored.orderBy(F.col("cosine").desc(), "doc_id").limit(k)

@@ -5223,3 +5223,54 @@ def c4_line_filters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("text"),
     )
     return textanalysis.c4_line_filters(fab)
+
+
+_TFIDF_W_SQL = """
+    t AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '([a-z0-9]+)', 1)) AS term
+          FROM documents),
+    tf AS (SELECT doc_id, term, cast(count(*) AS bigint) AS tf FROM t GROUP BY 1, 2),
+    n AS (SELECT count(*) AS nd FROM documents),
+    df AS (SELECT term, cast(count(*) AS bigint) AS df FROM tf GROUP BY 1),
+    w AS (SELECT tf.doc_id, tf.term, tf.tf,
+                 ln((n.nd + 1) / cast(df.df + 1 AS double)) + 1.0 AS idf_raw,
+                 round(tf.tf * (ln((n.nd + 1) / cast(df.df + 1 AS double)) + 1.0), 8) AS weight
+          FROM tf JOIN df USING (term), n)
+"""
+
+
+@register(
+    "tfidf_terms",
+    f"""
+    WITH {_TFIDF_W_SQL}
+    SELECT doc_id, term, tf, round(idf_raw, 8) AS idf, weight FROM w
+    """,
+)
+def tfidf_terms_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse TF-IDF document vectors (smoothed scikit-learn idf) —
+    every (doc, term) weight hash-checked."""
+    return textanalysis.tfidf_terms(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "tfidf_topk_docs",
+    f"""
+    WITH {_TFIDF_W_SQL},
+    norms AS (SELECT doc_id, sqrt(sum(weight * weight)) AS norm FROM w GROUP BY 1),
+    q AS (SELECT term, weight AS qw FROM w WHERE doc_id = 0),
+    qn AS (SELECT norm AS qnorm FROM norms WHERE doc_id = 0),
+    dots AS (
+      SELECT w.doc_id, sum(w.weight * q.qw) AS dot
+      FROM w JOIN q USING (term) WHERE w.doc_id <> 0 GROUP BY 1
+    )
+    SELECT d.doc_id, round(d.dot / (norms.norm * qn.qnorm), 6) AS cosine
+    FROM dots d JOIN norms USING (doc_id), qn
+    ORDER BY cosine DESC, doc_id LIMIT 10
+    """,
+)
+def tfidf_topk_docs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 documents by TF-IDF cosine against doc 0: broadcast sparse
+    query vector, term-keyed broadcast join, doc-keyed aggregate — no
+    corpus self-join."""
+    return textanalysis.tfidf_topk_similar(
+        _t(spark, sf_dir, "documents"), query_doc_id=0, k=10
+    )
