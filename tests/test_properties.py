@@ -245,3 +245,45 @@ def test_pack_sequences_matches_reference(spark, tokens, capacity, n_shards):
         )
         assert got[i] == expected, (i, got[i], expected)
         assert 0 <= got[i][2] < capacity
+
+
+@settings(**_SETTINGS)
+@given(
+    st.lists(
+        st.text(alphabet="abc \n", min_size=0, max_size=60), min_size=1, max_size=8
+    ),
+    st.integers(min_value=2, max_value=8),
+)
+def test_repeated_kgram_spans_match_reference(spark, texts, k):
+    from translator_tm_provider_pipelines_spark.operators import dedup
+
+    stride = max(1, k // 2)
+    docs = spark.createDataFrame(list(enumerate(texts)), "doc_id int, text string")
+    got = {}
+    for r in dedup.repeated_kgram_spans(docs, k=k, stride=stride).collect():
+        got.setdefault(r.doc_id, []).append((r.span_start, r.span_end))
+    # brute-force reference over the raw window strings
+    from collections import Counter
+
+    occ = Counter()
+    windows = {}
+    for i, t in enumerate(texts):
+        ws = [
+            (p, t[p : p + k])
+            for p in range(0, len(t) - k + 1, stride)
+        ] if len(t) >= k else []
+        windows[i] = ws
+        for _, g in ws:
+            occ[g] += 1
+    want = {}
+    for i, ws in windows.items():
+        dup_pos = [p for p, g in ws if occ[g] >= 2]
+        spans = []
+        for p in dup_pos:
+            if spans and p <= spans[-1][1]:  # overlap/adjacent: end exclusive
+                spans[-1] = (spans[-1][0], p + k)
+            else:
+                spans.append((p, p + k))
+        if spans:
+            want[i] = spans
+    assert {i: sorted(v) for i, v in got.items()} == want
