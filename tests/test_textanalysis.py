@@ -130,3 +130,35 @@ def test_tfidf_terms_and_topk(spark):
     # doc 1 shares apple+banana with doc 0; doc 2 shares nothing
     assert [r.doc_id for r in top] == [1]
     assert 0 < top[0].cosine < 1
+
+
+def test_chunk_documents(spark):
+    import pytest as _pytest
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e f g h i j"),  # 10 words
+            (2, "only three words"),
+            (3, ""),  # empty: no chunks
+        ],
+        "doc_id int, text string",
+    )
+    out = {}
+    for r in ta.chunk_documents(docs, chunk_tokens=4, overlap=1).collect():
+        out.setdefault(r.doc_id, []).append(r)
+    # doc 1: step 3 -> starts 0,3,6 cover 0..10 (ceil((10-4)/3)+1 = 3 chunks)
+    c1 = sorted(out[1], key=lambda r: r.chunk_idx)
+    assert [(r.start_token, r.end_token, r.chunk_text) for r in c1] == [
+        (0, 4, "a b c d"),
+        (3, 7, "d e f g"),
+        (6, 10, "g h i j"),
+    ]
+    # overlap: each chunk repeats the last token of the previous one
+    assert c1[0].chunk_text.split()[-1] == c1[1].chunk_text.split()[0]
+    # short doc: one chunk, full text
+    assert len(out[2]) == 1 and out[2][0].chunk_text == "only three words"
+    assert out[2][0].n_chunk_tokens == 3
+    # empty doc emits nothing
+    assert 3 not in out
+    with _pytest.raises(ValueError):
+        ta.chunk_documents(docs, chunk_tokens=4, overlap=4)

@@ -483,3 +483,59 @@ def tfidf_topk_similar(
         F.round(F.col("dot") / (F.col("norm") * F.lit(qnorm)), 6).alias("cosine"),
     )
     return scored.orderBy(F.col("cosine").desc(), "doc_id").limit(k)
+
+
+def chunk_documents(
+    docs: DataFrame,
+    chunk_tokens: int = 256,
+    overlap: int = 32,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Overlapping fixed-token chunking — the standard embedding/RAG prep
+    step: the word stream splits into windows of ``chunk_tokens`` words
+    advancing by ``chunk_tokens - overlap``; the last window is shorter
+    and always reaches the end of the document. Chunk text is the
+    space-joined word window (whitespace-normalized, like tokenized
+    retrieval corpora). Emits (doc_id, chunk_idx, start_token, end_token,
+    n_chunk_tokens, chunk_text); empty documents emit nothing. Pure
+    per-row array expressions — zero shuffle."""
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError("need 0 <= overlap < chunk_tokens")
+    step = chunk_tokens - overlap
+    text = F.col(text_col)
+    staged = docs.select(F.col(id_col).alias("doc_id"), _words(text).alias("__w"))
+    n = F.size("__w")
+    n_chunks = F.when(n <= 0, F.lit(0)).otherwise(
+        F.when(n <= chunk_tokens, F.lit(1)).otherwise(
+            F.ceil((n - chunk_tokens) / F.lit(float(step))).cast("int") + 1
+        )
+    )
+    chunk = F.explode(
+        F.when(
+            n_chunks > 0,
+            F.transform(
+                F.sequence(F.lit(0), n_chunks - 1),
+                lambda i: F.struct(
+                    i.cast("long").alias("chunk_idx"),
+                    (i * step).cast("long").alias("start_token"),
+                    F.least(i * step + chunk_tokens, n).cast("long").alias("end_token"),
+                    F.concat_ws(
+                        " ", F.slice(F.col("__w"), i * step + 1, chunk_tokens)
+                    ).alias("chunk_text"),
+                ),
+            ),
+        ).otherwise(
+            F.array().cast(
+                "array<struct<chunk_idx:bigint,start_token:bigint,end_token:bigint,chunk_text:string>>"
+            )
+        )
+    )
+    return staged.select("doc_id", chunk.alias("c")).select(
+        "doc_id",
+        F.col("c.chunk_idx").alias("chunk_idx"),
+        F.col("c.start_token").alias("start_token"),
+        F.col("c.end_token").alias("end_token"),
+        (F.col("c.end_token") - F.col("c.start_token")).alias("n_chunk_tokens"),
+        F.col("c.chunk_text").alias("chunk_text"),
+    )

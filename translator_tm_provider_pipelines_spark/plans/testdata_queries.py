@@ -5274,3 +5274,37 @@ def tfidf_topk_docs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textanalysis.tfidf_topk_similar(
         _t(spark, sf_dir, "documents"), query_doc_id=0, k=10
     )
+
+
+@register(
+    "document_chunks",
+    r"""
+    WITH w AS (
+      SELECT doc_id, regexp_extract_all(lower(text), '([a-z0-9]+)', 1) AS ws
+      FROM documents
+    ),
+    n AS (
+      SELECT doc_id, ws, len(ws) AS n,
+             CASE WHEN len(ws) <= 0 THEN 0
+                  WHEN len(ws) <= 64 THEN 1
+                  ELSE cast(ceil((len(ws) - 64) / 48.0) AS int) + 1 END AS n_chunks
+      FROM w
+    ),
+    c AS (
+      SELECT doc_id, ws, n, unnest(range(0, n_chunks)) AS i FROM n WHERE n_chunks > 0
+    )
+    SELECT doc_id,
+           cast(i AS bigint) AS chunk_idx,
+           cast(i * 48 AS bigint) AS start_token,
+           cast(least(i * 48 + 64, n) AS bigint) AS end_token,
+           cast(least(i * 48 + 64, n) - i * 48 AS bigint) AS n_chunk_tokens,
+           array_to_string(ws[i*48 + 1 : least(i*48 + 64, n)], ' ') AS chunk_text
+    FROM c
+    """,
+)
+def document_chunks_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping 64-token chunks with 16-token overlap (step 48) over
+    the documents table — the embedding/RAG prep shape, zero-shuffle."""
+    return textanalysis.chunk_documents(
+        _t(spark, sf_dir, "documents"), chunk_tokens=64, overlap=16
+    )
