@@ -162,3 +162,22 @@ def test_chunk_documents(spark):
     assert 3 not in out
     with _pytest.raises(ValueError):
         ta.chunk_documents(docs, chunk_tokens=4, overlap=4)
+
+
+def test_corpus_report(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "web", "the quick brown fox and the lazy dog in a field of dreams"),
+            (2, "web", "the quick brown fox and the lazy dog in a field of dreams"),  # dup
+            (3, "web", "der hund und die katze und das haus und nicht mehr"),
+            (4, "curated", "a tale of two cities and the best of times in the spring"),
+        ],
+        "doc_id int, source string, text string",
+    )
+    out = {r.stratum: r for r in ta.corpus_report(docs).collect()}
+    assert out["web"].n_docs == 3 and out["curated"].n_docs == 1
+    assert out["web"].total_tokens == 13 + 13 + 11
+    assert abs(out["web"].dup_share - 1 / 3) < 1e-8  # doc 2 repeats doc 1
+    assert abs(out["web"].en_share - 2 / 3) < 1e-8  # doc 3 is German
+    assert out["curated"].dup_share == 0.0 and out["curated"].en_share == 1.0
+    assert 0 < out["curated"].mean_quality <= 1

@@ -539,3 +539,50 @@ def chunk_documents(
         (F.col("c.end_token") - F.col("c.start_token")).alias("n_chunk_tokens"),
         F.col("c.chunk_text").alias("chunk_text"),
     )
+
+
+def corpus_report(
+    docs: DataFrame,
+    stratum_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    profiles: dict[str, tuple[str, ...]] | None = None,
+) -> DataFrame:
+    """Per-stratum corpus accounting — the dataset-card table: document
+    and token counts, mean quality score, predicted-English share, and
+    exact-duplicate share per ``stratum_col`` value. One fused corpus
+    scan (the same single-source rules as :func:`quality_scores` /
+    :func:`language_id`) + the dedup-hash window + one stratum
+    aggregate."""
+    from pyspark.sql import Window
+
+    profiles = profiles or DEFAULT_LANG_PROFILES
+    text = F.col(text_col)
+    staged = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(stratum_col).alias("stratum"),
+        _words(text).alias("__w"),
+        lang_marker_matches(text, profiles).alias("__m"),
+        F.md5(text).alias("__h"),
+        _count_words(text, EN_STOPWORDS).alias("__nstop"),
+    )
+    nt = F.size("__w")
+    _, _, score = _quality_blend(nt, F.size(F.array_distinct("__w")), F.col("__nstop"))
+    pred_lang, _ = _lang_argmax(F.col("__m"), profiles)
+    scored = staged.select(
+        "doc_id",
+        "stratum",
+        nt.cast("long").alias("__nt"),
+        score.alias("__q"),
+        pred_lang.alias("__lang"),
+        (F.min("doc_id").over(Window.partitionBy("__h")) != F.col("doc_id")).alias(
+            "__dup"
+        ),
+    )
+    return scored.groupBy("stratum").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("__nt").cast("long").alias("total_tokens"),
+        F.round(F.avg("__q"), 8).alias("mean_quality"),
+        F.round(F.avg((F.col("__lang") == "en").cast("double")), 8).alias("en_share"),
+        F.round(F.avg(F.col("__dup").cast("double")), 8).alias("dup_share"),
+    )

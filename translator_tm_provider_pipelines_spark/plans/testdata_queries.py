@@ -5308,3 +5308,46 @@ def document_chunks_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textanalysis.chunk_documents(
         _t(spark, sf_dir, "documents"), chunk_tokens=64, overlap=16
     )
+
+
+@register(
+    "corpus_report",
+    r"""
+    WITH s AS (
+      SELECT doc_id, source AS stratum,
+        cast(len(regexp_extract_all(lower(text), '([a-z0-9]+)', 1)) AS bigint) AS nt,
+        cast(len(list_distinct(regexp_extract_all(lower(text), '([a-z0-9]+)', 1))) AS bigint) AS ntypes,
+        cast(len(regexp_extract_all(lower(text), '(\b(the|a|of|and|to|in|is)\b)', 1)) AS bigint) AS nstop,
+        cast(len(regexp_extract_all(lower(text), '(\b(der|die|das|und|nicht)\b)', 1)) AS bigint) AS s_de,
+        cast(len(regexp_extract_all(lower(text), '(\b(the|and|of|to|a)\b)', 1)) AS bigint)      AS s_en,
+        cast(len(regexp_extract_all(lower(text), '(\b(el|la|los|que|y)\b)', 1)) AS bigint)      AS s_es,
+        cast(len(regexp_extract_all(lower(text), '(\b(le|la|les|et|que)\b)', 1)) AS bigint)     AS s_fr,
+        md5(text) AS h
+      FROM documents
+    ),
+    q AS (
+      SELECT doc_id, stratum, nt,
+        0.4 * least(nt / 100.0, 1.0)
+          + 0.3 * (CASE WHEN nt > 0 THEN ntypes / cast(nt AS double) ELSE 0.0 END)
+          + 0.3 * least((CASE WHEN nt > 0 THEN nstop / cast(nt AS double) ELSE 0.0 END) * 5.0, 1.0) AS qsc,
+        CASE WHEN greatest(s_de, s_en, s_es, s_fr) = 0 THEN 'und'
+             WHEN s_de = greatest(s_de, s_en, s_es, s_fr) THEN 'de'
+             WHEN s_en = greatest(s_de, s_en, s_es, s_fr) THEN 'en'
+             WHEN s_es = greatest(s_de, s_en, s_es, s_fr) THEN 'es'
+             ELSE 'fr' END AS plang,
+        (min(doc_id) OVER (PARTITION BY h) <> doc_id) AS dup
+      FROM s
+    )
+    SELECT stratum,
+           cast(count(*) AS bigint) AS n_docs,
+           cast(sum(nt) AS bigint) AS total_tokens,
+           round(avg(qsc), 8) AS mean_quality,
+           round(avg(CASE WHEN plang = 'en' THEN 1.0 ELSE 0.0 END), 8) AS en_share,
+           round(avg(CASE WHEN dup THEN 1.0 ELSE 0.0 END), 8) AS dup_share
+    FROM q GROUP BY 1
+    """,
+)
+def corpus_report_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source dataset-card accounting (docs, tokens, mean quality,
+    English share, exact-dup share) in one fused scan."""
+    return textanalysis.corpus_report(_t(spark, sf_dir, "documents"))
