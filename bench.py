@@ -87,6 +87,7 @@ def main() -> None:
     # regression guard: compare against the committed round-1 baseline
     # (BASELINE_BENCH.json; VERDICT r1 asks ≤2× per query). Queries added
     # after the baseline round have no reference point and are skipped.
+    baseline = None
     baseline_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BASELINE_BENCH.json")
     if os.path.isfile(baseline_path) and sf == 0.1:
         with open(baseline_path) as f:
@@ -94,7 +95,7 @@ def main() -> None:
         shared = [q for q in timings if q in base["queries"]]
         base_total = round(sum(base["queries"][q] for q in shared), 3)
         cur_total = round(sum(timings[q] for q in shared), 3)
-        out["baseline"] = {
+        baseline = {
             "total_sec": base_total,
             "ratio": round(cur_total / base_total, 3) if base_total else None,
             "regressions": {
@@ -103,7 +104,39 @@ def main() -> None:
                 if base["queries"][q] > 0.2 and timings[q] / base["queries"][q] > 2.0
             },
         }
+        out["baseline"] = baseline
+
+    # The round driver records only the LAST 2000 chars of stdout and parses
+    # a JSON line out of that tail. The full per-query map for 100+ queries
+    # is >2000 chars, so it must NOT be the last line (BENCH_r03/r04 were
+    # unparseable for exactly that reason). Order of emission:
+    #   1. the full record — archived to BENCH_FULL.json and printed for
+    #      anyone running bench.py by hand;
+    #   2. a compact summary line LAST (total, sf, baseline ratio, slowest
+    #      queries) that always fits in the capture tail.
+    full_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json")
+    try:
+        with open(full_path, "w") as f:
+            json.dump(out, f, indent=1)
+            f.write("\n")
+    except OSError:
+        pass
     print(json.dumps(out))
+
+    slowest = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:12])
+    compact = {
+        "metric": "total_query_wall_seconds",
+        "value": out["value"],
+        "unit": "sec",
+        "sf": sf,
+        "n_queries": len(timings),
+        "n_errors": len(errors),
+        "queries": {q: timings[q] for q in sorted(slowest)},
+        "queries_full": "BENCH_FULL.json",
+    }
+    if baseline is not None:
+        compact["baseline"] = baseline
+    print(json.dumps(compact))
     sys.stdout.flush()
     spark.stop()
 

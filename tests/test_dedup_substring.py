@@ -36,10 +36,31 @@ def test_repeated_kgram_spans(spark):
     )
     assert dedup.repeated_kgram_spans(clean, k=10, stride=5).count() == 0
 
-    # guarantee: any repeat of length >= 2k contains a marked window
+    # NOTE: with stride > 1 detection needs the two occurrences to share
+    # window alignment mod stride; this fixture is caught because the
+    # shared block is internally periodic (26-char period), so stride-10
+    # windows in one doc collide with differently-aligned windows in the
+    # other. See the operator docstring for the exact recall contract.
     long_shared = "qwertyuiopasdfghjklzxcvbnm" * 3
     pair = spark.createDataFrame(
         [(1, "PAD1" + long_shared), (2, long_shared + "PAD2")],
         "doc_id int, text string",
     )
     assert dedup.repeated_kgram_spans(pair, k=20, stride=10).count() >= 2
+
+
+def test_repeated_kgram_spans_stride1_alignment_free(spark):
+    """stride=1 restores the alignment-free guarantee: a repeat whose two
+    occurrences sit at incommensurate offsets (4 vs 7, not congruent mod
+    any stride>1 that divides neither) is missed at stride=5 but caught
+    at stride=1."""
+    shared = "The quick brown fox jumps over the lazy dog 0123456789"  # 54 aperiodic chars
+    docs = spark.createDataFrame(
+        [(1, "PAD_" + shared + "!X"), (2, "padpad0" + shared + "?Y")],
+        "doc_id int, text string",
+    )
+    # offsets 4 and 7 differ mod 5 -> stride-5 windows never collide
+    assert dedup.repeated_kgram_spans(docs, k=10, stride=5).count() == 0
+    out = dedup.repeated_kgram_spans(docs, k=10, stride=1)
+    spans = {r.doc_id: (r.span_start, r.span_end) for r in out.collect()}
+    assert spans[1] == (4, 4 + len(shared)) and spans[2] == (7, 7 + len(shared))

@@ -376,3 +376,16 @@ def test_semantic_dedup_cluster_scoped(spark):
         emb, threshold=0.9, n_lists=2, max_bucket_size=1
     ).count()
     assert capped == 0
+
+
+def test_lit_nested_doubles_rejects_non_finite():
+    import pytest
+
+    from translator_tm_provider_pipelines_spark.operators.similarity import (
+        _lit_nested_doubles,
+    )
+
+    with pytest.raises(ValueError, match="non-finite"):
+        _lit_nested_doubles([[1.0, float("nan")], [2.0, 3.0]])
+    with pytest.raises(ValueError, match="non-finite"):
+        _lit_nested_doubles([float("inf")])

@@ -181,3 +181,13 @@ def test_corpus_report(spark):
     assert abs(out["web"].en_share - 2 / 3) < 1e-8  # doc 3 is German
     assert out["curated"].dup_share == 0.0 and out["curated"].en_share == 1.0
     assert 0 < out["curated"].mean_quality <= 1
+
+
+def test_tfidf_topk_similar_query_errors(spark):
+    import pytest
+
+    docs = spark.createDataFrame(
+        [(0, "alpha beta gamma"), (1, "alpha beta delta")], "doc_id int, text string"
+    )
+    with pytest.raises(ValueError, match="not found"):
+        ta.tfidf_topk_similar(docs, query_doc_id=99, k=3)

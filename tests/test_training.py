@@ -117,3 +117,18 @@ def test_curation_manifest_matches_stepwise(spark):
     ids = {r.doc_id for r in fused.collect()}
     assert 2 not in ids and 3 not in ids and 4 not in ids
     assert {1, 5, 6} <= ids
+
+
+def test_pack_sequences_string_ids_shard_by_hash(spark):
+    """String doc ids must shard via the md5 convention, not cast-to-NULL
+    (which would silently collapse everything into one NULL shard)."""
+    docs = spark.createDataFrame(
+        [(f"doc-{i}", 10) for i in range(40)], "doc_id string, n_tokens int"
+    )
+    out = tr.pack_sequences(docs, capacity=16, n_shards=4).collect()
+    shards = {r.shard for r in out}
+    assert None not in shards
+    assert len(shards) > 1  # 40 hashed ids across 4 shards: all non-degenerate
+    # deterministic: same input -> same shard assignment
+    again = tr.pack_sequences(docs, capacity=16, n_shards=4).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))

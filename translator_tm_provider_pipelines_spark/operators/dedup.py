@@ -699,10 +699,19 @@ def repeated_kgram_spans(
     corpus (other documents OR elsewhere in the same one) marks its
     characters duplicated; overlapping/adjacent marked windows merge
     into maximal (doc_id, span_start, span_end) rows, end exclusive.
-    With the default ``stride = k // 2`` any repeated substring of
-    length ≥ 2k is guaranteed to contain a marked window — the
-    suffix-array recall guarantee at window resolution, without the
-    suffix array.
+
+    Recall contract (weaker than the suffix-array method): windows are
+    taken only at per-document stride-aligned offsets, so two
+    occurrences of a repeated substring are detected only when they
+    share window alignment — i.e. their offsets are congruent mod
+    ``stride`` (always true for exact whole-document duplicates and for
+    any repeat whose copies start at offsets o1 ≡ o2 (mod stride)).
+    Occurrences at incommensurate offsets generically share no gram and
+    are missed. ``stride=1`` restores the full alignment-free guarantee
+    (any repeat of length ≥ k is caught) at k× the exploded volume —
+    the high-recall setting; the default ``stride = k // 2`` is the
+    throughput setting. Lee et al.'s suffix array has the unconditional
+    guarantee only because suffixes exist at every offset.
 
     Scale shape: windows hash to md5 BEFORE the shuffle (constant-width
     keys — and the DuckDB oracle reproduces them bit-for-bit, which no

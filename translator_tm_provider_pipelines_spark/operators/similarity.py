@@ -28,7 +28,13 @@ def _lit_nested_doubles(vals) -> Column:
     def fmt(v) -> str:
         if isinstance(v, (list, tuple)):
             return "array(" + ",".join(fmt(x) for x in v) + ")"
-        return repr(float(v)) + "D"
+        f = float(v)
+        if not math.isfinite(f):
+            # 'infD'/'nanD' is not parseable Spark SQL; fail at the source
+            # (degenerate codebook / centroid input) instead of with an
+            # opaque parse error deep inside the consuming query
+            raise ValueError(f"non-finite component in double literal: {f!r}")
+        return repr(f) + "D"
 
     return F.expr(fmt(vals))
 

@@ -469,9 +469,18 @@ def tfidf_topk_similar(
     norms = w.groupBy("doc_id").agg(
         F.sqrt(F.sum(F.col("weight") * F.col("weight"))).alias("norm")
     )
-    qnorm = float(
-        norms.where(F.col("doc_id") == query_doc_id).select("norm").collect()[0][0]
-    )
+    qrows = norms.where(F.col("doc_id") == query_doc_id).select("norm").collect()
+    if not qrows:
+        raise ValueError(
+            f"query_doc_id {query_doc_id!r} not found in the corpus (or has no "
+            "extractable words)"
+        )
+    qnorm = float(qrows[0][0])
+    if qnorm == 0.0:
+        raise ValueError(
+            f"query_doc_id {query_doc_id!r} has a zero TF-IDF vector (every term "
+            "appears in all documents); cosine similarity is undefined"
+        )
     dots = (
         w.where(F.col("doc_id") != query_doc_id)
         .join(F.broadcast(qvec), "term")

@@ -11,6 +11,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 def pack_sequences(
@@ -26,9 +27,13 @@ def pack_sequences(
     reports the block it starts in and its offset inside that block.
 
     Scale shape: a single global ordering is a one-reducer sort, so the
-    stream is SHARDED first (``shard = id % n_shards``) and packing runs
-    per shard — the window sort then parallelizes across ``n_shards``
-    reducers and each training shard stays independently reproducible.
+    stream is SHARDED first and packing runs per shard — the window sort
+    then parallelizes across ``n_shards`` reducers and each training
+    shard stays independently reproducible. Numeric ids shard as
+    ``id % n_shards`` (cross-engine trivial); string ids shard on the
+    engine's md5 convention (``conv(substr(md5(id),1,4),16,10) %
+    n_shards``) — a bare modulo on a non-numeric string would cast to
+    NULL and silently collapse every row into one single-reducer shard.
     Output: (doc_id, shard, n_tokens, start_block, block_offset,
     n_blocks_spanned) — ``n_blocks_spanned`` > 1 marks documents that
     straddle a block boundary."""
@@ -41,10 +46,22 @@ def pack_sequences(
         .orderBy(id_col)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    numeric_id = isinstance(
+        docs.schema[id_col].dataType,
+        (T.ByteType, T.ShortType, T.IntegerType, T.LongType, T.DecimalType),
+    )
+    shard = (
+        F.pmod(doc_id, F.lit(n_shards))
+        if numeric_id
+        else F.pmod(
+            F.conv(F.substring(F.md5(doc_id.cast("string")), 1, 4), 16, 10).cast("int"),
+            F.lit(n_shards),
+        )
+    )
     staged = docs.select(
         doc_id.alias(id_col),
         toks.alias("n_tokens"),
-        F.pmod(doc_id, F.lit(n_shards)).cast("int").alias("shard"),
+        shard.cast("int").alias("shard"),
     )
     cum = F.sum("n_tokens").over(w)
     start = (cum - F.col("n_tokens")).alias("__start")
