@@ -389,3 +389,48 @@ def test_lit_nested_doubles_rejects_non_finite():
         _lit_nested_doubles([[1.0, float("nan")], [2.0, 3.0]])
     with pytest.raises(ValueError, match="non-finite"):
         _lit_nested_doubles([float("inf")])
+
+
+def test_sampled_farthest_first_one_scan(spark):
+    """The sampled init must launch an O(1) number of Spark jobs
+    regardless of n_lists (the exact variant launches n_lists scans)."""
+    emb = _clustered_corpus(spark)
+    sc = spark.sparkContext
+
+    def jobs_for(fn, group):
+        sc.setJobGroup(group, group)
+        try:
+            fn()
+        finally:
+            sc.setJobGroup("", "")
+        return len(sc.statusTracker().getJobIdsForGroup(group))
+
+    j4 = jobs_for(
+        lambda: similarity.sampled_farthest_first_centroids(emb, n_lists=4), "sffc4"
+    )
+    j8 = jobs_for(
+        lambda: similarity.sampled_farthest_first_centroids(emb, n_lists=8), "sffc8"
+    )
+    assert j4 == j8, f"job count must not grow with n_lists ({j4} vs {j8})"
+    assert j8 <= 2  # one TakeOrdered (limit may split into 1-2 jobs)
+
+
+def test_sampled_farthest_first_recall_and_determinism(spark):
+    """Same acceptance bar as the exact init: after Lloyd refinement the
+    quantizer reaches recall@10 = 1.0 with nprobe=2 of 8 lists on the
+    clustered corpus, spreads one centroid per cluster, and reproduces
+    bit-identical centroids on a re-run."""
+    emb = _clustered_corpus(spark).persist()
+    qvec = [
+        r[0]
+        for r in emb.where("vec_id = 130").selectExpr("explode(embedding)").collect()
+    ]
+    init = similarity.sampled_farthest_first_centroids(emb, n_lists=8)
+    assert init == similarity.sampled_farthest_first_centroids(emb, n_lists=8)
+    trained = similarity.train_centroids(emb, n_lists=8, n_iters=3, init=init)
+    assert _recall_at_10(spark, emb, qvec, trained) == 1.0
+    import numpy as np
+
+    axes = {int(np.argmax(np.abs(cv))) for _, cv in trained}
+    assert axes == set(range(8))
+    emb.unpersist()

@@ -331,13 +331,14 @@ def farthest_first_centroids(
     scale: int = 6,
 ) -> list[tuple[int, list[float]]]:
     """Deterministic farthest-first (k-means++-style, without randomness)
-    IVF initialization: start from the minimum id, then repeatedly take
-    the vector whose best cosine against the chosen set is lowest
-    (lowest-id tie-break). Each step is one TakeOrdered over a narrow
-    projection; the loop is bounded by ``n_lists`` (dimension-size), so
-    this stays a handful of cheap driver-coordinated jobs even on a
-    100 TB corpus. Spreads seeds across clusters where
-    :func:`seed_centroids` (first-n-ids) can degenerate."""
+    IVF initialization over the FULL corpus: start from the minimum id,
+    then repeatedly take the vector whose best cosine against the chosen
+    set is lowest (lowest-id tie-break). Exact, but each step is a full
+    corpus scan — ``n_lists`` driver-coordinated jobs total, which at
+    100 TB × n_lists=1000 is the wrong cost shape. Prefer
+    :func:`sampled_farthest_first_centroids` (one scan, same selection
+    rule over a deterministic oversample) for anything large; this exact
+    variant remains for small corpora and as the reference selection."""
     first = (
         embeddings.select(id_col, vec_col).orderBy(id_col).limit(1).collect()[0]
     )
@@ -367,6 +368,71 @@ def farthest_first_centroids(
     return chosen
 
 
+def sampled_farthest_first_centroids(
+    embeddings: DataFrame,
+    n_lists: int,
+    oversample: int = 8,
+    seed: str = "c0",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 6,
+) -> list[tuple[int, list[float]]]:
+    """One-pass oversampled IVF initialization (the sample-then-init
+    family of k-means‖, Bahmani et al. 2012): deterministically sample
+    ``n_lists × oversample`` candidate vectors in ONE corpus scan, then
+    run the exact farthest-first selection driver-side on that small
+    candidate pool.
+
+    The sample is the ``n_lists × oversample`` lowest values of
+    ``md5(seed || ':' || id)`` — a deterministic uniform draw (the
+    engine's cross-engine sampling convention, see
+    ``training.sample_hash_key``) computed by a single TakeOrdered over a
+    narrow (id, vec, key) projection: one job regardless of ``n_lists``,
+    versus ``n_lists`` full scans for :func:`farthest_first_centroids`.
+    Driver-side selection then applies the identical rule (start at the
+    minimum id, repeatedly add the candidate whose best rounded cosine
+    against the chosen set is lowest, lowest-id tie-break), so the result
+    is reproducible run-to-run and engine-independent. With oversample
+    ≥ 8, every cluster carrying ≥ 1/n_lists of the corpus appears in the
+    pool with probability ≥ 1 - n_lists·(1-1/n_lists)^(8·n_lists)
+    ≈ 1 - n_lists·e⁻⁸, so farthest-first still lands one seed per real
+    cluster; Lloyd iterations (:func:`train_centroids`) absorb the rest."""
+    pool_n = max(n_lists * oversample, n_lists)
+    key = F.md5(F.concat(F.lit(f"{seed}:"), F.col(id_col).cast("string")))
+    rows = (
+        embeddings.select(
+            F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"), key.alias("__k")
+        )
+        .orderBy("__k", "__id")
+        .limit(pool_n)
+        .collect()
+    )
+    pool = {int(r["__id"]): [float(x) for x in r["__v"]] for r in rows}
+    if not pool:
+        return []
+
+    def rcos(a: list[float], b: list[float]) -> float:
+        d = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return round(d / (na * nb), scale) if na > 0 and nb > 0 else 0.0
+
+    start = min(pool)
+    chosen: list[tuple[int, list[float]]] = [(start, pool.pop(start))]
+    # candidate -> best cosine against the chosen set, updated incrementally
+    best: dict[int, float] = {i: rcos(v, chosen[0][1]) for i, v in pool.items()}
+    while len(chosen) < n_lists and pool:
+        nxt = min(pool, key=lambda i: (best[i], i))
+        vec = pool.pop(nxt)
+        chosen.append((nxt, vec))
+        best.pop(nxt)
+        for i, v in pool.items():
+            c = rcos(v, vec)
+            if c > best[i]:
+                best[i] = c
+    return chosen
+
+
 def train_centroids(
     embeddings: DataFrame,
     n_lists: int,
@@ -390,8 +456,14 @@ def train_centroids(
     The persisted-index machinery (:func:`write_ivf_index` /
     :func:`read_ivf_index` partition pruning) is unchanged — pass the
     trained centroids through its ``centroids`` argument. The registered
-    oracle queries keep the deterministic seed path."""
-    cents = init or farthest_first_centroids(
+    oracle queries keep the deterministic seed path.
+
+    Default init is :func:`sampled_farthest_first_centroids` — ONE corpus
+    scan regardless of ``n_lists`` (deterministic md5 oversample +
+    driver-side farthest-first); pass
+    ``init=farthest_first_centroids(...)`` for the exact full-corpus
+    selection on small data."""
+    cents = init or sampled_farthest_first_centroids(
         embeddings, n_lists, id_col=id_col, vec_col=vec_col, scale=scale
     )
     emb = embeddings.select(id_col, vec_col)
