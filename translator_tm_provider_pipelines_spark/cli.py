@@ -126,13 +126,26 @@ def run_concept_idf(spark: SparkSession, argv: list[str]) -> None:
 
 
 def run_medline_xml_to_text(spark: SparkSession, argv: list[str]) -> None:
-    """MEDLINE_XML_TO_TEXT: PubMed XML → documents + section annotations."""
+    """MEDLINE_XML_TO_TEXT: PubMed XML → documents + section annotations.
+
+    With ``--documentsStore``/``--statusStore`` also materializes the
+    engine's document + status tables the way the reference's
+    MedlineXmlToTextPipeline seeds Datastore (a TEXT|TEXT document content
+    entity per article and a status entity with TEXT_DONE set,
+    MedlineXmlToTextPipeline.java + PipelineMain status creation) — the
+    entry point of the chained workflow."""
+    from pyspark.sql import functions as F
+
     from .sources import medline
 
     p = argparse.ArgumentParser(prog="MEDLINE_XML_TO_TEXT")
     p.add_argument("--xml", required=True)
     p.add_argument("--output", required=True)
     p.add_argument("--sectionsOutput")
+    p.add_argument("--documentsStore", help="DOCUMENT-schema parquet store output")
+    p.add_argument("--statusStore", help="STATUS-schema parquet store output")
+    p.add_argument("--collection", default="PUBMED")
+    p.add_argument("--pipelineVersion", default="0.1.0")
     ns = p.parse_args(argv)
     docs = medline.medline_documents(medline.read_medline_xml(spark, ns.xml))
     docs.write.mode("overwrite").parquet(ns.output)
@@ -140,6 +153,26 @@ def run_medline_xml_to_text(spark: SparkSession, argv: list[str]) -> None:
         medline.medline_section_annotations(docs).write.mode("overwrite").parquet(
             ns.sectionsOutput
         )
+    if ns.documentsStore:
+        docs.select(
+            "doc_id",
+            F.lit("TEXT").alias("doc_type"),
+            F.lit("TEXT").alias("doc_format"),
+            F.lit("MEDLINE_XML_TO_TEXT").alias("pipeline_key"),
+            F.lit(ns.pipelineVersion).alias("pipeline_version"),
+            "content",
+            F.lit(0).cast("long").alias("chunk_id"),
+            F.lit(1).cast("long").alias("chunk_total"),
+            F.array(F.lit(ns.collection)).alias("collections"),
+        ).write.mode("overwrite").parquet(ns.documentsStore)
+    if ns.statusStore:
+        docs.select(
+            "doc_id",
+            F.coalesce("pub_year", F.lit("2155")).alias("pub_year"),
+            "pub_types",
+            F.create_map(F.lit("TEXT_DONE"), F.lit(True)).alias("flags"),
+            F.array(F.lit(ns.collection)).alias("collections"),
+        ).write.mode("overwrite").parquet(ns.statusStore)
 
 
 def run_pmid_extract(spark: SparkSession, argv: list[str]) -> None:
@@ -235,7 +268,16 @@ def run_file_load(spark: SparkSession, argv: list[str]) -> None:
 
 
 def run_oger(spark: SparkSession, argv: list[str]) -> None:
-    """OGER: dictionary concept recognition over text documents."""
+    """OGER: dictionary concept recognition over text documents.
+
+    Two input shapes: a plain (doc_id, content) parquet via
+    ``--documents`` alone, or the chained-workflow store form — pass
+    ``--status`` + ``--inputDocumentCriteria`` (and optionally the flag
+    gates) and the documents are pulled through the universal input join
+    exactly as the reference's OgerPipeline reads Datastore through
+    PipelineMain's status gating."""
+    from pyspark.sql import functions as F
+
     from .operators import ner
 
     p = argparse.ArgumentParser(prog="OGER")
@@ -244,8 +286,23 @@ def run_oger(spark: SparkSession, argv: list[str]) -> None:
     p.add_argument("--output", required=True)
     p.add_argument("--caseSensitive", action="store_true")
     p.add_argument("--maxTermTokens", type=int, default=3)
+    p.add_argument("--status", help="STATUS parquet: enables gated store input")
+    p.add_argument("--inputDocumentCriteria")
+    p.add_argument("--requiredProcessingStatusFlags", default="")
+    p.add_argument("--targetProcessingStatusFlag")
+    p.add_argument("--collection")
+    p.add_argument("--overwrite", action="store_true")
+    p.add_argument("--failures")
     ns = p.parse_args(argv)
-    docs = spark.read.parquet(ns.documents)
+    if ns.status:
+        if not ns.inputDocumentCriteria:
+            raise SystemExit("--status requires --inputDocumentCriteria")
+        joined, criteria = _load_joined(spark, ns)
+        docs = joined.select(
+            "doc_id", F.col("contents").getItem(criteria[0].key).alias("content")
+        )
+    else:
+        docs = spark.read.parquet(ns.documents)
     dictionary = ner.normalize_dictionary(spark.read.parquet(ns.dictionary))
     ner.dictionary_concept_recognition(
         docs, dictionary,
@@ -461,6 +518,29 @@ def run_update_medline_status(spark: SparkSession, argv: list[str]) -> None:
     ns = p.parse_args(argv)
     coll.update_medline_status(
         spark.read.parquet(ns.status), spark.read.parquet(ns.medlineDocs)
+    ).write.mode("overwrite").parquet(ns.output)
+
+
+def run_update_status_flags(spark: SparkSession, argv: list[str]) -> None:
+    """UPDATE_STATUS_FLAGS: stage-end status maintenance — set a done-flag
+    true for every document a stage actually processed (updateStatusEntity,
+    PipelineMain.java:954-1030). The chained workflow runs this between
+    stages so the next stage's required/target flag gating sees the new
+    state."""
+    from .operators import documents as docops_mod
+
+    p = argparse.ArgumentParser(prog="UPDATE_STATUS_FLAGS")
+    p.add_argument("--status", required=True, help="current STATUS parquet")
+    p.add_argument(
+        "--processed", required=True, help="parquet with a doc_id column"
+    )
+    p.add_argument("--flag", required=True)
+    p.add_argument("--output", required=True, help="updated STATUS parquet")
+    ns = p.parse_args(argv)
+    docops_mod.update_status_flags(
+        spark.read.parquet(ns.status),
+        spark.read.parquet(ns.processed),
+        ns.flag,
     ).write.mode("overwrite").parquet(ns.output)
 
 
@@ -1035,6 +1115,7 @@ PIPELINES: dict[str, Callable[[SparkSession, list[str]], None]] = {
     "DRY_RUN": run_dry_run,
     "COLLECTION_ASSIGNMENT": run_collection_assignment,
     "UPDATE_MEDLINE_STATUS_ENTITIES": run_update_medline_status,
+    "UPDATE_STATUS_FLAGS": run_update_status_flags,
     "TEXT_EXPORT": run_text_export,
     "PUBANNOTATION_EXPORT": run_pubannotation_export,
     "BIGQUERY_EXPORT": run_bigquery_export,
