@@ -1,0 +1,98 @@
+"""Incremental near-dup index (streaming twin of the batch dedup family):
+batch-vs-incremental keep-list equivalence on a two-batch corpus, retry
+idempotency, and the foreachBatch stream wrapper."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from translator_tm_provider_pipelines_spark.operators import dedup
+from translator_tm_provider_pipelines_spark.streaming import dedup_index as di
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog and then runs far away "
+    "into the deep dark forest where nobody ever goes at night"
+)
+ROWS_B1 = [
+    (1, BASE),
+    (2, BASE + " extra"),          # near-dup of 1
+    (3, "completely different text about spark shuffles and parquet files "
+        "with predicate pushdown and column pruning everywhere always"),
+]
+ROWS_B2 = [
+    (4, BASE + " tail"),           # near-dup of 1/2, arrives later
+    (5, "yet another unrelated document mentioning window functions joins "
+        "aggregations and broadcast hash tables in great detail today"),
+]
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "doc_id int, text string")
+
+
+def test_incremental_equals_batch_keep_list(spark, tmp_path):
+    idx = str(tmp_path / "idx")
+    p1 = di.update_near_dup_index(spark, _df(spark, ROWS_B1), idx, batch_id=0)
+    assert p1.count() >= 1  # 1-2 verified within batch 1
+    p2 = di.update_near_dup_index(spark, _df(spark, ROWS_B2), idx, batch_id=1)
+    # the late arrival links to BOTH earlier cluster members
+    linked = {(r.doc_a, r.doc_b) for r in p2.collect()}
+    assert (1, 4) in linked and (2, 4) in linked
+
+    inc = {
+        (r.doc_id, r.canonical_id, r.is_kept)
+        for r in di.keep_list_from_index(spark, idx).collect()
+    }
+    batch = {
+        (r.doc_id, r.canonical_id, r.is_kept)
+        for r in dedup.near_dup_keep_list(_df(spark, ROWS_B1 + ROWS_B2)).collect()
+    }
+    assert inc == batch
+    # accumulated pairs equal the single-batch pair set too
+    inc_pairs = {
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in spark.read.parquet(f"{idx}/pairs").select(
+            "doc_a", "doc_b", "jaccard"
+        ).collect()
+    }
+    batch_pairs = {
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in dedup.near_duplicates(_df(spark, ROWS_B1 + ROWS_B2)).collect()
+    }
+    assert inc_pairs == batch_pairs
+
+
+def test_incremental_batch_retry_idempotent(spark, tmp_path):
+    idx = str(tmp_path / "idx")
+    di.update_near_dup_index(spark, _df(spark, ROWS_B1), idx, batch_id=0)
+    before = sorted(
+        map(tuple, di.keep_list_from_index(spark, idx).collect())
+    )
+    # foreachBatch retry: same batch_id re-runs, dynamic partition
+    # overwrite must leave the index unchanged (no duplicated rows)
+    di.update_near_dup_index(spark, _df(spark, ROWS_B1), idx, batch_id=0)
+    after = sorted(map(tuple, di.keep_list_from_index(spark, idx).collect()))
+    assert before == after
+    assert spark.read.parquet(f"{idx}/docs").count() == len(ROWS_B1)
+
+
+def test_incremental_near_dup_stream(spark, tmp_path):
+    src = tmp_path / "src"
+    src.mkdir()
+    _df(spark, ROWS_B1).coalesce(1).write.parquet(str(src / "b1"))
+    _df(spark, ROWS_B2).coalesce(1).write.parquet(str(src / "b2"))
+    stream = (
+        spark.readStream.schema("doc_id int, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "*"))
+    )
+    idx = str(tmp_path / "idx")
+    q = di.incremental_near_dup_stream(
+        stream, idx, str(tmp_path / "ckpt")
+    ).start()
+    q.awaitTermination(120)
+    keep = {
+        (r.doc_id, r.canonical_id)
+        for r in di.keep_list_from_index(spark, idx).collect()
+    }
+    assert keep == {(1, 1), (2, 1), (3, 3), (4, 1), (5, 5)}

@@ -1,0 +1,218 @@
+"""Incremental MinHash/LSH near-duplicate index — the streaming twin of
+the batch dedup family (``operators.dedup``).
+
+The batch path recomputes signature → bands → buckets → pairs over the
+whole corpus. At 100 TB with a daily ingest that is a full-corpus pass to
+absorb a 0.1% delta. This module maintains a persisted index instead:
+
+    <index_dir>/bands/   (doc_id, band, band_sig)      partitioned by batch
+    <index_dir>/docs/    (doc_id, text)                partitioned by batch
+    <index_dir>/pairs/   (doc_a, doc_b, jaccard)       partitioned by batch
+
+Each update computes band signatures for the NEW documents only (the
+zero-shuffle per-row program), joins them against the accumulated band
+table on (band, band_sig) — new-vs-old and new-vs-new candidates in one
+equi-join, with the new side small enough to broadcast — and
+exact-Jaccard-verifies only the candidates (shingling is restricted to
+candidate documents by a semi-join, batch-path invariant). Appends are
+idempotent: every batch writes its own ``batch_id=N`` partition with
+dynamic partition overwrite, so a foreachBatch retry overwrites rather
+than duplicates.
+
+Equivalence contract (pinned by test): with unique doc ids and no bucket
+cap, the union of per-batch verified pairs over any batch split equals
+the single-batch ``near_duplicates`` pairs — an LSH pair materializes in
+whichever batch its LATER member arrives, with identical band signatures
+and identical Jaccard. Hence :func:`keep_list_from_index` ==
+``near_dup_keep_list`` on the full corpus. ``max_bucket_size`` is the one
+deliberate divergence: the incremental guard sees bucket sizes as of the
+current batch, so a bucket that only later outgrows the cap keeps its
+early pairs (the batch path drops all of them); leave it ``None`` when
+exact batch equivalence matters.
+
+No counterpart in the reference (its incrementality is status-flag
+reprocessing, PipelineMain.java:555-610); this is the Spark-native
+extension of that redo loop to continuous ingest.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import DataStreamWriter
+
+from ..operators import dedup
+
+_SUBDIRS = ("bands", "docs", "pairs")
+
+
+def _part_path(index_dir: str, sub: str) -> str:
+    return os.path.join(index_dir, sub)
+
+
+def _write_batch(df: DataFrame, index_dir: str, sub: str, batch_id: int) -> None:
+    (
+        df.withColumn("batch_id", F.lit(int(batch_id)))
+        .write.partitionBy("batch_id")
+        .option("partitionOverwriteMode", "dynamic")
+        .mode("overwrite")
+        .parquet(_part_path(index_dir, sub))
+    )
+
+
+def _read_index(spark: SparkSession, index_dir: str, sub: str) -> DataFrame | None:
+    path = _part_path(index_dir, sub)
+    try:
+        return spark.read.parquet(path)
+    except Exception:
+        return None  # first batch: nothing indexed yet
+
+
+def update_near_dup_index(
+    spark: SparkSession,
+    new_docs: DataFrame,
+    index_dir: str,
+    batch_id: int,
+    threshold: float = 0.8,
+    k: int = 3,
+    num_perms: int = 16,
+    rows_per_band: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Absorb one batch of new documents into the index; returns the
+    newly verified near-dup pairs (doc_a, doc_b, jaccard) — every pair
+    with at least one member in this batch whose exact Jaccard meets the
+    threshold. Docs already present in the index must not be re-sent
+    (ids are assumed unique across batches, as in any ingest log)."""
+    batch = new_docs.select(
+        F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
+    )
+    new_bands = dedup.lsh_bands(
+        dedup.minhash_signatures_doc(batch, k=k, num_perms=num_perms),
+        rows_per_band=rows_per_band,
+    )
+    old_bands = _read_index(spark, index_dir, "bands")
+    all_bands = (
+        new_bands
+        if old_bands is None
+        else new_bands.unionByName(old_bands.select("doc_id", "band", "band_sig"))
+    )
+    # one equi-join on the bucket key: the new side is the micro-batch
+    # (broadcast); every candidate has >= 1 new member, so new-vs-old and
+    # new-vs-new pairs both fall out. least/greatest normalizes pair order
+    # so cross-batch re-derivations dedupe.
+    nb = F.broadcast(
+        new_bands.select(
+            F.col("doc_id").alias("__new_id"), "band", "band_sig"
+        )
+    )
+    cands = (
+        all_bands.join(nb, ["band", "band_sig"])
+        .where(F.col("doc_id") != F.col("__new_id"))
+        .select(
+            F.least("doc_id", "__new_id").alias("doc_a"),
+            F.greatest("doc_id", "__new_id").alias("doc_b"),
+            "band",
+            "band_sig",
+        )
+    )
+    if max_bucket_size is not None:
+        sizes = all_bands.groupBy("band", "band_sig").agg(
+            F.countDistinct("doc_id").alias("__bn")
+        )
+        cands = cands.join(sizes, ["band", "band_sig"]).where(
+            F.col("__bn") <= max_bucket_size
+        )
+    cands = cands.select("doc_a", "doc_b").distinct()
+
+    old_docs = _read_index(spark, index_dir, "docs")
+    corpus = (
+        batch
+        if old_docs is None
+        else batch.unionByName(old_docs.select("doc_id", "text"))
+    )
+    cand_ids = cands.select(
+        F.explode(F.array("doc_a", "doc_b")).alias("doc_id")
+    ).distinct()
+    cand_docs = corpus.join(cand_ids, "doc_id", "left_semi")
+    sh = dedup.word_shingles(cand_docs, k=k)
+    verified = dedup.jaccard_for_pairs(sh, cands).where(
+        F.col("jaccard") >= threshold
+    )
+
+    # land pairs before bands: if the job dies between writes, the batch
+    # re-run regenerates candidates (bands not yet visible) instead of
+    # silently losing pairs for docs whose bands are already indexed
+    _write_batch(verified, index_dir, "pairs", batch_id)
+    _write_batch(new_bands, index_dir, "bands", batch_id)
+    _write_batch(batch, index_dir, "docs", batch_id)
+    return verified
+
+
+def keep_list_from_index(spark: SparkSession, index_dir: str) -> DataFrame:
+    """(doc_id, canonical_id, is_kept) over every indexed document —
+    connected components (min member id) of the accumulated verified
+    pairs; untouched documents keep themselves. Identical contract to
+    ``dedup.near_dup_keep_list`` on the accumulated corpus."""
+    docs = _read_index(spark, index_dir, "docs")
+    if docs is None:
+        raise FileNotFoundError(f"no index at {index_dir}")
+    pairs = _read_index(spark, index_dir, "pairs")
+    out = docs.select("doc_id")
+    if pairs is None or not pairs.head(1):
+        return out.select(
+            "doc_id",
+            F.col("doc_id").alias("canonical_id"),
+            F.lit(True).alias("is_kept"),
+        )
+    comp = dedup.connected_components(pairs.select("doc_a", "doc_b").distinct())
+    joined = out.join(comp, out.doc_id == comp.node, "left")
+    canonical = F.coalesce(F.col("component"), F.col("doc_id"))
+    return joined.select(
+        "doc_id",
+        canonical.alias("canonical_id"),
+        (canonical == F.col("doc_id")).alias("is_kept"),
+    )
+
+
+def incremental_near_dup_stream(
+    stream: DataFrame,
+    index_dir: str,
+    checkpoint_dir: str,
+    threshold: float = 0.8,
+    k: int = 3,
+    num_perms: int = 16,
+    rows_per_band: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_bucket_size: int | None = None,
+) -> DataStreamWriter:
+    """foreachBatch wrapper: each micro-batch of newly ingested documents
+    updates the index via :func:`update_near_dup_index`. Combine with
+    ``trigger(availableNow=True)`` for catch-up runs; the per-batch
+    dynamic-partition writes make retries idempotent."""
+
+    def run_batch(batch_df: DataFrame, batch_id: int) -> None:
+        update_near_dup_index(
+            batch_df.sparkSession,
+            batch_df,
+            index_dir,
+            batch_id,
+            threshold=threshold,
+            k=k,
+            num_perms=num_perms,
+            rows_per_band=rows_per_band,
+            text_col=text_col,
+            id_col=id_col,
+            max_bucket_size=max_bucket_size,
+        )
+
+    return (
+        stream.writeStream.foreachBatch(run_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+    )
