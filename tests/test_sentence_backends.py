@@ -1,0 +1,103 @@
+"""Pluggable sentence-segmentation backends (X1): adapter contract,
+native-path equivalence, and measured divergence between the rule-based
+and abbreviation-aware (model-class) backends."""
+
+from __future__ import annotations
+
+from translator_tm_provider_pipelines_spark.operators import sentences as sentops
+
+DOCS = [
+    ("d1", "One sentence. Two sentence.\nThird line."),
+    ("d2", "Chronic exposure, e.g. to ethanol, causes damage. See Fig. 3 for "
+           "details. Values were 3.5 and 4.2 in each arm."),
+    ("d3", "Dr. Smith measured J. Doe's samples. The mean was 7.1."),
+    ("d4", "No trailing punctuation at all"),
+    ("d5", "  Leading spaces. And trailing.   "),
+]
+
+
+def _native(spark, docs):
+    return {
+        (r.doc_id, r.start, r.end)
+        for r in sentops.segment_sentences(docs).collect()
+    }
+
+
+def test_adapter_reproduces_native_path(spark):
+    """The regex backend routed through the mapInPandas adapter returns
+    exactly the native column-expression spans — the adapter adds no
+    divergence of its own."""
+    docs = spark.createDataFrame(DOCS, "doc_id string, content string")
+    native = _native(spark, docs)
+    adapted = {
+        (r.doc_id, r.start, r.end)
+        for r in sentops.segment_sentences_with_backend(
+            docs, sentops.regex_segmenter
+        ).collect()
+    }
+    assert adapted == native
+
+
+def test_adapter_contract(spark):
+    """Backends return in-order, in-bounds, non-overlapping spans; the
+    engine derives sentence text from spans (never trusts backend text)."""
+    docs = spark.createDataFrame(DOCS, "doc_id string, content string")
+    texts = dict(DOCS)
+    for name, backend in sentops.SEGMENTER_BACKENDS.items():
+        out = sentops.segment_sentences_with_backend(docs, backend).collect()
+        by_doc: dict[str, list] = {}
+        for r in sorted(out, key=lambda r: (r.doc_id, r.sent_idx)):
+            by_doc.setdefault(r.doc_id, []).append(r)
+        for did, rows in by_doc.items():
+            prev_end = -1
+            for i, r in enumerate(rows):
+                assert r.sent_idx == i, name
+                assert 0 <= r.start < r.end <= len(texts[did]), name
+                assert r.start >= prev_end, f"{name}: overlapping spans"
+                assert r.sentence == texts[did][r.start : r.end], name
+                prev_end = r.end
+
+
+def test_abbrev_backend_diverges_where_expected(spark):
+    """The abbreviation-aware backend merges exactly the false boundaries
+    (e.g., Fig., Dr., single initials); agreement elsewhere is total."""
+    docs = spark.createDataFrame(DOCS, "doc_id string, content string")
+    ab = {
+        (r.doc_id, r.start, r.end)
+        for r in sentops.segment_sentences_with_backend(
+            docs, sentops.abbrev_aware_segmenter
+        ).collect()
+    }
+    # d2: 'e.g.' and 'Fig.' boundaries merge -> whole doc is 3 sentences
+    d2 = sorted((s, e) for d, s, e in ab if d == "d2")
+    assert len(d2) == 3
+    sents_d2 = [dict(DOCS)["d2"][s:e] for s, e in d2]
+    assert sents_d2[0].startswith("Chronic") and sents_d2[0].endswith("damage.")
+    assert sents_d2[1] == "See Fig. 3 for details."
+    # d3: 'Dr.' and 'J.' merge -> 2 sentences
+    d3 = sorted((s, e) for d, s, e in ab if d == "d3")
+    assert len(d3) == 2
+    # d1/d4/d5 have no abbreviation boundaries: identical to native
+    native = _native(spark, docs)
+    for did in ("d1", "d4", "d5"):
+        assert {t for t in ab if t[0] == did} == {t for t in native if t[0] == did}
+
+
+def measure_agreement(spark, docs):
+    """Span-level precision/recall/F1 of abbrev_aware against native_regex
+    (exact span match), used to produce the COVERAGE.md table."""
+    a = _native(spark, docs)
+    b = {
+        (r.doc_id, r.start, r.end)
+        for r in sentops.segment_sentences_with_backend(
+            docs, sentops.abbrev_aware_segmenter
+        ).collect()
+    }
+    inter = len(a & b)
+    return {
+        "native_spans": len(a),
+        "abbrev_spans": len(b),
+        "exact_matches": inter,
+        "precision": inter / len(b) if b else 1.0,
+        "recall": inter / len(a) if a else 1.0,
+    }

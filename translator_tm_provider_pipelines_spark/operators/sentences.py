@@ -102,6 +102,130 @@ def segment_sentences(
     )
 
 
+def segment_sentences_with_backend(
+    docs: DataFrame,
+    backend,
+    doc_id: str = "doc_id",
+    text: str = "content",
+) -> DataFrame:
+    """X1 with a pluggable model backend — the seam where a real sentence
+    model (OpenNLP's maxent in the reference, ``OpenNlpSentenceSegmentFn``;
+    pysbd/spaCy in a Python stack) slots in.
+
+    Adapter contract (pinned by test): ``backend(text: str) ->
+    list[tuple[int, int]]`` — character spans, in order, within bounds,
+    non-overlapping; the engine derives the covered sentence text itself,
+    so a backend can never return text that disagrees with its spans.
+    Runs as Arrow-batched ``mapInPandas`` (model inference is per-row
+    Python work; one initialization per partition, vectorized transfer),
+    output schema identical to :func:`segment_sentences`.
+
+    Built-in backends in :data:`SEGMENTER_BACKENDS`; measured span-level
+    agreement between them is recorded in COVERAGE.md ("Segmentation
+    backend divergence")."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    out_schema = "doc_id string, sent_idx int, start int, end int, sentence string"
+    id_name, text_name = doc_id, text
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for did, content in zip(pdf[id_name], pdf[text_name]):
+                if content is None:
+                    continue
+                for i, (s, e) in enumerate(backend(content)):
+                    rows.append((str(did), i, s, e, content[s:e]))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "sent_idx", "start", "end", "sentence"]
+            )
+
+    return docs.select(F.col(id_name), F.col(text_name)).mapInPandas(
+        run, schema=out_schema
+    )
+
+
+def regex_segmenter(content: str) -> list[tuple[int, int]]:
+    """The native rule as a Python backend: sentence-final punctuation +
+    whitespace, plus line breaks; spans whitespace-trimmed. Equals
+    :func:`segment_sentences` span-for-span (asserted by test), so the
+    adapter itself provably adds no divergence."""
+    marked = re.sub(r"\n", _RS + "\n", content)
+    marked = re.sub(_BOUNDARY_PATTERN, r"\1" + _RS + r"\2", marked)
+    spans, off = [], 0
+    for part in marked.split(_RS):
+        lead = len(part) - len(part.lstrip())
+        trimmed = part.strip()
+        if trimmed:
+            spans.append((off + lead, off + lead + len(trimmed)))
+        off += len(part)
+    return spans
+
+
+#: sentence-final-period exceptions for the abbreviation-aware backend —
+#: common scientific-prose abbreviations (the error class OpenNLP's maxent
+#: model learns; here an explicit list so behavior is deterministic)
+_ABBREVIATIONS = frozenset(
+    "e.g i.e cf vs etc al fig figs eq eqs ref refs sec no nos ca approx "
+    "dr mr mrs ms prof st jr sr inc ltd co corp dept univ".split()
+)
+
+
+def abbrev_aware_segmenter(content: str) -> list[tuple[int, int]]:
+    """A deliberately divergent model-class backend: like the native rule
+    but a period does NOT end a sentence after a known abbreviation, a
+    single initial (``J. Smith``), or inside a decimal number (``3. 5`` is
+    still a boundary but ``3.5`` never splits — the native rule agrees
+    there since it requires whitespace). Stands in for pysbd/OpenNLP when
+    no model runtime is installed; if ``pysbd`` is importable,
+    :data:`SEGMENTER_BACKENDS` exposes it too."""
+    spans = []
+    for s, e in regex_segmenter(content):
+        if spans:
+            ps, pe = spans[-1]
+            prev = content[ps:pe]
+            last_word = re.findall(r"[A-Za-z.]+$", prev[:-1].rstrip())
+            word = last_word[0].rstrip(".").lower() if last_word else ""
+            if prev.endswith(".") and (
+                word in _ABBREVIATIONS
+                or re.search(r"(?:^|\s)[A-Z]\.$", prev) is not None
+            ):
+                spans[-1] = (ps, e)  # merge: abbreviation, not a boundary
+                continue
+        spans.append((s, e))
+    return spans
+
+
+def _pysbd_segmenter():  # pragma: no cover - optional dependency
+    import pysbd
+
+    seg = pysbd.Segmenter(language="en", clean=False, char_span=True)
+
+    def run(content: str) -> list[tuple[int, int]]:
+        out = []
+        for ts in seg.segment(content):
+            t = ts.sent
+            lead = len(t) - len(t.lstrip())
+            trail = len(t) - len(t.rstrip())
+            if t.strip():
+                out.append((ts.start + lead, ts.end - trail))
+        return out
+
+    return run
+
+
+SEGMENTER_BACKENDS = {
+    "native_regex": regex_segmenter,
+    "abbrev_aware": abbrev_aware_segmenter,
+}
+try:  # pragma: no cover - optional dependency
+    SEGMENTER_BACKENDS["pysbd"] = _pysbd_segmenter()
+except ImportError:
+    pass
+
+
 def sentences_as_annotations(sents: DataFrame) -> DataFrame:
     """Segmented sentences → schemas.ANNOTATION rows (annot_type='sentence'),
     the relational replacement for the reference's BioNLP sentence blobs."""
