@@ -47,6 +47,15 @@ SHOWCASE = {
         "five curation rules fused over one corpus scan; only the "
         "dedup-hash window and the pack-shard window exchange"
     ),
+    "sentence_cooccurrence_export": (
+        "top-cost query of the bench: doc_id equi-joins + narrow-key "
+        "aggregation; hashing happens after the aggregate, not on the "
+        "shuffled rows"
+    ),
+    "ontology_dictionary_ner": (
+        "broadcast dictionary; the tokenize->n-gram chain costs one "
+        "Exchange and one Sort"
+    ),
 }
 
 KEEP = re.compile(

@@ -64,7 +64,19 @@ def main() -> None:
     ap.add_argument("--src", default="/root/testdata/sf0.1")
     ap.add_argument("--dest", default="/root/repo/.scaledata/sf1.0")
     ap.add_argument("--copies", type=int, default=10)
+    ap.add_argument(
+        "--tables",
+        default=None,
+        help="comma-separated subset (e.g. 'documents' for a dedup-family "
+        "slice at high sf without replicating the 600k-row fact tables)",
+    )
     args = ap.parse_args()
+    if args.tables:
+        keep = set(args.tables.split(","))
+        global COPY_AS_IS
+        COPY_AS_IS = tuple(t for t in COPY_AS_IS if t in keep)
+        for t in [t for t in KEY_OFFSETS if t not in keep]:
+            del KEY_OFFSETS[t]
     os.makedirs(args.dest, exist_ok=True)
 
     con = duckdb.connect()
