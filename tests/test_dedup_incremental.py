@@ -96,3 +96,28 @@ def test_incremental_near_dup_stream(spark, tmp_path):
         for r in di.keep_list_from_index(spark, idx).collect()
     }
     assert keep == {(1, 1), (2, 1), (3, 3), (4, 1), (5, 5)}
+
+
+def test_near_dup_index_cli(spark, tmp_path):
+    from translator_tm_provider_pipelines_spark import cli
+
+    _df(spark, ROWS_B1).write.parquet(str(tmp_path / "b1"))
+    _df(spark, ROWS_B2).write.parquet(str(tmp_path / "b2"))
+    idx = str(tmp_path / "idx")
+    for i, b in enumerate(("b1", "b2")):
+        cli.main(
+            [
+                "NEAR_DUP_INDEX_UPDATE",
+                "--newDocs", str(tmp_path / b),
+                "--indexDir", idx,
+                "--batchId", str(i),
+            ]
+        )
+    cli.main(
+        ["NEAR_DUP_KEEP_LIST", "--indexDir", idx, "--output", str(tmp_path / "keep")]
+    )
+    keep = {
+        (r.doc_id, r.canonical_id)
+        for r in spark.read.parquet(str(tmp_path / "keep")).collect()
+    }
+    assert keep == {(1, 1), (2, 1), (3, 3), (4, 1), (5, 5)}

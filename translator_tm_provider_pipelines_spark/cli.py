@@ -544,6 +544,48 @@ def run_update_status_flags(spark: SparkSession, argv: list[str]) -> None:
     ).write.mode("overwrite").parquet(ns.output)
 
 
+def run_near_dup_index_update(spark: SparkSession, argv: list[str]) -> None:
+    """NEAR_DUP_INDEX_UPDATE: absorb a batch of new documents into the
+    persisted incremental MinHash/LSH index (streaming/dedup_index.py);
+    prints how many new verified near-dup pairs the batch produced."""
+    from .streaming import dedup_index as di
+
+    p = argparse.ArgumentParser(prog="NEAR_DUP_INDEX_UPDATE")
+    p.add_argument("--newDocs", required=True, help="(doc_id, text) parquet")
+    p.add_argument("--indexDir", required=True)
+    p.add_argument("--batchId", type=int, required=True)
+    p.add_argument("--threshold", type=float, default=0.8)
+    p.add_argument("--maxBucketSize", type=int, default=None)
+    p.add_argument("--textColumn", default="text")
+    p.add_argument("--idColumn", default="doc_id")
+    ns = p.parse_args(argv)
+    pairs = di.update_near_dup_index(
+        spark,
+        spark.read.parquet(ns.newDocs),
+        ns.indexDir,
+        ns.batchId,
+        threshold=ns.threshold,
+        text_col=ns.textColumn,
+        id_col=ns.idColumn,
+        max_bucket_size=ns.maxBucketSize,
+    )
+    print(f"batch {ns.batchId}: {pairs.count()} new verified pairs")
+
+
+def run_near_dup_keep_list_export(spark: SparkSession, argv: list[str]) -> None:
+    """NEAR_DUP_KEEP_LIST: materialize (doc_id, canonical_id, is_kept)
+    from the incremental index."""
+    from .streaming import dedup_index as di
+
+    p = argparse.ArgumentParser(prog="NEAR_DUP_KEEP_LIST")
+    p.add_argument("--indexDir", required=True)
+    p.add_argument("--output", required=True)
+    ns = p.parse_args(argv)
+    di.keep_list_from_index(spark, ns.indexDir).write.mode("overwrite").parquet(
+        ns.output
+    )
+
+
 def run_text_export(spark: SparkSession, argv: list[str]) -> None:
     """TEXT_EXPORT: '###C:'-commented text hand-off files (Turku input)."""
     from .operators import collections as coll
@@ -1116,6 +1158,8 @@ PIPELINES: dict[str, Callable[[SparkSession, list[str]], None]] = {
     "COLLECTION_ASSIGNMENT": run_collection_assignment,
     "UPDATE_MEDLINE_STATUS_ENTITIES": run_update_medline_status,
     "UPDATE_STATUS_FLAGS": run_update_status_flags,
+    "NEAR_DUP_INDEX_UPDATE": run_near_dup_index_update,
+    "NEAR_DUP_KEEP_LIST": run_near_dup_keep_list_export,
     "TEXT_EXPORT": run_text_export,
     "PUBANNOTATION_EXPORT": run_pubannotation_export,
     "BIGQUERY_EXPORT": run_bigquery_export,
