@@ -415,7 +415,18 @@ def allowable_concept_ids_map(
             )
         else:
             return
-        for r in rows.select("concept_id").distinct().collect():
+        # bounded collect: the distinct set is one annotation batch's
+        # allowable concept vocabulary (a single biolink class filtered by
+        # IDF threshold — thousands of ids, not corpus-scale); the guard
+        # below turns a mis-wired unfiltered input into a loud error
+        # instead of a silent driver OOM
+        ids_rows = rows.select("concept_id").distinct().limit(1_000_001).collect()
+        if len(ids_rows) > 1_000_000:
+            raise ValueError(
+                "allowable-concept-id set exceeds 1M ids; the IDF input is "
+                "not a per-class vocabulary — check the threshold/class wiring"
+            )
+        for r in ids_rows:
             out.setdefault(r.concept_id.split(":")[0], set()).add(r.concept_id)
 
     add(s_cls, subject_idf_threshold)
