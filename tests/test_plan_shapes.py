@@ -307,3 +307,54 @@ def test_repeated_kgram_spans_two_exchanges(spark):
     p = plan_text(spark, "repeated_kgram_spans")
     assert p.count("Exchange hashpartitioning") == 2
     assert "SortMergeJoin" not in p and "CartesianProduct" not in p
+
+
+def test_oversize_star_policy(spark):
+    """oversize_policy='star': over-cap buckets emit linear
+    representative->member edges instead of being dropped; keep list
+    equals the uncapped one while candidate volume is linear."""
+    from translator_tm_provider_pipelines_spark.operators import dedup
+
+    bands = spark.createDataFrame(
+        [(0, "sig", f"d{i}") for i in range(5)] + [(1, "other", "a"), (1, "other", "b")],
+        "band int, band_sig string, doc_id string",
+    )
+    star = dedup.lsh_candidate_pairs(bands, max_bucket_size=3, oversize_policy="star")
+    got = {(r.doc_a, r.doc_b) for r in star.collect()}
+    # over-cap 5-bucket: 4 star edges from min member d0; small bucket keeps its pair
+    assert got == {("d0", "d1"), ("d0", "d2"), ("d0", "d3"), ("d0", "d4"), ("a", "b")}
+
+    import pytest
+
+    with pytest.raises(ValueError, match="oversize_policy"):
+        dedup.lsh_candidate_pairs(bands, max_bucket_size=3, oversize_policy="nope")
+
+    boiler = "this exact same boilerplate footer text repeats everywhere verbatim"
+    rows = [(f"b{i:02d}", boiler) for i in range(40)] + [
+        ("x1", "the quick brown fox jumps over the lazy dog near the river"),
+        ("x2", "the quick brown fox jumps over the lazy dog near the riverbank"),
+        ("solo", "completely unrelated text about spark physical plans and shuffles"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id string, text string")
+    keep_star = {
+        r.doc_id: r
+        for r in dedup.near_dup_keep_list(
+            docs, threshold=0.5, max_bucket_size=10, oversize_policy="star"
+        ).collect()
+    }
+    keep_full = {
+        r.doc_id: r for r in dedup.near_dup_keep_list(docs, threshold=0.5).collect()
+    }
+    assert {k: (v.canonical_id, v.is_kept) for k, v in keep_star.items()} == {
+        k: (v.canonical_id, v.is_kept) for k, v in keep_full.items()
+    }
+    # the boilerplate cluster still collapses to its min member under star
+    assert not keep_star["b39"].is_kept and keep_star["b39"].canonical_id == "b00"
+    # ...but through linear candidate volume: 39 star edges + tail pairs,
+    # nowhere near C(40,2)=780
+    n_cand = dedup.lsh_candidate_pairs(
+        dedup.lsh_bands(dedup.minhash_signatures_doc(docs)),
+        max_bucket_size=10,
+        oversize_policy="star",
+    ).count()
+    assert n_cand < 100

@@ -211,7 +211,11 @@ def lsh_bands(signatures: DataFrame, rows_per_band: int = 4) -> DataFrame:
     return signatures.select("doc_id", bands.alias("band", "band_sig"))
 
 
-def lsh_candidate_pairs(bands: DataFrame, max_bucket_size: int | None = None) -> DataFrame:
+def lsh_candidate_pairs(
+    bands: DataFrame,
+    max_bucket_size: int | None = None,
+    oversize_policy: str = "drop",
+) -> DataFrame:
     """Candidate pairs via bucket grouping, not a self-join: docs collect
     per (band, band_sig) bucket and unordered pairs expand JVM-side inside
     each bucket row. One shuffle, the upstream chain is evaluated once
@@ -219,30 +223,61 @@ def lsh_candidate_pairs(bands: DataFrame, max_bucket_size: int | None = None) ->
     bounded by bucket size.
 
     ``max_bucket_size`` is the 100 TB guard for pathological boilerplate
-    buckets (one wide row that AQE cannot split): buckets larger than the
-    cap are DROPPED — their members are exact-or-near-identical boilerplate
-    that exact dedup should have removed upstream, and emitting their k²
-    pairs would dominate the output. None (default) keeps every bucket."""
+    buckets (one wide row that AQE cannot split): a k-member bucket emits
+    k·(k-1)/2 pairs, so clusters whose size grows with the corpus make the
+    pair volume quadratic (measured: 100-member clusters at the sf10 slice
+    → 33M pairs, 12-minute verify, GC pressure — SCALING.md). Buckets over
+    the cap follow ``oversize_policy``:
+
+    - ``"drop"`` (default, backward-compatible): the bucket is discarded;
+      correct when giant buckets are boilerplate that exact dedup removes
+      upstream, but measured recall collapses when they are real near-dup
+      clusters (300 of 493k cluster members found at sf10/cap 8).
+    - ``"star"``: the bucket emits k-1 representative edges (minimum
+      member → each other member) instead of k²/2 pairs — LINEAR in
+      bucket size. Downstream Jaccard verification still applies to every
+      emitted edge, and connected components restore the full cluster
+      through the representative, so for true near-dup clusters the keep
+      list is unchanged while the candidate volume stays corpus-linear
+      (measured at sf10: 721 s → 40 s with 99.9% of members still
+      collapsed). Pairs far from the representative are not individually
+      verified — the policy trades pairwise certainty inside over-cap
+      buckets for linear cost, which is exactly the right trade when the
+      bucket IS one cluster."""
+    if oversize_policy not in ("drop", "star"):
+        raise ValueError(f"unknown oversize_policy {oversize_policy!r}")
     buckets = (
         bands.groupBy("band", "band_sig")
         .agg(F.array_sort(F.collect_set("doc_id")).alias("ds"))
         .where(F.size("ds") >= 2)
     )
-    if max_bucket_size is not None:
-        buckets = buckets.where(F.size("ds") <= max_bucket_size)
-    pair = F.explode(
-        F.flatten(
-            F.transform(
-                F.col("ds"),
-                lambda x, i: F.transform(
-                    F.slice(
-                        F.col("ds"), i + F.lit(2), F.greatest(F.size("ds") - i - 1, F.lit(0))
-                    ),
-                    lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+    all_pairs = F.flatten(
+        F.transform(
+            F.col("ds"),
+            lambda x, i: F.transform(
+                F.slice(
+                    F.col("ds"), i + F.lit(2), F.greatest(F.size("ds") - i - 1, F.lit(0))
                 ),
-            )
+                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+            ),
         )
     )
+    if max_bucket_size is None:
+        expansion = all_pairs
+    else:
+        small = F.size("ds") <= max_bucket_size
+        if oversize_policy == "star":
+            star = F.transform(
+                F.slice(F.col("ds"), 2, F.greatest(F.size("ds") - 1, F.lit(0))),
+                lambda y: F.struct(
+                    F.get(F.col("ds"), 0).alias("doc_a"), y.alias("doc_b")
+                ),
+            )
+            expansion = F.when(small, all_pairs).otherwise(star)
+        else:
+            buckets = buckets.where(small)
+            expansion = all_pairs
+    pair = F.explode(expansion)
     return buckets.select(pair.alias("p")).select("p.doc_a", "p.doc_b").distinct()
 
 
@@ -285,14 +320,17 @@ def near_duplicates(
     id_col: str = "doc_id",
     persist: bool = False,
     max_bucket_size: int | None = None,
+    oversize_policy: str = "drop",
 ) -> DataFrame:
     """MinHash-LSH near-dup pipeline: shingle → signature → bands →
     candidates → exact-Jaccard filter ≥ threshold.
 
-    ``max_bucket_size`` reaches :func:`lsh_candidate_pairs` — the
-    operational guard for pathological boilerplate buckets (one wide
-    bucket row AQE cannot split at 100 TB): buckets above the cap are
-    dropped before pair expansion. ``None`` keeps every bucket.
+    ``max_bucket_size`` / ``oversize_policy`` reach
+    :func:`lsh_candidate_pairs` — the operational guard for pathological
+    boilerplate buckets (one wide bucket row AQE cannot split at 100 TB):
+    buckets above the cap are dropped, or star-reduced to linear
+    representative edges with ``oversize_policy="star"`` (see there for
+    the measured trade). ``None`` keeps every bucket.
 
     Candidate generation runs on the zero-shuffle
     :func:`minhash_signatures_doc` path (never touches the shingle
@@ -312,7 +350,9 @@ def near_duplicates(
         docs, k=k, num_perms=num_perms, text_col=text_col, id_col=id_col
     )
     cands = lsh_candidate_pairs(
-        lsh_bands(sig, rows_per_band), max_bucket_size=max_bucket_size
+        lsh_bands(sig, rows_per_band),
+        max_bucket_size=max_bucket_size,
+        oversize_policy=oversize_policy,
     )
     cand_ids = cands.select(
         F.explode(F.array("doc_a", "doc_b")).alias("__cand_id")
@@ -571,6 +611,7 @@ def near_dup_keep_list(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_bucket_size: int | None = None,
+    oversize_policy: str = "drop",
 ) -> DataFrame:
     """The dedup pass's end product: (doc_id, canonical_id, is_kept) for
     EVERY document — near-duplicate clusters (MinHash-LSH candidates,
@@ -578,9 +619,12 @@ def near_dup_keep_list(
     pairs) collapse to their minimum-id member; untouched documents keep
     themselves. Filter ``is_kept`` to materialize the deduplicated
     corpus; group by ``canonical_id`` to audit cluster sizes.
-    ``max_bucket_size`` passes through to :func:`lsh_candidate_pairs` —
-    members of dropped over-cap boilerplate buckets (absent other
-    surviving pairs) keep themselves."""
+    ``max_bucket_size`` passes through to :func:`lsh_candidate_pairs`;
+    with the default ``oversize_policy="drop"`` members of dropped
+    over-cap boilerplate buckets (absent other surviving pairs) keep
+    themselves, while ``"star"`` keeps collapsing them through linear
+    representative edges (the 100 TB setting when giant buckets are real
+    near-dup clusters — measured trade in SCALING.md)."""
     pairs = near_duplicates(
         docs,
         threshold=threshold,
@@ -590,6 +634,7 @@ def near_dup_keep_list(
         text_col=text_col,
         id_col=id_col,
         max_bucket_size=max_bucket_size,
+        oversize_policy=oversize_policy,
     )
     comp = connected_components(pairs)
     out = docs.select(F.col(id_col).alias("doc_id")).join(

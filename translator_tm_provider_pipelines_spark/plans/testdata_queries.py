@@ -1444,6 +1444,42 @@ def lsh_candidate_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "lsh_candidate_pairs_star",
+    f"""
+    WITH {_MINHASH_SQL},
+    bsz AS (
+      SELECT band, band_sig, count(DISTINCT doc_id) AS n, min(doc_id) AS m
+      FROM bands GROUP BY 1, 2 HAVING count(DISTINCT doc_id) >= 2
+    ),
+    small_pairs AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a
+      JOIN bands b ON a.band = b.band AND a.band_sig = b.band_sig
+      JOIN bsz s ON s.band = a.band AND s.band_sig = a.band_sig AND s.n <= 2
+      WHERE a.doc_id < b.doc_id
+    ),
+    star_pairs AS (
+      SELECT DISTINCT s.m AS doc_a, a.doc_id AS doc_b
+      FROM bands a
+      JOIN bsz s ON s.band = a.band AND s.band_sig = a.band_sig AND s.n > 2
+      WHERE a.doc_id > s.m
+    )
+    SELECT doc_a, doc_b FROM small_pairs UNION
+    SELECT doc_a, doc_b FROM star_pairs
+    """,
+)
+def lsh_candidate_pairs_star_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The over-cap bucket star policy, value-checked: buckets of ≤ 2
+    docs expand to all pairs, larger buckets to linear min-member →
+    member representative edges (the 100 TB giant-cluster path; see
+    SCALING.md 'Oversize buckets')."""
+    sig = dedup.minhash_signatures_doc(_t(spark, sf_dir, "documents"), num_perms=16)
+    return dedup.lsh_candidate_pairs(
+        dedup.lsh_bands(sig, 4), max_bucket_size=2, oversize_policy="star"
+    )
+
+
+@register(
     "near_duplicates",
     f"""
     WITH {_MINHASH_SQL},
