@@ -121,3 +121,40 @@ def test_near_dup_index_cli(spark, tmp_path):
         for r in spark.read.parquet(str(tmp_path / "keep")).collect()
     }
     assert keep == {(1, 1), (2, 1), (3, 3), (4, 1), (5, 5)}
+
+
+def test_incremental_equals_batch_random_splits(spark, tmp_path):
+    """Property: for ANY partition of the corpus into ordered batches, the
+    incremental index keep list equals the single-batch keep list (pair
+    materialization is split-invariant: a pair lands in the batch of its
+    later member). Three deterministic splits of a 12-doc corpus with two
+    planted clusters and background docs."""
+    base1 = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+             "lambda mu nu xi omicron pi rho sigma tau upsilon")
+    base2 = ("one two three four five six seven eight nine ten eleven "
+             "twelve thirteen fourteen fifteen sixteen seventeen eighteen")
+    rows = [
+        (1, base1), (2, base1 + " phi"), (3, base1 + " chi"),
+        (4, base2), (5, base2 + " nineteen"),
+        (6, "totally unrelated document about parquet files and shuffles"),
+        (7, "another singleton document mentioning broadcast joins only"),
+        (8, base1 + " psi"), (9, base2 + " twenty"),
+        (10, "third unrelated text on window functions and sorting"),
+        (11, base1 + " omega"), (12, base2 + " twentyone"),
+    ]
+    batch_expected = sorted(
+        map(tuple, dedup.near_dup_keep_list(_df(spark, rows)).collect())
+    )
+    splits = [
+        [rows[:4], rows[4:8], rows[8:]],
+        [rows[:1], rows[1:2], rows[2:7], rows[7:]],
+        [rows[:6], rows[6:]],
+    ]
+    for si, split in enumerate(splits):
+        idx = str(tmp_path / f"idx{si}")
+        for bi, batch in enumerate(split):
+            di.update_near_dup_index(spark, _df(spark, batch), idx, batch_id=bi)
+        inc = sorted(
+            map(tuple, di.keep_list_from_index(spark, idx).collect())
+        )
+        assert inc == batch_expected, f"split {si} diverged"
