@@ -360,6 +360,17 @@ def near_duplicates(
     cand_docs = docs.join(
         cand_ids, on=docs[id_col] == cand_ids["__cand_id"], how="left_semi"
     )
+    # Repartition BEFORE the shingle explode: AQE coalesces the semi-join
+    # output by its pre-explode byte size, but the explode multiplies the
+    # work ~word-count×, so the three shingle-consuming stages otherwise run
+    # in a handful of tasks (measured at the sf1 slice: 2-8 tasks, 293 s
+    # stage wall; with this exchange 27-30 s — the event-log numbers are in
+    # SCALING.md "Oversize buckets"). One narrow exchange of only the
+    # candidate texts, bounded by the near-dup survivor population.
+    n_part = int(
+        docs.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
+    )
+    cand_docs = cand_docs.repartition(n_part, id_col)
     sh = word_shingles(cand_docs, k=k, text_col=text_col, id_col=id_col)
     if persist:
         from pyspark.storagelevel import StorageLevel

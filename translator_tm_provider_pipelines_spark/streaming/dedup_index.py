@@ -139,6 +139,12 @@ def update_near_dup_index(
         F.explode(F.array("doc_a", "doc_b")).alias("doc_id")
     ).distinct()
     cand_docs = corpus.join(cand_ids, "doc_id", "left_semi")
+    # pre-explode repartition: same AQE-coalesce-before-explode trap as in
+    # dedup.near_duplicates (see the comment there)
+    n_part = int(
+        corpus.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
+    )
+    cand_docs = cand_docs.repartition(n_part, "doc_id")
     sh = dedup.word_shingles(cand_docs, k=k)
     verified = dedup.jaccard_for_pairs(sh, cands).where(
         F.col("jaccard") >= threshold
