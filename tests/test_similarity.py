@@ -434,3 +434,26 @@ def test_sampled_farthest_first_recall_and_determinism(spark):
     axes = {int(np.argmax(np.abs(cv))) for _, cv in trained}
     assert axes == set(range(8))
     emb.unpersist()
+
+
+def test_ivf_index_incremental_add(spark, emb, qvec, tmp_path):
+    """Incremental IVF adds: batch-0 build + batch-1 add under the same
+    frozen quantizer equal a single-shot query over the union; retrying a
+    batch is idempotent; list pruning still reaches the scan."""
+    path = str(tmp_path / "ivf_inc")
+    old = emb.where(F.col("vec_id") < 400)
+    new = emb.where(F.col("vec_id") >= 400)
+    cents = similarity.seed_centroids(old, n_lists=8)
+    similarity.add_to_ivf_index(old, path, cents, batch_id=0)
+    similarity.add_to_ivf_index(new, path, cents, batch_id=1)
+    top = similarity.ann_ivf_from_index(spark, path, cents, qvec, k=10, nprobe=2)
+    mem = similarity.ann_ivf(emb, qvec, k=10, n_lists=8, nprobe=2, centroids=cents)
+    assert [tuple(r) for r in top.collect()] == [tuple(r) for r in mem.collect()]
+    plan = top._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [ivf_list" in plan
+    # retry of batch 1 must not duplicate rows
+    similarity.add_to_ivf_index(new, path, cents, batch_id=1)
+    assert spark.read.parquet(path).count() == emb.count()
+    assert [tuple(r) for r in similarity.ann_ivf_from_index(
+        spark, path, cents, qvec, k=10, nprobe=2
+    ).collect()] == [tuple(r) for r in mem.collect()]

@@ -804,6 +804,44 @@ def ann_ivf_from_index(
     return knn_brute_force(cands, query_vec, k=k, id_col=id_col, vec_col=vec_col, scale=scale)
 
 
+def add_to_ivf_index(
+    new_embeddings: DataFrame,
+    path: str,
+    centroids: list[tuple[int, list[float]]],
+    batch_id: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 6,
+) -> None:
+    """Incrementally absorb a batch of new vectors into a persisted IVF
+    index (the ANN twin of ``streaming.dedup_index``): the batch is
+    assigned with the SAME frozen coarse quantizer (so old and new rows
+    are bucketed identically — retrain and rewrite when drift matters,
+    don't mix quantizers) and appended under its own ``ivf_batch``
+    partition inside each list partition. Dynamic partition overwrite on
+    (ivf_list, ivf_batch) makes a foreachBatch retry idempotent, and
+    queries through :func:`ann_ivf_from_index` keep pruning on
+    ``ivf_list`` exactly as before — the extra partition level only adds
+    files, never rows outside the probed lists. At 100 TB this turns a
+    daily embedding drop into an append of the batch's bytes instead of
+    a full-corpus rewrite.
+
+    Layout note: an incremental index is (ivf_list, ivf_batch)-
+    partitioned from birth — build it by calling THIS function with
+    ``batch_id=0`` for the initial corpus (don't mix with the flat
+    :func:`write_ivf_index` layout in one path; Spark partition
+    discovery requires one consistent scheme per root)."""
+    assigned = new_embeddings.withColumn(
+        "ivf_list", ivf_list_id(F.col(vec_col), centroids, scale)
+    ).withColumn("ivf_batch", F.lit(int(batch_id)))
+    (
+        assigned.write.partitionBy("ivf_list", "ivf_batch")
+        .option("partitionOverwriteMode", "dynamic")
+        .mode("overwrite")
+        .parquet(path)
+    )
+
+
 def write_lsh_index(
     embeddings: DataFrame,
     path: str,
