@@ -158,3 +158,24 @@ def test_incremental_equals_batch_random_splits(spark, tmp_path):
             map(tuple, di.keep_list_from_index(spark, idx).collect())
         )
         assert inc == batch_expected, f"split {si} diverged"
+
+
+def test_read_index_missing_path_is_first_batch(spark, tmp_path):
+    assert di._read_index(spark, str(tmp_path / "nonexistent"), "bands") is None
+
+
+def test_read_index_corrupt_table_raises(spark, tmp_path):
+    """A readable-but-broken index must FAIL the batch (so the streaming
+    retry re-runs it), never masquerade as 'first batch': a pair only
+    materializes in the batch of its later member, so treating a corrupt
+    index as empty silently and permanently drops every new-vs-old pair."""
+    import pytest
+
+    idx = tmp_path / "idx"
+    bands = idx / "bands" / "batch_id=0"
+    bands.mkdir(parents=True)
+    (bands / "part-00000.parquet").write_bytes(b"this is not a parquet file")
+    with pytest.raises(Exception):
+        df = di._read_index(spark, str(idx), "bands")
+        assert df is not None  # must not be mistaken for 'first batch'
+        df.collect()  # if schema inference deferred, the read must fail

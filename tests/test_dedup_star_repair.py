@@ -1,0 +1,132 @@
+"""Star-policy second-hop repair (operators/dedup.py:star_second_hop_pairs):
+recovers over-cap-bucket members stranded because their Jaccard to the
+minimum-id representative fell below threshold while a genuine ≥-threshold
+path existed (the 0.5% member-recall gap measured at sf10, SCALING.md).
+
+Reference analogue: the reference caps cooccurrence publication lists and
+redoes failed stages via status flags (PipelineMain.java:555-610); this is
+the equivalent repair loop for the star-reduced LSH buckets."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from translator_tm_provider_pipelines_spark.operators import dedup
+
+# Cumulative-drift chain: doc i replaces the first 2*i words of a shared
+# 60-word base with a SHARED replacement prefix, so doc i and doc j differ
+# only in words [2*min(i,j), 2*max(i,j)) — Jaccard decays with |i-j|
+# (adjacent ≈ 0.87-0.93, distance 2 ≈ 0.81) while the long common suffix
+# keeps all docs colliding in LSH buckets. At threshold 0.85 the true
+# near-dup graph is exactly the chain 0-1-2-3-4.
+BASE = (
+    "alpha bravo charlie delta echo foxtrot golf hotel india juliet "
+    "kilo lima mike november oscar papa quebec romeo sierra tango "
+    "uniform victor whiskey xray yankee zulu amber birch cedar dune "
+    "ember fjord grove heath iris jade knoll lotus maple nectar "
+    "onyx pearl quartz reef slate topaz umber vale willow zenith "
+    "arbor basin cliff ridge marsh glen fen moor crag peak"
+).split()
+REPL = "one two three four five six seven eight nine ten".split()
+
+
+def _chain_df(spark, n=5):
+    rows = [(i, " ".join(REPL[: 2 * i] + BASE[2 * i :])) for i in range(n)]
+    return spark.createDataFrame(rows, "doc_id int, text string")
+
+
+# With num_perms=8, rows_per_band=1 the chain corpus buckets as
+# {0,1} x5, {2,3,4} x8 (verified by the assertions below, deterministic —
+# the minhash is seedless affine hashing). max_bucket_size=2 stars the
+# {2,3,4} bucket from rep 2: edge 2-3 verifies (0.871 >= 0.85), edge 2-4
+# fails (0.812 < 0.85) and doc 4 strands with no other co-bucket.
+LSH = dict(
+    threshold=0.85,
+    k=3,
+    num_perms=8,
+    rows_per_band=1,
+    max_bucket_size=2,
+    oversize_policy="star",
+)
+
+
+def _pairset(df):
+    return {(r.doc_a, r.doc_b) for r in df.select("doc_a", "doc_b").collect()}
+
+
+def test_chain_member_stranded_without_repair(spark):
+    docs = _chain_df(spark)
+    got = _pairset(dedup.near_duplicates(docs, **LSH))
+    # doc 4's only multi-doc bucket is the over-cap {2,3,4}; the star edge
+    # 2-4 fails verification, so 4 appears in no pair at all
+    assert got == {(0, 1), (2, 3)}
+
+
+def test_one_repair_hop_recovers_stranded_chain_member(spark):
+    docs = _chain_df(spark)
+    got = _pairset(dedup.near_duplicates(docs, star_repair_hops=1, **LSH))
+    # repair: unattached={4}, new rep 4 stars against ALL bucket members;
+    # (2,4) was already attempted (anti-joined away), (3,4) is fresh and
+    # verifies at 0.871 — the stranded member reattaches through its
+    # genuine neighbor, not the failed first representative
+    assert got == {(0, 1), (2, 3), (3, 4)}
+
+
+def test_extra_hops_are_noops_once_converged(spark):
+    docs = _chain_df(spark)
+    one = _pairset(dedup.near_duplicates(docs, star_repair_hops=1, **LSH))
+    many = _pairset(dedup.near_duplicates(docs, star_repair_hops=5, **LSH))
+    assert one == many
+    # verified pairs all clear the threshold (repair edges included)
+    v = dedup.near_duplicates(docs, star_repair_hops=5, **LSH)
+    assert v.where(F.col("jaccard") < 0.85).count() == 0
+
+
+def test_repair_restores_keep_list_equality_with_uncapped(spark):
+    docs = _chain_df(spark)
+    uncapped = dedup.near_dup_keep_list(
+        docs, threshold=0.85, k=3, num_perms=8, rows_per_band=1
+    )
+    repaired = dedup.near_dup_keep_list(
+        docs, star_repair_hops=2, **LSH
+    )
+    assert sorted(map(tuple, uncapped.collect())) == sorted(
+        map(tuple, repaired.collect())
+    )
+
+
+def _bands(spark, rows):
+    return spark.createDataFrame(rows, "doc_id int, band int, band_sig string")
+
+
+def _pairs(spark, rows):
+    return spark.createDataFrame(rows, "doc_a int, doc_b int")
+
+
+def test_second_hop_unit_two_clusters_one_bucket(spark):
+    # one over-cap bucket holding two distinct clusters {1,2} and {3,4}:
+    # first-pass star from rep 1 verified only 1-2; repair rep = 3 (min
+    # unattached) stars against every member, normalized doc_a < doc_b,
+    # with the already-attempted rep edges removed
+    bands = _bands(spark, [(d, 0, "b0") for d in (1, 2, 3, 4)])
+    verified = _pairs(spark, [(1, 2)])
+    attempted = _pairs(spark, [(1, 2), (1, 3), (1, 4)])
+    out = dedup.star_second_hop_pairs(bands, verified, 3, attempted=attempted)
+    # (1,3) already attempted → anti-joined away; (2,3) and (3,4) are fresh
+    # CANDIDATES — downstream Jaccard verification keeps 3-4 and drops the
+    # cross-cluster 2-3, so only genuine edges reach connected components
+    assert _pairset(out) == {(2, 3), (3, 4)}
+
+
+def test_second_hop_unit_under_cap_bucket_ignored(spark):
+    bands = _bands(spark, [(1, 0, "b0"), (2, 0, "b0")])
+    verified = _pairs(spark, [])
+    out = dedup.star_second_hop_pairs(bands, verified, 3)
+    assert out.count() == 0
+
+
+def test_second_hop_unit_all_attached_yields_nothing(spark):
+    bands = _bands(spark, [(d, 0, "b0") for d in (1, 2, 3)])
+    verified = _pairs(spark, [(1, 2), (1, 3)])
+    out = dedup.star_second_hop_pairs(bands, verified, 2)
+    assert out.count() == 0

@@ -548,6 +548,8 @@ def run_near_dup_index_update(spark: SparkSession, argv: list[str]) -> None:
     """NEAR_DUP_INDEX_UPDATE: absorb a batch of new documents into the
     persisted incremental MinHash/LSH index (streaming/dedup_index.py);
     prints how many new verified near-dup pairs the batch produced."""
+    from pyspark.sql import functions as F
+
     from .streaming import dedup_index as di
 
     p = argparse.ArgumentParser(prog="NEAR_DUP_INDEX_UPDATE")
@@ -569,7 +571,17 @@ def run_near_dup_index_update(spark: SparkSession, argv: list[str]) -> None:
         id_col=ns.idColumn,
         max_bucket_size=ns.maxBucketSize,
     )
-    print(f"batch {ns.batchId}: {pairs.count()} new verified pairs")
+    # count from the freshly WRITTEN partition, not the `pairs` plan:
+    # re-executing the plan would (a) roughly double batch cost and (b) on
+    # a retried --batchId read through a stale file listing whose old
+    # batch files the dynamic-partition overwrite just deleted
+    # (FileNotFoundException after the index was already updated).
+    n = (
+        spark.read.parquet(f"{ns.indexDir}/pairs")
+        .where(F.col("batch_id") == ns.batchId)
+        .count()
+    )
+    print(f"batch {ns.batchId}: {n} new verified pairs")
 
 
 def run_near_dup_keep_list_export(spark: SparkSession, argv: list[str]) -> None:

@@ -237,13 +237,18 @@ def lsh_candidate_pairs(
       member → each other member) instead of k²/2 pairs — LINEAR in
       bucket size. Downstream Jaccard verification still applies to every
       emitted edge, and connected components restore the full cluster
-      through the representative, so for true near-dup clusters the keep
-      list is unchanged while the candidate volume stays corpus-linear
-      (measured at sf10: 721 s → 40 s with 99.9% of members still
-      collapsed). Pairs far from the representative are not individually
-      verified — the policy trades pairwise certainty inside over-cap
-      buckets for linear cost, which is exactly the right trade when the
-      bucket IS one cluster."""
+      through the representative, so the keep list is unchanged whenever
+      every member clears the Jaccard threshold against the minimum-id
+      representative (identical-boilerplate clusters do; CHAIN-shaped
+      clusters — member above threshold to its neighbor but below it to
+      the representative — can lose members that the full expansion keeps
+      transitively). Candidate volume stays corpus-linear (measured at
+      sf10: 721 s → 40 s with 99.5% of members still collapsed; the 0.5%
+      loss is exactly those chain members — see
+      :func:`star_second_hop_pairs` for the repair pass). Pairs far from
+      the representative are not individually verified — the policy
+      trades pairwise certainty inside over-cap buckets for linear cost,
+      which is the right trade when the bucket IS one tight cluster."""
     if oversize_policy not in ("drop", "star"):
         raise ValueError(f"unknown oversize_policy {oversize_policy!r}")
     buckets = (
@@ -279,6 +284,78 @@ def lsh_candidate_pairs(
             expansion = all_pairs
     pair = F.explode(expansion)
     return buckets.select(pair.alias("p")).select("p.doc_a", "p.doc_b").distinct()
+
+
+def star_second_hop_pairs(
+    bands: DataFrame,
+    verified: DataFrame,
+    max_bucket_size: int,
+    attempted: DataFrame | None = None,
+) -> DataFrame:
+    """Repair candidates for ``oversize_policy="star"``: over-cap bucket
+    members left UNATTACHED after verification re-star against the
+    minimum unattached member of their bucket.
+
+    The star policy only verifies representative→member edges, so an
+    over-cap bucket holding two distinct near-dup clusters, or a
+    chain-shaped cluster whose far members drift below threshold vs the
+    representative, loses every member outside the representative's own
+    reach — the measured 0.5% member-recall gap at sf10 (SCALING.md).
+    This pass promotes the smallest globally-unattached member of each
+    over-cap bucket to a second representative and stars it against ALL
+    other bucket members (attached ones included — a stranded chain
+    member reattaches through its genuine ≥-threshold neighbor, not the
+    failed first representative): still LINEAR in bucket size, one new
+    representative per bucket per hop. "Unattached" is global (no
+    verified edge at all): any verified edge implies genuine Jaccard ≥
+    threshold, so connected components already place such members
+    correctly.
+
+    ``attempted`` (candidate pairs already Jaccard-tested, e.g. the
+    first-pass candidate set plus earlier hops) is anti-joined away so
+    failed edges are never re-verified. Convergence: each hop the chosen
+    representative either attaches (unattached set shrinks) or all its
+    edges fail and enter ``attempted`` — a genuinely-alone member whose
+    every bucket edge has been tried yields zero fresh candidates, and
+    the caller's empty-candidate check ends the loop. A bucket whose
+    min-unattached member is exhausted stops repairing that bucket even
+    if other unattached members remain; those can only pair with each
+    other and stay unrepaired — the documented residual bound. Returns
+    (doc_a, doc_b) candidates (doc_a < doc_b) for the caller to
+    Jaccard-verify and union into the pair set before connected
+    components. Recovered members attach to a genuine ≥-threshold
+    neighbor, which may be a DIFFERENT component than full pairwise
+    expansion would produce for chain clusters — recall is repaired,
+    exact component equality is not promised."""
+    over = (
+        bands.groupBy("band", "band_sig")
+        .agg(F.array_sort(F.collect_set("doc_id")).alias("ds"))
+        .where(F.size("ds") > max_bucket_size)
+    )
+    members = over.select("band", "band_sig", F.explode("ds").alias("doc_id"))
+    vids = verified.select(
+        F.explode(F.array("doc_a", "doc_b")).alias("doc_id")
+    ).distinct()
+    reps = (
+        members.join(vids, "doc_id", "left_anti")
+        .groupBy("band", "band_sig")
+        .agg(F.min("doc_id").alias("__rep"))
+    )
+    out = (
+        over.join(reps, ["band", "band_sig"])
+        .select("__rep", F.explode("ds").alias("__other"))
+        .where(F.col("__rep") != F.col("__other"))
+        .select(
+            F.least("__rep", "__other").alias("doc_a"),
+            F.greatest("__rep", "__other").alias("doc_b"),
+        )
+        .distinct()
+    )
+    if attempted is not None:
+        out = out.join(
+            attempted.select("doc_a", "doc_b"), ["doc_a", "doc_b"], "left_anti"
+        )
+    return out
 
 
 def jaccard_for_pairs(shingles: DataFrame, pairs: DataFrame) -> DataFrame:
@@ -321,9 +398,20 @@ def near_duplicates(
     persist: bool = False,
     max_bucket_size: int | None = None,
     oversize_policy: str = "drop",
+    star_repair_hops: int = 0,
 ) -> DataFrame:
     """MinHash-LSH near-dup pipeline: shingle → signature → bands →
     candidates → exact-Jaccard filter ≥ threshold.
+
+    ``star_repair_hops`` (only meaningful with ``oversize_policy="star"``
+    and a ``max_bucket_size``) runs up to that many
+    :func:`star_second_hop_pairs` repair passes after the first
+    verification: each hop re-stars the still-unattached members of
+    over-cap buckets around a new representative and verifies those
+    edges, recovering chain-cluster members whose Jaccard to the first
+    representative fell below threshold (the measured 0.5% recall gap at
+    sf10). Each hop costs one pass over the over-cap buckets plus
+    verification of the fresh candidates only.
 
     ``max_bucket_size`` / ``oversize_policy`` reach
     :func:`lsh_candidate_pairs` — the operational guard for pathological
@@ -349,11 +437,48 @@ def near_duplicates(
     sig = minhash_signatures_doc(
         docs, k=k, num_perms=num_perms, text_col=text_col, id_col=id_col
     )
+    bands_df = lsh_bands(sig, rows_per_band)
     cands = lsh_candidate_pairs(
-        lsh_bands(sig, rows_per_band),
+        bands_df,
         max_bucket_size=max_bucket_size,
         oversize_policy=oversize_policy,
     )
+    verified = _verify_candidates(
+        docs, cands, k=k, threshold=threshold, text_col=text_col,
+        id_col=id_col, persist=persist,
+    )
+    if star_repair_hops and max_bucket_size is not None and oversize_policy == "star":
+        attempted = cands
+        for _ in range(star_repair_hops):
+            # checkpoint: the next hop's anti-joins read `verified` twice
+            # (id set + final union) and the hop loop would otherwise
+            # stack the whole verify pipeline per iteration
+            verified = verified.localCheckpoint()
+            cand2 = star_second_hop_pairs(
+                bands_df, verified, max_bucket_size, attempted=attempted
+            ).localCheckpoint()
+            if not cand2.head(1):
+                break
+            v2 = _verify_candidates(
+                docs, cand2, k=k, threshold=threshold, text_col=text_col,
+                id_col=id_col,
+            )
+            verified = verified.unionByName(v2)
+            attempted = attempted.unionByName(cand2)
+    return verified
+
+
+def _verify_candidates(
+    docs: DataFrame,
+    cands: DataFrame,
+    k: int,
+    threshold: float,
+    text_col: str,
+    id_col: str,
+    persist: bool = False,
+) -> DataFrame:
+    """Exact-Jaccard verification of candidate pairs: shingle ONLY the
+    candidate documents (semi-join) and filter at the threshold."""
     cand_ids = cands.select(
         F.explode(F.array("doc_a", "doc_b")).alias("__cand_id")
     ).distinct()
@@ -623,6 +748,7 @@ def near_dup_keep_list(
     id_col: str = "doc_id",
     max_bucket_size: int | None = None,
     oversize_policy: str = "drop",
+    star_repair_hops: int = 0,
 ) -> DataFrame:
     """The dedup pass's end product: (doc_id, canonical_id, is_kept) for
     EVERY document — near-duplicate clusters (MinHash-LSH candidates,
@@ -646,6 +772,7 @@ def near_dup_keep_list(
         id_col=id_col,
         max_bucket_size=max_bucket_size,
         oversize_policy=oversize_policy,
+        star_repair_hops=star_repair_hops,
     )
     comp = connected_components(pairs)
     out = docs.select(F.col(id_col).alias("doc_id")).join(

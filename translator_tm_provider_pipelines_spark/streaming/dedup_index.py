@@ -39,6 +39,7 @@ from __future__ import annotations
 
 import os
 
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import DataStreamWriter
@@ -63,11 +64,23 @@ def _write_batch(df: DataFrame, index_dir: str, sub: str, batch_id: int) -> None
 
 
 def _read_index(spark: SparkSession, index_dir: str, sub: str) -> DataFrame | None:
+    """Read one index sub-table, or None only when it genuinely does not
+    exist yet (first batch). Any OTHER read failure — corrupt footer,
+    permission error, transient storage fault — must raise: treating it
+    as 'empty index' would make the batch skip every new-vs-old candidate
+    pair, and since a pair only materializes in the batch of its later
+    member, those pairs would be silently and permanently lost."""
     path = _part_path(index_dir, sub)
     try:
         return spark.read.parquet(path)
-    except Exception:
-        return None  # first batch: nothing indexed yet
+    except AnalysisException as exc:
+        err = ""
+        get_cls = getattr(exc, "getCondition", None)  # Spark 4 name
+        if callable(get_cls):
+            err = get_cls() or ""
+        if "PATH_NOT_FOUND" in err or "PATH_NOT_FOUND" in str(exc):
+            return None  # first batch: nothing indexed yet
+        raise
 
 
 def update_near_dup_index(
@@ -82,6 +95,7 @@ def update_near_dup_index(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_bucket_size: int | None = None,
+    broadcast_row_cap: int = 500_000,
 ) -> DataFrame:
     """Absorb one batch of new documents into the index; returns the
     newly verified near-dup pairs (doc_a, doc_b, jaccard) — every pair
@@ -101,15 +115,18 @@ def update_near_dup_index(
         if old_bands is None
         else new_bands.unionByName(old_bands.select("doc_id", "band", "band_sig"))
     )
-    # one equi-join on the bucket key: the new side is the micro-batch
-    # (broadcast); every candidate has >= 1 new member, so new-vs-old and
-    # new-vs-new pairs both fall out. least/greatest normalizes pair order
-    # so cross-batch re-derivations dedupe.
-    nb = F.broadcast(
-        new_bands.select(
-            F.col("doc_id").alias("__new_id"), "band", "band_sig"
-        )
-    )
+    # one equi-join on the bucket key: the new side is the micro-batch;
+    # every candidate has >= 1 new member, so new-vs-old and new-vs-new
+    # pairs both fall out. least/greatest normalizes pair order so
+    # cross-batch re-derivations dedupe. Broadcast only when the batch is
+    # genuinely small: under trigger(availableNow=True) the first
+    # micro-batch can be the ENTIRE backlog (no maxFilesPerTrigger
+    # default), and an unconditional broadcast of that is a driver OOM.
+    # Above the cap, let AQE pick the join strategy.
+    nb = new_bands.select(F.col("doc_id").alias("__new_id"), "band", "band_sig")
+    n_new = batch.limit(broadcast_row_cap + 1).count()
+    if n_new <= broadcast_row_cap:
+        nb = F.broadcast(nb)
     cands = (
         all_bands.join(nb, ["band", "band_sig"])
         .where(F.col("doc_id") != F.col("__new_id"))
