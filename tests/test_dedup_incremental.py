@@ -179,3 +179,84 @@ def test_read_index_corrupt_table_raises(spark, tmp_path):
         df = di._read_index(spark, str(idx), "bands")
         assert df is not None  # must not be mistaken for 'first batch'
         df.collect()  # if schema inference deferred, the read must fail
+
+
+def _keep(spark, idx):
+    return sorted(map(tuple, di.keep_list_from_index(spark, idx).collect()))
+
+
+def _batch_dirs(idx, sub):
+    import os
+
+    p = os.path.join(idx, sub)
+    return sorted(
+        d for d in os.listdir(p) if d.startswith("batch_id=")
+    )
+
+
+def test_compact_index_preserves_keep_list_and_merges_partitions(
+    spark, tmp_path
+):
+    idx = str(tmp_path / "idx")
+    di.update_near_dup_index(spark, _df(spark, ROWS_B1), idx, batch_id=0)
+    di.update_near_dup_index(spark, _df(spark, ROWS_B2), idx, batch_id=1)
+    di.update_near_dup_index(
+        spark, _df(spark, [(6, BASE + " coda"), (7, "lone doc")]), idx, batch_id=2
+    )
+    before = _keep(spark, idx)
+    removed = di.compact_index(spark, idx, upto_batch=2, target_partitions=1)
+    assert removed == {"bands": 2, "docs": 2, "pairs": 2}
+    for sub in ("bands", "docs", "pairs"):
+        assert _batch_dirs(idx, sub) == ["batch_id=2"], sub
+    assert _keep(spark, idx) == before
+    # the index keeps absorbing batches after compaction
+    di.update_near_dup_index(
+        spark, _df(spark, [(8, BASE + " fin")]), idx, batch_id=3
+    )
+    keep = dict(
+        (r.doc_id, r.canonical_id)
+        for r in di.keep_list_from_index(spark, idx).collect()
+    )
+    assert keep[8] == 1  # new arrival joins the old cluster via merged bands
+
+
+def test_compact_index_converges_after_partial_failure(spark, tmp_path):
+    """Crash window between the merged write and the old-partition deletes
+    leaves duplicate rows; consumers are unaffected and re-running the
+    compaction converges to the clean single-partition state."""
+    idx = str(tmp_path / "idx")
+    di.update_near_dup_index(spark, _df(spark, ROWS_B1), idx, batch_id=0)
+    di.update_near_dup_index(spark, _df(spark, ROWS_B2), idx, batch_id=1)
+    clean = _keep(spark, idx)
+
+    # simulate the crash: do the merge+overwrite by hand, skip the deletes
+    for sub in ("bands", "docs", "pairs"):
+        df = spark.read.parquet(f"{idx}/{sub}")
+        merged = df.where(F.col("batch_id") <= 1).drop("batch_id")
+        merged.write.mode("overwrite").parquet(str(tmp_path / f"tmp_{sub}"))
+        di._write_batch(
+            spark.read.parquet(str(tmp_path / f"tmp_{sub}")), idx, sub, 1
+        )
+    # duplicates now present (batch 0 rows live in batch_id=0 AND =1) …
+    assert spark.read.parquet(f"{idx}/docs").count() > len(ROWS_B1 + ROWS_B2)
+    # … but the keep list is unchanged
+    assert _keep(spark, idx) == clean
+    # re-run converges: single partition, exact row counts, same keep list
+    di.compact_index(spark, idx, upto_batch=1, target_partitions=1)
+    assert _batch_dirs(idx, "docs") == ["batch_id=1"]
+    assert spark.read.parquet(f"{idx}/docs").count() == len(ROWS_B1 + ROWS_B2)
+    assert _keep(spark, idx) == clean
+
+
+def test_compact_index_cli(spark, tmp_path):
+    from translator_tm_provider_pipelines_spark import cli
+
+    idx = str(tmp_path / "idx")
+    di.update_near_dup_index(spark, _df(spark, ROWS_B1), idx, batch_id=0)
+    di.update_near_dup_index(spark, _df(spark, ROWS_B2), idx, batch_id=1)
+    before = _keep(spark, idx)
+    cli.run_near_dup_index_compact(
+        spark, ["--indexDir", idx, "--uptoBatch", "1", "--targetPartitions", "1"]
+    )
+    assert _batch_dirs(idx, "pairs") == ["batch_id=1"]
+    assert _keep(spark, idx) == before

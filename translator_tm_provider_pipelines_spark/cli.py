@@ -584,6 +584,25 @@ def run_near_dup_index_update(spark: SparkSession, argv: list[str]) -> None:
     print(f"batch {ns.batchId}: {n} new verified pairs")
 
 
+def run_near_dup_index_compact(spark: SparkSession, argv: list[str]) -> None:
+    """NEAR_DUP_INDEX_COMPACT: merge all batch partitions <= --uptoBatch of
+    the incremental index into one partition (small-file maintenance after
+    hundreds of micro-batches; see streaming/dedup_index.py:compact_index
+    for the crash-safety contract). Only pass committed batch ids."""
+    from .streaming import dedup_index as di
+
+    p = argparse.ArgumentParser(prog="NEAR_DUP_INDEX_COMPACT")
+    p.add_argument("--indexDir", required=True)
+    p.add_argument("--uptoBatch", type=int, required=True)
+    p.add_argument("--targetPartitions", type=int, default=None)
+    ns = p.parse_args(argv)
+    removed = di.compact_index(
+        spark, ns.indexDir, ns.uptoBatch, target_partitions=ns.targetPartitions
+    )
+    for sub, n in removed.items():
+        print(f"{sub}: merged, {n} old batch partitions removed")
+
+
 def run_near_dup_keep_list_export(spark: SparkSession, argv: list[str]) -> None:
     """NEAR_DUP_KEEP_LIST: materialize (doc_id, canonical_id, is_kept)
     from the incremental index."""
@@ -1171,6 +1190,7 @@ PIPELINES: dict[str, Callable[[SparkSession, list[str]], None]] = {
     "UPDATE_MEDLINE_STATUS_ENTITIES": run_update_medline_status,
     "UPDATE_STATUS_FLAGS": run_update_status_flags,
     "NEAR_DUP_INDEX_UPDATE": run_near_dup_index_update,
+    "NEAR_DUP_INDEX_COMPACT": run_near_dup_index_compact,
     "NEAR_DUP_KEEP_LIST": run_near_dup_keep_list_export,
     "TEXT_EXPORT": run_text_export,
     "PUBANNOTATION_EXPORT": run_pubannotation_export,

@@ -176,6 +176,90 @@ def update_near_dup_index(
     return verified
 
 
+def _hadoop_fs(spark: SparkSession, path: str):
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    return jpath.getFileSystem(spark._jsc.hadoopConfiguration()), jpath, jvm
+
+
+def _delete_old_batch_dirs(
+    spark: SparkSession, index_dir: str, sub: str, upto_batch: int
+) -> int:
+    """Remove ``batch_id=b`` partition directories with b < upto_batch via
+    the Hadoop FileSystem API (works on HDFS/S3/local alike)."""
+    fs, jpath, jvm = _hadoop_fs(spark, _part_path(index_dir, sub))
+    if not fs.exists(jpath):
+        return 0
+    removed = 0
+    for st in fs.listStatus(jpath):
+        name = st.getPath().getName()
+        if not name.startswith("batch_id="):
+            continue
+        try:
+            b = int(name.split("=", 1)[1])
+        except ValueError:
+            continue
+        if b < upto_batch:
+            fs.delete(st.getPath(), True)
+            removed += 1
+    return removed
+
+
+def compact_index(
+    spark: SparkSession,
+    index_dir: str,
+    upto_batch: int,
+    target_partitions: int | None = None,
+) -> dict[str, int]:
+    """Merge every ``batch_id <= upto_batch`` partition of the three index
+    sub-tables into the single ``batch_id=upto_batch`` partition — the
+    small-file / partition-explosion fix after hundreds of micro-batches
+    (one directory + O(shuffle.partitions) files per batch otherwise).
+    Returns {sub: partitions_removed}.
+
+    Only compact batches that can no longer be RETRIED (i.e. committed in
+    the stream's checkpoint): a foreachBatch retry of a compacted batch id
+    would dynamic-overwrite the merged partition with just that batch's
+    rows and lose the rest. ``upto_batch`` strictly below the last
+    committed batch is always safe.
+
+    Crash safety, by construction rather than coordination:
+    1. the merged rows are first written OUTSIDE the readable tables, to
+       ``<index_dir>/.compact_tmp/<sub>`` (dot-prefixed → invisible to
+       Spark's file listing), so readers never see a half-written merge
+       and the dynamic overwrite in step 2 never reads the path it writes;
+    2. the merge lands via dynamic partition overwrite of the single
+       ``batch_id=upto_batch`` partition — older partitions untouched;
+    3. old partition directories are deleted one by one.
+    Dying between 2 and 3 leaves duplicate rows (a batch present both
+    merged and original) — harmless to every consumer (bucket sizes use
+    countDistinct, candidates/pairs are distinct'd, the keep list
+    distinct's pairs) — and re-running the compaction converges because
+    the merge dedupes: docs by doc_id, bands and pairs by full row.
+    Keep-list equality across compaction is pinned by test."""
+    tmp_root = os.path.join(index_dir, ".compact_tmp")
+    removed: dict[str, int] = {}
+    dedupe_keys = {"docs": ["doc_id"], "bands": None, "pairs": None}
+    for sub in _SUBDIRS:
+        df = _read_index(spark, index_dir, sub)
+        if df is None:
+            removed[sub] = 0
+            continue
+        old = df.where(F.col("batch_id") <= upto_batch).drop("batch_id")
+        keys = dedupe_keys[sub]
+        old = old.dropDuplicates(keys) if keys else old.distinct()
+        if target_partitions:
+            old = old.coalesce(target_partitions)
+        tmp = os.path.join(tmp_root, sub)
+        old.write.mode("overwrite").parquet(tmp)
+        _write_batch(spark.read.parquet(tmp), index_dir, sub, upto_batch)
+        removed[sub] = _delete_old_batch_dirs(spark, index_dir, sub, upto_batch)
+    fs, jpath, _ = _hadoop_fs(spark, tmp_root)
+    if fs.exists(jpath):
+        fs.delete(jpath, True)
+    return removed
+
+
 def keep_list_from_index(spark: SparkSession, index_dir: str) -> DataFrame:
     """(doc_id, canonical_id, is_kept) over every indexed document —
     connected components (min member id) of the accumulated verified
@@ -185,7 +269,11 @@ def keep_list_from_index(spark: SparkSession, index_dir: str) -> DataFrame:
     if docs is None:
         raise FileNotFoundError(f"no index at {index_dir}")
     pairs = _read_index(spark, index_dir, "pairs")
-    out = docs.select("doc_id")
+    # distinct: a compaction interrupted between its merged write and its
+    # old-partition deletes legitimately leaves duplicate doc rows (see
+    # compact_index crash-safety note); the keep list must stay one row
+    # per document regardless. Partial agg makes this near-free.
+    out = docs.select("doc_id").distinct()
     if pairs is None or not pairs.head(1):
         return out.select(
             "doc_id",
