@@ -260,3 +260,67 @@ def test_compact_index_cli(spark, tmp_path):
     )
     assert _batch_dirs(idx, "pairs") == ["batch_id=1"]
     assert _keep(spark, idx) == before
+
+
+def test_reconcile_capped_buckets_restores_star_keep_list(spark, tmp_path):
+    """A 6-member cluster arrives 2-at-a-time with max_bucket_size=3: the
+    bucket crosses the cap at batch 1, so members 3-6 get no edges from
+    the per-batch guard. reconcile_capped_buckets re-stars the over-cap
+    bucket and restores keep-list equality with BOTH the batch star path
+    and the uncapped run (single tight cluster: star reaches everyone)."""
+    # identical texts: every band bucket is the FULL cluster, so once the
+    # bucket crosses the cap there is no under-cap sub-bucket left to
+    # sneak late pairs through (suffix-variant texts split into small
+    # per-band sub-buckets and dodge the guard)
+    cluster = [(i, BASE) for i in range(1, 7)]
+    lone = [(9, "entirely different text on broadcast joins and windows "
+                "with aggregates sorting and shuffle partitions")]
+    rows = cluster + lone
+    idx = str(tmp_path / "idx")
+    for bi, lo in enumerate(range(0, 6, 2)):
+        di.update_near_dup_index(
+            spark, _df(spark, cluster[lo:lo + 2] + (lone if bi == 0 else [])),
+            idx, batch_id=bi, max_bucket_size=3,
+        )
+    # divergence before reconcile: late members are singletons
+    keep0 = dict(
+        (r.doc_id, r.canonical_id)
+        for r in di.keep_list_from_index(spark, idx).collect()
+    )
+    assert keep0[2] == 1 and keep0[9] == 9
+    assert any(keep0[d] == d for d in (3, 4, 5, 6))  # stranded late arrivals
+
+    repaired = di.reconcile_capped_buckets(
+        spark, idx, batch_id=100, max_bucket_size=3
+    )
+    assert repaired.count() >= 1
+    inc = _keep(spark, idx)
+    star = sorted(map(tuple, dedup.near_dup_keep_list(
+        _df(spark, rows), max_bucket_size=3, oversize_policy="star"
+    ).collect()))
+    uncapped = sorted(map(tuple, dedup.near_dup_keep_list(_df(spark, rows)).collect()))
+    assert inc == star == uncapped
+    # idempotent: a re-run (same batch_id) adds nothing and changes nothing
+    di.reconcile_capped_buckets(spark, idx, batch_id=100, max_bucket_size=3)
+    assert _keep(spark, idx) == inc
+
+
+def test_reconcile_cli(spark, tmp_path):
+    from translator_tm_provider_pipelines_spark import cli
+
+    cluster = [(i, BASE) for i in range(1, 6)]
+    idx = str(tmp_path / "idx")
+    for bi, lo in enumerate(range(0, 5, 2)):
+        di.update_near_dup_index(
+            spark, _df(spark, cluster[lo:lo + 2]), idx, batch_id=bi,
+            max_bucket_size=2,
+        )
+    cli.main([
+        "NEAR_DUP_INDEX_RECONCILE", "--indexDir", idx,
+        "--batchId", "50", "--maxBucketSize", "2",
+    ])
+    keep = dict(
+        (r.doc_id, r.canonical_id)
+        for r in di.keep_list_from_index(spark, idx).collect()
+    )
+    assert all(keep[d] == 1 for d in range(1, 6))

@@ -112,10 +112,17 @@ def test_second_hop_unit_two_clusters_one_bucket(spark):
     verified = _pairs(spark, [(1, 2)])
     attempted = _pairs(spark, [(1, 2), (1, 3), (1, 4)])
     out = dedup.star_second_hop_pairs(bands, verified, 3, attempted=attempted)
-    # (1,3) already attempted → anti-joined away; (2,3) and (3,4) are fresh
-    # CANDIDATES — downstream Jaccard verification keeps 3-4 and drops the
-    # cross-cluster 2-3, so only genuine edges reach connected components
-    assert _pairset(out) == {(2, 3), (3, 4)}
+    # both unattached members (3, 4) promote (reps_per_hop default covers
+    # them); (1,3)/(1,4) already attempted → anti-joined away; the rest
+    # are fresh CANDIDATES — downstream Jaccard verification keeps 3-4
+    # and drops the cross-cluster 2-3/2-4, so only genuine edges reach
+    # connected components
+    assert _pairset(out) == {(2, 3), (2, 4), (3, 4)}
+    # reps_per_hop=1: only member 3 promotes this hop
+    out1 = dedup.star_second_hop_pairs(
+        bands, verified, 3, attempted=attempted, reps_per_hop=1
+    )
+    assert _pairset(out1) == {(2, 3), (3, 4)}
 
 
 def test_second_hop_unit_under_cap_bucket_ignored(spark):

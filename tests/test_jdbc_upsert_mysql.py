@@ -94,3 +94,78 @@ def test_mysql_dialect_detection_and_sql_shape():
         "INSERT INTO t (k, v) VALUES (?, ?) "
         "ON DUPLICATE KEY UPDATE k = VALUES(k), v = VALUES(v)"
     )
+
+
+def test_mysql_upsert_concurrent_partitions_overlapping_keys(spark, tmp_path):
+    """Cluster fan-in shape (VERDICT r5 task 7): N partitions upsert
+    OVERLAPPING keys concurrently into one endpoint. Contract proven
+    against the lock-replay fake (commit replays recorded statements on
+    freshly loaded state under an exclusive lock — InnoDB's row-level
+    serialization at commit granularity):
+
+    - no lost rows: every key written by any partition is present;
+    - no torn rows: each stored row equals EXACTLY one writer's full
+      column set for that key (per-statement atomicity), with last-writer
+      order racy per key — the same guarantee a real server gives;
+    - connection/batch knobs: one commit per partition, ceil(rows/batch)
+      executemany flushes per partition."""
+    import math
+
+    db = tmp_path / "mysqldb"
+    db.mkdir()
+    spark.sparkContext.addPyFile(fake_mysql.__file__)
+
+    n_parts, keys_per_writer = 8, 30
+    rows = [
+        (k, f"writer{w}", w * 1000 + k)
+        for w in range(n_parts)
+        for k in range(keys_per_writer)  # every writer hits EVERY key
+    ]
+    df = (
+        spark.createDataFrame(rows, "id int, writer string, score int")
+        .repartition(n_parts, "writer")
+    )
+    sinks.write_upsert(
+        df,
+        partial(fake_mysql.connect, str(db), ["id"]),
+        "scores",
+        key_cols=["id"],
+        batchsize=7,
+        dialect="mysql",
+    )
+    state = {r["id"]: r for r in json.load(open(db / "state.json"))}
+    assert sorted(state) == list(range(keys_per_writer))  # no lost rows
+    for k, row in state.items():
+        w = int(row["writer"].removeprefix("writer"))
+        assert row["score"] == w * 1000 + k  # no torn rows
+    # knob accounting: every row flushed, batches sized as configured
+    calls = _all_calls(db)
+    assert sum(c["n"] for c in calls) == len(rows)
+    assert max(c["n"] for c in calls) <= 7
+    n_commits = len([f for f in os.listdir(db) if f.startswith("calls-")])
+    assert n_commits <= n_parts + 1  # one commit per (non-empty) partition
+
+
+def test_mysql_upsert_second_pass_overwrites(spark, tmp_path):
+    """Deterministic last-writer check: a second sequential pass with new
+    scores overwrites every conflicting row (update-clause columns only)."""
+    db = tmp_path / "mysqldb2"
+    db.mkdir()
+    spark.sparkContext.addPyFile(fake_mysql.__file__)
+    conn = partial(fake_mysql.connect, str(db), ["id"])
+    df1 = spark.createDataFrame(
+        [(i, "first", i) for i in range(20)], "id int, writer string, score int"
+    )
+    sinks.write_upsert(df1, conn, "scores", key_cols=["id"], dialect="mysql")
+    df2 = spark.createDataFrame(
+        [(i, "second", 100 + i) for i in range(0, 20, 2)],
+        "id int, writer string, score int",
+    )
+    sinks.write_upsert(df2, conn, "scores", key_cols=["id"], dialect="mysql")
+    state = {r["id"]: r for r in json.load(open(db / "state.json"))}
+    assert len(state) == 20
+    for i in range(20):
+        if i % 2 == 0:
+            assert state[i]["writer"] == "second" and state[i]["score"] == 100 + i
+        else:
+            assert state[i]["writer"] == "first" and state[i]["score"] == i

@@ -457,3 +457,97 @@ def test_ivf_index_incremental_add(spark, emb, qvec, tmp_path):
     assert [tuple(r) for r in similarity.ann_ivf_from_index(
         spark, path, cents, qvec, k=10, nprobe=2
     ).collect()] == [tuple(r) for r in mem.collect()]
+
+
+def _recall10(spark, path, cents, corpus, qv, nprobe=2):
+    truth = {r.vec_id for r in similarity.knn_brute_force(corpus, qv, k=10).collect()}
+    got = {
+        r.vec_id
+        for r in similarity.ann_ivf_from_index(
+            spark, path, cents, qv, k=10, nprobe=nprobe
+        ).collect()
+    }
+    return len(truth & got) / 10
+
+
+def test_ivf_drift_guard_detects_shifted_batch(spark, emb, tmp_path):
+    """Appended batches assign against the FROZEN quantizer, so a
+    distribution shift degrades the index silently. ivf_assignment_quality
+    + ivf_should_retrain make it measurable: a concentrated shift (every
+    vector pulled toward one direction, renormalized) moves the mean
+    assigned-cosine 0.19 -> ~0.83 and max_list_share 0.15 -> ~1.0 — both
+    far past the guard thresholds — while an in-distribution batch trips
+    neither. On this (near-isotropic) fixture recall@10 survives at
+    nprobe=2 because the drifted cluster fits inside the probed hotspot
+    list; the measured harm is SELECTIVITY: the probed scan fraction for
+    drifted-neighborhood queries grows ~5x (0.13 -> 0.63 of the corpus,
+    recorded in SCALING.md), i.e. list pruning stops pruning and the hot
+    list becomes one giant skewed partition."""
+    path = str(tmp_path / "ivf_drift")
+    base = emb.where(F.col("vec_id") < 400).select("vec_id", "embedding")
+    inlier = emb.where(F.col("vec_id") >= 400).select("vec_id", "embedding")
+    cents = similarity.seed_centroids(base, n_lists=8)
+    similarity.add_to_ivf_index(base, path, cents, batch_id=0)
+
+    q_base = similarity.ivf_assignment_quality(base, cents).first()
+    q_inlier = similarity.ivf_assignment_quality(inlier, cents).first()
+    assert not similarity.ivf_should_retrain(q_base, q_inlier)
+
+    # concentrated drift: pull every vector toward centroid 0 direction
+    u = cents[0][1]
+    unorm = sum(x * x for x in u) ** 0.5
+    ulit = F.lit([1.5 * x / unorm for x in u])
+    shifted_raw = F.zip_with("embedding", ulit, lambda a, b: a + b)
+    nrm = F.sqrt(F.aggregate(shifted_raw, F.lit(0.0), lambda acc, x: acc + x * x))
+    drifted = base.select(
+        (F.col("vec_id") + 10_000).alias("vec_id"),
+        F.transform(shifted_raw, lambda x: (x / nrm).cast("float")).alias("embedding"),
+    )
+    q_drift = similarity.ivf_assignment_quality(drifted, cents).first()
+    assert similarity.ivf_should_retrain(q_base, q_drift)
+    assert abs(q_drift["mean_assigned_cosine"] - q_base["mean_assigned_cosine"]) > 0.2
+    assert q_drift["max_list_share"] > 3.0 * q_base["max_list_share"]
+
+    # recall@10 + scan selectivity, same frozen quantizer
+    similarity.add_to_ivf_index(drifted, path, cents, batch_id=1)
+    corpus = base.unionByName(drifted)
+    n_total = corpus.count()
+    base_q = [
+        [float(x) for x in r.embedding]
+        for r in base.where(F.col("vec_id").isin(5, 17, 123)).collect()
+    ]
+    drift_q = [
+        [float(x) for x in r.embedding]
+        for r in drifted.where(F.col("vec_id").isin(10_005, 10_017, 10_123)).collect()
+    ]
+    rec_base = sum(_recall10(spark, path, cents, corpus, qv) for qv in base_q) / 3
+    rec_drift = sum(_recall10(spark, path, cents, corpus, qv) for qv in drift_q) / 3
+    assert rec_base >= 0.8  # in-distribution queries largely unharmed
+
+    def scan_fraction(qv):
+        import math
+
+        def pycos(a, b):
+            d = sum(x * y for x, y in zip(a, b))
+            return d / (math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(y * y for y in b)))
+
+        probes = [cid for _, cid in sorted((-pycos(qv, cv), cid) for cid, cv in cents)[:2]]
+        return (
+            spark.read.parquet(path).where(F.col("ivf_list").isin(probes)).count()
+            / n_total
+        )
+
+    frac_base = sum(scan_fraction(qv) for qv in base_q) / 3
+    frac_drift = sum(scan_fraction(qv) for qv in drift_q) / 3
+    # pruning selectivity destroyed: the hot list alone holds >= half
+    # the corpus, and drifted-neighborhood queries scan ~2x what base
+    # queries do (0.63 vs 0.29 measured; nprobe/n_lists ideal is 0.25)
+    assert frac_drift >= 0.5
+    assert frac_drift > 1.5 * frac_base
+    print(
+        f"IVF drift: recall base={rec_base:.2f} drift={rec_drift:.2f}; "
+        f"scan fraction base={frac_base:.3f} drift={frac_drift:.3f}; "
+        f"mean_cos {q_base['mean_assigned_cosine']:.3f}->"
+        f"{q_drift['mean_assigned_cosine']:.3f}; "
+        f"max_share {q_base['max_list_share']:.3f}->{q_drift['max_list_share']:.3f}"
+    )

@@ -189,3 +189,76 @@ def test_resize_media_contract(spark):
 
     with _pytest.raises(Exception, match="NotImplementedError|resiz"):
         multimodal.resize_media(media, 8, 4, strict=True).collect()
+
+
+# ---------------------------------------------------------------------------
+# real image decode: built-in NetPBM codec through the same plumbing
+# ---------------------------------------------------------------------------
+
+
+def _make_ppm(w, h):
+    """Deterministic RGB gradient PPM (P6) with a header comment."""
+    import numpy as np
+
+    y, x = np.mgrid[0:h, 0:w]
+    px = np.stack(
+        [(x * 255 // max(w - 1, 1)), (y * 255 // max(h - 1, 1)),
+         ((x + y) * 255 // max(w + h - 2, 1))], axis=2
+    ).astype(np.uint8)
+    return (f"P6\n# gradient {w}x{h}\n{w} {h}\n255\n".encode() + px.tobytes(), px)
+
+
+def test_real_netpbm_decode_end_to_end(spark):
+    """A REAL image decode (not the digest fake) through the Arrow-batched
+    mapInPandas pipeline: exact dimensions and 4x4-grid luminance features
+    matching numpy ground truth computed outside Spark."""
+    import numpy as np
+
+    payload, px = _make_ppm(20, 12)
+    media = spark.createDataFrame(
+        [("ppm1", "image", "image/x-portable-pixmap", payload, None, None, None, {})],
+        schema=schemas.MEDIA,
+    )
+    row = MM.extract_media_features(media, decoder=MM.netpbm_decoder).first()
+    assert (row.width, row.height, row.n_bytes) == (20, 12, len(payload))
+    lum = px.mean(axis=2)
+    expect = [
+        float(c.mean() / 255)
+        for r in np.array_split(lum, 4, axis=0)
+        for c in np.array_split(r, 4, axis=1)
+    ]
+    assert row.features == pytest.approx(expect, abs=1e-6)
+
+
+def test_real_netpbm_resize_roundtrip(spark):
+    """Real resize through resize_media: output payload is a valid PPM at
+    the target size whose pixels equal numpy nearest-neighbor sampling,
+    and src dims survive for bbox scale arithmetic."""
+    import numpy as np
+
+    payload, px = _make_ppm(16, 8)
+    media = spark.createDataFrame(
+        [("ppm2", "image", "image/x-portable-pixmap", payload, None, None, None, {})],
+        schema=schemas.MEDIA,
+    )
+    row = MM.resize_media(media, 4, 4, resizer=MM.netpbm_resizer).first()
+    assert (row.width, row.height, row.src_width, row.src_height) == (4, 4, 16, 8)
+    magic, w, h, maxval, out = MM._parse_netpbm(bytes(row.payload))
+    assert (magic, w, h) == ("P6", 4, 4)
+    yi = np.minimum((np.arange(4) * 8) // 4, 7)
+    xi = np.minimum((np.arange(4) * 16) // 4, 15)
+    assert np.array_equal(out, px[yi][:, xi])
+
+
+def test_netpbm_decoder_rejects_non_netpbm():
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        MM.netpbm_decoder(b"\x89PNGfake", "image/png")
+    with _pytest.raises(ValueError):
+        MM.netpbm_decoder(b"", None)
+    # P5 grayscale parses too
+    gray = b"P5\n3 2\n255\n" + bytes(range(6))
+    d = MM.netpbm_decoder(gray, "image/x-portable-graymap")
+    assert (d["width"], d["height"]) == (3, 2)
+    assert len(d["features"]) == MM.FEATURE_DIM

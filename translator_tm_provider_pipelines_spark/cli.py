@@ -603,6 +603,32 @@ def run_near_dup_index_compact(spark: SparkSession, argv: list[str]) -> None:
         print(f"{sub}: merged, {n} old batch partitions removed")
 
 
+def run_near_dup_index_reconcile(spark: SparkSession, argv: list[str]) -> None:
+    """NEAR_DUP_INDEX_RECONCILE: re-derive star-policy edges for buckets
+    that outgrew --maxBucketSize across batches (late arrivals to capped
+    buckets otherwise stay unlinked; see dedup_index.reconcile_capped_buckets)."""
+    from pyspark.sql import functions as F
+
+    from .streaming import dedup_index as di
+
+    p = argparse.ArgumentParser(prog="NEAR_DUP_INDEX_RECONCILE")
+    p.add_argument("--indexDir", required=True)
+    p.add_argument("--batchId", type=int, required=True,
+                   help="partition for the repaired pairs; above the last committed batch")
+    p.add_argument("--maxBucketSize", type=int, required=True)
+    p.add_argument("--threshold", type=float, default=0.8)
+    ns = p.parse_args(argv)
+    di.reconcile_capped_buckets(
+        spark, ns.indexDir, ns.batchId, ns.maxBucketSize, threshold=ns.threshold
+    )
+    n = (
+        spark.read.parquet(f"{ns.indexDir}/pairs")
+        .where(F.col("batch_id") == ns.batchId)
+        .count()
+    )
+    print(f"reconcile batch {ns.batchId}: {n} repaired pairs")
+
+
 def run_near_dup_keep_list_export(spark: SparkSession, argv: list[str]) -> None:
     """NEAR_DUP_KEEP_LIST: materialize (doc_id, canonical_id, is_kept)
     from the incremental index."""
@@ -1191,6 +1217,7 @@ PIPELINES: dict[str, Callable[[SparkSession, list[str]], None]] = {
     "UPDATE_STATUS_FLAGS": run_update_status_flags,
     "NEAR_DUP_INDEX_UPDATE": run_near_dup_index_update,
     "NEAR_DUP_INDEX_COMPACT": run_near_dup_index_compact,
+    "NEAR_DUP_INDEX_RECONCILE": run_near_dup_index_reconcile,
     "NEAR_DUP_KEEP_LIST": run_near_dup_keep_list_export,
     "TEXT_EXPORT": run_text_export,
     "PUBANNOTATION_EXPORT": run_pubannotation_export,

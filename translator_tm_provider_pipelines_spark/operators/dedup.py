@@ -291,6 +291,7 @@ def star_second_hop_pairs(
     verified: DataFrame,
     max_bucket_size: int,
     attempted: DataFrame | None = None,
+    reps_per_hop: int = 8,
 ) -> DataFrame:
     """Repair candidates for ``oversize_policy="star"``: over-cap bucket
     members left UNATTACHED after verification re-star against the
@@ -301,15 +302,18 @@ def star_second_hop_pairs(
     chain-shaped cluster whose far members drift below threshold vs the
     representative, loses every member outside the representative's own
     reach — the measured 0.5% member-recall gap at sf10 (SCALING.md).
-    This pass promotes the smallest globally-unattached member of each
-    over-cap bucket to a second representative and stars it against ALL
-    other bucket members (attached ones included — a stranded chain
-    member reattaches through its genuine ≥-threshold neighbor, not the
-    failed first representative): still LINEAR in bucket size, one new
-    representative per bucket per hop. "Unattached" is global (no
-    verified edge at all): any verified edge implies genuine Jaccard ≥
-    threshold, so connected components already place such members
-    correctly.
+    This pass promotes the ``reps_per_hop`` smallest globally-unattached
+    members of each over-cap bucket to additional representatives and
+    stars each against ALL other bucket members (attached ones included —
+    a stranded chain member reattaches through its genuine ≥-threshold
+    neighbor, not the failed first representative): candidate volume is
+    bounded by ``reps_per_hop × bucket_size`` per bucket per hop, so the
+    cap's linearity guarantee survives (one rep per hop was measured at
+    sf10 to peel only ~200 of 2,579 stranded members per hop — too slow;
+    8 reps converges in 2-3 hops at the same asymptotic cost).
+    "Unattached" is global (no verified edge at all): any verified edge
+    implies genuine Jaccard ≥ threshold, so connected components already
+    place such members correctly.
 
     ``attempted`` (candidate pairs already Jaccard-tested, e.g. the
     first-pass candidate set plus earlier hops) is anti-joined away so
@@ -339,7 +343,12 @@ def star_second_hop_pairs(
     reps = (
         members.join(vids, "doc_id", "left_anti")
         .groupBy("band", "band_sig")
-        .agg(F.min("doc_id").alias("__rep"))
+        .agg(
+            F.slice(
+                F.array_sort(F.collect_set("doc_id")), 1, reps_per_hop
+            ).alias("__reps")
+        )
+        .select("band", "band_sig", F.explode("__reps").alias("__rep"))
     )
     out = (
         over.join(reps, ["band", "band_sig"])

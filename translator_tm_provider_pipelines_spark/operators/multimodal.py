@@ -14,6 +14,11 @@ libraries (PIL/ffmpeg/librosa) are not available in this environment:
   actual codec;
 - ``strict=True`` raises NotImplementedError instead of faking, making the
   stub boundary explicit in production pipelines.
+
+One REAL codec ships built-in with zero dependencies: NetPBM (PPM/PGM)
+decode, feature extraction, and resize (:func:`netpbm_decoder`,
+:func:`netpbm_resizer`) — the end-to-end non-fake exercise of the same
+mapInPandas plumbing, pinned by test against numpy ground truth.
 """
 
 from __future__ import annotations
@@ -49,6 +54,84 @@ def _fake_decode(payload: bytes, mime_type: str | None) -> dict:
     height = 16 + digest[1]
     feats = [b / 255.0 for b in digest[:FEATURE_DIM]]
     return {"width": width, "height": height, "features": feats}
+
+
+def _parse_netpbm(payload: bytes) -> tuple[str, int, int, int, "object"]:
+    """Parse a binary NetPBM image (P6 = RGB ``.ppm``, P5 = gray ``.pgm``)
+    into (magic, width, height, maxval, HxWxC uint8 array). Pure
+    numpy — a REAL image decode with zero optional dependencies, used to
+    exercise the multimodal pipeline end-to-end where PIL/ffmpeg are not
+    installable. Handles '#' comments and arbitrary header whitespace per
+    the NetPBM spec; only 8-bit maxval is supported (raises otherwise)."""
+    import numpy as np
+
+    if not payload or payload[:1] != b"P":
+        raise ValueError("not a NetPBM payload")
+    magic = payload[:2].decode("ascii")
+    if magic not in ("P5", "P6"):
+        raise ValueError(f"unsupported NetPBM magic {magic!r}")
+    # header tokenizer: magic, width, height, maxval — comments to EOL
+    pos, fields = 2, []
+    while len(fields) < 3:
+        if pos >= len(payload):
+            raise ValueError("truncated NetPBM header")
+        c = payload[pos : pos + 1]
+        if c == b"#":
+            nl = payload.index(b"\n", pos)
+            pos = nl + 1
+        elif c.isspace():
+            pos += 1
+        else:
+            end = pos
+            while end < len(payload) and not payload[end : end + 1].isspace():
+                end += 1
+            fields.append(int(payload[pos:end]))
+            pos = end
+    width, height, maxval = fields
+    if maxval > 255:
+        raise ValueError("only 8-bit NetPBM supported")
+    pos += 1  # single whitespace after maxval, then raster
+    channels = 3 if magic == "P6" else 1
+    n = width * height * channels
+    raster = np.frombuffer(payload, dtype=np.uint8, count=n, offset=pos)
+    return magic, width, height, maxval, raster.reshape(height, width, channels)
+
+
+def netpbm_decoder(payload: bytes, mime_type: str | None) -> dict:
+    """Real image decoder for :func:`extract_media_features`: decodes
+    PPM/PGM payloads and extracts FEATURE_DIM features = mean luminance of
+    a 4×4 grid over the image (row-major), scaled to [0, 1] — an actual
+    content-derived signature (near-identical images get near-identical
+    features), unlike the digest-based plumbing fake."""
+    import numpy as np
+
+    _, width, height, maxval, px = _parse_netpbm(payload)
+    lum = px.mean(axis=2, dtype=np.float64)
+    g = 4  # FEATURE_DIM == g*g
+    rows = np.array_split(lum, g, axis=0)
+    feats = [
+        float(cell.mean() / maxval)
+        for r in rows
+        for cell in np.array_split(r, g, axis=1)
+    ]
+    return {"width": width, "height": height, "features": feats}
+
+
+def netpbm_resizer(payload: bytes, mime_type: str | None, w: int, h: int) -> dict:
+    """Real resizer for :func:`resize_media`: nearest-neighbor resample of
+    a PPM/PGM payload to (w, h), re-encoded in the same format."""
+    import numpy as np
+
+    magic, src_w, src_h, maxval, px = _parse_netpbm(payload)
+    yi = np.minimum((np.arange(h) * src_h) // h, src_h - 1)
+    xi = np.minimum((np.arange(w) * src_w) // w, src_w - 1)
+    out = px[yi][:, xi]
+    header = f"{magic}\n{w} {h}\n{maxval}\n".encode("ascii")
+    return {
+        "payload": header + out.tobytes(),
+        "src_width": src_w,
+        "src_height": src_h,
+    }
 
 
 def extract_media_features(

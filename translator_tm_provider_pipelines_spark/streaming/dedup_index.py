@@ -176,6 +176,74 @@ def update_near_dup_index(
     return verified
 
 
+def reconcile_capped_buckets(
+    spark: SparkSession,
+    index_dir: str,
+    batch_id: int,
+    max_bucket_size: int,
+    threshold: float = 0.8,
+    k: int = 3,
+) -> DataFrame:
+    """Repair pass for an index maintained with ``max_bucket_size``: emit
+    the star-policy edges for every bucket that has OUTGROWN the cap.
+
+    The per-batch guard evaluates bucket sizes as of each batch, so a
+    bucket that crosses the cap mid-stream splits into two regimes: early
+    members carry full pairwise edges (verified while the bucket was
+    small — genuine, kept), while members arriving after the crossing get
+    NO edges at all (their candidates are filtered by the cap guard) —
+    the documented batch/incremental divergence (module docstring). The
+    batch path with ``oversize_policy="star"`` would instead link every
+    member through the bucket's minimum-id representative. This pass
+    re-derives exactly those representative→member edges for currently
+    over-cap buckets, anti-joins the pairs already verified, exact-Jaccard
+    verifies the remainder against the indexed docs, and lands them as
+    ``batch_id=batch_id`` (dynamic overwrite → re-runs idempotent).
+    Returns the newly verified pairs.
+
+    After reconciling, the index's pair set is a superset of the batch
+    star path's for those buckets (the early full-pairwise edges are all
+    genuine ≥-threshold pairs), so connected components collapse at least
+    as much — keep-list equality for a single cluster that outgrew the
+    cap is pinned by test. Run it at maintenance cadence (e.g. alongside
+    :func:`compact_index`, with a ``batch_id`` above the last committed
+    batch)."""
+    bands = _read_index(spark, index_dir, "bands")
+    docs = _read_index(spark, index_dir, "docs")
+    if bands is None or docs is None:
+        raise FileNotFoundError(f"no index at {index_dir}")
+    over = (
+        bands.select("doc_id", "band", "band_sig")
+        .groupBy("band", "band_sig")
+        .agg(F.array_sort(F.collect_set("doc_id")).alias("ds"))
+        .where(F.size("ds") > max_bucket_size)
+    )
+    star = F.transform(
+        F.slice(F.col("ds"), 2, F.greatest(F.size("ds") - 1, F.lit(0))),
+        lambda y: F.struct(F.get(F.col("ds"), 0).alias("doc_a"), y.alias("doc_b")),
+    )
+    cands = (
+        over.select(F.explode(star).alias("p"))
+        .select("p.doc_a", "p.doc_b")
+        .distinct()
+    )
+    old_pairs = _read_index(spark, index_dir, "pairs")
+    if old_pairs is not None:
+        cands = cands.join(
+            old_pairs.select("doc_a", "doc_b"), ["doc_a", "doc_b"], "left_anti"
+        )
+    verified = dedup._verify_candidates(
+        docs.select("doc_id", "text"),
+        cands,
+        k=k,
+        threshold=threshold,
+        text_col="text",
+        id_col="doc_id",
+    )
+    _write_batch(verified, index_dir, "pairs", batch_id)
+    return verified
+
+
 def _hadoop_fs(spark: SparkSession, path: str):
     jvm = spark._jvm
     jpath = jvm.org.apache.hadoop.fs.Path(path)
