@@ -324,3 +324,55 @@ def test_reconcile_cli(spark, tmp_path):
         for r in di.keep_list_from_index(spark, idx).collect()
     )
     assert all(keep[d] == 1 for d in range(1, 6))
+
+
+def test_incremental_star_policy_matches_batch_star(spark, tmp_path):
+    """oversize_policy='star' in the incremental guard: a 6-member
+    identical-text cluster arriving 2-at-a-time with cap 3 keeps linking
+    late arrivals through the bucket representative — keep list equals
+    the batch star path (and the uncapped run, single tight cluster)
+    WITHOUT a reconcile pass, for representative-first, -last, and
+    mid-stream arrival orders."""
+    rows = [(i, BASE) for i in range(1, 7)] + [
+        (9, "entirely different text on broadcast joins and windows "
+            "with aggregates sorting and shuffle partitions")
+    ]
+    batch_star = sorted(map(tuple, dedup.near_dup_keep_list(
+        _df(spark, rows), max_bucket_size=3, oversize_policy="star"
+    ).collect()))
+    uncapped = sorted(map(tuple, dedup.near_dup_keep_list(_df(spark, rows)).collect()))
+    assert batch_star == uncapped
+
+    orders = {
+        "rep_first": [1, 2, 3, 4, 5, 6, 9],
+        "rep_last": [9, 6, 5, 4, 3, 2, 1],
+        "rep_mid": [4, 5, 2, 6, 9, 1, 3],
+    }
+    by_id = dict(rows)
+    for label, order in orders.items():
+        idx = str(tmp_path / f"idx_{label}")
+        seq = [(d, by_id[d]) for d in order]
+        for bi, lo in enumerate(range(0, len(seq), 2)):
+            di.update_near_dup_index(
+                spark, _df(spark, seq[lo:lo + 2]), idx, batch_id=bi,
+                max_bucket_size=3, oversize_policy="star",
+            )
+        assert _keep(spark, idx) == batch_star, label
+
+
+def test_incremental_star_policy_caps_candidates(spark, tmp_path):
+    """The star guard still bounds candidate volume: non-representative
+    pairs inside an over-cap bucket are NOT emitted (only rep-incident
+    edges land in the new batch's pairs)."""
+    rows = [(i, BASE) for i in range(1, 6)]
+    idx = str(tmp_path / "idx")
+    di.update_near_dup_index(
+        spark, _df(spark, rows[:4]), idx, batch_id=0,
+        max_bucket_size=2, oversize_policy="star",
+    )
+    p1 = di.update_near_dup_index(
+        spark, _df(spark, rows[4:]), idx, batch_id=1,
+        max_bucket_size=2, oversize_policy="star",
+    )
+    got = {(r.doc_a, r.doc_b) for r in p1.collect()}
+    assert got == {(1, 5)}  # rep edge only, not 2-5/3-5/4-5

@@ -551,3 +551,46 @@ def test_ivf_drift_guard_detects_shifted_batch(spark, emb, tmp_path):
         f"{q_drift['mean_assigned_cosine']:.3f}; "
         f"max_share {q_base['max_list_share']:.3f}->{q_drift['max_list_share']:.3f}"
     )
+
+
+def test_retrain_ivf_index_restores_balance(spark, emb, tmp_path):
+    """The guard's prescription end-to-end: after a drifted batch is
+    appended, retrain_ivf_index rewrites the whole index under fresh
+    centroids — assignment balance is restored (no hotspot list), the
+    quality row passes ivf_should_retrain against itself, and queries
+    through the rewritten index return exact brute-force top-10 at full
+    probe width (the index rewrite loses no rows and mixes no
+    quantizers)."""
+    path = str(tmp_path / "ivf_retrain")
+    base = emb.where(F.col("vec_id") < 400).select("vec_id", "embedding")
+    cents0 = similarity.seed_centroids(base, n_lists=8)
+    similarity.add_to_ivf_index(base, path, cents0, batch_id=0)
+    u = cents0[0][1]
+    unorm = sum(x * x for x in u) ** 0.5
+    ulit = F.lit([1.5 * x / unorm for x in u])
+    shifted_raw = F.zip_with("embedding", ulit, lambda a, b: a + b)
+    nrm = F.sqrt(F.aggregate(shifted_raw, F.lit(0.0), lambda acc, x: acc + x * x))
+    drifted = base.select(
+        (F.col("vec_id") + 10_000).alias("vec_id"),
+        F.transform(shifted_raw, lambda x: (x / nrm).cast("float")).alias("embedding"),
+    )
+    similarity.add_to_ivf_index(drifted, path, cents0, batch_id=1)
+
+    cents1 = similarity.retrain_ivf_index(spark, path, n_lists=8, n_iters=2)
+    reindexed = spark.read.parquet(path)
+    assert reindexed.count() == 800  # nothing lost in the rewrite
+    corpus = base.unionByName(drifted)
+    q1 = similarity.ivf_assignment_quality(corpus, cents1).first()
+    # hotspot gone: the drifted half now has its own centroid(s)
+    assert q1["max_list_share"] < 0.75
+    assert not similarity.ivf_should_retrain(q1, q1)
+    # full-probe query through the rewritten index == brute force
+    qv = [float(x) for x in base.where(F.col("vec_id") == 5).first().embedding]
+    truth = [r.vec_id for r in similarity.knn_brute_force(corpus, qv, k=10).collect()]
+    got = [
+        r.vec_id
+        for r in similarity.ann_ivf_from_index(
+            spark, path, cents1, qv, k=10, nprobe=8
+        ).collect()
+    ]
+    assert got == truth

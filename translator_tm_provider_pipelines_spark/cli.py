@@ -558,6 +558,7 @@ def run_near_dup_index_update(spark: SparkSession, argv: list[str]) -> None:
     p.add_argument("--batchId", type=int, required=True)
     p.add_argument("--threshold", type=float, default=0.8)
     p.add_argument("--maxBucketSize", type=int, default=None)
+    p.add_argument("--oversizePolicy", choices=["drop", "star"], default="drop")
     p.add_argument("--textColumn", default="text")
     p.add_argument("--idColumn", default="doc_id")
     ns = p.parse_args(argv)
@@ -570,6 +571,7 @@ def run_near_dup_index_update(spark: SparkSession, argv: list[str]) -> None:
         text_col=ns.textColumn,
         id_col=ns.idColumn,
         max_bucket_size=ns.maxBucketSize,
+        oversize_policy=ns.oversizePolicy,
     )
     # count from the freshly WRITTEN partition, not the `pairs` plan:
     # re-executing the plan would (a) roughly double batch cost and (b) on

@@ -920,6 +920,64 @@ def ivf_should_retrain(
     )
 
 
+def retrain_ivf_index(
+    spark,
+    path: str,
+    n_lists: int = 16,
+    n_iters: int = 3,
+    sample_fraction: float | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 6,
+) -> list[tuple[int, list[float]]]:
+    """The retrain-and-rewrite that :func:`ivf_should_retrain` prescribes:
+    read the whole incremental index (every ``ivf_batch``), train fresh
+    centroids over it (deterministic farthest-first init + Lloyd
+    spherical k-means; ``sample_fraction`` trains on a seeded Bernoulli
+    sample when the corpus is too large to iterate over in full — the
+    assignment REWRITE below always covers every row), and rewrite the
+    index as a single ``batch_id=0`` under the new quantizer. Returns the
+    new centroids — persist them wherever the old ones lived; mixing
+    quantizers in one index path is never valid, which is why this
+    rewrites rather than appends.
+
+    Staged like :func:`compact_index`: the reassigned rows land in a
+    dot-prefixed sibling (`<path>.retrain_tmp`, invisible to readers and
+    never self-read), then replace the index via two directory renames —
+    readers race against at most a whole-index swap, never a half-written
+    mix of quantizers."""
+    emb = spark.read.parquet(path).drop("ivf_list", "ivf_batch")
+    train = (
+        emb.sample(fraction=sample_fraction, seed=7)
+        if sample_fraction is not None
+        else emb
+    )
+    init = farthest_first_centroids(
+        train, n_lists, id_col=id_col, vec_col=vec_col, scale=scale
+    )
+    cents = train_centroids(
+        train, n_lists, n_iters=n_iters, id_col=id_col, vec_col=vec_col,
+        scale=scale, init=init,
+    )
+    tmp = path.rstrip("/") + ".retrain_tmp"
+    old = path.rstrip("/") + ".retrain_old"
+    add_to_ivf_index(
+        emb, tmp, cents, batch_id=0, id_col=id_col, vec_col=vec_col, scale=scale
+    )
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(conf)
+    jtmp = jvm.org.apache.hadoop.fs.Path(tmp)
+    jold = jvm.org.apache.hadoop.fs.Path(old)
+    if fs.exists(jold):
+        fs.delete(jold, True)
+    fs.rename(jpath, jold)
+    fs.rename(jtmp, jpath)
+    fs.delete(jold, True)
+    return cents
+
+
 def write_lsh_index(
     embeddings: DataFrame,
     path: str,

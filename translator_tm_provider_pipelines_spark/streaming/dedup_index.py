@@ -28,7 +28,11 @@ and identical Jaccard. Hence :func:`keep_list_from_index` ==
 deliberate divergence: the incremental guard sees bucket sizes as of the
 current batch, so a bucket that only later outgrows the cap keeps its
 early pairs (the batch path drops all of them); leave it ``None`` when
-exact batch equivalence matters.
+exact batch equivalence matters. With ``oversize_policy="star"`` late
+arrivals to over-cap buckets still link through the bucket's minimum-id
+representative (batch-star parity on tight clusters, pinned by test);
+with the default ``"drop"`` they stay unlinked until
+:func:`reconcile_capped_buckets` runs.
 
 No counterpart in the reference (its incrementality is status-flag
 reprocessing, PipelineMain.java:555-610); this is the Spark-native
@@ -95,13 +99,29 @@ def update_near_dup_index(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_bucket_size: int | None = None,
+    oversize_policy: str = "drop",
     broadcast_row_cap: int = 500_000,
 ) -> DataFrame:
     """Absorb one batch of new documents into the index; returns the
     newly verified near-dup pairs (doc_a, doc_b, jaccard) — every pair
     with at least one member in this batch whose exact Jaccard meets the
     threshold. Docs already present in the index must not be re-sent
-    (ids are assumed unique across batches, as in any ingest log)."""
+    (ids are assumed unique across batches, as in any ingest log).
+
+    ``oversize_policy`` mirrors the batch path's over-cap bucket
+    handling (``dedup.lsh_candidate_pairs``): ``"drop"`` discards every
+    candidate in a bucket above ``max_bucket_size`` (late arrivals to
+    giant-boilerplate buckets stay unlinked — run
+    :func:`reconcile_capped_buckets` at maintenance cadence), while
+    ``"star"`` keeps only candidates incident to the bucket's CURRENT
+    minimum-id member, so every late arrival still links through the
+    representative at linear cost. Star keeps incremental ⊇ batch-star:
+    pairs verified while the bucket was under cap persist (all genuine),
+    and when a new batch brings a smaller id the new representative
+    stars against the whole bucket in that batch's equi-join — keep-list
+    equality with the batch star path on tight clusters is pinned by
+    test for arrival orders where the representative comes first, last,
+    and mid-stream."""
     batch = new_docs.select(
         F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
     )
@@ -138,12 +158,19 @@ def update_near_dup_index(
         )
     )
     if max_bucket_size is not None:
+        if oversize_policy not in ("drop", "star"):
+            raise ValueError(f"unknown oversize_policy {oversize_policy!r}")
         sizes = all_bands.groupBy("band", "band_sig").agg(
-            F.countDistinct("doc_id").alias("__bn")
+            F.countDistinct("doc_id").alias("__bn"),
+            F.min("doc_id").alias("__bmin"),
         )
-        cands = cands.join(sizes, ["band", "band_sig"]).where(
-            F.col("__bn") <= max_bucket_size
-        )
+        keep = F.col("__bn") <= max_bucket_size
+        if oversize_policy == "star":
+            # over-cap: only representative-incident edges; the pair is
+            # (least, greatest)-normalized, so an edge touching the
+            # bucket's global min always carries it in doc_a
+            keep = keep | (F.col("doc_a") == F.col("__bmin"))
+        cands = cands.join(sizes, ["band", "band_sig"]).where(keep)
     cands = cands.select("doc_a", "doc_b").distinct()
 
     old_docs = _read_index(spark, index_dir, "docs")
@@ -369,6 +396,7 @@ def incremental_near_dup_stream(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_bucket_size: int | None = None,
+    oversize_policy: str = "drop",
 ) -> DataStreamWriter:
     """foreachBatch wrapper: each micro-batch of newly ingested documents
     updates the index via :func:`update_near_dup_index`. Combine with
@@ -388,6 +416,7 @@ def incremental_near_dup_stream(
             text_col=text_col,
             id_col=id_col,
             max_bucket_size=max_bucket_size,
+            oversize_policy=oversize_policy,
         )
 
     return (
