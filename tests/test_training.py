@@ -132,3 +132,60 @@ def test_pack_sequences_string_ids_shard_by_hash(spark):
     # deterministic: same input -> same shard assignment
     again = tr.pack_sequences(docs, capacity=16, n_shards=4).collect()
     assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+
+# ---------------------------------------------------------------------------
+# DSIR importance weights
+# ---------------------------------------------------------------------------
+
+
+def _dsir_corpus(spark):
+    med = "patient dosage clinical trial receptor protein enzyme pathway"
+    web = "click here subscribe newsletter cookie banner advertisement deal"
+    rows = (
+        [(i, f"{med} study number {i} measured the receptor pathway") for i in range(10)]
+        + [(100 + i, f"{web} offer number {i} click subscribe now") for i in range(10)]
+        + [(200, f"{med} {web} mixed register document")]
+    )
+    return spark.createDataFrame(rows, "doc_id int, text string")
+
+
+def test_dsir_weights_rank_target_like_docs_first(spark):
+    """Planted vocabulary shift: with the medical docs as target, every
+    medical doc outweighs every web doc; the mixed doc lands between the
+    two blocks."""
+    docs = _dsir_corpus(spark)
+    target = docs.where("doc_id < 10")
+    w = {r.doc_id: r.log_weight for r in tr.dsir_log_weights(docs, target).collect()}
+    med = [w[i] for i in range(10)]
+    web = [w[100 + i] for i in range(10)]
+    assert min(med) > w[200] > max(web)
+
+
+def test_dsir_weights_contract(spark):
+    docs = _dsir_corpus(spark)
+    target = docs.where("doc_id < 10")
+    out = tr.dsir_log_weights(docs, target)
+    assert out.columns == ["doc_id", "log_weight", "n_features"]
+    rows = {r.doc_id: r for r in out.collect()}
+    assert len(rows) == 21  # one row per input doc
+    # n_features = unigrams + bigrams = 2*len(words) - 1
+    n_words = len(rows[200].__fields__) and len(
+        "patient dosage clinical trial receptor protein enzyme pathway "
+        "click here subscribe newsletter cookie banner advertisement deal "
+        "mixed register document".split()
+    )
+    assert rows[200].n_features == 2 * n_words - 1
+    # empty/featureless doc carries weight 0
+    empty = spark.createDataFrame([(1, "!!!")], "doc_id int, text string")
+    r = tr.dsir_log_weights(empty, empty).first()
+    assert (r.log_weight, r.n_features) == (0.0, 0)
+
+
+def test_dsir_select_takes_top_fraction(spark):
+    docs = _dsir_corpus(spark)
+    target = docs.where("doc_id < 10")
+    sel = tr.dsir_select(docs, target, fraction=0.5)
+    ids = {r.doc_id for r in sel.collect()}
+    assert len(ids) == 10
+    assert ids == set(range(10))  # exactly the target-register docs win

@@ -196,3 +196,120 @@ def curation_manifest(
     return pack_sequences(
         kept.select("doc_id", "n_tokens"), capacity=capacity, n_shards=n_shards
     )
+
+
+# ---------------------------------------------------------------------------
+# DSIR — Data Selection with Importance Resampling (Xie et al. 2023)
+# ---------------------------------------------------------------------------
+
+_DSIR_MOD = 2_147_483_647  # 2^31-1, same modulus as the dedup hash family
+
+
+def _dsir_features(docs: DataFrame, n_buckets: int, text_col: str, id_col: str) -> DataFrame:
+    """(doc id, feature bucket) rows: word unigrams + bigrams hashed into
+    ``n_buckets`` via the engine's md5-affine convention (28-bit word
+    hash; bigram = (3·h₁ + 5·h₂ + 11) mod 2³¹−1) — the same arithmetic
+    the dedup family uses, so a DuckDB oracle reproduces every bucket id
+    exactly. One occurrence = one row (DSIR weights count occurrences,
+    not presence)."""
+    words = F.expr(f"regexp_extract_all(lower({text_col}), '([a-z0-9]+)', 1)")
+    hw = F.transform(words, lambda w: F.conv(F.substring(F.md5(w), 1, 7), 16, 10).cast("long"))
+    uni = F.transform(hw, lambda h: h % n_buckets)
+    bi = F.when(
+        F.size(hw) >= 2,
+        F.transform(
+            F.slice(hw, 1, F.size(hw) - 1),
+            lambda h, i: ((F.lit(3) * h + F.lit(5) * F.get(hw, i + 1) + F.lit(11)) % _DSIR_MOD) % n_buckets,
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
+    return docs.select(
+        F.col(id_col).alias("__did"),
+        F.explode(F.concat(uni, bi)).alias("bucket"),
+    )
+
+
+def dsir_log_weights(
+    docs: DataFrame,
+    target: DataFrame,
+    n_buckets: int = 8192,
+    alpha: float = 1.0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    scale: int = 6,
+) -> DataFrame:
+    """DSIR importance weights: score every raw document by how much its
+    hashed-n-gram profile looks like the TARGET corpus rather than the
+    raw corpus — ``log w(x) = Σ_features [log p̂(f) − log q̂(f)]`` with
+    Laplace-``alpha`` smoothed bucket estimates (p̂ from ``target``, q̂
+    from ``docs``). Select by taking the top fraction by weight (or
+    Gumbel-resample downstream); Xie et al. 2023, the importance-
+    resampling pretraining-data selection recipe.
+
+    Output: (doc_id, log_weight rounded to ``scale``, n_features); docs
+    with no extractable features carry log_weight 0.0. Scale shape: the
+    two distribution estimates are groupBys over ≤ ``n_buckets`` keys
+    (map-side combined, the shuffle is bucket-count-sized regardless of
+    corpus size); the per-doc score is one explode + a BROADCAST join
+    against the ≤ n_buckets log-ratio table + one doc-keyed sum —
+    corpus-linear with no wide relation, oracle-checked value-exactly
+    (`dsir_log_weights` query)."""
+    feats_raw = _dsir_features(docs, n_buckets, text_col, id_col)
+    feats_tgt = _dsir_features(target, n_buckets, text_col, id_col)
+    qc = feats_raw.groupBy("bucket").agg(F.count(F.lit(1)).alias("qn"))
+    pc = feats_tgt.groupBy("bucket").agg(F.count(F.lit(1)).alias("pn"))
+    qt = feats_raw.count()
+    pt = feats_tgt.count()
+    ratio = (
+        qc.join(pc, "bucket", "full_outer")
+        .select(
+            "bucket",
+            (
+                F.log((F.coalesce(F.col("pn"), F.lit(0)) + alpha) / (pt + alpha * n_buckets))
+                - F.log((F.coalesce(F.col("qn"), F.lit(0)) + alpha) / (qt + alpha * n_buckets))
+            ).alias("log_ratio"),
+        )
+    )
+    scored = (
+        feats_raw.join(F.broadcast(ratio), "bucket")
+        .groupBy("__did")
+        .agg(
+            F.sum("log_ratio").alias("__lw"),
+            F.count(F.lit(1)).alias("n_features"),
+        )
+    )
+    out = docs.select(F.col(id_col).alias("doc_id")).join(
+        scored, F.col("doc_id") == F.col("__did"), "left"
+    )
+    return out.select(
+        "doc_id",
+        F.round(F.coalesce(F.col("__lw"), F.lit(0.0)), scale).alias("log_weight"),
+        F.coalesce(F.col("n_features"), F.lit(0)).alias("n_features"),
+    )
+
+
+def dsir_select(
+    docs: DataFrame,
+    target: DataFrame,
+    fraction: float,
+    n_buckets: int = 8192,
+    alpha: float = 1.0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-``fraction`` DSIR selection (deterministic variant: rank by
+    log_weight with doc-id tie-break instead of Gumbel noise, so the
+    selected set is engine-reproducible). Returns the weight rows of the
+    selected documents. The global rank is a single window over weights
+    — at 100 TB pre-filter with an approximate weight threshold
+    (``approxQuantile``) and rank only the boundary slice."""
+    w = dsir_log_weights(
+        docs, target, n_buckets=n_buckets, alpha=alpha,
+        text_col=text_col, id_col=id_col,
+    )
+    n_keep = int(docs.count() * fraction)
+    rank = F.row_number().over(
+        Window.orderBy(F.col("log_weight").desc(), F.col("doc_id"))
+    )
+    return (
+        w.withColumn("__r", rank).where(F.col("__r") <= n_keep).drop("__r")
+    )

@@ -5068,6 +5068,87 @@ def sequence_packing_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _tr.pack_sequences(staged, capacity=2048, n_shards=4)
 
 
+# DSIR hashed-n-gram feature CTE shared by the two dsir_* oracles: word
+# unigrams + bigrams hashed into 8192 buckets via the engine's md5-affine
+# convention; target corpus = doc_id % 10 == 0 (deterministic subset).
+_DSIR_SQL = """
+    dsw AS (
+      SELECT doc_id, regexp_extract_all(lower(text), '([a-z0-9]+)', 1) AS words
+      FROM documents
+    ),
+    dhw AS (
+      SELECT doc_id, list_transform(words, w -> ('0x' || substr(md5(w), 1, 7))::bigint) AS hw
+      FROM dsw
+    ),
+    feats AS (
+      SELECT doc_id, unnest(list_transform(hw, h -> h % 8192)) AS bucket FROM dhw
+      UNION ALL
+      SELECT doc_id, unnest(list_transform(generate_series(1, len(hw) - 1),
+             i -> ((3*hw[i] + 5*hw[i+1] + 11) % 2147483647) % 8192)) AS bucket
+      FROM dhw WHERE len(hw) >= 2
+    ),
+    tgt AS (SELECT bucket FROM feats WHERE doc_id % 10 = 0),
+    qc AS (SELECT bucket, count(*) AS qn FROM feats GROUP BY 1),
+    pc AS (SELECT bucket, count(*) AS pn FROM tgt GROUP BY 1),
+    ratio AS (
+      SELECT coalesce(qc.bucket, pc.bucket) AS bucket,
+             ln((coalesce(pn, 0) + 1.0) / ((SELECT count(*) FROM tgt) + 8192.0))
+           - ln((coalesce(qn, 0) + 1.0) / ((SELECT count(*) FROM feats) + 8192.0)) AS log_ratio
+      FROM qc FULL OUTER JOIN pc ON qc.bucket = pc.bucket
+    ),
+    scored AS (
+      SELECT f.doc_id, sum(r.log_ratio) AS lw, count(*) AS nf
+      FROM feats f JOIN ratio r ON r.bucket = f.bucket GROUP BY 1
+    ),
+    dsir AS (
+      SELECT d.doc_id, round(coalesce(s.lw, 0.0), 6) AS log_weight,
+             coalesce(s.nf, 0) AS n_features
+      FROM documents d LEFT JOIN scored s ON s.doc_id = d.doc_id
+    )
+"""
+
+
+def _dsir_target(d):
+    return d.where((F.col("doc_id") % 10) == 0)
+
+
+@register(
+    "dsir_log_weights",
+    f"""
+    WITH {_DSIR_SQL}
+    SELECT doc_id, log_weight, n_features FROM dsir
+    """,
+)
+def dsir_log_weights_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023): every document scored
+    by hashed-n-gram likelihood ratio of a deterministic target subset
+    (doc_id % 10 == 0) vs the raw corpus — the importance-resampling
+    pretraining-data selection recipe, value-exact against the oracle
+    (same md5-affine bucket arithmetic as the dedup family)."""
+    d = _t(spark, sf_dir, "documents")
+    return _tr.dsir_log_weights(d, _dsir_target(d))
+
+
+@register(
+    "dsir_top_selection",
+    f"""
+    WITH {_DSIR_SQL},
+    ranked AS (
+      SELECT doc_id, log_weight, n_features,
+             row_number() OVER (ORDER BY log_weight DESC, doc_id) AS r
+      FROM dsir
+    )
+    SELECT doc_id, log_weight, n_features FROM ranked
+    WHERE r <= (SELECT cast(count(*) * 0.2 AS bigint) FROM documents)
+    """,
+)
+def dsir_top_selection_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic DSIR selection: top 20% of documents by (rounded)
+    importance weight with doc-id tie-break."""
+    d = _t(spark, sf_dir, "documents")
+    return _tr.dsir_select(d, _dsir_target(d), fraction=0.2)
+
+
 _SAMPLE_THR = _tr._hex_threshold(0.35)
 _MIX_THRS = {
     "src1": _tr._hex_threshold(1.0),
