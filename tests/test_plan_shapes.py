@@ -358,3 +358,18 @@ def test_oversize_star_policy(spark):
         oversize_policy="star",
     ).count()
     assert n_cand < 100
+
+
+def test_dsir_weights_broadcast_ratio_table(spark):
+    """DSIR scoring joins the exploded feature stream against the
+    bucket-ratio table via BROADCAST (the table is <= n_buckets rows) —
+    a sort-merge there would shuffle the corpus-sized feature stream."""
+    p = plan_text(spark, "dsir_log_weights")
+    assert "BroadcastHashJoin" in p
+
+
+def test_unigram_logprob_broadcast_vocab(spark):
+    """Unigram scoring broadcasts the vocabulary logprob table; the
+    token stream itself is never sort-merge-joined."""
+    p = plan_text(spark, "unigram_logprob")
+    assert "BroadcastHashJoin" in p

@@ -191,3 +191,54 @@ def test_tfidf_topk_similar_query_errors(spark):
     )
     with pytest.raises(ValueError, match="not found"):
         ta.tfidf_topk_similar(docs, query_doc_id=99, k=3)
+
+
+# ---------------------------------------------------------------------------
+# CCNet-style unigram-LM quality
+# ---------------------------------------------------------------------------
+
+
+def test_unigram_logprob_ranks_fluent_over_gibberish(spark):
+    """Docs made of corpus-frequent words score higher than a doc of
+    hapax gibberish under the self-estimated unigram LM."""
+    common = "the model trains on data and the data flows through the model"
+    rows = [(i, common) for i in range(8)] + [
+        (100, "zxqv wvvk pqzzt mnnbx qqrst zzl kkjh wwwq"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id int, text string")
+    w = {r.doc_id: r.mean_logprob for r in ta.unigram_logprob(docs).collect()}
+    assert all(w[i] > w[100] for i in range(8))
+
+
+def test_unigram_logprob_oov_with_external_reference(spark):
+    """With an external reference LM, out-of-vocabulary tokens take the
+    smoothed zero-count probability instead of being skipped."""
+    import math
+
+    ref = spark.createDataFrame([(1, "alpha beta gamma")], "doc_id int, text string")
+    docs = spark.createDataFrame([(2, "alpha unseen")], "doc_id int, text string")
+    r = ta.unigram_logprob(docs, reference=ref).first()
+    # ref: 3 tokens, vocab 3, alpha 1 -> p(alpha)=(1+1)/6, p(unseen)=1/6
+    expect = (math.log(2 / 6) + math.log(1 / 6)) / 2
+    assert abs(r.mean_logprob - round(expect, 6)) < 1e-9
+    assert r.n_tokens == 2
+
+
+def test_perplexity_buckets_split_terciles(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = ta.perplexity_buckets(docs)
+    counts = {r.bucket: r.n for r in out.groupBy("bucket").agg(
+        __import__("pyspark.sql.functions", fromlist=["count"]).count("*").alias("n")
+    ).collect()}
+    n = docs.count()
+    # terciles within one row of each other
+    assert abs(counts["head"] - n / 3) <= 2
+    assert abs(counts["middle"] - n / 3) <= 2
+    assert abs(counts["tail"] - n / 3) <= 2
+    # token-less doc lands in tail
+    extra = docs.limit(0).sparkSession.createDataFrame(
+        [(999999, "???")], "doc_id long, text string"
+    )
+    docs2 = docs.select("doc_id", "text").unionByName(extra)
+    b = {r.doc_id: r.bucket for r in ta.perplexity_buckets(docs2).collect()}
+    assert b[999999] == "tail"

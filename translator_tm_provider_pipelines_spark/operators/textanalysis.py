@@ -595,3 +595,94 @@ def corpus_report(
         F.round(F.avg((F.col("__lang") == "en").cast("double")), 8).alias("en_share"),
         F.round(F.avg(F.col("__dup").cast("double")), 8).alias("dup_share"),
     )
+
+
+# ---------------------------------------------------------------------------
+# CCNet-style unigram-LM quality buckets (Wenzek et al. 2020)
+# ---------------------------------------------------------------------------
+
+
+def unigram_logprob(
+    docs: DataFrame,
+    reference: DataFrame | None = None,
+    alpha: float = 1.0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    scale: int = 6,
+) -> DataFrame:
+    """Per-document mean token log-probability under a unigram language
+    model estimated from ``reference`` (default: the corpus itself) with
+    Laplace-``alpha`` smoothing over the observed vocabulary — the
+    engine-native stand-in for CCNet's Wikipedia-LM perplexity score
+    (Wenzek et al. 2020): fluent in-domain text scores high (frequent
+    words), gibberish and boilerplate-with-rare-junk score low. Output:
+    (doc_id, mean_logprob rounded to ``scale``, n_tokens); token-less
+    docs carry NULL mean_logprob.
+
+    Scale shape: the LM estimate is one groupBy over vocabulary-sized
+    keys (map-side combined); scoring is explode + a broadcast join
+    against the vocabulary logprob table + one doc-keyed average —
+    corpus-linear, no wide relation. At 100 TB hash the vocabulary into
+    buckets first if it outgrows broadcast range (the DSIR feature
+    hasher in ``training.py`` is exactly that)."""
+    ref = reference if reference is not None else docs
+    words = F.expr(f"regexp_extract_all(lower({text_col}), '([a-z0-9]+)', 1)")
+    tok = docs.select(F.col(id_col).alias("__did"), F.explode(words).alias("w"))
+    ref_tok = ref.select(F.explode(words).alias("w"))
+    counts = ref_tok.groupBy("w").agg(F.count(F.lit(1)).alias("n"))
+    total = ref_tok.count()
+    vocab = counts.count()
+    lp = counts.select(
+        "w", F.log((F.col("n") + alpha) / (total + alpha * vocab)).alias("lp")
+    )
+    # out-of-vocabulary tokens (possible only with an external reference)
+    # take the smoothed zero-count probability
+    import math
+
+    unk = math.log(alpha / (total + alpha * vocab))
+    scored = (
+        tok.join(F.broadcast(lp), "w", "left")
+        .groupBy("__did")
+        .agg(
+            F.avg(F.coalesce(F.col("lp"), F.lit(unk))).alias("__mlp"),
+            F.count(F.lit(1)).alias("n_tokens"),
+        )
+    )
+    out = docs.select(F.col(id_col).alias("doc_id")).join(
+        scored, F.col("doc_id") == F.col("__did"), "left"
+    )
+    return out.select(
+        "doc_id",
+        F.round("__mlp", scale).alias("mean_logprob"),
+        F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
+    )
+
+
+def perplexity_buckets(
+    docs: DataFrame,
+    reference: DataFrame | None = None,
+    alpha: float = 1.0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """CCNet's head/middle/tail split: documents bucketed by the terciles
+    of their mean unigram log-probability (head = most-fluent third —
+    CCNet keeps head+middle for pretraining). Tercile thresholds come
+    from ``percentile_cont`` over the scored corpus (one tiny aggregate);
+    the bucket label is then a pure projection. Docs without tokens land
+    in 'tail'."""
+    w = unigram_logprob(
+        docs, reference=reference, alpha=alpha, text_col=text_col, id_col=id_col
+    )
+    thr = w.agg(
+        F.expr("percentile_cont(0.3333333333) WITHIN GROUP (ORDER BY mean_logprob)").alias("t1"),
+        F.expr("percentile_cont(0.6666666667) WITHIN GROUP (ORDER BY mean_logprob)").alias("t2"),
+    )
+    j = w.crossJoin(F.broadcast(thr))
+    bucket = (
+        F.when(F.col("mean_logprob").isNull(), F.lit("tail"))
+        .when(F.col("mean_logprob") >= F.col("t2"), F.lit("head"))
+        .when(F.col("mean_logprob") >= F.col("t1"), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+    )
+    return j.select("doc_id", "mean_logprob", "n_tokens", bucket.alias("bucket"))

@@ -5112,6 +5112,68 @@ def _dsir_target(d):
     return d.where((F.col("doc_id") % 10) == 0)
 
 
+# Unigram-LM scoring CTE shared by the CCNet-style quality oracles:
+# self-referenced corpus LM, Laplace alpha=1 over the observed vocabulary.
+_UNIGRAM_SQL = """
+    uw AS (
+      SELECT doc_id, regexp_extract_all(lower(text), '([a-z0-9]+)', 1) AS words
+      FROM documents
+    ),
+    tok AS (SELECT doc_id, unnest(words) AS w FROM uw),
+    cnt AS (SELECT w, count(*) AS n FROM tok GROUP BY 1),
+    lp AS (
+      SELECT w, ln((n + 1.0) / ((SELECT count(*) FROM tok) + (SELECT count(*) FROM cnt))) AS lp
+      FROM cnt
+    ),
+    uscored AS (
+      SELECT t.doc_id, avg(lp.lp) AS mlp, count(*) AS nt
+      FROM tok t JOIN lp ON lp.w = t.w GROUP BY 1
+    ),
+    ulp AS (
+      SELECT d.doc_id, round(s.mlp, 6) AS mean_logprob,
+             coalesce(s.nt, 0) AS n_tokens
+      FROM documents d LEFT JOIN uscored s ON s.doc_id = d.doc_id
+    )
+"""
+
+
+@register(
+    "unigram_logprob",
+    f"""
+    WITH {_UNIGRAM_SQL}
+    SELECT doc_id, mean_logprob, n_tokens FROM ulp
+    """,
+)
+def unigram_logprob_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document mean token log-probability under the corpus's own
+    Laplace-smoothed unigram LM — the engine-native CCNet (Wenzek et al.
+    2020) perplexity quality signal, value-exact against the oracle."""
+    return textanalysis.unigram_logprob(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "ccnet_quality_buckets",
+    f"""
+    WITH {_UNIGRAM_SQL},
+    thr AS (
+      SELECT percentile_cont(0.3333333333) WITHIN GROUP (ORDER BY mean_logprob) AS t1,
+             percentile_cont(0.6666666667) WITHIN GROUP (ORDER BY mean_logprob) AS t2
+      FROM ulp
+    )
+    SELECT u.doc_id, u.mean_logprob, u.n_tokens,
+           CASE WHEN u.mean_logprob IS NULL THEN 'tail'
+                WHEN u.mean_logprob >= thr.t2 THEN 'head'
+                WHEN u.mean_logprob >= thr.t1 THEN 'middle'
+                ELSE 'tail' END AS bucket
+    FROM ulp u, thr
+    """,
+)
+def ccnet_quality_buckets_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet head/middle/tail split by unigram-logprob terciles (head =
+    most-fluent third; CCNet keeps head+middle for pretraining)."""
+    return textanalysis.perplexity_buckets(_t(spark, sf_dir, "documents"))
+
+
 @register(
     "dsir_log_weights",
     f"""
