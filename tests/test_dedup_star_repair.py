@@ -137,3 +137,33 @@ def test_second_hop_unit_all_attached_yields_nothing(spark):
     verified = _pairs(spark, [(1, 2), (1, 3)])
     out = dedup.star_second_hop_pairs(bands, verified, 2)
     assert out.count() == 0
+
+
+def test_keep_best_same_clusters_better_representatives(spark):
+    """near_dup_keep_best forms the SAME clusters as near_dup_keep_list
+    (canonical_id unchanged) but keeps the highest-quality member."""
+    base = " ".join(BASE[:50])
+    rows = [
+        (1, base, 10),          # cluster {1,2,3}: 3 has best quality
+        (2, base + " one", 20),
+        (3, base + " two", 90),
+        (7, "a totally different document about broadcast joins windows "
+            "and shuffle partitions in spark", 5),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id int, text string, quality int")
+    from translator_tm_provider_pipelines_spark.operators import dedup as dd
+
+    kl = {r.doc_id: r for r in dd.near_dup_keep_list(docs).collect()}
+    kb = {r.doc_id: r for r in dd.near_dup_keep_best(docs, "quality").collect()}
+    assert {d: r.canonical_id for d, r in kl.items()} == {
+        d: r.canonical_id for d, r in kb.items()
+    }
+    assert kl[1].is_kept and not kl[3].is_kept          # min-id keeps 1
+    assert kb[3].is_kept and not kb[1].is_kept          # keep-best keeps 3
+    assert kb[1].kept_id == kb[2].kept_id == kb[3].kept_id == 3
+    assert kb[7].is_kept and kb[7].kept_id == 7
+    # exactly one kept member per cluster
+    from collections import Counter
+
+    per = Counter(r.canonical_id for r in kb.values() if r.is_kept)
+    assert all(v == 1 for v in per.values())

@@ -189,3 +189,27 @@ def test_dsir_select_takes_top_fraction(spark):
     ids = {r.doc_id for r in sel.collect()}
     assert len(ids) == 10
     assert ids == set(range(10))  # exactly the target-register docs win
+
+
+def test_temperature_sample_upsamples_small_sources(spark):
+    """alpha=0.5 on a 90/10 skew: the small source's share of the budget
+    (~25%) far exceeds its raw share (10%), quotas sum ~= total, and the
+    selection is deterministic."""
+    rows = [(i, "big") for i in range(90)] + [(100 + i, "small") for i in range(10)]
+    docs = spark.createDataFrame(rows, "doc_id int, source string")
+    out = tr.temperature_sample(docs, total=40, alpha=0.5)
+    sel = [(r.doc_id, r.source) for r in out.collect()]
+    from collections import Counter
+
+    shares = Counter(s for _, s in sel)
+    # sqrt(90):sqrt(10) ~ 3:1 -> quotas 30/10
+    assert shares == {"big": 30, "small": 10}
+    again = [(r.doc_id, r.source) for r in tr.temperature_sample(
+        docs, total=40, alpha=0.5
+    ).collect()]
+    assert sorted(sel) == sorted(again)
+    # alpha=1 is proportional: 36/4
+    prop = Counter(
+        r.source for r in tr.temperature_sample(docs, total=40, alpha=1.0).collect()
+    )
+    assert prop == {"big": 36, "small": 4}

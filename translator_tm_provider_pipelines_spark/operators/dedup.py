@@ -795,6 +795,74 @@ def near_dup_keep_list(
     )
 
 
+def near_dup_keep_best(
+    docs: DataFrame,
+    quality_col: str,
+    threshold: float = 0.8,
+    k: int = 3,
+    num_perms: int = 16,
+    rows_per_band: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_bucket_size: int | None = None,
+    oversize_policy: str = "drop",
+    star_repair_hops: int = 0,
+) -> DataFrame:
+    """Quality-aware near-dup keep list (the FineWeb/DataComp refinement
+    of min-id dedup): clusters still form exactly as in
+    :func:`near_dup_keep_list` (``canonical_id`` stays the minimum-id
+    member, the stable CLUSTER key), but the kept representative is the
+    member with the highest ``quality_col`` value, doc-id ascending as
+    the tie-break. Min-id keep discards high-quality copies in favor of
+    whichever duplicate happened to get the smallest id; at pretraining
+    scale the kept copy is the one the model sees, so keep the best.
+    Output: (doc_id, canonical_id, is_kept, kept_id) — ``kept_id`` is the
+    chosen representative for the doc's cluster (equal to doc_id for
+    untouched docs).
+
+    One extra shuffle over the min-id variant: an argmax-by-struct
+    aggregate per component (map-side combined, volume = cluster
+    members), no window sort."""
+    pairs = near_duplicates(
+        docs,
+        threshold=threshold,
+        k=k,
+        num_perms=num_perms,
+        rows_per_band=rows_per_band,
+        text_col=text_col,
+        id_col=id_col,
+        max_bucket_size=max_bucket_size,
+        oversize_policy=oversize_policy,
+        star_repair_hops=star_repair_hops,
+    )
+    comp = connected_components(pairs)
+    base = docs.select(
+        F.col(id_col).alias("doc_id"), F.col(quality_col).alias("__q")
+    ).join(comp, F.col("doc_id") == comp.node, "left")
+    canonical = F.coalesce(F.col("component"), F.col("doc_id"))
+    scored = base.select(
+        "doc_id", "__q", canonical.alias("canonical_id")
+    )
+    # argmax(quality, tie min doc_id) per cluster: min of (-q, doc_id)
+    best = (
+        scored.groupBy("canonical_id")
+        .agg(
+            F.min(F.struct((-F.col("__q")).alias("nq"), F.col("doc_id").alias("d")))
+            .alias("__b")
+        )
+        .select("canonical_id", F.col("__b.d").alias("kept_id"))
+    )
+    return (
+        scored.join(best, "canonical_id")
+        .select(
+            "doc_id",
+            "canonical_id",
+            (F.col("doc_id") == F.col("kept_id")).alias("is_kept"),
+            "kept_id",
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Cross-document paragraph dedup (C4 / MassiveText-style)
 # ---------------------------------------------------------------------------

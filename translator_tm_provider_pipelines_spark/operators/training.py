@@ -313,3 +313,49 @@ def dsir_select(
     return (
         w.withColumn("__r", rank).where(F.col("__r") <= n_keep).drop("__r")
     )
+
+
+def temperature_sample(
+    docs: DataFrame,
+    total: int,
+    alpha: float = 0.5,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Temperature-based source mixing (the mT5/XLM-R multilingual
+    recipe): source i gets a quota ∝ n_i^alpha of the ``total`` budget —
+    alpha < 1 up-samples small sources relative to their raw share,
+    alpha = 1 is proportional, alpha = 0 uniform. Within each source the
+    quota fills by the engine's deterministic md5 rank (same convention
+    as :func:`deterministic_sample`), so the selected set is
+    engine-reproducible — use alpha = 0.5 when cross-engine quota
+    equality matters bit-for-bit (sqrt is correctly rounded under IEEE
+    754 in every engine; arbitrary pow is not).
+
+    Output: (doc_id, source). Scale shape: one dimension-sized groupBy
+    for the quotas (broadcast back), one per-source window for the rank
+    — the window partitions by source, so size the budget pass to the
+    number of sources, not the corpus; at extreme per-source cardinality
+    pre-filter with an md5-threshold (``deterministic_sample``) and rank
+    only the boundary slice."""
+    w = F.pow(F.col("n").cast("double"), F.lit(float(alpha)))
+    cnts = docs.groupBy(F.col(source_col).alias("__src")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    tot_w = cnts.agg(F.sum(w).alias("tw"))
+    quota = cnts.crossJoin(F.broadcast(tot_w)).select(
+        "__src",
+        F.round(F.lit(int(total)) * w / F.col("tw")).cast("long").alias("__quota"),
+    )
+    rank = F.row_number().over(
+        Window.partitionBy("source").orderBy(
+            F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+        )
+    )
+    return (
+        docs.select(F.col(id_col).alias("doc_id"), F.col(source_col).alias("source"))
+        .withColumn("__rn", rank)
+        .join(F.broadcast(quota), F.col("source") == F.col("__src"))
+        .where(F.col("__rn") <= F.col("__quota"))
+        .select("doc_id", "source")
+    )

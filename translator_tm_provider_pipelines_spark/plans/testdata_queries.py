@@ -1667,6 +1667,74 @@ def near_dup_keep_list_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.near_dup_keep_list(_t(spark, sf_dir, "documents"), threshold=0.8)
 
 
+@register(
+    "near_dup_keep_best",
+    f"""
+    WITH RECURSIVE {_MINHASH_SQL},
+    pos AS (SELECT unnest(generate_series(1, {_POS_CAP})) AS p),
+    sh AS (
+      SELECT DISTINCT doc_id,
+             list_extract(words, p) || ' ' || list_extract(words, p + 1) || ' ' || list_extract(words, p + 2) AS shingle
+      FROM docs, pos WHERE p <= len(words) - 2
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b ON a.band = b.band AND a.band_sig = b.band_sig
+      WHERE a.doc_id < b.doc_id
+    ),
+    cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+    inter AS (
+      SELECT c.doc_a, c.doc_b, count(*) AS n_inter
+      FROM cand c JOIN sh a ON a.doc_id = c.doc_a JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+      GROUP BY 1, 2
+    ),
+    nd AS (
+      SELECT c.doc_a, c.doc_b
+      FROM cand c
+      LEFT JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+      JOIN cnt ca ON ca.doc_id = c.doc_a
+      JOIN cnt cb ON cb.doc_id = c.doc_b
+      WHERE coalesce(i.n_inter, 0) / cast(ca.n + cb.n - coalesce(i.n_inter, 0) AS double) >= 0.8
+    ),
+    edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM nd
+      UNION SELECT doc_b, doc_a FROM nd
+    ),
+    reach AS (
+      SELECT a AS node, b AS x FROM edges
+      UNION
+      SELECT r.node, e.b FROM reach r JOIN edges e ON e.a = r.x
+    ),
+    canon AS (
+      SELECT node, least(node, min(x)) AS comp FROM reach GROUP BY node
+    ),
+    kscored AS (
+      SELECT d.doc_id, coalesce(c.comp, d.doc_id) AS canonical_id, d.n_chars AS q
+      FROM documents d LEFT JOIN canon c ON c.node = d.doc_id
+    ),
+    kbest AS (
+      SELECT canonical_id, doc_id AS kept_id FROM (
+        SELECT canonical_id, doc_id,
+               row_number() OVER (PARTITION BY canonical_id ORDER BY q DESC, doc_id) AS rn
+        FROM kscored
+      ) WHERE rn = 1
+    )
+    SELECT s.doc_id, s.canonical_id, s.doc_id = b.kept_id AS is_kept, b.kept_id
+    FROM kscored s JOIN kbest b ON b.canonical_id = s.canonical_id
+    """,
+)
+def near_dup_keep_best_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware keep list (FineWeb/DataComp refinement): clusters
+    identical to near_dup_keep_list, but the kept representative is the
+    member with the highest n_chars (doc-id tie-break) instead of the
+    minimum id — at pretraining scale the kept copy is the one the model
+    sees, so keep the best. The oracle re-derives the cluster closure and
+    the argmax-by-quality selection."""
+    return dedup.near_dup_keep_best(
+        _t(spark, sf_dir, "documents"), quality_col="n_chars", threshold=0.8
+    )
+
+
 # ---------------------------------------------------------------------------
 # Similarity search over embeddings
 # ---------------------------------------------------------------------------
@@ -5209,6 +5277,37 @@ def dsir_top_selection_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     importance weight with doc-id tie-break."""
     d = _t(spark, sf_dir, "documents")
     return _tr.dsir_select(d, _dsir_target(d), fraction=0.2)
+
+
+@register(
+    "temperature_mixture_sample",
+    """
+    WITH cnt AS (SELECT source, count(*) AS n FROM documents GROUP BY 1),
+    qt AS (SELECT source, sqrt(cast(n AS double)) AS w FROM cnt),
+    quota AS (
+      SELECT source, cast(round(300 * w / (SELECT sum(w) FROM qt)) AS bigint) AS q
+      FROM qt
+    ),
+    ranked AS (
+      SELECT doc_id, source,
+             row_number() OVER (
+               PARTITION BY source ORDER BY md5(cast(doc_id AS varchar)), doc_id
+             ) AS rn
+      FROM documents
+    )
+    SELECT r.doc_id, r.source
+    FROM ranked r JOIN quota q ON q.source = r.source
+    WHERE r.rn <= q.q
+    """,
+)
+def temperature_mixture_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based source mixing (mT5/XLM-R alpha-sampling): a
+    300-doc budget split across sources ∝ sqrt(n_source), each source's
+    quota filled by deterministic md5 rank — small sources up-sampled
+    relative to raw share, selection engine-reproducible."""
+    return _tr.temperature_sample(
+        _t(spark, sf_dir, "documents"), total=300, alpha=0.5
+    )
 
 
 _SAMPLE_THR = _tr._hex_threshold(0.35)
