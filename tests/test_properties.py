@@ -287,3 +287,55 @@ def test_repeated_kgram_spans_match_reference(spark, texts, k):
         if spans:
             want[i] = spans
     assert {i: sorted(v) for i, v in got.items()} == want
+
+
+# ---------------------------------------------------------------------------
+# NetPBM codec properties (pure Python — no Spark session needed)
+# ---------------------------------------------------------------------------
+
+_dims = st.integers(min_value=1, max_value=24)
+
+
+@settings(max_examples=25, deadline=None)
+@given(_dims, _dims, st.integers(min_value=0, max_value=2**31 - 1))
+def test_netpbm_roundtrip_and_identity_resize(w, h, seed):
+    """encode → parse is lossless; resizing to the SAME dims is the
+    identity (nearest-neighbor index math must not drift); features stay
+    in [0, 1] and have exactly FEATURE_DIM entries for any image size."""
+    import numpy as np
+
+    from translator_tm_provider_pipelines_spark.operators import multimodal as MM
+
+    rng = np.random.default_rng(seed)
+    px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+    payload = f"P6\n{w} {h}\n255\n".encode() + px.tobytes()
+    magic, pw, ph, maxval, out = MM._parse_netpbm(payload)
+    assert (magic, pw, ph, maxval) == ("P6", w, h, 255)
+    assert np.array_equal(out, px)
+
+    same = MM.netpbm_resizer(payload, None, w, h)
+    _, _, _, _, again = MM._parse_netpbm(same["payload"])
+    assert np.array_equal(again, px)
+    assert (same["src_width"], same["src_height"]) == (w, h)
+
+    d = MM.netpbm_decoder(payload, None)
+    assert len(d["features"]) == MM.FEATURE_DIM
+    assert all(0.0 <= f <= 1.0 for f in d["features"])
+
+
+@settings(max_examples=25, deadline=None)
+@given(_dims, _dims, _dims, _dims, st.integers(min_value=0, max_value=2**31 - 1))
+def test_netpbm_resize_matches_numpy_sampling(sw, sh, tw, th, seed):
+    import numpy as np
+
+    from translator_tm_provider_pipelines_spark.operators import multimodal as MM
+
+    rng = np.random.default_rng(seed)
+    px = rng.integers(0, 256, size=(sh, sw, 3), dtype=np.uint8)
+    payload = f"P6\n{sw} {sh}\n255\n".encode() + px.tobytes()
+    r = MM.netpbm_resizer(payload, None, tw, th)
+    _, w2, h2, _, out = MM._parse_netpbm(r["payload"])
+    assert (w2, h2) == (tw, th)
+    yi = np.minimum((np.arange(th) * sh) // th, sh - 1)
+    xi = np.minimum((np.arange(tw) * sw) // tw, sw - 1)
+    assert np.array_equal(out, px[yi][:, xi])

@@ -108,12 +108,17 @@ def netpbm_decoder(payload: bytes, mime_type: str | None) -> dict:
     _, width, height, maxval, px = _parse_netpbm(payload)
     lum = px.mean(axis=2, dtype=np.float64)
     g = 4  # FEATURE_DIM == g*g
-    rows = np.array_split(lum, g, axis=0)
-    feats = [
-        float(cell.mean() / maxval)
-        for r in rows
-        for cell in np.array_split(r, g, axis=1)
-    ]
+    # floor-bound grid cells, clamped to at least one pixel: images smaller
+    # than the grid repeat rows/columns instead of producing empty (NaN)
+    # cells; for dimensions divisible by g this equals an even split
+    feats = []
+    for i in range(g):
+        y0 = min((i * height) // g, height - 1)
+        y1 = min(max(((i + 1) * height) // g, y0 + 1), height)
+        for j in range(g):
+            x0 = min((j * width) // g, width - 1)
+            x1 = min(max(((j + 1) * width) // g, x0 + 1), width)
+            feats.append(float(lum[y0:y1, x0:x1].mean() / maxval))
     return {"width": width, "height": height, "features": feats}
 
 
