@@ -877,9 +877,10 @@ def ivf_assignment_quality(
             i.cast("long").alias("pos"),
         ),
     )
-    best = F.array_min(entries)
-    assigned = embeddings.select(
-        best["pos"].alias("__list"), (-best["nc"]).alias("__cos")
+    # stage the argmin struct once: referencing `best` twice in one
+    # projection would evaluate the full centroid scan per reference
+    assigned = embeddings.select(F.array_min(entries).alias("__b")).select(
+        F.col("__b.pos").alias("__list"), (-F.col("__b.nc")).alias("__cos")
     )
     per_list = assigned.groupBy("__list").agg(
         F.count(F.lit(1)).alias("__n"),

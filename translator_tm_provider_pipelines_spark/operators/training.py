@@ -213,19 +213,30 @@ def _dsir_features(docs: DataFrame, n_buckets: int, text_col: str, id_col: str) 
     exactly. One occurrence = one row (DSIR weights count occurrences,
     not presence)."""
     words = F.expr(f"regexp_extract_all(lower({text_col}), '([a-z0-9]+)', 1)")
-    hw = F.transform(words, lambda w: F.conv(F.substring(F.md5(w), 1, 7), 16, 10).cast("long"))
-    uni = F.transform(hw, lambda h: h % n_buckets)
-    bi = F.when(
-        F.size(hw) >= 2,
+    # STAGE the hash array as a real attribute before deriving n-grams:
+    # referencing an inline `hw` expression from inside the bigram lambda
+    # (F.get(hw, i+1)) re-evaluates the ENTIRE md5 array per element —
+    # O(words²) md5 calls per document (the same re-inline trap the
+    # round-4 decontamination fix removed; measured here 61.8 s → ~2 s at
+    # sf0.1). Two select boundaries keep `__hw` a bound attribute that
+    # CollapseProject will not re-inline (non-cheap, multiply-referenced).
+    staged = docs.select(F.col(id_col).alias("__did"), words.alias("__w")).select(
+        "__did",
         F.transform(
-            F.slice(hw, 1, F.size(hw) - 1),
-            lambda h, i: ((F.lit(3) * h + F.lit(5) * F.get(hw, i + 1) + F.lit(11)) % _DSIR_MOD) % n_buckets,
+            F.col("__w"),
+            lambda w: F.conv(F.substring(F.md5(w), 1, 7), 16, 10).cast("long"),
+        ).alias("__hw"),
+    )
+    hwc = F.col("__hw")
+    uni = F.transform(hwc, lambda h: h % n_buckets)
+    bi = F.when(
+        F.size(hwc) >= 2,
+        F.transform(
+            F.slice(hwc, 1, F.size(hwc) - 1),
+            lambda h, i: ((F.lit(3) * h + F.lit(5) * F.get(hwc, i + 1) + F.lit(11)) % _DSIR_MOD) % n_buckets,
         ),
     ).otherwise(F.array().cast("array<bigint>"))
-    return docs.select(
-        F.col(id_col).alias("__did"),
-        F.explode(F.concat(uni, bi)).alias("bucket"),
-    )
+    return staged.select("__did", F.explode(F.concat(uni, bi)).alias("bucket"))
 
 
 def dsir_log_weights(
