@@ -554,3 +554,46 @@ def test_dictionary_dict_build_runners(spark, tmp_path):
     assert ("SNOMEDCT:80146002", "Appendectomy") in got
     assert ("SNOMEDCT:363779003", "genotype") not in got  # specific filter on
     assert not any(c == "SNOMEDCT:12345678" for c, _ in got)
+
+
+def test_round6_cli_keys(spark, tmp_path):
+    """The round-6 PipelineKeys drive their operators end-to-end through
+    cli.main: keep-best dedup, DSIR selection, temperature sampling,
+    CCNet quality buckets."""
+    from translator_tm_provider_pipelines_spark import cli
+
+    base = ("the quick brown fox jumps over the lazy dog and runs far "
+            "into the deep dark forest tonight again")
+    rows = [
+        (1, base, "src_a", 10),
+        (2, base + " extra", "src_a", 99),
+        (3, "completely different text about shuffle partitions windows "
+            "aggregates and broadcast joins today", "src_b", 5),
+        (4, "north south east west compass words entirely", "src_b", 7),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id int, text string, source string, quality int")
+    docs.write.parquet(str(tmp_path / "docs"))
+    docs.where("doc_id >= 3").write.parquet(str(tmp_path / "target"))
+
+    cli.main(["NEAR_DUP_KEEP_BEST", "--documents", str(tmp_path / "docs"),
+              "--output", str(tmp_path / "kb"), "--qualityColumn", "quality"])
+    kb = {r.doc_id: (r.is_kept, r.kept_id)
+          for r in spark.read.parquet(str(tmp_path / "kb")).collect()}
+    assert kb[2] == (True, 2) and kb[1] == (False, 2)  # best quality kept
+
+    cli.main(["DSIR_SELECT", "--documents", str(tmp_path / "docs"),
+              "--target", str(tmp_path / "target"),
+              "--output", str(tmp_path / "dsir"), "--fraction", "0.5"])
+    sel = {r.doc_id for r in spark.read.parquet(str(tmp_path / "dsir")).collect()}
+    assert sel == {3, 4}  # target-register docs win
+
+    cli.main(["TEMPERATURE_SAMPLE", "--documents", str(tmp_path / "docs"),
+              "--output", str(tmp_path / "ts"), "--total", "2", "--alpha", "0.5"])
+    ts = spark.read.parquet(str(tmp_path / "ts"))
+    assert ts.count() == 2 and ts.select("source").distinct().count() == 2
+
+    cli.main(["CCNET_QUALITY", "--documents", str(tmp_path / "docs"),
+              "--output", str(tmp_path / "cq")])
+    cq = spark.read.parquet(str(tmp_path / "cq"))
+    assert set(cq.columns) == {"doc_id", "mean_logprob", "n_tokens", "bucket"}
+    assert cq.count() == 4

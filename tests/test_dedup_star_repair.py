@@ -167,3 +167,10 @@ def test_keep_best_same_clusters_better_representatives(spark):
 
     per = Counter(r.canonical_id for r in kb.values() if r.is_kept)
     assert all(v == 1 for v in per.values())
+
+
+def test_negative_hops_repairs_until_converged(spark):
+    docs = _chain_df(spark)
+    conv = _pairset(dedup.near_duplicates(docs, star_repair_hops=-1, **LSH))
+    many = _pairset(dedup.near_duplicates(docs, star_repair_hops=5, **LSH))
+    assert conv == many == {(0, 1), (2, 3), (3, 4)}

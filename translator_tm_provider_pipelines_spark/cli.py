@@ -631,6 +631,117 @@ def run_near_dup_index_reconcile(spark: SparkSession, argv: list[str]) -> None:
     print(f"reconcile batch {ns.batchId}: {n} repaired pairs")
 
 
+def run_near_dup_keep_best(spark: SparkSession, argv: list[str]) -> None:
+    """NEAR_DUP_KEEP_BEST: quality-aware dedup keep list — clusters as in
+    NEAR_DUP_KEEP_LIST (batch), but the kept representative is the member
+    with the highest --qualityColumn value (FineWeb/DataComp recipe)."""
+    from .operators import dedup as dd
+
+    p = argparse.ArgumentParser(prog="NEAR_DUP_KEEP_BEST")
+    p.add_argument("--documents", required=True, help="(doc_id, text, quality) parquet")
+    p.add_argument("--output", required=True)
+    p.add_argument("--qualityColumn", required=True)
+    p.add_argument("--threshold", type=float, default=0.8)
+    p.add_argument("--maxBucketSize", type=int, default=None)
+    p.add_argument("--oversizePolicy", choices=["drop", "star"], default="drop")
+    p.add_argument("--starRepairHops", type=int, default=0,
+                   help="star-repair hops; negative = until converged")
+    ns = p.parse_args(argv)
+    dd.near_dup_keep_best(
+        spark.read.parquet(ns.documents),
+        quality_col=ns.qualityColumn,
+        threshold=ns.threshold,
+        max_bucket_size=ns.maxBucketSize,
+        oversize_policy=ns.oversizePolicy,
+        star_repair_hops=ns.starRepairHops,
+    ).write.mode("overwrite").parquet(ns.output)
+
+
+def run_dsir_select(spark: SparkSession, argv: list[str]) -> None:
+    """DSIR_SELECT: importance-resampling data selection (Xie et al.
+    2023) — score raw docs by hashed-n-gram likelihood ratio against a
+    target corpus, keep the top fraction."""
+    from .operators import training as tr
+
+    p = argparse.ArgumentParser(prog="DSIR_SELECT")
+    p.add_argument("--documents", required=True, help="raw corpus parquet")
+    p.add_argument("--target", required=True, help="target-distribution corpus parquet")
+    p.add_argument("--output", required=True)
+    p.add_argument("--fraction", type=float, required=True)
+    p.add_argument("--nBuckets", type=int, default=8192)
+    p.add_argument("--textColumn", default="text")
+    p.add_argument("--idColumn", default="doc_id")
+    ns = p.parse_args(argv)
+    tr.dsir_select(
+        spark.read.parquet(ns.documents),
+        spark.read.parquet(ns.target),
+        fraction=ns.fraction,
+        n_buckets=ns.nBuckets,
+        text_col=ns.textColumn,
+        id_col=ns.idColumn,
+    ).write.mode("overwrite").parquet(ns.output)
+
+
+def run_temperature_sample(spark: SparkSession, argv: list[str]) -> None:
+    """TEMPERATURE_SAMPLE: n^alpha source-mixing quotas filled by
+    deterministic md5 rank (mT5/XLM-R alpha-sampling)."""
+    from .operators import training as tr
+
+    p = argparse.ArgumentParser(prog="TEMPERATURE_SAMPLE")
+    p.add_argument("--documents", required=True)
+    p.add_argument("--output", required=True)
+    p.add_argument("--total", type=int, required=True)
+    p.add_argument("--alpha", type=float, default=0.5)
+    p.add_argument("--sourceColumn", default="source")
+    p.add_argument("--idColumn", default="doc_id")
+    ns = p.parse_args(argv)
+    tr.temperature_sample(
+        spark.read.parquet(ns.documents),
+        total=ns.total,
+        alpha=ns.alpha,
+        source_col=ns.sourceColumn,
+        id_col=ns.idColumn,
+    ).write.mode("overwrite").parquet(ns.output)
+
+
+def run_ccnet_quality(spark: SparkSession, argv: list[str]) -> None:
+    """CCNET_QUALITY: unigram-LM mean logprob + head/middle/tail tercile
+    buckets (Wenzek et al. 2020); optional external --reference corpus."""
+    from .operators import textanalysis as ta
+
+    p = argparse.ArgumentParser(prog="CCNET_QUALITY")
+    p.add_argument("--documents", required=True)
+    p.add_argument("--reference", help="reference-LM corpus parquet (default: self)")
+    p.add_argument("--output", required=True)
+    ns = p.parse_args(argv)
+    ref = spark.read.parquet(ns.reference) if ns.reference else None
+    ta.perplexity_buckets(
+        spark.read.parquet(ns.documents), reference=ref
+    ).write.mode("overwrite").parquet(ns.output)
+
+
+def run_ivf_retrain(spark: SparkSession, argv: list[str]) -> None:
+    """IVF_RETRAIN: retrain the frozen IVF coarse quantizer over the
+    indexed corpus and rewrite the index (the ivf_should_retrain
+    prescription); prints the fresh centroids as JSON lines."""
+    import json as _json
+
+    from .operators import similarity as sim
+
+    p = argparse.ArgumentParser(prog="IVF_RETRAIN")
+    p.add_argument("--indexDir", required=True)
+    p.add_argument("--nLists", type=int, default=16)
+    p.add_argument("--nIters", type=int, default=3)
+    p.add_argument("--sampleFraction", type=float, default=None)
+    ns = p.parse_args(argv)
+    cents = sim.retrain_ivf_index(
+        spark, ns.indexDir, n_lists=ns.nLists, n_iters=ns.nIters,
+        sample_fraction=ns.sampleFraction,
+    )
+    for cid, vec in cents:
+        print(_json.dumps({"centroid_id": cid, "vector": vec}))
+
+
 def run_near_dup_keep_list_export(spark: SparkSession, argv: list[str]) -> None:
     """NEAR_DUP_KEEP_LIST: materialize (doc_id, canonical_id, is_kept)
     from the incremental index."""
@@ -1220,6 +1331,11 @@ PIPELINES: dict[str, Callable[[SparkSession, list[str]], None]] = {
     "NEAR_DUP_INDEX_UPDATE": run_near_dup_index_update,
     "NEAR_DUP_INDEX_COMPACT": run_near_dup_index_compact,
     "NEAR_DUP_INDEX_RECONCILE": run_near_dup_index_reconcile,
+    "NEAR_DUP_KEEP_BEST": run_near_dup_keep_best,
+    "DSIR_SELECT": run_dsir_select,
+    "TEMPERATURE_SAMPLE": run_temperature_sample,
+    "CCNET_QUALITY": run_ccnet_quality,
+    "IVF_RETRAIN": run_ivf_retrain,
     "NEAR_DUP_KEEP_LIST": run_near_dup_keep_list_export,
     "TEXT_EXPORT": run_text_export,
     "PUBANNOTATION_EXPORT": run_pubannotation_export,

@@ -420,7 +420,10 @@ def near_duplicates(
     edges, recovering chain-cluster members whose Jaccard to the first
     representative fell below threshold (the measured 0.5% recall gap at
     sf10). Each hop costs one pass over the over-cap buckets plus
-    verification of the fresh candidates only.
+    verification of the fresh candidates only. Pass a NEGATIVE value to
+    repair until converged (no fresh candidates — full keep-list parity
+    with the uncapped run at sf10 took 6 hops, 2.4× cheaper than
+    uncapped; SCALING.md "Star-repair hops").
 
     ``max_bucket_size`` / ``oversize_policy`` reach
     :func:`lsh_candidate_pairs` — the operational guard for pathological
@@ -458,7 +461,13 @@ def near_duplicates(
     )
     if star_repair_hops and max_bucket_size is not None and oversize_policy == "star":
         attempted = cands
-        for _ in range(star_repair_hops):
+        # star_repair_hops < 0 = repair until converged (the loop breaks
+        # as soon as a hop yields no fresh candidates; the `attempted`
+        # anti-join guarantees each hop shrinks the untried edge set, so
+        # convergence is bounded by over-cap bucket edges / reps_per_hop
+        # — at sf10 full convergence took 6 hops, SCALING.md)
+        n_hops = star_repair_hops if star_repair_hops > 0 else 1_000_000
+        for _ in range(n_hops):
             # checkpoint: the next hop's anti-joins read `verified` twice
             # (id set + final union) and the hop loop would otherwise
             # stack the whole verify pipeline per iteration
