@@ -234,7 +234,11 @@ def reconcile_capped_buckets(
     as much — keep-list equality for a single cluster that outgrew the
     cap is pinned by test. Run it at maintenance cadence (e.g. alongside
     :func:`compact_index`, with a ``batch_id`` above the last committed
-    batch)."""
+    batch). ``threshold`` and ``k`` must MATCH the values the index was
+    built with (:func:`update_near_dup_index`): a different k shingles
+    differently and a different threshold admits pairs the per-batch
+    passes would have rejected — both silently break the accumulated
+    pair set's semantics."""
     bands = _read_index(spark, index_dir, "bands")
     docs = _read_index(spark, index_dir, "docs")
     if bands is None or docs is None:
