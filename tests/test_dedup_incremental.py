@@ -290,9 +290,7 @@ def test_reconcile_capped_buckets_restores_star_keep_list(spark, tmp_path):
     assert keep0[2] == 1 and keep0[9] == 9
     assert any(keep0[d] == d for d in (3, 4, 5, 6))  # stranded late arrivals
 
-    repaired = di.reconcile_capped_buckets(
-        spark, idx, batch_id=100, max_bucket_size=3
-    )
+    repaired = di.reconcile_capped_buckets(spark, idx, max_bucket_size=3)
     assert repaired.count() >= 1
     inc = _keep(spark, idx)
     star = sorted(map(tuple, dedup.near_dup_keep_list(
@@ -300,9 +298,26 @@ def test_reconcile_capped_buckets_restores_star_keep_list(spark, tmp_path):
     ).collect()))
     uncapped = sorted(map(tuple, dedup.near_dup_keep_list(_df(spark, rows)).collect()))
     assert inc == star == uncapped
-    # idempotent: a re-run (same batch_id) adds nothing and changes nothing
-    di.reconcile_capped_buckets(spark, idx, batch_id=100, max_bucket_size=3)
+    # repaired pairs live in the NEGATIVE id space — a resumed stream's
+    # monotonically increasing epoch ids can never overwrite them
+    import os
+
+    assert "batch_id=-1" in os.listdir(f"{idx}/pairs")
+    # idempotent: a re-run (same reconcile_id) adds nothing and changes nothing
+    di.reconcile_capped_buckets(spark, idx, max_bucket_size=3)
     assert _keep(spark, idx) == inc
+    # the stream keeps absorbing batches after a reconcile: a batch at the
+    # next epoch id must NOT land on (or clobber) the repair partition
+    di.update_near_dup_index(
+        spark, _df(spark, [(20, BASE), (21, BASE)]), idx, batch_id=3,
+        max_bucket_size=3,
+    )
+    assert "batch_id=-1" in os.listdir(f"{idx}/pairs")
+    keep2 = dict(
+        (r.doc_id, r.canonical_id)
+        for r in di.keep_list_from_index(spark, idx).collect()
+    )
+    assert keep2[6] == 1  # repaired link survived the new batch
 
 
 def test_reconcile_cli(spark, tmp_path):
@@ -317,7 +332,7 @@ def test_reconcile_cli(spark, tmp_path):
         )
     cli.main([
         "NEAR_DUP_INDEX_RECONCILE", "--indexDir", idx,
-        "--batchId", "50", "--maxBucketSize", "2",
+        "--maxBucketSize", "2",
     ])
     keep = dict(
         (r.doc_id, r.canonical_id)
@@ -376,3 +391,98 @@ def test_incremental_star_policy_caps_candidates(spark, tmp_path):
     )
     got = {(r.doc_a, r.doc_b) for r in p1.collect()}
     assert got == {(1, 5)}  # rep edge only, not 2-5/3-5/4-5
+
+
+def test_empty_pairs_index_reads_as_no_duplicates(spark, tmp_path):
+    """Batches with ZERO verified pairs leave pairs/ as a directory with
+    no data files (Spark's empty partitioned write still creates the
+    path); every index consumer must treat that as a legitimately empty
+    pair set, not crash on UNABLE_TO_INFER_SCHEMA."""
+    idx = str(tmp_path / "idx")
+    rows = [
+        (1, "first singleton document about broadcast joins and shuffles "
+            "in distributed query engines with columnar storage"),
+        (2, "second entirely unrelated text covering window functions and "
+            "partition pruning across large parquet tables"),
+    ]
+    di.update_near_dup_index(spark, _df(spark, rows[:1]), idx, batch_id=0)
+    di.update_near_dup_index(spark, _df(spark, rows[1:]), idx, batch_id=1)
+    import os
+
+    assert os.path.isdir(f"{idx}/pairs")  # the empty table exists on disk
+    assert di._read_index(spark, idx, "pairs") is None
+    keep = {(r.doc_id, r.canonical_id, r.is_kept)
+            for r in di.keep_list_from_index(spark, idx).collect()}
+    assert keep == {(1, 1, True), (2, 2, True)}
+    # reconcile over a pair-less index must not crash either
+    out = di.reconcile_capped_buckets(spark, idx, max_bucket_size=1)
+    assert out.count() == 0
+
+
+def test_empty_pairs_index_cli_counts_zero(spark, tmp_path, capsys):
+    from translator_tm_provider_pipelines_spark import cli
+
+    _df(spark, [(1, "a lone document with no duplicate anywhere in sight "
+                    "discussing adaptive query execution")]).write.parquet(
+        str(tmp_path / "b1")
+    )
+    idx = str(tmp_path / "idx")
+    cli.main([
+        "NEAR_DUP_INDEX_UPDATE", "--newDocs", str(tmp_path / "b1"),
+        "--indexDir", idx, "--batchId", "0",
+    ])
+    assert "0 new verified pairs" in capsys.readouterr().out
+
+
+def test_incremental_repair_hops_match_batch_star_repaired(spark, tmp_path):
+    """VERDICT r6 task 2: the index-mode analogue of star second-hop
+    repair. A CHAIN-shaped cluster (cumulative word drift, same fixture
+    family as tests/test_dedup_star_repair.py) grows past the cap across
+    batches; the stranded far member has no repair path through the base
+    reconcile (its edge to the bucket representative fails verification),
+    but converged repair hops reattach it through its genuine neighbor —
+    keep list ≡ the batch near_duplicates(star_repair_hops=-1) path."""
+    base = (
+        "alpha bravo charlie delta echo foxtrot golf hotel india juliet "
+        "kilo lima mike november oscar papa quebec romeo sierra tango "
+        "uniform victor whiskey xray yankee zulu amber birch cedar dune "
+        "ember fjord grove heath iris jade knoll lotus maple nectar "
+        "onyx pearl quartz reef slate topaz umber vale willow zenith "
+        "arbor basin cliff ridge marsh glen fen moor crag peak"
+    ).split()
+    repl = "one two three four five six seven eight nine ten".split()
+    rows = [(i, " ".join(repl[: 2 * i] + base[2 * i:])) for i in range(5)]
+    lsh = dict(threshold=0.85, k=3, num_perms=8, rows_per_band=1)
+
+    batch_repaired = sorted(map(tuple, dedup.near_dup_keep_list(
+        _df(spark, rows), max_bucket_size=2, oversize_policy="star",
+        star_repair_hops=-1, **lsh,
+    ).collect()))
+
+    idx = str(tmp_path / "idx")
+    for bi, batch in enumerate([rows[:2], rows[2:4], rows[4:]]):
+        di.update_near_dup_index(
+            spark, _df(spark, batch), idx, batch_id=bi,
+            max_bucket_size=2, **lsh,
+        )
+    # base reconcile alone strands the far chain member: its star edge to
+    # the bucket representative fails exact-Jaccard verification
+    di.reconcile_capped_buckets(
+        spark, idx, max_bucket_size=2, threshold=0.85, k=3, reconcile_id=0
+    )
+    keep0 = dict((r.doc_id, r.canonical_id)
+                 for r in di.keep_list_from_index(spark, idx).collect())
+    assert keep0[4] == 4  # still a singleton without repair hops
+    # converged repair hops reattach it — full keep-list parity with the
+    # batch star_repair_hops=-1 run
+    di.reconcile_capped_buckets(
+        spark, idx, max_bucket_size=2, threshold=0.85, k=3,
+        reconcile_id=1, repair_hops=-1,
+    )
+    assert _keep(spark, idx) == batch_repaired
+    # idempotent re-run of the repair reconcile
+    di.reconcile_capped_buckets(
+        spark, idx, max_bucket_size=2, threshold=0.85, k=3,
+        reconcile_id=1, repair_hops=-1,
+    )
+    assert _keep(spark, idx) == batch_repaired

@@ -507,6 +507,11 @@ def test_ivf_drift_guard_detects_shifted_batch(spark, emb, tmp_path):
     assert similarity.ivf_should_retrain(q_base, q_drift)
     assert abs(q_drift["mean_assigned_cosine"] - q_base["mean_assigned_cosine"]) > 0.2
     assert q_drift["max_list_share"] > 3.0 * q_base["max_list_share"]
+    # the promised tail signal: p10 <= mean always, and it moves with the
+    # concentrated shift just like the mean does
+    for q in (q_base, q_inlier, q_drift):
+        assert q["p10_assigned_cosine"] <= q["mean_assigned_cosine"] + 1e-9
+    assert abs(q_drift["p10_assigned_cosine"] - q_base["p10_assigned_cosine"]) > 0.2
 
     # recall@10 + scan selectivity, same frozen quantizer
     similarity.add_to_ivf_index(drifted, path, cents, batch_id=1)

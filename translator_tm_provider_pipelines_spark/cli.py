@@ -578,10 +578,13 @@ def run_near_dup_index_update(spark: SparkSession, argv: list[str]) -> None:
     # a retried --batchId read through a stale file listing whose old
     # batch files the dynamic-partition overwrite just deleted
     # (FileNotFoundException after the index was already updated).
+    # _read_index returns None for a pairs table with no data files yet —
+    # legitimate while no batch has produced a duplicate.
+    written = di._read_index(spark, ns.indexDir, "pairs")
     n = (
-        spark.read.parquet(f"{ns.indexDir}/pairs")
-        .where(F.col("batch_id") == ns.batchId)
-        .count()
+        0
+        if written is None
+        else written.where(F.col("batch_id") == ns.batchId).count()
     )
     print(f"batch {ns.batchId}: {n} new verified pairs")
 
@@ -615,20 +618,24 @@ def run_near_dup_index_reconcile(spark: SparkSession, argv: list[str]) -> None:
 
     p = argparse.ArgumentParser(prog="NEAR_DUP_INDEX_RECONCILE")
     p.add_argument("--indexDir", required=True)
-    p.add_argument("--batchId", type=int, required=True,
-                   help="partition for the repaired pairs; above the last committed batch")
+    p.add_argument("--reconcileId", type=int, default=0,
+                   help="maintenance-run counter; pairs land at the NEGATIVE "
+                        "partition batch_id=-(1+reconcileId), disjoint from "
+                        "stream epoch ids (same id re-run = idempotent)")
     p.add_argument("--maxBucketSize", type=int, required=True)
     p.add_argument("--threshold", type=float, default=0.8)
+    p.add_argument("--repairHops", type=int, default=0,
+                   help="star second-hop repair passes after the base "
+                        "re-star; negative = until converged")
     ns = p.parse_args(argv)
     di.reconcile_capped_buckets(
-        spark, ns.indexDir, ns.batchId, ns.maxBucketSize, threshold=ns.threshold
+        spark, ns.indexDir, ns.maxBucketSize, threshold=ns.threshold,
+        reconcile_id=ns.reconcileId, repair_hops=ns.repairHops,
     )
-    n = (
-        spark.read.parquet(f"{ns.indexDir}/pairs")
-        .where(F.col("batch_id") == ns.batchId)
-        .count()
-    )
-    print(f"reconcile batch {ns.batchId}: {n} repaired pairs")
+    part = di.reconcile_partition_id(ns.reconcileId)
+    written = di._read_index(spark, ns.indexDir, "pairs")
+    n = 0 if written is None else written.where(F.col("batch_id") == part).count()
+    print(f"reconcile run {ns.reconcileId}: {n} repaired pairs")
 
 
 def run_near_dup_keep_best(spark: SparkSession, argv: list[str]) -> None:

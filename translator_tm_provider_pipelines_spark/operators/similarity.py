@@ -864,9 +864,13 @@ def ivf_assignment_quality(
     concentrated shift sent max_list_share 0.15 → 1.00 and the probed
     scan fraction for drifted-neighborhood queries 0.13 → 0.63 of the
     corpus — list pruning stops pruning, and the hot list becomes one
-    giant skewed partition. One zero-shuffle scan + a single aggregate
-    (the centroid set rides along as a broadcast literal, same as
-    assignment)."""
+    giant skewed partition. The p10 (``percentile_approx``, rank-exact at
+    the default accuracy for any batch a driver row can hold) catches
+    tail drift a stable mean hides: a small drifted sub-population drags
+    the 10th percentile long before the mean moves. One narrow assignment
+    scan feeding a global aggregate (mean/p10/count) and a per-list count
+    for the share — the centroid set rides along as a broadcast literal,
+    same as assignment."""
     vecs_lit = _lit_nested_doubles(
         [[float(x) for x in cvec] for _, cvec in centroids]
     )
@@ -882,14 +886,25 @@ def ivf_assignment_quality(
     assigned = embeddings.select(F.array_min(entries).alias("__b")).select(
         F.col("__b.pos").alias("__list"), (-F.col("__b.nc")).alias("__cos")
     )
-    per_list = assigned.groupBy("__list").agg(
-        F.count(F.lit(1)).alias("__n"),
-        F.sum("__cos").alias("__s"),
+    # a global percentile cannot be merged from per-list percentiles, so
+    # the quality row comes from two aggregates over the narrow assignment
+    # projection: a grouping-free global one (mean/p10/count) and an
+    # n_lists-sized per-list count for the hotspot share
+    stats = assigned.agg(
+        F.avg("__cos").alias("mean_assigned_cosine"),
+        F.percentile_approx("__cos", 0.1).alias("p10_assigned_cosine"),
+        F.count(F.lit(1)).alias("n_vectors"),
     )
-    return per_list.agg(
-        (F.sum("__s") / F.sum("__n")).alias("mean_assigned_cosine"),
-        (F.max("__n") / F.sum("__n")).alias("max_list_share"),
-        F.sum("__n").alias("n_vectors"),
+    share = (
+        assigned.groupBy("__list")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .agg((F.max("__n") / F.sum("__n")).alias("max_list_share"))
+    )
+    return stats.crossJoin(F.broadcast(share)).select(
+        "mean_assigned_cosine",
+        "p10_assigned_cosine",
+        "max_list_share",
+        "n_vectors",
     )
 
 
@@ -944,9 +959,13 @@ def retrain_ivf_index(
 
     Staged like :func:`compact_index`: the reassigned rows land in a
     dot-prefixed sibling (`<path>.retrain_tmp`, invisible to readers and
-    never self-read), then replace the index via two directory renames —
-    readers race against at most a whole-index swap, never a half-written
-    mix of quantizers."""
+    never self-read), then replace the index via two directory renames.
+    Readers never see a half-written mix of quantizers; they CAN race the
+    brief window between the two renames when no directory exists at
+    ``path`` (a whole-index miss, immediately retryable). Each rename's
+    boolean return is checked: on failure the original index is restored
+    (or reported intact at ``.retrain_old``) and the old copy is only
+    deleted after the new index verifiably exists at ``path``."""
     emb = spark.read.parquet(path).drop("ivf_list", "ivf_batch")
     train = (
         emb.sample(fraction=sample_fraction, seed=7)
@@ -973,9 +992,23 @@ def retrain_ivf_index(
     jold = jvm.org.apache.hadoop.fs.Path(old)
     if fs.exists(jold):
         fs.delete(jold, True)
-    fs.rename(jpath, jold)
-    fs.rename(jtmp, jpath)
-    fs.delete(jold, True)
+    # Hadoop FileSystem.rename reports failure by RETURNING FALSE, not
+    # raising — every step must check it, or a failed tmp→path rename
+    # would fall through to deleting `old`, the only surviving copy.
+    if not fs.rename(jpath, jold):
+        raise IOError(f"retrain_ivf_index: rename {path} -> {old} failed; "
+                      f"index untouched, new index left at {tmp}")
+    if not fs.rename(jtmp, jpath):
+        # restore the original index before failing: the swap window where
+        # no index exists at `path` must not outlive this call
+        restored = fs.rename(jold, jpath)
+        raise IOError(
+            f"retrain_ivf_index: rename {tmp} -> {path} failed; original "
+            f"index {'restored' if restored else f'left at {old}'}"
+        )
+    # only drop the old copy once the new index is verifiably in place
+    if fs.exists(jpath):
+        fs.delete(jold, True)
     return cents
 
 

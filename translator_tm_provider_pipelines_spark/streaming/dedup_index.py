@@ -68,12 +68,16 @@ def _write_batch(df: DataFrame, index_dir: str, sub: str, batch_id: int) -> None
 
 
 def _read_index(spark: SparkSession, index_dir: str, sub: str) -> DataFrame | None:
-    """Read one index sub-table, or None only when it genuinely does not
-    exist yet (first batch). Any OTHER read failure — corrupt footer,
-    permission error, transient storage fault — must raise: treating it
-    as 'empty index' would make the batch skip every new-vs-old candidate
-    pair, and since a pair only materializes in the batch of its later
-    member, those pairs would be silently and permanently lost."""
+    """Read one index sub-table, or None when it genuinely holds nothing
+    yet: the path does not exist (first batch), or it exists but contains
+    no data files (a batch whose every stage produced zero rows still
+    creates the partitioned directory — e.g. pairs/ after batches with no
+    duplicates — and Spark raises UNABLE_TO_INFER_SCHEMA on a file-less
+    parquet dir). Any OTHER read failure — corrupt footer, permission
+    error, transient storage fault — must raise: treating it as 'empty
+    index' would make the batch skip every new-vs-old candidate pair, and
+    since a pair only materializes in the batch of its later member,
+    those pairs would be silently and permanently lost."""
     path = _part_path(index_dir, sub)
     try:
         return spark.read.parquet(path)
@@ -82,8 +86,9 @@ def _read_index(spark: SparkSession, index_dir: str, sub: str) -> DataFrame | No
         get_cls = getattr(exc, "getCondition", None)  # Spark 4 name
         if callable(get_cls):
             err = get_cls() or ""
-        if "PATH_NOT_FOUND" in err or "PATH_NOT_FOUND" in str(exc):
-            return None  # first batch: nothing indexed yet
+        for empty_cond in ("PATH_NOT_FOUND", "UNABLE_TO_INFER_SCHEMA"):
+            if empty_cond in err or empty_cond in str(exc):
+                return None  # nothing indexed yet (missing or file-less)
         raise
 
 
@@ -203,16 +208,33 @@ def update_near_dup_index(
     return verified
 
 
+def reconcile_partition_id(reconcile_id: int) -> int:
+    """Partition id a reconcile run lands in: ``-(1 + reconcile_id)``.
+
+    foreachBatch epoch ids are monotonically increasing and NON-NEGATIVE,
+    so repair pairs live in a disjoint negative id space — a resumed
+    stream can never reach a repair partition's id and dynamic-overwrite
+    it away (which a 'last committed + 1' convention would eventually do,
+    silently losing the repaired pairs on the very next micro-batch)."""
+    if reconcile_id < 0:
+        raise ValueError("reconcile_id must be >= 0")
+    return -(1 + reconcile_id)
+
+
 def reconcile_capped_buckets(
     spark: SparkSession,
     index_dir: str,
-    batch_id: int,
     max_bucket_size: int,
     threshold: float = 0.8,
     k: int = 3,
+    reconcile_id: int = 0,
+    repair_hops: int = 0,
+    reps_per_hop: int = 8,
 ) -> DataFrame:
     """Repair pass for an index maintained with ``max_bucket_size``: emit
-    the star-policy edges for every bucket that has OUTGROWN the cap.
+    the star-policy edges for every bucket that has OUTGROWN the cap,
+    then optionally run the same second-hop repair loop as the batch path
+    (``dedup.near_duplicates(star_repair_hops=...)``).
 
     The per-batch guard evaluates bucket sizes as of each batch, so a
     bucket that crosses the cap mid-stream splits into two regimes: early
@@ -223,29 +245,46 @@ def reconcile_capped_buckets(
     batch path with ``oversize_policy="star"`` would instead link every
     member through the bucket's minimum-id representative. This pass
     re-derives exactly those representative→member edges for currently
-    over-cap buckets, anti-joins the pairs already verified, exact-Jaccard
-    verifies the remainder against the indexed docs, and lands them as
-    ``batch_id=batch_id`` (dynamic overwrite → re-runs idempotent).
+    over-cap buckets, anti-joins the pairs already verified, and
+    exact-Jaccard verifies the remainder against the indexed docs.
+
+    ``repair_hops`` then mirrors :func:`..operators.dedup.near_duplicates`
+    ``star_repair_hops``: each hop promotes the ``reps_per_hop`` smallest
+    still-unattached members of every over-cap bucket to additional
+    representatives (``dedup.star_second_hop_pairs``) and verifies those
+    edges, recovering CHAIN-shaped cluster members whose Jaccard to the
+    first representative fell below threshold. Pass a negative value to
+    repair until converged (no fresh candidates). With converged hops the
+    index keep list matches the batch ``star_repair_hops=-1`` keep list
+    on a chain cluster grown past the cap across batches (pinned by
+    test).
+
+    All repaired pairs land in ONE partition at
+    ``batch_id = reconcile_partition_id(reconcile_id)`` — a NEGATIVE id,
+    disjoint by construction from the stream's non-negative epoch ids, so
+    no future micro-batch can overwrite a repair partition (re-running
+    the same ``reconcile_id`` dynamic-overwrites it → idempotent;
+    schedule distinct maintenance runs with distinct ids).
+    :func:`compact_index` merges repair partitions like any other.
     Returns the newly verified pairs.
 
     After reconciling, the index's pair set is a superset of the batch
     star path's for those buckets (the early full-pairwise edges are all
     genuine ≥-threshold pairs), so connected components collapse at least
     as much — keep-list equality for a single cluster that outgrew the
-    cap is pinned by test. Run it at maintenance cadence (e.g. alongside
-    :func:`compact_index`, with a ``batch_id`` above the last committed
-    batch). ``threshold`` and ``k`` must MATCH the values the index was
-    built with (:func:`update_near_dup_index`): a different k shingles
-    differently and a different threshold admits pairs the per-batch
-    passes would have rejected — both silently break the accumulated
-    pair set's semantics."""
+    cap is pinned by test. ``threshold`` and ``k`` must MATCH the values
+    the index was built with (:func:`update_near_dup_index`): a different
+    k shingles differently and a different threshold admits pairs the
+    per-batch passes would have rejected — both silently break the
+    accumulated pair set's semantics."""
     bands = _read_index(spark, index_dir, "bands")
     docs = _read_index(spark, index_dir, "docs")
     if bands is None or docs is None:
         raise FileNotFoundError(f"no index at {index_dir}")
+    band_cols = bands.select("doc_id", "band", "band_sig")
+    doc_cols = docs.select("doc_id", "text")
     over = (
-        bands.select("doc_id", "band", "band_sig")
-        .groupBy("band", "band_sig")
+        band_cols.groupBy("band", "band_sig")
         .agg(F.array_sort(F.collect_set("doc_id")).alias("ds"))
         .where(F.size("ds") > max_bucket_size)
     )
@@ -259,20 +298,49 @@ def reconcile_capped_buckets(
         .distinct()
     )
     old_pairs = _read_index(spark, index_dir, "pairs")
-    if old_pairs is not None:
-        cands = cands.join(
-            old_pairs.select("doc_a", "doc_b"), ["doc_a", "doc_b"], "left_anti"
-        )
-    verified = dedup._verify_candidates(
-        docs.select("doc_id", "text"),
-        cands,
-        k=k,
-        threshold=threshold,
-        text_col="text",
-        id_col="doc_id",
+    old_edges = (
+        old_pairs.select("doc_a", "doc_b").distinct() if old_pairs is not None else None
     )
-    _write_batch(verified, index_dir, "pairs", batch_id)
-    return verified
+    if old_edges is not None:
+        cands = cands.join(old_edges, ["doc_a", "doc_b"], "left_anti")
+    repaired = dedup._verify_candidates(
+        doc_cols, cands, k=k, threshold=threshold, text_col="text", id_col="doc_id"
+    )
+    if repair_hops:
+        # same loop shape (and the same localCheckpoint plan-stacking fix)
+        # as the batch path, dedup.near_duplicates:462-486. `attempted`
+        # starts from the base star candidates plus every already-verified
+        # edge; failed edges from ORIGINAL per-batch candidate sets are
+        # unknown to the index (only successes persist) and may be retried
+        # once — wasted verification, never wrong output.
+        attempted = cands if old_edges is None else cands.unionByName(old_edges)
+        verified_all = (
+            repaired.select("doc_a", "doc_b")
+            if old_edges is None
+            else repaired.select("doc_a", "doc_b").unionByName(old_edges)
+        )
+        n_hops = repair_hops if repair_hops > 0 else 1_000_000
+        for _ in range(n_hops):
+            repaired = repaired.localCheckpoint()
+            verified_all = verified_all.localCheckpoint()
+            cand2 = dedup.star_second_hop_pairs(
+                band_cols,
+                verified_all,
+                max_bucket_size,
+                attempted=attempted,
+                reps_per_hop=reps_per_hop,
+            ).localCheckpoint()
+            if not cand2.head(1):
+                break
+            v2 = dedup._verify_candidates(
+                doc_cols, cand2, k=k, threshold=threshold,
+                text_col="text", id_col="doc_id",
+            )
+            repaired = repaired.unionByName(v2)
+            verified_all = verified_all.unionByName(v2.select("doc_a", "doc_b"))
+            attempted = attempted.unionByName(cand2)
+    _write_batch(repaired, index_dir, "pairs", reconcile_partition_id(reconcile_id))
+    return repaired
 
 
 def _hadoop_fs(spark: SparkSession, path: str):
