@@ -373,3 +373,33 @@ def test_unigram_logprob_broadcast_vocab(spark):
     token stream itself is never sort-merge-joined."""
     p = plan_text(spark, "unigram_logprob")
     assert "BroadcastHashJoin" in p
+
+
+def _first_filter_below(plan: str, window_marker: str) -> str:
+    """The first Filter line below the (unique) matching Window operator —
+    the boundary-slice guard these tests pin."""
+    lines = plan.splitlines()
+    idx = [i for i, l in enumerate(lines) if "Window [row_number()" in l and window_marker in l]
+    assert len(idx) == 1, f"expected exactly one ranking window, got {len(idx)}"
+    for line in lines[idx[0] + 1:]:
+        if "Filter" in line:
+            return line
+    raise AssertionError("no Filter below the ranking window")
+
+
+def test_dsir_selection_ranks_boundary_slice_only(spark):
+    """dsir_select's global row_number window must consume the
+    approxQuantile-bracketed boundary slice, never the full weight
+    relation (the round-6 `weak`: a partition-less window funnels every
+    row through ONE task at 10^9+ docs)."""
+    f = _first_filter_below(plan_text(spark, "dsir_top_selection"), "log_weight")
+    assert "log_weight" in f and ">=" in f and "<=" in f
+
+
+def test_temperature_sample_ranks_prefiltered_sources(spark):
+    """temperature_sample's per-source window must consume only the
+    md5-prefix survivors (~slack x quota rows per source), never each
+    source's full row set (source cardinality is small by design, so an
+    unfiltered window is one task per source over the whole corpus)."""
+    f = _first_filter_below(plan_text(spark, "temperature_mixture_sample"), "source")
+    assert "substring(md5(" in f and "CASE WHEN" in f

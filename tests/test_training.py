@@ -213,3 +213,81 @@ def test_temperature_sample_upsamples_small_sources(spark):
         r.source for r in tr.temperature_sample(docs, total=40, alpha=1.0).collect()
     )
     assert prop == {"big": 36, "small": 4}
+
+
+def _brute_top(spark, docs, target, fraction):
+    w = tr.dsir_log_weights(docs, target).collect()
+    n_keep = int(len(w) * fraction)
+    ranked = sorted(w, key=lambda r: (-r.log_weight, r.doc_id))
+    return sorted((r.doc_id, r.log_weight, r.n_features) for r in ranked[:n_keep])
+
+
+def test_dsir_select_floor_semantics_non_divisible(spark):
+    """21 docs x 0.2 keeps floor(4.2) = 4 (the round-6 advice case: int()
+    truncation and the oracle's floor() must agree on non-integral
+    count x fraction), and the boundary-slice path returns EXACTLY the
+    brute-force top-n by (weight desc, doc_id)."""
+    docs = _dsir_corpus(spark)  # 21 docs
+    target = docs.where("doc_id < 10")
+    sel = sorted(
+        (r.doc_id, r.log_weight, r.n_features)
+        for r in tr.dsir_select(docs, target, fraction=0.2).collect()
+    )
+    assert len(sel) == 4
+    assert sel == _brute_top(spark, docs, target, 0.2)
+
+
+def test_dsir_select_tie_flood_falls_back_exactly(spark):
+    """Adversarial distribution: every weight identical (single-text
+    corpus), so the quantile bracket cannot separate a boundary slice —
+    the validated-count fallback must still return exactly the doc-id
+    tie-broken top-n, not a wrong or partial set."""
+    rows = [(i, "same exact text for everyone here") for i in range(30)]
+    docs = spark.createDataFrame(rows, "doc_id int, text string")
+    sel = sorted(r.doc_id for r in tr.dsir_select(docs, docs, fraction=0.3).collect())
+    assert sel == list(range(9))  # floor(30*0.3)=9, min doc_ids win ties
+
+
+def test_dsir_select_fraction_edges(spark):
+    docs = _dsir_corpus(spark)
+    target = docs.where("doc_id < 10")
+    assert tr.dsir_select(docs, target, fraction=0.0).count() == 0
+    assert tr.dsir_select(docs, target, fraction=1.0).count() == 21
+    # fraction too small for one row -> empty, not an error
+    assert tr.dsir_select(docs, target, fraction=0.01).count() == 0
+
+
+def test_temperature_sample_deficient_source_fallback(spark):
+    """Force the md5-prefix pre-filter to under-select (slack ~0 and no
+    margin): the per-source survivor-count check must detect every
+    deficient source and fall back to ranking it in full, reproducing
+    the default-parameter selection row-for-row."""
+    rows = [(i, "big") for i in range(90)] + [(100 + i, "small") for i in range(10)]
+    docs = spark.createDataFrame(rows, "doc_id int, source string")
+    want = sorted(
+        (r.doc_id, r.source)
+        for r in tr.temperature_sample(docs, total=40, alpha=0.5).collect()
+    )
+    got = sorted(
+        (r.doc_id, r.source)
+        for r in tr.temperature_sample(
+            docs, total=40, alpha=0.5, slack=1e-9, min_margin=0
+        ).collect()
+    )
+    assert got == want
+    from collections import Counter
+
+    assert Counter(s for _, s in got) == {"big": 30, "small": 10}
+
+
+def test_temperature_sample_quota_exceeds_source(spark):
+    """A tiny source whose quota exceeds its row count contributes every
+    row (threshold saturates to keep-all); totals stay deterministic."""
+    rows = [(i, "huge") for i in range(200)] + [(900 + i, "tiny") for i in range(2)]
+    docs = spark.createDataFrame(rows, "doc_id int, source string")
+    out = tr.temperature_sample(docs, total=60, alpha=0.0)  # uniform quotas: 30/30
+    from collections import Counter
+
+    shares = Counter(r.source for r in out.collect())
+    assert shares["tiny"] == 2  # the whole source, not more
+    assert shares["huge"] == 30

@@ -306,24 +306,67 @@ def dsir_select(
     alpha: float = 1.0,
     text_col: str = "text",
     id_col: str = "doc_id",
+    rel_err: float = 0.001,
 ) -> DataFrame:
     """Top-``fraction`` DSIR selection (deterministic variant: rank by
     log_weight with doc-id tie-break instead of Gumbel noise, so the
     selected set is engine-reproducible). Returns the weight rows of the
-    selected documents. The global rank is a single window over weights
-    — at 100 TB pre-filter with an approximate weight threshold
-    (``approxQuantile``) and rank only the boundary slice."""
+    selected documents.
+
+    Scale shape — boundary-slice ranking, NEVER a full-corpus
+    single-partition window: two ``approxQuantile`` weight thresholds
+    bracket the selection boundary (``1-fraction ∓ 2·rel_err``); rows
+    strictly above the upper threshold are kept outright, rows below the
+    lower one are dropped outright, and only the boundary slice —
+    ~``4·rel_err`` of the corpus plus ties — goes through the global
+    ``row_number`` window. The result is EXACTLY the global top
+    ``n_keep`` for any weight distribution: a one-pass count of the sure
+    and candidate sets validates the quantile bracket, and a degenerate
+    distribution (e.g. ties wider than the bracket) falls back to the
+    full rank rather than returning a wrong set. The weight table
+    (doc_id, log_weight, n_features — narrow) is persisted for the
+    quantile/count/rank passes; ``n_keep = floor(count · fraction)``
+    comes from the SAME table (no second corpus action) and matches the
+    oracle's ``floor()`` exactly."""
     w = dsir_log_weights(
         docs, target, n_buckets=n_buckets, alpha=alpha,
         text_col=text_col, id_col=id_col,
     )
-    n_keep = int(docs.count() * fraction)
-    rank = F.row_number().over(
-        Window.orderBy(F.col("log_weight").desc(), F.col("doc_id"))
+    if fraction >= 1.0:
+        return w
+    if fraction <= 0.0:
+        return w.limit(0)
+    w = w.persist()
+    n_total = w.count()  # one row per doc by construction
+    n_keep = int(n_total * fraction)  # floor, as in the oracle
+    if n_keep <= 0:
+        return w.limit(0)
+    lw = F.col("log_weight")
+    margin = max(2.0 * rel_err, 1e-4)
+    p_lo = max(0.0, 1.0 - fraction - margin)
+    p_hi = min(1.0, 1.0 - fraction + margin)
+    t_lo, t_hi = w.stat.approxQuantile("log_weight", [p_lo, p_hi], rel_err)
+    counts = w.agg(
+        F.sum(F.when(lw > t_hi, 1).otherwise(0)).alias("ns"),
+        F.sum(F.when(lw >= t_lo, 1).otherwise(0)).alias("nc"),
+    ).first()
+    n_sure = int(counts["ns"] or 0)
+    n_cand = int(counts["nc"] or 0)
+    if n_sure <= n_keep and n_cand >= n_keep:
+        sure = w.where(lw > t_hi)
+        boundary = w.where((lw <= t_hi) & (lw >= t_lo))
+    else:
+        # bracket violated (pathological ties / quantile error): full rank
+        sure = w.limit(0)
+        boundary = w
+        n_sure = 0
+    rank = F.row_number().over(Window.orderBy(lw.desc(), F.col("doc_id")))
+    picked = (
+        boundary.withColumn("__r", rank)
+        .where(F.col("__r") <= n_keep - n_sure)
+        .drop("__r")
     )
-    return (
-        w.withColumn("__r", rank).where(F.col("__r") <= n_keep).drop("__r")
-    )
+    return sure.unionByName(picked)
 
 
 def temperature_sample(
@@ -332,6 +375,8 @@ def temperature_sample(
     alpha: float = 0.5,
     source_col: str = "source",
     id_col: str = "doc_id",
+    slack: float = 1.3,
+    min_margin: int = 64,
 ) -> DataFrame:
     """Temperature-based source mixing (the mT5/XLM-R multilingual
     recipe): source i gets a quota ∝ n_i^alpha of the ``total`` budget —
@@ -343,30 +388,71 @@ def temperature_sample(
     equality matters bit-for-bit (sqrt is correctly rounded under IEEE
     754 in every engine; arbitrary pow is not).
 
-    Output: (doc_id, source). Scale shape: one dimension-sized groupBy
-    for the quotas (broadcast back), one per-source window for the rank
-    — the window partitions by source, so size the budget pass to the
-    number of sources, not the corpus; at extreme per-source cardinality
-    pre-filter with an md5-threshold (``deterministic_sample``) and rank
-    only the boundary slice."""
+    Output: (doc_id, source). Scale shape — boundary-slice ranking, not
+    a full-source window: source cardinality is small by construction
+    (that is the point of the operator), so the per-source counts and
+    quotas collect to the driver (bounded, dimension-sized), and each
+    source gets an md5-PREFIX keep threshold of ``quota/n · slack`` plus
+    ``min_margin``/65536. Because the prefix filter keeps exactly a
+    prefix of the per-source rank order (the first 4 md5 hex chars
+    dominate the full-md5 sort), ranking the survivors reproduces the
+    full-source ranks for every rank ≤ quota — the per-source window
+    then sorts ~``slack × quota`` rows instead of the whole source. A
+    per-source survivor count (one dimension-sized aggregate) validates
+    the binomial margin; any deficient source — astronomically unlikely
+    at the defaults, but possible for tiny sources — falls back to
+    ranking that source in full, so the output is EXACTLY the unfiltered
+    ranking's for every distribution."""
     w = F.pow(F.col("n").cast("double"), F.lit(float(alpha)))
     cnts = docs.groupBy(F.col(source_col).alias("__src")).agg(
         F.count(F.lit(1)).alias("n")
     )
     tot_w = cnts.agg(F.sum(w).alias("tw"))
-    quota = cnts.crossJoin(F.broadcast(tot_w)).select(
+    quota_df = cnts.crossJoin(F.broadcast(tot_w)).select(
         "__src",
+        "n",
         F.round(F.lit(int(total)) * w / F.col("tw")).cast("long").alias("__quota"),
     )
+    quotas = {r["__src"]: (int(r["n"]), int(r["__quota"])) for r in quota_df.collect()}
+
+    def _prefix_threshold(n: int, q: int) -> str:
+        if q <= 0:
+            return "0000"  # keeps nothing; the quota filter drops all anyway
+        v = int(-(-0x10000 * q * slack // n)) + min_margin  # ceil + margin
+        return format(v, "04x") if v < 0x10000 else "g"  # 'g' > any hex: keep all
+
+    thr = F.lit("g")
+    for src, (n, q) in sorted(quotas.items()):
+        thr = F.when(F.col("source") == src, F.lit(_prefix_threshold(n, q))).otherwise(thr)
+    staged = docs.select(
+        F.col(id_col).alias("doc_id"), F.col(source_col).alias("source")
+    )
+    key = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4)
+    survivors = staged.where(key < thr)
+    surv_counts = {
+        r["source"]: r["c"]
+        for r in survivors.groupBy("source").agg(F.count(F.lit(1)).alias("c")).collect()
+    }
+    deficient = [
+        src
+        for src, (n, q) in quotas.items()
+        if surv_counts.get(src, 0) < min(n, q)
+    ]
+    if deficient:
+        survivors = survivors.where(~F.col("source").isin(deficient)).unionByName(
+            staged.where(F.col("source").isin(deficient))
+        )
     rank = F.row_number().over(
         Window.partitionBy("source").orderBy(
             F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
         )
     )
     return (
-        docs.select(F.col(id_col).alias("doc_id"), F.col(source_col).alias("source"))
-        .withColumn("__rn", rank)
-        .join(F.broadcast(quota), F.col("source") == F.col("__src"))
+        survivors.withColumn("__rn", rank)
+        .join(
+            F.broadcast(quota_df.select("__src", "__quota")),
+            F.col("source") == F.col("__src"),
+        )
         .where(F.col("__rn") <= F.col("__quota"))
         .select("doc_id", "source")
     )

@@ -5269,7 +5269,10 @@ def dsir_log_weights_q(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM dsir
     )
     SELECT doc_id, log_weight, n_features FROM ranked
-    WHERE r <= (SELECT cast(count(*) * 0.2 AS bigint) FROM documents)
+    -- floor(), matching the engine's int() truncation: a bare BIGINT cast
+    -- would round-to-nearest in DuckDB and diverge whenever count*fraction
+    -- is non-integral
+    WHERE r <= (SELECT cast(floor(count(*) * 0.2) AS bigint) FROM documents)
     """,
 )
 def dsir_top_selection_q(spark: SparkSession, sf_dir: str) -> DataFrame:
