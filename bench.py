@@ -4,8 +4,13 @@ JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 "queries": {name: sec}, "sf": ...}.
 
 Each query is fully materialized with the noop sink (no driver collect, no
-result-size bias). First query absorbs session/JIT warmup; a tiny warmup
-query runs first to keep that out of the measurements.
+result-size bias). A tiny-sf warmup pass compiles every query's codegen
+before timing starts; each query is then timed >=3 times and reported as
+the per-query MEDIAN with a [min, max] spread (round-6 same-code runs
+spanned baseline ratio 0.534-0.615 — the median plus spread makes a real
+regression distinguishable from box noise; regression flags compare
+medians). The committed BENCH_r*.json artifact is the authoritative
+number; SCALING.md quotes only committed-artifact medians.
 
 Correctness coverage: this benches EVERY registered query. The round
 driver's CORRECTNESS_r*.json only value-checks a 50-query subset frozen at
@@ -48,26 +53,33 @@ def main() -> None:
                 pass
         spark.catalog.clearCache()
 
-    timings: dict[str, float] = {}
+    samples: dict[str, list[float]] = {}
     errors: dict[str, str] = {}
-    # best-of-3: measured run-to-run swings on untouched queries reach 3×
-    # on a shared box (dictionary_ner 1.7–5.1 s across same-code runs);
-    # the minimum of three is a much tighter steady-state estimate
-    passes = int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "3"))
+    # median-of-N (>=3 after the warmup pass above): same-code runs on this
+    # shared box spanned baseline ratio 0.534-0.615 and single queries up to
+    # 3x (dictionary_ner 1.7-5.1 s), which swamps real per-query deltas. The
+    # median is robust to one GC/scheduling outlier in either direction —
+    # min() (the pre-r7 rule) systematically understates steady-state wall —
+    # and the per-query [min, max] spread is recorded so a regression flag
+    # can be read against the run's own noise floor.
+    passes = max(3, int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "3")))
     for _pass in range(passes):
         for name, fn in sorted(tq.QUERIES.items()):
             t0 = time.perf_counter()
             try:
                 fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
                 dt = round(time.perf_counter() - t0, 3)
-                # best-of-N: shared-JVM GC/scheduling noise is ±2× on single
-                # readings; the minimum is the reproducible steady state
-                timings[name] = min(timings.get(name, dt), dt)
+                samples.setdefault(name, []).append(dt)
                 errors.pop(name, None)  # a clean pass supersedes a flaky one
             except Exception as exc:  # one broken query must not void the round
-                if name not in timings:  # keep timed queries out of errors
+                if name not in samples:  # keep timed queries out of errors
                     errors[name] = f"{type(exc).__name__}: {exc}"[:200]
             spark.catalog.clearCache()  # keep per-query timings independent
+
+    import statistics
+
+    timings = {n: round(statistics.median(s), 3) for n, s in samples.items()}
+    spread = {n: [min(s), max(s)] for n, s in samples.items()}
 
     sf_label = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     try:
@@ -78,7 +90,9 @@ def main() -> None:
         "metric": "total_query_wall_seconds",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
-        "queries": timings,
+        "queries": timings,  # per-query MEDIAN of `passes` timed runs
+        "passes": passes,
+        "spread": spread,  # per-query [min, max] across the timed runs
         "sf": sf,
     }
     if errors:
