@@ -211,6 +211,38 @@ def universal_input_join(
     return complete, missing
 
 
+def read_partitioned_store(
+    spark,
+    path: str,
+    collection: str | None = None,
+    doc_types: list[str] | None = None,
+    collection_col: str = "collection",
+    doc_type_col: str = "doc_type",
+) -> DataFrame:
+    """Collection/type-scoped read of a PARTITIONED document or status
+    store (written with ``sinks.write_table(partition_by=["collection",
+    "doc_type"])`` or similar): equality predicates on the partition
+    columns land as ``PartitionFilters`` in the scan, so a stage run over
+    one collection reads ONLY that collection's directories — the
+    Spark-native equivalent of the reference sharding PubMed into
+    PUBMED_SUB_0..36 batch collections and launching one run per batch
+    (scripts/rrun-b-sentence-segmentation-batch.sh:5-15). At 100 TB this
+    is the difference between a full-corpus listing+scan per stage and a
+    directory-pruned one (pinned by tests/test_partition_pruning.py).
+
+    The partition column holds each row's HOME collection (rows are
+    stored once); membership in further collections stays in the
+    ``collections`` array, and stage runs filtering on a secondary
+    collection must still pass ``collection=`` to the stage operators
+    (array predicate, pushed but not pruning)."""
+    df = spark.read.parquet(path)
+    if collection is not None:
+        df = df.where(F.col(collection_col) == collection)
+    if doc_types:
+        df = df.where(F.col(doc_type_col).isin(doc_types))
+    return df
+
+
 def skip_existing_documents(
     incoming: DataFrame, existing_ids: DataFrame, overwrite: bool = False
 ) -> DataFrame:
