@@ -1,0 +1,153 @@
+"""sf10 scaling exponents for the round-7 target families (VERDICT r6 task
+4): dictionary NER (token-window sort over documents) and the cooccurrence
+pair chain (Zipf-skewable concept keys over lineitem).
+
+Slices (regenerate if missing — .scaledata/ is never committed):
+    python scripts/make_scaled_data.py --copies 100 --tables documents \
+           --dest .scaledata/sf10-docs
+    python scripts/make_scaled_data.py --copies 100 --tables lineitem \
+           --dest .scaledata/sf10-li
+
+For each family the query runs (after one sf0.001 codegen warmup) at
+sf0.1, sf1.0 and its sf10 slice; per-step wall and the per-decade scaling
+exponent e = log10(t_hi/t_lo) are recorded (e = 1 linear, > 1 super-linear).
+After the sf10 run the EXECUTED (post-AQE) plan is scraped for the skew
+evidence the docs previously only asserted: join strategies actually chosen,
+presence of map-side partial aggregation, and whether AQE flagged any
+skew-split joins (`skew=true`).
+
+The cooccurrence family additionally runs a deliberately Zipf-skewed sf10
+variant (every 20th lineitem re-keyed to ONE hot supplier, so one concept
+co-occurs in ~all orders) to measure what a head concept does to the chain;
+generated on the fly next to the sf10 slice if missing.
+
+Usage: python scripts/bench_scale_families.py [--skip ner|cooc]
+Writes SCALING_FAMILIES_sf10.json.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import math
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+ART = os.path.join(REPO, "SCALING_FAMILIES_sf10.json")
+SKEW_EVERY = 20  # 1-in-20 lineitems re-keyed to the hot supplier
+
+
+def _ensure_skewed_lineitem(src: str, dest: str) -> None:
+    if os.path.isfile(os.path.join(dest, "lineitem.parquet")):
+        return
+    import duckdb
+
+    os.makedirs(dest, exist_ok=True)
+    con = duckdb.connect()
+    con.sql(
+        f"""
+        COPY (
+          SELECT * REPLACE (
+            CASE WHEN l_orderkey % {SKEW_EVERY} = 0 THEN 1 ELSE l_suppkey END
+            AS l_suppkey)
+          FROM '{src}/lineitem.parquet'
+        ) TO '{dest}/lineitem.parquet' (FORMAT parquet)
+        """
+    )
+    print(f"skewed slice written to {dest}", flush=True)
+
+
+def _plan_markers(df) -> dict[str, object]:
+    p = df._jdf.queryExecution().executedPlan().toString()
+    return {
+        "broadcast_hash_joins": p.count("BroadcastHashJoin"),
+        "sort_merge_joins": p.count("SortMergeJoin"),
+        "aqe_skew_split_joins": p.count("skew=true"),
+        "partial_aggregation": ("partial_count" in p or "partial_sum" in p),
+        "cartesian_products": p.count("CartesianProduct"),
+    }
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--skip", default="")
+    args = ap.parse_args()
+    skip = set(filter(None, args.skip.split(",")))
+
+    from translator_tm_provider_pipelines_spark.plans import testdata_queries as tq
+    from translator_tm_provider_pipelines_spark.session import get_spark
+
+    spark = get_spark(app_name="bench_scale_families")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    sf10_li = os.path.join(REPO, ".scaledata/sf10-li")
+    sf10_li_skew = os.path.join(REPO, ".scaledata/sf10-li-skew")
+    fams = {
+        "ner": (
+            "ontology_dictionary_ner",
+            [
+                ("sf0.1", "/root/testdata/sf0.1"),
+                ("sf1.0", os.path.join(REPO, ".scaledata/sf1.0")),
+                ("sf10", os.path.join(REPO, ".scaledata/sf10-docs")),
+            ],
+        ),
+        "cooc": (
+            "cooccurrence_metrics",
+            [
+                ("sf0.1", "/root/testdata/sf0.1"),
+                ("sf1.0", os.path.join(REPO, ".scaledata/sf1.0")),
+                ("sf10", sf10_li),
+                ("sf10_zipf_skew", sf10_li_skew),
+            ],
+        ),
+    }
+    if "cooc" not in skip:
+        _ensure_skewed_lineitem(sf10_li, sf10_li_skew)
+
+    out = json.load(open(ART)) if os.path.isfile(ART) else {}
+    for fam, (qname, steps) in fams.items():
+        if fam in skip:
+            continue
+        fn = tq.QUERIES[qname]
+        fn(spark, "/root/testdata/sf0.001").write.format("noop").mode(
+            "overwrite"
+        ).save()  # codegen warmup
+        spark.catalog.clearCache()
+        walls: dict[str, float] = {}
+        markers: dict[str, object] = {}
+        for label, sf_dir in steps:
+            df = fn(spark, sf_dir)
+            t0 = time.perf_counter()
+            df.write.format("noop").mode("overwrite").save()
+            walls[label] = round(time.perf_counter() - t0, 1)
+            if label.startswith("sf10"):
+                markers[label] = _plan_markers(df)
+            spark.catalog.clearCache()
+            print(f"{qname} {label}: {walls[label]} s", flush=True)
+        rec: dict[str, object] = {"query": qname, "wall_sec": walls,
+                                  "plan_markers_sf10": markers}
+        if "sf1.0" in walls and "sf0.1" in walls:
+            rec["exponent_sf0.1_to_sf1.0"] = round(
+                math.log10(walls["sf1.0"] / walls["sf0.1"]), 2
+            )
+        if "sf10" in walls and "sf1.0" in walls:
+            rec["exponent_sf1.0_to_sf10"] = round(
+                math.log10(walls["sf10"] / walls["sf1.0"]), 2
+            )
+        if "sf10_zipf_skew" in walls and "sf10" in walls:
+            rec["skew_slowdown_vs_sf10"] = round(
+                walls["sf10_zipf_skew"] / walls["sf10"], 2
+            )
+        out[fam] = rec
+        with open(ART, "w") as f:
+            json.dump(out, f, indent=1)
+            f.write("\n")
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

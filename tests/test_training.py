@@ -291,3 +291,75 @@ def test_temperature_sample_quota_exceeds_source(spark):
     shares = Counter(r.source for r in out.collect())
     assert shares["tiny"] == 2  # the whole source, not more
     assert shares["huge"] == 30
+
+
+def _brute_token_budget(rows, budget, alpha=0.5):
+    """Pure-python twin of token_budget_sample's contract: per-source
+    sqrt-token quotas (rounded to 4 decimals), greedy prefix in
+    (md5(doc_id), doc_id) order."""
+    import hashlib
+    from collections import defaultdict
+
+    tok = defaultdict(float)
+    for d, s, n in rows:
+        tok[s] += n
+    tw = sum(t ** alpha for t in tok.values())
+    quota = {s: round(budget * t ** alpha / tw, 4) for s, t in tok.items()}
+    out = []
+    by_src = defaultdict(list)
+    for d, s, n in rows:
+        by_src[s].append((hashlib.md5(str(d).encode()).hexdigest(), d, n))
+    for s, docs in by_src.items():
+        c = 0.0
+        for _h, d, n in sorted(docs):
+            c += n
+            if c <= quota[s]:
+                out.append((d, s))
+    return sorted(out)
+
+
+def test_token_budget_sample_matches_brute_force(spark):
+    rows = (
+        [(i, "big", 100 + (i % 7) * 13) for i in range(60)]
+        + [(200 + i, "small", 40 + (i % 5) * 9) for i in range(12)]
+        + [(300 + i, "mid", 75) for i in range(25)]
+    )
+    docs = spark.createDataFrame(rows, "doc_id int, source string, n_tokens int")
+    got = sorted(
+        (r.doc_id, r.source)
+        for r in tr.token_budget_sample(docs, budget=3000, alpha=0.5).collect()
+    )
+    assert got == _brute_token_budget(rows, 3000)
+    assert len(got) > 0
+    # per-source selected token mass stays within the quota (prefix cut)
+    sel = {d for d, _ in got}
+    import hashlib
+    from collections import defaultdict
+
+    tok = defaultdict(float)
+    for d, s, n in rows:
+        tok[s] += n
+    tw = sum(t ** 0.5 for t in tok.values())
+    used = defaultdict(float)
+    for d, s, n in rows:
+        if d in sel:
+            used[s] += n
+    for s in used:
+        assert used[s] <= round(3000 * tok[s] ** 0.5 / tw, 4) + 1e-9
+
+
+def test_token_budget_sample_boundary_slice_is_exact(spark):
+    """The md5-prefix slice must reproduce the full-window computation
+    (slack=1e9 saturates the threshold to keep-all = the naive path)."""
+    rows = [(i, f"s{i % 4}", 50 + (i * 17) % 90) for i in range(160)]
+    docs = spark.createDataFrame(rows, "doc_id int, source string, n_tokens int")
+    naive = sorted(
+        map(tuple, tr.token_budget_sample(docs, budget=2500, slack=1e9).collect())
+    )
+    sliced = sorted(map(tuple, tr.token_budget_sample(docs, budget=2500).collect()))
+    deficient = sorted(
+        map(tuple, tr.token_budget_sample(
+            docs, budget=2500, slack=1e-9, min_margin=0
+        ).collect())
+    )
+    assert naive == sliced == deficient and len(naive) > 0

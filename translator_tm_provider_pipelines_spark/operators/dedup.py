@@ -408,9 +408,15 @@ def near_duplicates(
     max_bucket_size: int | None = None,
     oversize_policy: str = "drop",
     star_repair_hops: int = 0,
+    repair_stats: dict | None = None,
 ) -> DataFrame:
     """MinHash-LSH near-dup pipeline: shingle → signature → bands →
     candidates → exact-Jaccard filter ≥ threshold.
+
+    ``repair_stats`` (optional dict) is filled with
+    ``{"hops_run": k, "converged": bool}`` after the repair loop — the
+    observability hook the sf10 scaling runs record the auto-hops count
+    through (a converged run reports how many hops it actually needed).
 
     ``star_repair_hops`` (only meaningful with ``oversize_policy="star"``
     and a ``max_bucket_size``) runs up to that many
@@ -467,6 +473,7 @@ def near_duplicates(
         # convergence is bounded by over-cap bucket edges / reps_per_hop
         # — at sf10 full convergence took 6 hops, SCALING.md)
         n_hops = star_repair_hops if star_repair_hops > 0 else 1_000_000
+        hops_run, converged = 0, False
         for _ in range(n_hops):
             # checkpoint: the next hop's anti-joins read `verified` twice
             # (id set + final union) and the hop loop would otherwise
@@ -476,13 +483,17 @@ def near_duplicates(
                 bands_df, verified, max_bucket_size, attempted=attempted
             ).localCheckpoint()
             if not cand2.head(1):
+                converged = True
                 break
+            hops_run += 1
             v2 = _verify_candidates(
                 docs, cand2, k=k, threshold=threshold, text_col=text_col,
                 id_col=id_col,
             )
             verified = verified.unionByName(v2)
             attempted = attempted.unionByName(cand2)
+        if repair_stats is not None:
+            repair_stats.update({"hops_run": hops_run, "converged": converged})
     return verified
 
 
@@ -767,6 +778,7 @@ def near_dup_keep_list(
     max_bucket_size: int | None = None,
     oversize_policy: str = "drop",
     star_repair_hops: int = 0,
+    repair_stats: dict | None = None,
 ) -> DataFrame:
     """The dedup pass's end product: (doc_id, canonical_id, is_kept) for
     EVERY document — near-duplicate clusters (MinHash-LSH candidates,
@@ -791,6 +803,7 @@ def near_dup_keep_list(
         max_bucket_size=max_bucket_size,
         oversize_policy=oversize_policy,
         star_repair_hops=star_repair_hops,
+        repair_stats=repair_stats,
     )
     comp = connected_components(pairs)
     out = docs.select(F.col(id_col).alias("doc_id")).join(
@@ -816,6 +829,7 @@ def near_dup_keep_best(
     max_bucket_size: int | None = None,
     oversize_policy: str = "drop",
     star_repair_hops: int = 0,
+    repair_stats: dict | None = None,
 ) -> DataFrame:
     """Quality-aware near-dup keep list (the FineWeb/DataComp refinement
     of min-id dedup): clusters still form exactly as in
@@ -843,6 +857,7 @@ def near_dup_keep_best(
         max_bucket_size=max_bucket_size,
         oversize_policy=oversize_policy,
         star_repair_hops=star_repair_hops,
+        repair_stats=repair_stats,
     )
     comp = connected_components(pairs)
     base = docs.select(

@@ -456,3 +456,106 @@ def temperature_sample(
         .where(F.col("__rn") <= F.col("__quota"))
         .select("doc_id", "source")
     )
+
+
+def token_budget_sample(
+    docs: DataFrame,
+    budget: float,
+    alpha: float = 0.5,
+    token_col: str = "n_tokens",
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    slack: float = 1.3,
+    min_margin: int = 64,
+) -> DataFrame:
+    """Token-budget temperature mixing — :func:`temperature_sample` with
+    the quota denominated in TOKENS instead of documents (what a
+    pretraining mixture actually budgets): source i gets a token quota
+    ∝ (Σ tokens_i)^alpha of ``budget``, and fills it greedily in the
+    engine's deterministic md5 order — a document is selected iff its
+    per-source RUNNING token total (md5 rank order, doc-id tie-break)
+    stays within the quota. Running totals are monotone, so the kept set
+    is a prefix of each source's md5 order: deterministic,
+    engine-reproducible, and quota overshoot is bounded by one document.
+
+    Output: (doc_id, source). Scale shape mirrors
+    :func:`temperature_sample`: per-source token totals and quotas
+    collect to the driver (dimension-sized — small source cardinality is
+    the operator's premise); each source pre-filters to an md5-PREFIX
+    slice of expected size ``slack ×`` its token keep-fraction, so the
+    per-source cumulative-sum window sorts only the slice, never the full
+    source. Exactness is validated per source: if a source's surviving
+    slice neither crosses its quota nor covers the whole source, the
+    boundary might extend past the slice, and that source falls back to a
+    full-source window — the output equals the unfiltered computation for
+    every input (pinned by test)."""
+    toks = F.col(token_col).cast("double")
+    cnts = docs.groupBy(F.col(source_col).alias("__src")).agg(
+        F.sum(toks).alias("tok"), F.count(F.lit(1)).alias("n")
+    )
+    w = F.pow(F.col("tok"), F.lit(float(alpha)))
+    tot_w = cnts.agg(F.sum(w).alias("tw"))
+    quota_df = cnts.crossJoin(F.broadcast(tot_w)).select(
+        "__src",
+        "tok",
+        "n",
+        # round to 4 decimals on BOTH engine and oracle: the quota is a
+        # double ratio whose last ulp may differ across engines, and the
+        # boundary compare must not hinge on it
+        F.round(F.lit(float(budget)) * w / F.col("tw"), 4).alias("__quota"),
+    )
+    rows = {
+        r["__src"]: (float(r["tok"] or 0.0), int(r["n"]), float(r["__quota"]))
+        for r in quota_df.collect()
+    }
+
+    def _prefix_threshold(tok: float, q: float) -> str:
+        if q <= 0 or tok <= 0:
+            return "0000"  # keeps nothing; the quota filter drops all anyway
+        frac = min(1.0, q / tok)
+        v = int(-(-0x10000 * frac * slack // 1)) + min_margin
+        return format(v, "04x") if v < 0x10000 else "g"
+
+    thr = F.lit("g")
+    for src, (tok, _n, q) in sorted(rows.items()):
+        thr = F.when(F.col("source") == src, F.lit(_prefix_threshold(tok, q))).otherwise(thr)
+    staged = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(source_col).alias("source"),
+        toks.alias("__tok"),
+    )
+    key = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4)
+    cum = F.sum("__tok").over(
+        Window.partitionBy("source")
+        .orderBy(F.md5(F.col("doc_id").cast("string")), F.col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+
+    def _with_cut(surv: DataFrame) -> DataFrame:
+        return surv.withColumn("__ctok", cum).join(
+            F.broadcast(quota_df.select("__src", "__quota")),
+            F.col("source") == F.col("__src"),
+        )
+
+    survivors = _with_cut(staged.where(key < thr))
+    check = {
+        r["source"]: (float(r["mx"] or 0.0), int(r["c"]))
+        for r in survivors.groupBy("source")
+        .agg(F.max("__ctok").alias("mx"), F.count(F.lit(1)).alias("c"))
+        .collect()
+    }
+    deficient = [
+        src
+        for src, (tok, n, q) in rows.items()
+        if q > 0
+        and tok > 0
+        and check.get(src, (0.0, 0))[0] <= q  # slice never crossed the quota
+        and check.get(src, (0.0, 0))[1] < n  # ...and is not the whole source
+    ]
+    if deficient:
+        survivors = _with_cut(
+            staged.where((key < thr) | F.col("source").isin(deficient))
+        )
+    return survivors.where(F.col("__ctok") <= F.col("__quota")).select(
+        "doc_id", "source"
+    )

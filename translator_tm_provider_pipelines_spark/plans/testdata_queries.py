@@ -5313,6 +5313,43 @@ def temperature_mixture_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "token_budget_mixture_sample",
+    """
+    WITH cnt AS (SELECT source, sum(n_chars) AS tok FROM documents GROUP BY 1),
+    qt AS (SELECT source, sqrt(cast(tok AS double)) AS w FROM cnt),
+    quota AS (
+      SELECT source, round(30000 * w / (SELECT sum(w) FROM qt), 4) AS q
+      FROM qt
+    ),
+    ranked AS (
+      SELECT doc_id, source,
+             sum(cast(n_chars AS double)) OVER (
+               PARTITION BY source ORDER BY md5(cast(doc_id AS varchar)), doc_id
+               ROWS UNBOUNDED PRECEDING
+             ) AS ctok
+      FROM documents
+    )
+    SELECT r.doc_id, r.source
+    FROM ranked r JOIN quota q ON q.source = r.source
+    WHERE r.ctok <= q.q
+    """,
+)
+def token_budget_mixture_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget temperature mixing (r7): a 30,000-CHAR budget split
+    across sources ∝ sqrt(total source chars), each source's quota filled
+    greedily in deterministic md5 order — the quota is denominated in the
+    unit a pretraining mixture actually budgets (tokens/chars), with the
+    kept set a prefix of each source's md5 order. The engine side runs
+    the per-source cumulative-sum window over an md5-prefix boundary
+    slice, never the full source (operators/training.py:
+    token_budget_sample)."""
+    return _tr.token_budget_sample(
+        _t(spark, sf_dir, "documents"), budget=30_000, alpha=0.5,
+        token_col="n_chars",
+    )
+
+
 _SAMPLE_THR = _tr._hex_threshold(0.35)
 _MIX_THRS = {
     "src1": _tr._hex_threshold(1.0),
