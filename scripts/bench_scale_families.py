@@ -17,9 +17,11 @@ presence of map-side partial aggregation, and whether AQE flagged any
 skew-split joins (`skew=true`).
 
 The cooccurrence family additionally runs a deliberately Zipf-skewed sf10
-variant (every 20th lineitem re-keyed to ONE hot supplier, so one concept
-co-occurs in ~all orders) to measure what a head concept does to the chain;
-generated on the fly next to the sf10 slice if missing.
+variant (the FIRST lineitem of every order re-keyed to ONE hot supplier, so
+that concept co-occurs with every other concept in ~every order — a true
+Zipf head: its concept_count is ~the order count and it participates in a
+large fraction of all pairs) to measure what a head concept does to the
+chain; generated on the fly next to the sf10 slice if missing.
 
 Usage: python scripts/bench_scale_families.py [--skip ner|cooc]
 Writes SCALING_FAMILIES_sf10.json.
@@ -38,10 +40,14 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 ART = os.path.join(REPO, "SCALING_FAMILIES_sf10.json")
-SKEW_EVERY = 20  # 1-in-20 lineitems re-keyed to the hot supplier
 
 
 def _ensure_skewed_lineitem(src: str, dest: str) -> None:
+    """Re-key the first lineitem of EVERY order to supplier 1: concept
+    'S:1' then co-occurs with every other concept of every order — the
+    Zipf head case (one concept in ~100% of units). Re-keying whole
+    orders would instead produce degenerate single-concept units that
+    generate no pairs at all."""
     if os.path.isfile(os.path.join(dest, "lineitem.parquet")):
         return
     import duckdb
@@ -52,7 +58,7 @@ def _ensure_skewed_lineitem(src: str, dest: str) -> None:
         f"""
         COPY (
           SELECT * REPLACE (
-            CASE WHEN l_orderkey % {SKEW_EVERY} = 0 THEN 1 ELSE l_suppkey END
+            CASE WHEN l_linenumber = 1 THEN 1 ELSE l_suppkey END
             AS l_suppkey)
           FROM '{src}/lineitem.parquet'
         ) TO '{dest}/lineitem.parquet' (FORMAT parquet)

@@ -403,3 +403,16 @@ def test_temperature_sample_ranks_prefiltered_sources(spark):
     unfiltered window is one task per source over the whole corpus)."""
     f = _first_filter_below(plan_text(spark, "temperature_mixture_sample"), "source")
     assert "substring(md5(" in f and "CASE WHEN" in f
+
+
+def test_token_budget_sample_cumsum_over_prefiltered_sources(spark):
+    """token_budget_sample's per-source cumulative-sum window must consume
+    only the md5-prefix survivors, mirroring temperature_sample's
+    boundary-slice contract."""
+    plan = plan_text(spark, "token_budget_mixture_sample")
+    lines = plan.splitlines()
+    idx = [i for i, l in enumerate(lines)
+           if "Window [sum(" in l and "source" in l]
+    assert len(idx) == 1, f"expected exactly one cumsum window, got {len(idx)}"
+    below = next(l for l in lines[idx[0] + 1:] if "Filter" in l)
+    assert "substring(md5(" in below and "CASE WHEN" in below
