@@ -363,3 +363,31 @@ def test_token_budget_sample_boundary_slice_is_exact(spark):
         ).collect())
     )
     assert naive == sliced == deficient and len(naive) > 0
+
+
+def test_dsir_gumbel_sample_matches_naive_rank(spark):
+    """The Gumbel-perturbed boundary-slice selection equals a driver-side
+    naive rank over the same deterministic keys, and differs from the
+    pure top-fraction selection (the noise actually resamples)."""
+    import hashlib
+    import math
+
+    docs = _dsir_corpus(spark)  # 21 docs
+    target = docs.where("doc_id < 10")
+    got = sorted(
+        r.doc_id
+        for r in tr.dsir_gumbel_sample(docs, target, fraction=0.4).collect()
+    )
+    w = {r.doc_id: r.log_weight for r in tr.dsir_log_weights(docs, target).collect()}
+
+    def gkey(d):
+        u = (int(hashlib.md5(f"g0:{d}".encode()).hexdigest()[:7], 16) + 0.5) / 16 ** 7
+        return round(w[d] - math.log(-math.log(u)), 6)
+
+    n_keep = int(len(w) * 0.4)
+    want = sorted(
+        d for d, _ in sorted(w.items(), key=lambda kv: (-gkey(kv[0]), kv[0]))[:n_keep]
+    )
+    assert got == want and len(got) == n_keep
+    top = sorted(r.doc_id for r in tr.dsir_select(docs, target, fraction=0.4).collect())
+    assert got != top  # noise resamples: lower-weight docs can win slots

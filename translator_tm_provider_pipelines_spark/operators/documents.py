@@ -218,6 +218,7 @@ def read_partitioned_store(
     doc_types: list[str] | None = None,
     collection_col: str = "collection",
     doc_type_col: str = "doc_type",
+    schema=None,
 ) -> DataFrame:
     """Collection/type-scoped read of a PARTITIONED document or status
     store (written with ``sinks.write_table(partition_by=["collection",
@@ -234,8 +235,17 @@ def read_partitioned_store(
     stored once); membership in further collections stays in the
     ``collections`` array, and stage runs filtering on a secondary
     collection must still pass ``collection=`` to the stage operators
-    (array predicate, pushed but not pruning)."""
-    df = spark.read.parquet(path)
+    (array predicate, pushed but not pruning).
+
+    ``schema`` (optional StructType or DDL string, data columns only —
+    the partition columns are discovered from the layout) skips the
+    footer-sampling schema inference: at 100 TB the store schema is
+    known, and inference needlessly opens a footer outside the scoped
+    partitions."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    df = reader.parquet(path)
     if collection is not None:
         df = df.where(F.col(collection_col) == collection)
     if doc_types:

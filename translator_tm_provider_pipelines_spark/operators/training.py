@@ -298,6 +298,63 @@ def dsir_log_weights(
     )
 
 
+def boundary_top_n(
+    df: DataFrame,
+    n_keep: int,
+    key_col: str,
+    tie_col: str = "doc_id",
+    rel_err: float = 0.001,
+) -> DataFrame:
+    """EXACT global top-``n_keep`` by (``key_col`` desc, ``tie_col`` asc)
+    WITHOUT a full-relation single-partition window — the boundary-slice
+    rank every global-selection operator here shares (dsir_select,
+    dsir_gumbel_sample).
+
+    Two ``approxQuantile`` key thresholds bracket the selection boundary
+    (``1 - n_keep/n ∓ 2·rel_err``); rows strictly above the upper
+    threshold are kept outright, rows below the lower one dropped
+    outright, and only the boundary slice — ~``4·rel_err`` of the
+    relation plus ties — goes through the global ``row_number`` window.
+    A one-pass count of the sure and candidate sets validates the
+    bracket; a degenerate distribution (ties wider than the bracket)
+    falls back to the full rank rather than returning a wrong set. The
+    caller should persist ``df`` (this makes 3 passes over it); the
+    caller also supplies ``n_keep`` so no extra count action runs
+    here."""
+    if n_keep <= 0:
+        return df.limit(0)
+    n_total = df.count()  # cheap on a persisted narrow relation
+    if n_keep >= n_total:
+        return df
+    key = F.col(key_col)
+    fraction = n_keep / n_total
+    margin = max(2.0 * rel_err, 1e-4)
+    p_lo = max(0.0, 1.0 - fraction - margin)
+    p_hi = min(1.0, 1.0 - fraction + margin)
+    t_lo, t_hi = df.stat.approxQuantile(key_col, [p_lo, p_hi], rel_err)
+    counts = df.agg(
+        F.sum(F.when(key > t_hi, 1).otherwise(0)).alias("ns"),
+        F.sum(F.when(key >= t_lo, 1).otherwise(0)).alias("nc"),
+    ).first()
+    n_sure = int(counts["ns"] or 0)
+    n_cand = int(counts["nc"] or 0)
+    if n_sure <= n_keep and n_cand >= n_keep:
+        sure = df.where(key > t_hi)
+        boundary = df.where((key <= t_hi) & (key >= t_lo))
+    else:
+        # bracket violated (pathological ties / quantile error): full rank
+        sure = df.limit(0)
+        boundary = df
+        n_sure = 0
+    rank = F.row_number().over(Window.orderBy(key.desc(), F.col(tie_col)))
+    picked = (
+        boundary.withColumn("__r", rank)
+        .where(F.col("__r") <= n_keep - n_sure)
+        .drop("__r")
+    )
+    return sure.unionByName(picked)
+
+
 def dsir_select(
     docs: DataFrame,
     target: DataFrame,
@@ -310,24 +367,16 @@ def dsir_select(
 ) -> DataFrame:
     """Top-``fraction`` DSIR selection (deterministic variant: rank by
     log_weight with doc-id tie-break instead of Gumbel noise, so the
-    selected set is engine-reproducible). Returns the weight rows of the
-    selected documents.
+    selected set is engine-reproducible; :func:`dsir_gumbel_sample` is
+    the paper's stochastic resampling rule). Returns the weight rows of
+    the selected documents.
 
-    Scale shape — boundary-slice ranking, NEVER a full-corpus
-    single-partition window: two ``approxQuantile`` weight thresholds
-    bracket the selection boundary (``1-fraction ∓ 2·rel_err``); rows
-    strictly above the upper threshold are kept outright, rows below the
-    lower one are dropped outright, and only the boundary slice —
-    ~``4·rel_err`` of the corpus plus ties — goes through the global
-    ``row_number`` window. The result is EXACTLY the global top
-    ``n_keep`` for any weight distribution: a one-pass count of the sure
-    and candidate sets validates the quantile bracket, and a degenerate
-    distribution (e.g. ties wider than the bracket) falls back to the
-    full rank rather than returning a wrong set. The weight table
-    (doc_id, log_weight, n_features — narrow) is persisted for the
-    quantile/count/rank passes; ``n_keep = floor(count · fraction)``
-    comes from the SAME table (no second corpus action) and matches the
-    oracle's ``floor()`` exactly."""
+    Scale shape: :func:`boundary_top_n` — never a full-corpus
+    single-partition window. The weight table (doc_id, log_weight,
+    n_features — narrow) is persisted for the quantile/count/rank
+    passes; ``n_keep = floor(count · fraction)`` comes from the SAME
+    table (no second corpus action) and matches the oracle's ``floor()``
+    exactly."""
     w = dsir_log_weights(
         docs, target, n_buckets=n_buckets, alpha=alpha,
         text_col=text_col, id_col=id_col,
@@ -337,36 +386,64 @@ def dsir_select(
     if fraction <= 0.0:
         return w.limit(0)
     w = w.persist()
-    n_total = w.count()  # one row per doc by construction
-    n_keep = int(n_total * fraction)  # floor, as in the oracle
-    if n_keep <= 0:
-        return w.limit(0)
-    lw = F.col("log_weight")
-    margin = max(2.0 * rel_err, 1e-4)
-    p_lo = max(0.0, 1.0 - fraction - margin)
-    p_hi = min(1.0, 1.0 - fraction + margin)
-    t_lo, t_hi = w.stat.approxQuantile("log_weight", [p_lo, p_hi], rel_err)
-    counts = w.agg(
-        F.sum(F.when(lw > t_hi, 1).otherwise(0)).alias("ns"),
-        F.sum(F.when(lw >= t_lo, 1).otherwise(0)).alias("nc"),
-    ).first()
-    n_sure = int(counts["ns"] or 0)
-    n_cand = int(counts["nc"] or 0)
-    if n_sure <= n_keep and n_cand >= n_keep:
-        sure = w.where(lw > t_hi)
-        boundary = w.where((lw <= t_hi) & (lw >= t_lo))
-    else:
-        # bracket violated (pathological ties / quantile error): full rank
-        sure = w.limit(0)
-        boundary = w
-        n_sure = 0
-    rank = F.row_number().over(Window.orderBy(lw.desc(), F.col("doc_id")))
-    picked = (
-        boundary.withColumn("__r", rank)
-        .where(F.col("__r") <= n_keep - n_sure)
-        .drop("__r")
+    n_keep = int(w.count() * fraction)  # floor, as in the oracle
+    return boundary_top_n(w, n_keep, "log_weight", rel_err=rel_err)
+
+
+def dsir_gumbel_sample(
+    docs: DataFrame,
+    target: DataFrame,
+    fraction: float,
+    n_buckets: int = 8192,
+    alpha: float = 1.0,
+    seed: str = "g0",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    rel_err: float = 0.001,
+    scale: int = 6,
+) -> DataFrame:
+    """DSIR importance RESAMPLING proper (Xie et al. 2023): a
+    without-replacement sample of ``fraction`` of the corpus with
+    inclusion probability ∝ importance weight, via the Gumbel-top-k
+    trick — rank by ``log w(x) + Gumbel_i`` and take the top n, which is
+    distributionally exactly weighted sampling without replacement. The
+    Gumbel noise is SEEDED AND DETERMINISTIC: ``u_i`` comes from the
+    engine's md5-uniform convention (first 7 hex chars of
+    ``md5(seed:doc_id)``, midpoint-adjusted over 16^7), and
+    ``g_i = −ln(−ln u_i)`` — so the sampled set is engine-reproducible
+    and a DuckDB oracle replays it bit-for-bit (the ranking key is
+    rounded to ``scale`` decimals to absorb last-ulp transcendental
+    differences between runtimes; ties break by doc id).
+
+    Output: (doc_id, log_weight, n_features) of the sampled documents.
+    Scale shape: identical to :func:`dsir_select` —
+    :func:`boundary_top_n` over the persisted weight table with the
+    Gumbel-perturbed key, never a full-corpus single-partition window."""
+    w = dsir_log_weights(
+        docs, target, n_buckets=n_buckets, alpha=alpha,
+        text_col=text_col, id_col=id_col,
     )
-    return sure.unionByName(picked)
+    if fraction >= 1.0:
+        return w
+    if fraction <= 0.0:
+        return w.limit(0)
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(f"{seed}:"), F.col("doc_id").cast("string"))),
+                1,
+                7,
+            ),
+            16,
+            10,
+        ).cast("double")
+        + F.lit(0.5)
+    ) / F.lit(float(16 ** 7))
+    keyed = w.withColumn(
+        "__gkey", F.round(F.col("log_weight") - F.log(-F.log(u)), scale)
+    ).persist()
+    n_keep = int(keyed.count() * fraction)  # floor, as in the oracle
+    return boundary_top_n(keyed, n_keep, "__gkey", rel_err=rel_err).drop("__gkey")
 
 
 def temperature_sample(

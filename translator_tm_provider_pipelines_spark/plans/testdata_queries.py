@@ -5283,6 +5283,37 @@ def dsir_top_selection_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dsir_gumbel_resample",
+    f"""
+    WITH {_DSIR_SQL},
+    gk AS (
+      SELECT doc_id, log_weight, n_features,
+             round(log_weight - ln(-ln(
+               (('0x' || substr(md5('g0:' || cast(doc_id AS varchar)), 1, 7))::bigint + 0.5)
+               / 268435456.0)), 6) AS gkey
+      FROM dsir
+    ),
+    ranked AS (
+      SELECT doc_id, log_weight, n_features,
+             row_number() OVER (ORDER BY gkey DESC, doc_id) AS r
+      FROM gk
+    )
+    SELECT doc_id, log_weight, n_features FROM ranked
+    WHERE r <= (SELECT cast(floor(count(*) * 0.15) AS bigint) FROM documents)
+    """,
+)
+def dsir_gumbel_resample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance resampling proper (Gumbel-top-k, Xie et al. 2023):
+    a without-replacement 15% sample ∝ importance weight via seeded
+    deterministic Gumbel noise (md5-uniform convention, key rounded to 6
+    decimals), replayed bit-for-bit by the oracle. Ranks through the same
+    boundary-slice window as dsir_top_selection (operators/training.py:
+    dsir_gumbel_sample), never a full-corpus single-partition sort."""
+    d = _t(spark, sf_dir, "documents")
+    return _tr.dsir_gumbel_sample(d, _dsir_target(d), fraction=0.15)
+
+
+@register(
     "temperature_mixture_sample",
     """
     WITH cnt AS (SELECT source, count(*) AS n FROM documents GROUP BY 1),
