@@ -597,3 +597,44 @@ def test_round6_cli_keys(spark, tmp_path):
     cq = spark.read.parquet(str(tmp_path / "cq"))
     assert set(cq.columns) == {"doc_id", "mean_logprob", "n_tokens", "bucket"}
     assert cq.count() == 4
+
+
+def test_round7_sampling_keys_end_to_end(spark, tmp_path):
+    """Round-7 PipelineKeys through cli.main: Gumbel importance
+    resampling and token-budget source mixing."""
+    from translator_tm_provider_pipelines_spark import cli
+
+    base = ("the quick brown fox jumps over the lazy dog and runs far "
+            "into the deep dark forest tonight again")
+    rows = [
+        (i, base + f" filler {i}", "src_a", 120) for i in range(8)
+    ] + [
+        (100 + i, "compass words north south east west entirely different "
+                  f"text body {i}", "src_b", 60)
+        for i in range(4)
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id int, text string, source string, n_tokens int"
+    )
+    docs.write.parquet(str(tmp_path / "docs"))
+    docs.where("doc_id >= 100").write.parquet(str(tmp_path / "target"))
+
+    cli.main(["DSIR_GUMBEL_SAMPLE", "--documents", str(tmp_path / "docs"),
+              "--target", str(tmp_path / "target"),
+              "--output", str(tmp_path / "gs"), "--fraction", "0.5"])
+    gs = spark.read.parquet(str(tmp_path / "gs"))
+    assert gs.count() == 6  # floor(12 * 0.5)
+    again = str(tmp_path / "gs2")
+    cli.main(["DSIR_GUMBEL_SAMPLE", "--documents", str(tmp_path / "docs"),
+              "--target", str(tmp_path / "target"),
+              "--output", again, "--fraction", "0.5"])
+    assert sorted(map(tuple, gs.collect())) == sorted(
+        map(tuple, spark.read.parquet(again).collect())
+    )  # seeded noise: reproducible
+
+    cli.main(["TOKEN_BUDGET_SAMPLE", "--documents", str(tmp_path / "docs"),
+              "--output", str(tmp_path / "tb"), "--budget", "500",
+              "--alpha", "0.5"])
+    tb = spark.read.parquet(str(tmp_path / "tb"))
+    assert set(tb.columns) == {"doc_id", "source"}
+    assert 0 < tb.count() < 12  # a real prefix cut, not all/nothing

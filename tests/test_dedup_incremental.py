@@ -486,3 +486,33 @@ def test_incremental_repair_hops_match_batch_star_repaired(spark, tmp_path):
         reconcile_id=1, repair_hops=-1,
     )
     assert _keep(spark, idx) == batch_repaired
+
+
+def test_index_bucket_stats_watermark(spark, tmp_path, capsys):
+    """index_bucket_stats + should_reconcile: the maintenance gauge counts
+    over-cap buckets and stranded (pair-less) members; a reconcile run
+    drains the stranded population and the watermark stops tripping."""
+    cluster = [(i, BASE) for i in range(1, 7)]
+    idx = str(tmp_path / "idx")
+    for bi, lo in enumerate(range(0, 6, 2)):
+        di.update_near_dup_index(
+            spark, _df(spark, cluster[lo:lo + 2]), idx, batch_id=bi,
+            max_bucket_size=3,
+        )
+    stats = di.index_bucket_stats(spark, idx, max_bucket_size=3)
+    assert stats["n_over_cap_buckets"] >= 1
+    assert stats["n_over_cap_members"] == 6
+    assert stats["n_stranded"] == 4  # batches 2-3 arrived after the cap
+    assert di.should_reconcile(stats)
+    assert not di.should_reconcile(stats, max_stranded=4)  # amortizing watermark
+
+    di.reconcile_capped_buckets(spark, idx, max_bucket_size=3)
+    after = di.index_bucket_stats(spark, idx, max_bucket_size=3)
+    assert after["n_stranded"] == 0
+    assert not di.should_reconcile(after)
+
+    from translator_tm_provider_pipelines_spark import cli
+
+    cli.main(["NEAR_DUP_INDEX_STATS", "--indexDir", idx, "--maxBucketSize", "3"])
+    out = capsys.readouterr().out
+    assert '"n_stranded": 0' in out and "reconcile recommended" not in out

@@ -638,6 +638,26 @@ def run_near_dup_index_reconcile(spark: SparkSession, argv: list[str]) -> None:
     print(f"reconcile run {ns.reconcileId}: {n} repaired pairs")
 
 
+def run_near_dup_index_stats(spark: SparkSession, argv: list[str]) -> None:
+    """NEAR_DUP_INDEX_STATS: maintenance gauge for a capped incremental
+    index — prints over-cap bucket/member/stranded counts as one JSON
+    line, plus 'reconcile recommended' when stranded members exceed the
+    --maxStranded watermark (see dedup_index.index_bucket_stats)."""
+    import json as _json
+
+    from .streaming import dedup_index as di
+
+    p = argparse.ArgumentParser(prog="NEAR_DUP_INDEX_STATS")
+    p.add_argument("--indexDir", required=True)
+    p.add_argument("--maxBucketSize", type=int, required=True)
+    p.add_argument("--maxStranded", type=int, default=0)
+    ns = p.parse_args(argv)
+    stats = di.index_bucket_stats(spark, ns.indexDir, ns.maxBucketSize)
+    print(_json.dumps(stats))
+    if di.should_reconcile(stats, ns.maxStranded):
+        print("reconcile recommended")
+
+
 def run_near_dup_keep_best(spark: SparkSession, argv: list[str]) -> None:
     """NEAR_DUP_KEEP_BEST: quality-aware dedup keep list — clusters as in
     NEAR_DUP_KEEP_LIST (batch), but the kept representative is the member
@@ -706,6 +726,59 @@ def run_temperature_sample(spark: SparkSession, argv: list[str]) -> None:
         spark.read.parquet(ns.documents),
         total=ns.total,
         alpha=ns.alpha,
+        source_col=ns.sourceColumn,
+        id_col=ns.idColumn,
+    ).write.mode("overwrite").parquet(ns.output)
+
+
+def run_dsir_gumbel_sample(spark: SparkSession, argv: list[str]) -> None:
+    """DSIR_GUMBEL_SAMPLE: DSIR importance resampling proper — a
+    without-replacement sample ∝ importance weight via seeded
+    deterministic Gumbel-top-k (engine-reproducible; boundary-slice
+    ranked like DSIR_SELECT)."""
+    from .operators import training as tr
+
+    p = argparse.ArgumentParser(prog="DSIR_GUMBEL_SAMPLE")
+    p.add_argument("--documents", required=True, help="raw corpus parquet")
+    p.add_argument("--target", required=True, help="target-distribution corpus parquet")
+    p.add_argument("--output", required=True)
+    p.add_argument("--fraction", type=float, required=True)
+    p.add_argument("--seed", default="g0")
+    p.add_argument("--nBuckets", type=int, default=8192)
+    p.add_argument("--textColumn", default="text")
+    p.add_argument("--idColumn", default="doc_id")
+    ns = p.parse_args(argv)
+    tr.dsir_gumbel_sample(
+        spark.read.parquet(ns.documents),
+        spark.read.parquet(ns.target),
+        fraction=ns.fraction,
+        seed=ns.seed,
+        n_buckets=ns.nBuckets,
+        text_col=ns.textColumn,
+        id_col=ns.idColumn,
+    ).write.mode("overwrite").parquet(ns.output)
+
+
+def run_token_budget_sample(spark: SparkSession, argv: list[str]) -> None:
+    """TOKEN_BUDGET_SAMPLE: temperature source mixing with the quota
+    denominated in tokens — per-source (Σtokens)^alpha quotas filled as a
+    greedy prefix of the deterministic md5 order."""
+    from .operators import training as tr
+
+    p = argparse.ArgumentParser(prog="TOKEN_BUDGET_SAMPLE")
+    p.add_argument("--documents", required=True)
+    p.add_argument("--output", required=True)
+    p.add_argument("--budget", type=float, required=True, help="total token budget")
+    p.add_argument("--alpha", type=float, default=0.5)
+    p.add_argument("--tokenColumn", default="n_tokens")
+    p.add_argument("--sourceColumn", default="source")
+    p.add_argument("--idColumn", default="doc_id")
+    ns = p.parse_args(argv)
+    tr.token_budget_sample(
+        spark.read.parquet(ns.documents),
+        budget=ns.budget,
+        alpha=ns.alpha,
+        token_col=ns.tokenColumn,
         source_col=ns.sourceColumn,
         id_col=ns.idColumn,
     ).write.mode("overwrite").parquet(ns.output)
@@ -1338,8 +1411,11 @@ PIPELINES: dict[str, Callable[[SparkSession, list[str]], None]] = {
     "NEAR_DUP_INDEX_UPDATE": run_near_dup_index_update,
     "NEAR_DUP_INDEX_COMPACT": run_near_dup_index_compact,
     "NEAR_DUP_INDEX_RECONCILE": run_near_dup_index_reconcile,
+    "NEAR_DUP_INDEX_STATS": run_near_dup_index_stats,
     "NEAR_DUP_KEEP_BEST": run_near_dup_keep_best,
     "DSIR_SELECT": run_dsir_select,
+    "DSIR_GUMBEL_SAMPLE": run_dsir_gumbel_sample,
+    "TOKEN_BUDGET_SAMPLE": run_token_budget_sample,
     "TEMPERATURE_SAMPLE": run_temperature_sample,
     "CCNET_QUALITY": run_ccnet_quality,
     "IVF_RETRAIN": run_ivf_retrain,

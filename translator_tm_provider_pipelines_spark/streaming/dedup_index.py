@@ -343,6 +343,64 @@ def reconcile_capped_buckets(
     return repaired
 
 
+def index_bucket_stats(
+    spark: SparkSession, index_dir: str, max_bucket_size: int
+) -> dict[str, int]:
+    """Maintenance gauge for a capped index — answers "is a reconcile run
+    worth scheduling yet?" without running one:
+
+    - ``n_over_cap_buckets``: band buckets currently above the cap;
+    - ``n_over_cap_members``: distinct documents in those buckets;
+    - ``n_stranded``: those members with NO verified pair at all — the
+      population a :func:`reconcile_capped_buckets` (+ repair hops) run
+      would try to link. Late arrivals to over-cap buckets land here
+      under ``oversize_policy="drop"``; under ``"star"`` only members
+      whose representative edge failed verification (chain shapes).
+
+    One bucket-keyed aggregate over the bands table and one distinct over
+    the pair endpoints — both dimension-of-the-duplicate-population
+    sized, far cheaper than the reconcile pass itself. Wire it to a
+    watermark via :func:`should_reconcile`."""
+    bands = _read_index(spark, index_dir, "bands")
+    if bands is None:
+        raise FileNotFoundError(f"no index at {index_dir}")
+    band_cols = bands.select("doc_id", "band", "band_sig")
+    sizes = band_cols.groupBy("band", "band_sig").agg(
+        F.countDistinct("doc_id").alias("__bn")
+    )
+    over = sizes.where(F.col("__bn") > max_bucket_size)
+    n_over = over.count()
+    if n_over == 0:
+        return {"n_over_cap_buckets": 0, "n_over_cap_members": 0, "n_stranded": 0}
+    members = (
+        band_cols.join(over.select("band", "band_sig"), ["band", "band_sig"])
+        .select("doc_id")
+        .distinct()
+    )
+    pairs = _read_index(spark, index_dir, "pairs")
+    if pairs is None:
+        stranded = members
+    else:
+        attached = pairs.select(
+            F.explode(F.array("doc_a", "doc_b")).alias("doc_id")
+        ).distinct()
+        stranded = members.join(attached, "doc_id", "left_anti")
+    counts = members.agg(F.count(F.lit(1)).alias("m")).first()
+    return {
+        "n_over_cap_buckets": n_over,
+        "n_over_cap_members": int(counts["m"]),
+        "n_stranded": int(stranded.count()),
+    }
+
+
+def should_reconcile(stats: dict[str, int], max_stranded: int = 0) -> bool:
+    """Watermark rule for :func:`index_bucket_stats`: reconcile when more
+    than ``max_stranded`` over-cap members have no verified pair. Zero is
+    the strict setting (any stranded member schedules maintenance); set a
+    positive watermark to amortize reconcile cost over more ingest."""
+    return stats["n_stranded"] > max_stranded
+
+
 def _hadoop_fs(spark: SparkSession, path: str):
     jvm = spark._jvm
     jpath = jvm.org.apache.hadoop.fs.Path(path)
