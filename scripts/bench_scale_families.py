@@ -92,15 +92,13 @@ def main() -> None:
 
     sf10_li = os.path.join(REPO, ".scaledata/sf10-li")
     sf10_li_skew = os.path.join(REPO, ".scaledata/sf10-li-skew")
+    doc_steps = [
+        ("sf0.1", "/root/testdata/sf0.1"),
+        ("sf1.0", os.path.join(REPO, ".scaledata/sf1.0")),
+        ("sf10", os.path.join(REPO, ".scaledata/sf10-docs")),
+    ]
     fams = {
-        "ner": (
-            "ontology_dictionary_ner",
-            [
-                ("sf0.1", "/root/testdata/sf0.1"),
-                ("sf1.0", os.path.join(REPO, ".scaledata/sf1.0")),
-                ("sf10", os.path.join(REPO, ".scaledata/sf10-docs")),
-            ],
-        ),
+        "ner": ("ontology_dictionary_ner", doc_steps),
         "cooc": (
             "cooccurrence_metrics",
             [
@@ -110,6 +108,14 @@ def main() -> None:
                 ("sf10_zipf_skew", sf10_li_skew),
             ],
         ),
+        # the round-7 boundary-slice selection operators: these are the
+        # plans whose pre-fix shape (full-relation single-partition
+        # window) would have been the 100x bottleneck — the exponents
+        # show whether the slice keeps them corpus-linear
+        "dsir_select": ("dsir_top_selection", doc_steps),
+        "dsir_gumbel": ("dsir_gumbel_resample", doc_steps),
+        "temperature": ("temperature_mixture_sample", doc_steps),
+        "token_budget": ("token_budget_mixture_sample", doc_steps),
     }
     if "cooc" not in skip:
         _ensure_skewed_lineitem(sf10_li, sf10_li_skew)
@@ -126,8 +132,11 @@ def main() -> None:
         walls: dict[str, float] = {}
         markers: dict[str, object] = {}
         for label, sf_dir in steps:
-            df = fn(spark, sf_dir)
+            # the builder call is INSIDE the timed window: selection
+            # operators run their quantile/count/quota actions eagerly
+            # while building the plan (same accounting as bench.py)
             t0 = time.perf_counter()
+            df = fn(spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
             walls[label] = round(time.perf_counter() - t0, 1)
             if label.startswith("sf10"):
