@@ -516,3 +516,89 @@ def test_index_bucket_stats_watermark(spark, tmp_path, capsys):
     cli.main(["NEAR_DUP_INDEX_STATS", "--indexDir", idx, "--maxBucketSize", "3"])
     out = capsys.readouterr().out
     assert '"n_stranded": 0' in out and "reconcile recommended" not in out
+
+
+def test_keep_best_from_index_matches_batch(spark, tmp_path):
+    """keep_best_from_index ≡ batch near_dup_keep_best on the accumulated
+    corpus: same clusters, highest-quality member kept, quality supplied
+    as a side table (the index stores only doc_id/text)."""
+    rows = [
+        (1, BASE, 10), (2, BASE + " extra", 99), (3, ROWS_B1[2][1], 5),
+        (4, BASE + " tail", 50),
+        (5, ROWS_B2[1][1], 7),
+    ]
+    quality = spark.createDataFrame(
+        [(d, q) for d, _t, q in rows], "doc_id int, quality int"
+    )
+    docs = spark.createDataFrame(
+        [(d, t) for d, t, _q in rows], "doc_id int, text string"
+    )
+    idx = str(tmp_path / "idx")
+    di.update_near_dup_index(spark, docs.where("doc_id <= 3"), idx, batch_id=0)
+    di.update_near_dup_index(spark, docs.where("doc_id > 3"), idx, batch_id=1)
+
+    batch_docs = spark.createDataFrame(rows, "doc_id int, text string, quality int")
+    want = sorted(map(tuple, dedup.near_dup_keep_best(batch_docs, "quality").collect()))
+    got = sorted(map(tuple, di.keep_best_from_index(
+        spark, idx, quality, "quality"
+    ).collect()))
+    assert got == want
+    kb = {r.doc_id: r for r in di.keep_best_from_index(
+        spark, idx, quality, "quality"
+    ).collect()}
+    assert kb[2].is_kept and not kb[1].is_kept  # quality 99 beats min-id
+    # docs missing from the quality side rank last but stay listed: with
+    # doc 2 unscored, the cluster's best scored member (doc 4, q=50) wins
+    got2 = {r.doc_id: r for r in di.keep_best_from_index(
+        spark, idx, quality.where("doc_id <> 2"), "quality"
+    ).collect()}
+    assert not got2[2].is_kept and got2[2].kept_id == 4
+    assert got2[2].canonical_id == 1  # cluster key unchanged
+
+
+def test_stream_auto_reconcile(spark, tmp_path):
+    """reconcile_every wires the stranded-watermark maintenance into the
+    stream: a 6-member identical-text cluster arriving 2-at-a-time under
+    cap 3 ends FULLY collapsed without any out-of-band reconcile call."""
+    rows = [(i, BASE) for i in range(1, 7)]
+    src = tmp_path / "src"
+    src.mkdir()
+    for bi, lo in enumerate(range(0, 6, 2)):
+        _df(spark, rows[lo:lo + 2]).coalesce(1).write.parquet(str(src / f"b{bi}"))
+    stream = (
+        spark.readStream.schema("doc_id int, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "*"))
+    )
+    idx = str(tmp_path / "idx")
+    q = di.incremental_near_dup_stream(
+        stream, idx, str(tmp_path / "ckpt"),
+        max_bucket_size=3, reconcile_every=3,
+    ).start()
+    q.awaitTermination(180)
+    keep = dict(
+        (r.doc_id, r.canonical_id)
+        for r in di.keep_list_from_index(spark, idx).collect()
+    )
+    assert keep == {i: 1 for i in range(1, 7)}
+    import os
+
+    assert any(d.startswith("batch_id=-") for d in os.listdir(f"{idx}/pairs"))
+
+
+def test_near_dup_index_keep_best_cli(spark, tmp_path):
+    from translator_tm_provider_pipelines_spark import cli
+
+    idx = str(tmp_path / "idx")
+    di.update_near_dup_index(spark, _df(spark, ROWS_B1), idx, batch_id=0)
+    spark.createDataFrame(
+        [(1, 10), (2, 80), (3, 5)], "doc_id int, quality int"
+    ).write.parquet(str(tmp_path / "q"))
+    cli.main([
+        "NEAR_DUP_INDEX_KEEP_BEST", "--indexDir", idx,
+        "--quality", str(tmp_path / "q"), "--qualityColumn", "quality",
+        "--output", str(tmp_path / "kb"),
+    ])
+    kb = {r.doc_id: r for r in spark.read.parquet(str(tmp_path / "kb")).collect()}
+    assert kb[2].is_kept and not kb[1].is_kept and kb[1].kept_id == 2
+    assert kb[3].is_kept  # singleton keeps itself

@@ -836,6 +836,28 @@ def run_near_dup_keep_list_export(spark: SparkSession, argv: list[str]) -> None:
     )
 
 
+
+def run_near_dup_index_keep_best(spark: SparkSession, argv: list[str]) -> None:
+    """NEAR_DUP_INDEX_KEEP_BEST: quality-aware keep list from the
+    incremental index — clusters from the accumulated verified pairs,
+    kept member = highest --qualityColumn in the --quality side table
+    (the index stores only doc_id/text); unscored docs rank last."""
+    from .streaming import dedup_index as di
+
+    p = argparse.ArgumentParser(prog="NEAR_DUP_INDEX_KEEP_BEST")
+    p.add_argument("--indexDir", required=True)
+    p.add_argument("--quality", required=True,
+                   help="(doc_id, <qualityColumn>) parquet side table")
+    p.add_argument("--qualityColumn", required=True)
+    p.add_argument("--output", required=True)
+    p.add_argument("--idColumn", default="doc_id")
+    ns = p.parse_args(argv)
+    di.keep_best_from_index(
+        spark, ns.indexDir, spark.read.parquet(ns.quality),
+        ns.qualityColumn, id_col=ns.idColumn,
+    ).write.mode("overwrite").parquet(ns.output)
+
+
 def run_text_export(spark: SparkSession, argv: list[str]) -> None:
     """TEXT_EXPORT: '###C:'-commented text hand-off files (Turku input)."""
     from .operators import collections as coll
@@ -1412,6 +1434,7 @@ PIPELINES: dict[str, Callable[[SparkSession, list[str]], None]] = {
     "NEAR_DUP_INDEX_COMPACT": run_near_dup_index_compact,
     "NEAR_DUP_INDEX_RECONCILE": run_near_dup_index_reconcile,
     "NEAR_DUP_INDEX_STATS": run_near_dup_index_stats,
+    "NEAR_DUP_INDEX_KEEP_BEST": run_near_dup_index_keep_best,
     "NEAR_DUP_KEEP_BEST": run_near_dup_keep_best,
     "DSIR_SELECT": run_dsir_select,
     "DSIR_GUMBEL_SAMPLE": run_dsir_gumbel_sample,

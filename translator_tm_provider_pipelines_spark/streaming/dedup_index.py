@@ -515,6 +515,67 @@ def keep_list_from_index(spark: SparkSession, index_dir: str) -> DataFrame:
     )
 
 
+def keep_best_from_index(
+    spark: SparkSession,
+    index_dir: str,
+    quality: DataFrame,
+    quality_col: str,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Quality-aware keep list over the accumulated index — the
+    incremental twin of ``dedup.near_dup_keep_best``: clusters are the
+    connected components of the index's verified pairs (canonical_id =
+    min member, the stable cluster key), but the KEPT member is the
+    cluster's highest-``quality_col`` row from the supplied ``quality``
+    relation (doc-id ascending tie-break). The index stores only
+    (doc_id, text), so quality rides in as a side table — typically the
+    same ingest metadata that fed the stream. Documents missing from
+    ``quality`` rank below every scored member (quality −∞) but are
+    still listed. Output: (doc_id, canonical_id, is_kept, kept_id) —
+    identical contract to the batch operator, pinned by an equality
+    test on the accumulated corpus."""
+    docs = _read_index(spark, index_dir, "docs")
+    if docs is None:
+        raise FileNotFoundError(f"no index at {index_dir}")
+    pairs = _read_index(spark, index_dir, "pairs")
+    out = docs.select("doc_id").distinct()  # compaction-crash duplicates
+    if pairs is None:
+        comp = None
+    else:
+        comp = dedup.connected_components(
+            pairs.select("doc_a", "doc_b").distinct()
+        )
+    q = quality.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(quality_col).cast("double").alias("__q"),
+    )
+    base = out.join(q, "doc_id", "left")
+    if comp is not None:
+        base = base.join(comp, base.doc_id == comp.node, "left")
+        canonical = F.coalesce(F.col("component"), F.col("doc_id"))
+    else:
+        canonical = F.col("doc_id")
+    scored = base.select(
+        "doc_id",
+        F.coalesce(F.col("__q"), F.lit(float("-inf"))).alias("__q"),
+        canonical.alias("canonical_id"),
+    )
+    best = (
+        scored.groupBy("canonical_id")
+        .agg(
+            F.min(F.struct((-F.col("__q")).alias("nq"), F.col("doc_id").alias("d")))
+            .alias("__b")
+        )
+        .select("canonical_id", F.col("__b.d").alias("kept_id"))
+    )
+    return scored.join(best, "canonical_id").select(
+        "doc_id",
+        "canonical_id",
+        (F.col("doc_id") == F.col("kept_id")).alias("is_kept"),
+        "kept_id",
+    )
+
+
 def incremental_near_dup_stream(
     stream: DataFrame,
     index_dir: str,
@@ -527,11 +588,27 @@ def incremental_near_dup_stream(
     id_col: str = "doc_id",
     max_bucket_size: int | None = None,
     oversize_policy: str = "drop",
+    reconcile_every: int | None = None,
+    reconcile_repair_hops: int = 0,
+    reconcile_max_stranded: int = 0,
 ) -> DataStreamWriter:
     """foreachBatch wrapper: each micro-batch of newly ingested documents
     updates the index via :func:`update_near_dup_index`. Combine with
     ``trigger(availableNow=True)`` for catch-up runs; the per-batch
-    dynamic-partition writes make retries idempotent."""
+    dynamic-partition writes make retries idempotent.
+
+    ``reconcile_every`` (requires ``max_bucket_size``) schedules the
+    capped-bucket maintenance INSIDE the stream: after every N-th batch
+    the :func:`index_bucket_stats` gauge runs, and when more than
+    ``reconcile_max_stranded`` over-cap members are pair-less,
+    :func:`reconcile_capped_buckets` repairs them (with
+    ``reconcile_repair_hops``). The reconcile run uses
+    ``reconcile_id=batch_id``, so a foreachBatch RETRY re-runs the same
+    idempotent reconcile at the same (negative) partition, and distinct
+    trigger batches never collide. Leave it ``None`` to run maintenance
+    out-of-band (the CLI's NEAR_DUP_INDEX_STATS / _RECONCILE pair)."""
+    if reconcile_every is not None and max_bucket_size is None:
+        raise ValueError("reconcile_every requires max_bucket_size")
 
     def run_batch(batch_df: DataFrame, batch_id: int) -> None:
         update_near_dup_index(
@@ -548,6 +625,20 @@ def incremental_near_dup_stream(
             max_bucket_size=max_bucket_size,
             oversize_policy=oversize_policy,
         )
+        if reconcile_every is not None and (batch_id + 1) % reconcile_every == 0:
+            stats = index_bucket_stats(
+                batch_df.sparkSession, index_dir, max_bucket_size
+            )
+            if should_reconcile(stats, reconcile_max_stranded):
+                reconcile_capped_buckets(
+                    batch_df.sparkSession,
+                    index_dir,
+                    max_bucket_size,
+                    threshold=threshold,
+                    k=k,
+                    reconcile_id=batch_id,
+                    repair_hops=reconcile_repair_hops,
+                )
 
     return (
         stream.writeStream.foreachBatch(run_batch)
