@@ -416,3 +416,11 @@ def test_token_budget_sample_cumsum_over_prefiltered_sources(spark):
     assert len(idx) == 1, f"expected exactly one cumsum window, got {len(idx)}"
     below = next(l for l in lines[idx[0] + 1:] if "Filter" in l)
     assert "substring(md5(" in below and "CASE WHEN" in below
+
+
+def test_dsir_gumbel_ranks_boundary_slice_only(spark):
+    """dsir_gumbel_resample shares boundary_top_n with dsir_select: its
+    Gumbel-key window must consume a bracketed Filter slice, never the
+    full weight relation."""
+    f = _first_filter_below(plan_text(spark, "dsir_gumbel_resample"), "__gkey")
+    assert "__gkey" in f and ">=" in f and "<=" in f
