@@ -56,6 +56,22 @@ SHOWCASE = {
         "broadcast dictionary; the tokenize->n-gram chain costs one "
         "Exchange and one Sort"
     ),
+    "dsir_top_selection": (
+        "round-7 boundary-slice rank: the global row_number window sits "
+        "above a bracketed log_weight Filter, never the full weight table"
+    ),
+    "dsir_gumbel_resample": (
+        "Gumbel-top-k resampling through the same boundary slice "
+        "(bracketed __gkey Filter below the window)"
+    ),
+    "temperature_mixture_sample": (
+        "per-source rank consumes only the md5-prefix survivors "
+        "(CASE-threshold Filter below the source-partitioned window)"
+    ),
+    "token_budget_mixture_sample": (
+        "per-source running-token cut over the md5-prefix slice; quota "
+        "joins broadcast"
+    ),
 }
 
 KEEP = re.compile(
