@@ -116,6 +116,12 @@ def main() -> None:
         "dsir_gumbel": ("dsir_gumbel_resample", doc_steps),
         "temperature": ("temperature_mixture_sample", doc_steps),
         "token_budget": ("token_budget_mixture_sample", doc_steps),
+        # two more document-driven reference families (round 7 extras):
+        # the sentence layer (narrow pass + doc_id window) and the J1
+        # universal input join (one OR-predicate scan + two doc_id
+        # shuffles over the synthesized two-stream store)
+        "sentence": ("sentence_segmentation", doc_steps),
+        "uij": ("universal_input_join", doc_steps),
     }
     if "cooc" not in skip:
         _ensure_skewed_lineitem(sf10_li, sf10_li_skew)
