@@ -67,6 +67,14 @@ def main() -> None:
         di.update_near_dup_index(spark, delta, idx, batch_id=1)
         t_delta = time.monotonic() - t0
 
+        # the per-Nth-batch maintenance gauge the in-stream auto-reconcile
+        # runs (round 7): its wall is the overhead a gauge batch pays on
+        # top of the ordinary absorb — the reconcile itself only runs when
+        # the stranded watermark trips
+        t0 = time.monotonic()
+        gauge = di.index_bucket_stats(spark, idx, max_bucket_size=8)
+        t_gauge = time.monotonic() - t0
+
         t0 = time.monotonic()
         dedup.near_dup_keep_list(docs).write.format("noop").mode(
             "overwrite"
@@ -93,6 +101,8 @@ def main() -> None:
         "delta_pct": ns.delta_pct,
         "backfill_sec": round(t_backfill, 3),
         "delta_batch_sec": round(t_delta, 3),
+        "gauge_sec": round(t_gauge, 3),
+        "gauge_stats": gauge,
         "full_recompute_sec": round(t_full, 3),
         "speedup": round(t_full / t_delta, 2) if t_delta else None,
         "keep_list_mismatch_rows": mismatch,
