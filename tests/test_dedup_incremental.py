@@ -602,3 +602,69 @@ def test_near_dup_index_keep_best_cli(spark, tmp_path):
     kb = {r.doc_id: r for r in spark.read.parquet(str(tmp_path / "kb")).collect()}
     assert kb[2].is_kept and not kb[1].is_kept and kb[1].kept_id == 2
     assert kb[3].is_kept  # singleton keeps itself
+
+
+def test_reconcile_rerun_same_id_after_ingest_keeps_prior_repairs(
+    spark, tmp_path
+):
+    """r7 ADVICE (medium): re-running reconcile with the SAME id after new
+    ingest must not lose the prior run's repairs. The fresh candidates
+    anti-join against ALL existing pairs (including the prior repair
+    partition), so the dynamic overwrite of that partition would silently
+    delete them unless the still-valid stored rows are unioned back in —
+    a cron'd NEAR_DUP_INDEX_RECONCILE keeps the CLI default id forever."""
+    cluster = [(i, BASE) for i in range(1, 7)]
+    idx = str(tmp_path / "idx")
+    for bi, lo in enumerate(range(0, 6, 2)):
+        di.update_near_dup_index(
+            spark, _df(spark, cluster[lo:lo + 2]), idx, batch_id=bi,
+            max_bucket_size=3,
+        )
+    di.reconcile_capped_buckets(spark, idx, max_bucket_size=3)  # id=0
+    keep1 = dict(
+        (r.doc_id, r.canonical_id)
+        for r in di.keep_list_from_index(spark, idx).collect()
+    )
+    assert all(keep1[d] == 1 for d in range(2, 7))  # repaired: all link to 1
+    # interleaved ingest: two more members join the (already over-cap)
+    # bucket and get no edges from the per-batch guard
+    di.update_near_dup_index(
+        spark, _df(spark, [(20, BASE), (21, BASE)]), idx, batch_id=3,
+        max_bucket_size=3,
+    )
+    # re-run with the SAME reconcile id (the CLI default): must repair the
+    # new arrivals AND keep every previously repaired pair
+    di.reconcile_capped_buckets(spark, idx, max_bucket_size=3)
+    keep2 = dict(
+        (r.doc_id, r.canonical_id)
+        for r in di.keep_list_from_index(spark, idx).collect()
+    )
+    assert all(keep2[d] == 1 for d in (2, 3, 4, 5, 6, 20, 21)), keep2
+    # and the rewrite stayed one-partition / idempotent: a third same-id
+    # run with nothing new changes nothing
+    di.reconcile_capped_buckets(spark, idx, max_bucket_size=3)
+    assert _keep(spark, idx) == _keep(spark, idx)
+    keep3 = dict(
+        (r.doc_id, r.canonical_id)
+        for r in di.keep_list_from_index(spark, idx).collect()
+    )
+    assert keep3 == keep2
+
+
+def test_keep_best_from_index_duplicate_quality_rows(spark, tmp_path):
+    """r7 ADVICE: a quality side table with duplicate doc_id rows must not
+    fan out the keep list — one output row per document, scored by the
+    doc's MAX quality value."""
+    rows = [(1, BASE), (2, BASE + " extra"), (3, ROWS_B1[2][1])]
+    docs = spark.createDataFrame(rows, "doc_id int, text string")
+    idx = str(tmp_path / "idx")
+    di.update_near_dup_index(spark, docs, idx, batch_id=0)
+    quality = spark.createDataFrame(
+        [(1, 10), (1, 99), (2, 50), (2, 40), (3, 5)],
+        "doc_id int, quality int",
+    )
+    out = di.keep_best_from_index(spark, idx, quality, "quality").collect()
+    assert len(out) == 3  # one row per doc despite duplicate quality rows
+    by_id = {r.doc_id: r for r in out}
+    # doc 1 scores as max(10, 99) = 99 > doc 2's max(50, 40): doc 1 kept
+    assert by_id[1].is_kept and not by_id[2].is_kept and by_id[2].kept_id == 1

@@ -396,26 +396,49 @@ def test_dsir_selection_ranks_boundary_slice_only(spark):
     assert "log_weight" in f and ">=" in f and "<=" in f
 
 
+def _first_join_below(plan: str, window_marker: str, col_marker: str) -> str:
+    """The first BroadcastHashJoin line below the (unique) matching Window
+    operator — the mixture samplers' slice predicate lives in its residual
+    join condition."""
+    lines = plan.splitlines()
+    idx = [
+        i
+        for i, l in enumerate(lines)
+        if window_marker in l and col_marker in l
+    ]
+    assert len(idx) == 1, f"expected exactly one matching window, got {len(idx)}"
+    for line in lines[idx[0] + 1:]:
+        if "BroadcastHashJoin" in line:
+            return line
+    raise AssertionError("no BroadcastHashJoin below the window")
+
+
 def test_temperature_sample_ranks_prefiltered_sources(spark):
     """temperature_sample's per-source window must consume only the
     md5-prefix survivors (~slack x quota rows per source), never each
     source's full row set (source cardinality is small by design, so an
-    unfiltered window is one task per source over the whole corpus)."""
-    f = _first_filter_below(plan_text(spark, "temperature_mixture_sample"), "source")
-    assert "substring(md5(" in f and "CASE WHEN" in f
+    unfiltered window is one task per source over the whole corpus).
+    The threshold must arrive via the BROADCAST plan-table join, never
+    an O(n_sources) CASE WHEN chain (codegen blowup past ~1k sources).
+    Catalyst folds the slice predicate into the broadcast join's residual
+    condition — rows are dropped during the probe, before the window's
+    Exchange+Sort ever sees them."""
+    plan = plan_text(spark, "temperature_mixture_sample")
+    j = _first_join_below(plan, "Window [row_number()", "source")
+    assert "substring(md5(" in j and "__thr" in j and "__def" in j
+    assert "CASE WHEN" not in plan
 
 
 def test_token_budget_sample_cumsum_over_prefiltered_sources(spark):
     """token_budget_sample's per-source cumulative-sum window must consume
     only the md5-prefix survivors, mirroring temperature_sample's
-    boundary-slice contract."""
+    boundary-slice contract — threshold via the broadcast plan table
+    (folded into the join's residual condition), never a per-source
+    CASE WHEN chain."""
     plan = plan_text(spark, "token_budget_mixture_sample")
-    lines = plan.splitlines()
-    idx = [i for i, l in enumerate(lines)
-           if "Window [sum(" in l and "source" in l]
-    assert len(idx) == 1, f"expected exactly one cumsum window, got {len(idx)}"
-    below = next(l for l in lines[idx[0] + 1:] if "Filter" in l)
-    assert "substring(md5(" in below and "CASE WHEN" in below
+    j = _first_join_below(plan, "Window [sum(", "source")
+    assert "substring(md5(" in j and "__thr" in j and "__def" in j
+    assert "CASE WHEN" not in plan
 
 
 def test_dsir_gumbel_ranks_boundary_slice_only(spark):

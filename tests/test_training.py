@@ -391,3 +391,43 @@ def test_dsir_gumbel_sample_matches_naive_rank(spark):
     assert got == want and len(got) == n_keep
     top = sorted(r.doc_id for r in tr.dsir_select(docs, target, fraction=0.4).collect())
     assert got != top  # noise resamples: lower-weight docs can win slots
+
+
+def test_boundary_top_n_degenerate_all_equal_keys(spark):
+    """All-equal keys make the quantile bracket degenerate (n_sure=0,
+    n_cand=n): the validated-count fallback must trigger a full rank and
+    still return EXACTLY n_keep rows, tie-broken by doc_id ascending."""
+    docs = spark.createDataFrame(
+        [(i, 1.0) for i in range(40)], "doc_id int, key double"
+    )
+    out = tr.boundary_top_n(docs, 7, "key").collect()
+    assert sorted(r.doc_id for r in out) == list(range(7))
+
+
+def test_boundary_top_n_trusts_caller_n_total(spark):
+    """With n_total supplied, boundary_top_n must run NO count action of
+    its own (the dsir callers already counted the persisted table) — a
+    poisoned .count() proves the docstring's no-extra-count claim."""
+    docs = spark.createDataFrame(
+        [(i, float(i)) for i in range(50)], "doc_id int, key double"
+    )
+
+    def _poisoned_count():
+        raise AssertionError("boundary_top_n ran its own count action")
+
+    docs.count = _poisoned_count  # type: ignore[method-assign]
+    out = tr.boundary_top_n(docs, 5, "key", n_total=50).collect()
+    assert sorted(r.doc_id for r in out) == [45, 46, 47, 48, 49]
+
+
+def test_temperature_sample_5k_sources_bounded_compile(spark):
+    """5,000 distinct sources: the broadcast plan-table join compiles and
+    runs in bounded time where the old per-source nested CASE WHEN chain
+    overflowed the analyzer/codegen stack. Quotas must still fill."""
+    n_src = 5000
+    rows = [(s * 3 + j, f"src{s}") for s in range(n_src) for j in range(3)]
+    docs = spark.createDataFrame(rows, "doc_id int, source string")
+    out = tr.temperature_sample(docs, total=n_src, alpha=0.5)
+    got = out.groupBy().count().collect()[0][0]
+    # every source has equal size, so quota = total/n_src = 1 doc each
+    assert got == n_src

@@ -621,7 +621,10 @@ def run_near_dup_index_reconcile(spark: SparkSession, argv: list[str]) -> None:
     p.add_argument("--reconcileId", type=int, default=0,
                    help="maintenance-run counter; pairs land at the NEGATIVE "
                         "partition batch_id=-(1+reconcileId), disjoint from "
-                        "stream epoch ids (same id re-run = idempotent)")
+                        "stream epoch ids. Re-running the same id is safe "
+                        "even after new ingest (prior repairs are unioned "
+                        "back into the rewrite) — a cron job can keep the "
+                        "default forever")
     p.add_argument("--maxBucketSize", type=int, required=True)
     p.add_argument("--threshold", type=float, default=0.8)
     p.add_argument("--repairHops", type=int, default=0,

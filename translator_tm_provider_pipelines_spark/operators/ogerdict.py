@@ -724,7 +724,10 @@ def promote_taxon_dictionary(
     key = ["case_sensitive", "term"]
     counts = Window.partitionBy(*key)
     # the (dimension-size) dictionary feeds four branches below; persist
-    # once instead of re-deriving the whole build per branch
+    # once instead of re-deriving the whole build per branch. Cache
+    # contract: stays persisted after return (the returned plan reads
+    # it) — long-lived multi-call sessions release it via
+    # spark.catalog.clearCache() after materializing the result
     d = dictionary.withColumn(
         "__n", F.size(F.collect_set("concept_id").over(counts))
     ).persist()

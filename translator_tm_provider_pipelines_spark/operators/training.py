@@ -304,6 +304,7 @@ def boundary_top_n(
     key_col: str,
     tie_col: str = "doc_id",
     rel_err: float = 0.001,
+    n_total: int | None = None,
 ) -> DataFrame:
     """EXACT global top-``n_keep`` by (``key_col`` desc, ``tie_col`` asc)
     WITHOUT a full-relation single-partition window — the boundary-slice
@@ -318,12 +319,14 @@ def boundary_top_n(
     A one-pass count of the sure and candidate sets validates the
     bracket; a degenerate distribution (ties wider than the bracket)
     falls back to the full rank rather than returning a wrong set. The
-    caller should persist ``df`` (this makes 3 passes over it); the
-    caller also supplies ``n_keep`` so no extra count action runs
-    here."""
+    caller should persist ``df`` (this makes 2 passes over it plus the
+    quantile sketch) and pass the relation size it already counted as
+    ``n_total`` so no extra count action runs here (left None, one count
+    runs)."""
     if n_keep <= 0:
         return df.limit(0)
-    n_total = df.count()  # cheap on a persisted narrow relation
+    if n_total is None:
+        n_total = df.count()
     if n_keep >= n_total:
         return df
     key = F.col(key_col)
@@ -376,7 +379,14 @@ def dsir_select(
     n_features — narrow) is persisted for the quantile/count/rank
     passes; ``n_keep = floor(count · fraction)`` comes from the SAME
     table (no second corpus action) and matches the oracle's ``floor()``
-    exactly."""
+    exactly.
+
+    Cache contract: the weight table STAYS persisted after return — the
+    returned plan reads it, so this function cannot unpersist it itself.
+    A long-lived session making many calls should release it after
+    materializing the result (``spark.catalog.clearCache()`` or
+    iterating ``spark.sparkContext._jsc.getPersistentRDDs``); a one-shot
+    job can ignore this."""
     w = dsir_log_weights(
         docs, target, n_buckets=n_buckets, alpha=alpha,
         text_col=text_col, id_col=id_col,
@@ -386,8 +396,11 @@ def dsir_select(
     if fraction <= 0.0:
         return w.limit(0)
     w = w.persist()
-    n_keep = int(w.count() * fraction)  # floor, as in the oracle
-    return boundary_top_n(w, n_keep, "log_weight", rel_err=rel_err)
+    n_total = w.count()
+    n_keep = int(n_total * fraction)  # floor, as in the oracle
+    return boundary_top_n(
+        w, n_keep, "log_weight", rel_err=rel_err, n_total=n_total
+    )
 
 
 def dsir_gumbel_sample(
@@ -418,7 +431,10 @@ def dsir_gumbel_sample(
     Output: (doc_id, log_weight, n_features) of the sampled documents.
     Scale shape: identical to :func:`dsir_select` —
     :func:`boundary_top_n` over the persisted weight table with the
-    Gumbel-perturbed key, never a full-corpus single-partition window."""
+    Gumbel-perturbed key, never a full-corpus single-partition window.
+    Same cache contract as :func:`dsir_select`: the persisted keyed
+    weight table outlives the call (the returned plan reads it) — a
+    long-lived session should clear it after materializing the result."""
     w = dsir_log_weights(
         docs, target, n_buckets=n_buckets, alpha=alpha,
         text_col=text_col, id_col=id_col,
@@ -442,8 +458,29 @@ def dsir_gumbel_sample(
     keyed = w.withColumn(
         "__gkey", F.round(F.col("log_weight") - F.log(-F.log(u)), scale)
     ).persist()
-    n_keep = int(keyed.count() * fraction)  # floor, as in the oracle
-    return boundary_top_n(keyed, n_keep, "__gkey", rel_err=rel_err).drop("__gkey")
+    n_total = keyed.count()
+    n_keep = int(n_total * fraction)  # floor, as in the oracle
+    return boundary_top_n(
+        keyed, n_keep, "__gkey", rel_err=rel_err, n_total=n_total
+    ).drop("__gkey")
+
+
+def _mixture_plan_table(spark, rows, src_type, quota_type=T.LongType()):
+    """Per-source plan table (source, md5-prefix threshold, quota,
+    deficient-fallback flag) for the two mixture samplers. Built from one
+    dimension-sized collect and BROADCAST-joined back onto the corpus —
+    the constant-cardinality alternative to compiling an
+    O(n_sources)-deep CASE WHEN threshold chain (which overflows the
+    analyzer/codegen stack somewhere past a few thousand sources)."""
+    schema = T.StructType(
+        [
+            T.StructField("__psrc", src_type),
+            T.StructField("__thr", T.StringType()),
+            T.StructField("__quota", quota_type),
+            T.StructField("__def", T.BooleanType()),
+        ]
+    )
+    return spark.createDataFrame(rows, schema)
 
 
 def temperature_sample(
@@ -466,22 +503,28 @@ def temperature_sample(
     754 in every engine; arbitrary pow is not).
 
     Output: (doc_id, source). Scale shape — boundary-slice ranking, not
-    a full-source window: source cardinality is small by construction
-    (that is the point of the operator), so the per-source counts and
-    quotas collect to the driver (bounded, dimension-sized), and each
-    source gets an md5-PREFIX keep threshold of ``quota/n · slack`` plus
-    ``min_margin``/65536. Because the prefix filter keeps exactly a
-    prefix of the per-source rank order (the first 4 md5 hex chars
-    dominate the full-md5 sort), ranking the survivors reproduces the
-    full-source ranks for every rank ≤ quota — the per-source window
-    then sorts ~``slack × quota`` rows instead of the whole source. A
-    per-source survivor count (one dimension-sized aggregate) validates
-    the binomial margin; any deficient source — astronomically unlikely
-    at the defaults, but possible for tiny sources — falls back to
-    ranking that source in full, so the output is EXACTLY the unfiltered
-    ranking's for every distribution."""
+    a full-source window: each source gets an md5-PREFIX keep threshold
+    of ``quota/n · slack`` plus ``min_margin``/65536, carried on a small
+    per-source plan table that BROADCAST-joins onto the corpus (a
+    threshold expression per source would compile an O(n_sources)-deep
+    CASE WHEN chain — at 10k sources that overflows codegen; the join is
+    the same plan at any cardinality). Because the prefix filter keeps
+    exactly a prefix of the per-source rank order (the first 4 md5 hex
+    chars dominate the full-md5 sort), ranking the survivors reproduces
+    the full-source ranks for every rank ≤ quota — the per-source window
+    then sorts ~``slack × quota`` rows instead of the whole source.
+    ONE dimension-sized driver action collects per-source count, quota,
+    threshold AND survivor count together; it validates the binomial
+    margin, and any deficient source — astronomically unlikely at the
+    defaults, but possible for tiny sources — falls back to ranking that
+    source in full, so the output is EXACTLY the unfiltered ranking's
+    for every distribution."""
+    staged = docs.select(
+        F.col(id_col).alias("doc_id"), F.col(source_col).alias("source")
+    )
+    key = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4)
     w = F.pow(F.col("n").cast("double"), F.lit(float(alpha)))
-    cnts = docs.groupBy(F.col(source_col).alias("__src")).agg(
+    cnts = staged.groupBy(F.col("source").alias("__src")).agg(
         F.count(F.lit(1)).alias("n")
     )
     tot_w = cnts.agg(F.sum(w).alias("tw"))
@@ -490,35 +533,46 @@ def temperature_sample(
         "n",
         F.round(F.lit(int(total)) * w / F.col("tw")).cast("long").alias("__quota"),
     )
-    quotas = {r["__src"]: (int(r["n"]), int(r["__quota"])) for r in quota_df.collect()}
-
-    def _prefix_threshold(n: int, q: int) -> str:
-        if q <= 0:
-            return "0000"  # keeps nothing; the quota filter drops all anyway
-        v = int(-(-0x10000 * q * slack // n)) + min_margin  # ceil + margin
-        return format(v, "04x") if v < 0x10000 else "g"  # 'g' > any hex: keep all
-
-    thr = F.lit("g")
-    for src, (n, q) in sorted(quotas.items()):
-        thr = F.when(F.col("source") == src, F.lit(_prefix_threshold(n, q))).otherwise(thr)
-    staged = docs.select(
-        F.col(id_col).alias("doc_id"), F.col(source_col).alias("source")
+    # prefix threshold as a COLUMN of the per-source table: ceil(q·slack/n
+    # · 0x10000) + margin, rendered as 4 lowercase hex chars ('g' sorts
+    # above every hex digit → keep all; '0000' keeps nothing). Exactness
+    # never hinges on the threshold value — the survivor-count validation
+    # plus full-rank fallback below make the output threshold-independent.
+    v = F.ceil(
+        F.lit(float(0x10000) * float(slack)) * F.col("__quota") / F.col("n")
+    ) + F.lit(int(min_margin))
+    thr_df = quota_df.withColumn(
+        "__thr",
+        F.when(F.col("__quota") <= 0, F.lit("0000"))
+        .when(v >= 0x10000, F.lit("g"))
+        .otherwise(F.lower(F.lpad(F.hex(v), 4, "0"))),
     )
-    key = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4)
-    survivors = staged.where(key < thr)
-    surv_counts = {
-        r["source"]: r["c"]
-        for r in survivors.groupBy("source").agg(F.count(F.lit(1)).alias("c")).collect()
-    }
-    deficient = [
-        src
-        for src, (n, q) in quotas.items()
-        if surv_counts.get(src, 0) < min(n, q)
-    ]
-    if deficient:
-        survivors = survivors.where(~F.col("source").isin(deficient)).unionByName(
-            staged.where(F.col("source").isin(deficient))
+    # single fused driver action: n, quota, threshold, survivor count
+    stats = (
+        staged.join(F.broadcast(thr_df), F.col("source") == F.col("__src"))
+        .groupBy("source")
+        .agg(
+            F.first("n").alias("n"),
+            F.first("__quota").alias("q"),
+            F.first("__thr").alias("t"),
+            F.sum(F.when(key < F.col("__thr"), 1).otherwise(0)).alias("ns"),
         )
+    )
+    plan_rows = [
+        (
+            r["source"],
+            r["t"],
+            int(r["q"]),
+            int(r["ns"]) < min(int(r["n"]), int(r["q"])),  # deficient?
+        )
+        for r in stats.collect()
+    ]
+    plan = _mixture_plan_table(
+        stats.sparkSession, plan_rows, stats.schema["source"].dataType
+    )
+    survivors = staged.join(
+        F.broadcast(plan), F.col("source") == F.col("__psrc")
+    ).where((key < F.col("__thr")) | F.col("__def"))
     rank = F.row_number().over(
         Window.partitionBy("source").orderBy(
             F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
@@ -526,10 +580,6 @@ def temperature_sample(
     )
     return (
         survivors.withColumn("__rn", rank)
-        .join(
-            F.broadcast(quota_df.select("__src", "__quota")),
-            F.col("source") == F.col("__src"),
-        )
         .where(F.col("__rn") <= F.col("__quota"))
         .select("doc_id", "source")
     )
@@ -556,19 +606,28 @@ def token_budget_sample(
     engine-reproducible, and quota overshoot is bounded by one document.
 
     Output: (doc_id, source). Scale shape mirrors
-    :func:`temperature_sample`: per-source token totals and quotas
-    collect to the driver (dimension-sized — small source cardinality is
-    the operator's premise); each source pre-filters to an md5-PREFIX
-    slice of expected size ``slack ×`` its token keep-fraction, so the
-    per-source cumulative-sum window sorts only the slice, never the full
-    source. Exactness is validated per source: if a source's surviving
-    slice neither crosses its quota nor covers the whole source, the
-    boundary might extend past the slice, and that source falls back to a
-    full-source window — the output equals the unfiltered computation for
-    every input (pinned by test)."""
+    :func:`temperature_sample`: per-source thresholds ride a small
+    BROADCAST-joined plan table (never an O(n_sources) CASE WHEN chain);
+    each source pre-filters to an md5-PREFIX slice of expected size
+    ``slack ×`` its token keep-fraction, so the per-source
+    cumulative-sum window sorts only the slice, never the full source.
+    ONE dimension-sized driver action collects per-source token total,
+    row count, quota, threshold, and the slice's token sum + row count
+    together; exactness is validated per source — if a source's
+    surviving slice neither crosses its quota (slice token sum ≤ quota,
+    i.e. its max running total never passes it) nor covers the whole
+    source, the boundary might extend past the slice, and that source
+    falls back to a full-source window — the output equals the
+    unfiltered computation for every input (pinned by test)."""
     toks = F.col(token_col).cast("double")
-    cnts = docs.groupBy(F.col(source_col).alias("__src")).agg(
-        F.sum(toks).alias("tok"), F.count(F.lit(1)).alias("n")
+    staged = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(source_col).alias("source"),
+        toks.alias("__tok"),
+    )
+    key = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4)
+    cnts = staged.groupBy(F.col("source").alias("__src")).agg(
+        F.sum("__tok").alias("tok"), F.count(F.lit(1)).alias("n")
     )
     w = F.pow(F.col("tok"), F.lit(float(alpha)))
     tot_w = cnts.agg(F.sum(w).alias("tw"))
@@ -581,58 +640,61 @@ def token_budget_sample(
         # boundary compare must not hinge on it
         F.round(F.lit(float(budget)) * w / F.col("tw"), 4).alias("__quota"),
     )
-    rows = {
-        r["__src"]: (float(r["tok"] or 0.0), int(r["n"]), float(r["__quota"]))
-        for r in quota_df.collect()
-    }
-
-    def _prefix_threshold(tok: float, q: float) -> str:
-        if q <= 0 or tok <= 0:
-            return "0000"  # keeps nothing; the quota filter drops all anyway
-        frac = min(1.0, q / tok)
-        v = int(-(-0x10000 * frac * slack // 1)) + min_margin
-        return format(v, "04x") if v < 0x10000 else "g"
-
-    thr = F.lit("g")
-    for src, (tok, _n, q) in sorted(rows.items()):
-        thr = F.when(F.col("source") == src, F.lit(_prefix_threshold(tok, q))).otherwise(thr)
-    staged = docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.col(source_col).alias("source"),
-        toks.alias("__tok"),
+    # prefix threshold as a column: ceil(min(1, q/tok)·slack·0x10000) +
+    # margin. Exactness never hinges on it — the validation + fallback
+    # below make the output threshold-independent.
+    frac = F.least(F.lit(1.0), F.col("__quota") / F.col("tok"))
+    v = F.ceil(F.lit(float(0x10000) * float(slack)) * frac) + F.lit(int(min_margin))
+    thr_df = quota_df.withColumn(
+        "__thr",
+        F.when((F.col("__quota") <= 0) | (F.col("tok") <= 0), F.lit("0000"))
+        .when(v >= 0x10000, F.lit("g"))
+        .otherwise(F.lower(F.lpad(F.hex(v), 4, "0"))),
     )
-    key = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4)
+    # single fused driver action: totals, quota, threshold, and the
+    # slice's token sum (== the max running total of the slice) + count
+    stats = (
+        staged.join(F.broadcast(thr_df), F.col("source") == F.col("__src"))
+        .groupBy("source")
+        .agg(
+            F.first("tok").alias("tok"),
+            F.first("n").alias("n"),
+            F.first("__quota").alias("q"),
+            F.first("__thr").alias("t"),
+            F.sum(F.when(key < F.col("__thr"), F.col("__tok"))).alias("stok"),
+            F.sum(F.when(key < F.col("__thr"), 1).otherwise(0)).alias("sc"),
+        )
+    )
+    plan_rows = [
+        (
+            r["source"],
+            r["t"],
+            float(r["q"]),
+            bool(
+                float(r["q"]) > 0
+                and float(r["tok"] or 0.0) > 0
+                and float(r["stok"] or 0.0) <= float(r["q"])  # never crossed
+                and int(r["sc"]) < int(r["n"])  # ...and not the whole source
+            ),
+        )
+        for r in stats.collect()
+    ]
+    plan = _mixture_plan_table(
+        stats.sparkSession,
+        plan_rows,
+        stats.schema["source"].dataType,
+        quota_type=T.DoubleType(),
+    )
     cum = F.sum("__tok").over(
         Window.partitionBy("source")
         .orderBy(F.md5(F.col("doc_id").cast("string")), F.col("doc_id"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-
-    def _with_cut(surv: DataFrame) -> DataFrame:
-        return surv.withColumn("__ctok", cum).join(
-            F.broadcast(quota_df.select("__src", "__quota")),
-            F.col("source") == F.col("__src"),
-        )
-
-    survivors = _with_cut(staged.where(key < thr))
-    check = {
-        r["source"]: (float(r["mx"] or 0.0), int(r["c"]))
-        for r in survivors.groupBy("source")
-        .agg(F.max("__ctok").alias("mx"), F.count(F.lit(1)).alias("c"))
-        .collect()
-    }
-    deficient = [
-        src
-        for src, (tok, n, q) in rows.items()
-        if q > 0
-        and tok > 0
-        and check.get(src, (0.0, 0))[0] <= q  # slice never crossed the quota
-        and check.get(src, (0.0, 0))[1] < n  # ...and is not the whole source
-    ]
-    if deficient:
-        survivors = _with_cut(
-            staged.where((key < thr) | F.col("source").isin(deficient))
-        )
+    survivors = (
+        staged.join(F.broadcast(plan), F.col("source") == F.col("__psrc"))
+        .where((key < F.col("__thr")) | F.col("__def"))
+        .withColumn("__ctok", cum)
+    )
     return survivors.where(F.col("__ctok") <= F.col("__quota")).select(
         "doc_id", "source"
     )

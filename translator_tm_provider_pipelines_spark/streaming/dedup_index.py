@@ -262,11 +262,15 @@ def reconcile_capped_buckets(
     All repaired pairs land in ONE partition at
     ``batch_id = reconcile_partition_id(reconcile_id)`` — a NEGATIVE id,
     disjoint by construction from the stream's non-negative epoch ids, so
-    no future micro-batch can overwrite a repair partition (re-running
-    the same ``reconcile_id`` dynamic-overwrites it → idempotent;
-    schedule distinct maintenance runs with distinct ids).
-    :func:`compact_index` merges repair partitions like any other.
-    Returns the newly verified pairs.
+    no future micro-batch can overwrite a repair partition. Re-running
+    the same ``reconcile_id`` is SAFE even after interleaved ingest: the
+    rows already stored in the target partition are unioned back into
+    the rewrite (they are exact-verified pairs over immutable docs, so
+    always still valid), so the dynamic overwrite never loses a prior
+    run's repairs — a cron'd maintenance job can keep the CLI default id
+    forever. :func:`compact_index` merges repair partitions like any
+    other. Returns the newly verified pairs (prior-partition rows are
+    rewritten but not returned).
 
     After reconciling, the index's pair set is a superset of the batch
     star path's for those buckets (the early full-pairwise edges are all
@@ -339,7 +343,21 @@ def reconcile_capped_buckets(
             repaired = repaired.unionByName(v2)
             verified_all = verified_all.unionByName(v2.select("doc_a", "doc_b"))
             attempted = attempted.unionByName(cand2)
-    _write_batch(repaired, index_dir, "pairs", reconcile_partition_id(reconcile_id))
+    pid = reconcile_partition_id(reconcile_id)
+    to_write = repaired
+    if old_pairs is not None and "batch_id" in old_pairs.columns:
+        # keep the prior run's rows for this reconcile_id: the fresh
+        # candidates were anti-joined against ALL existing pairs
+        # (including this partition), so without this union the dynamic
+        # overwrite would silently delete previously repaired pairs on
+        # every re-run that follows new ingest. Disjoint by construction
+        # (anti-join above), so no dedup needed.
+        prior = old_pairs.where(F.col("batch_id") == pid).select(*repaired.columns)
+        to_write = repaired.unionByName(prior)
+    # materialize before the write: the lineage reads the very parquet
+    # partition the dynamic overwrite is about to replace
+    to_write = to_write.localCheckpoint()
+    _write_batch(to_write, index_dir, "pairs", pid)
     return repaired
 
 
@@ -531,8 +549,11 @@ def keep_best_from_index(
     (doc_id, text), so quality rides in as a side table — typically the
     same ingest metadata that fed the stream. Documents missing from
     ``quality`` rank below every scored member (quality −∞) but are
-    still listed. Output: (doc_id, canonical_id, is_kept, kept_id) —
-    identical contract to the batch operator, pinned by an equality
+    still listed; a document with MULTIPLE quality rows scores as their
+    max (the side table is aggregated to one row per doc_id before the
+    join, so duplicate metadata can never fan the keep list out past one
+    row per document). Output: (doc_id, canonical_id, is_kept, kept_id)
+    — identical contract to the batch operator, pinned by an equality
     test on the accumulated corpus."""
     docs = _read_index(spark, index_dir, "docs")
     if docs is None:
@@ -545,9 +566,16 @@ def keep_best_from_index(
         comp = dedup.connected_components(
             pairs.select("doc_a", "doc_b").distinct()
         )
-    q = quality.select(
-        F.col(id_col).alias("doc_id"),
-        F.col(quality_col).cast("double").alias("__q"),
+    q = (
+        quality.select(
+            F.col(id_col).alias("doc_id"),
+            F.col(quality_col).cast("double").alias("__q"),
+        )
+        # one row per doc_id (max quality): a duplicate-keyed side table
+        # must not fan out the left join below — the batch operator
+        # guarantees one output row per document and so do we
+        .groupBy("doc_id")
+        .agg(F.max("__q").alias("__q"))
     )
     base = out.join(q, "doc_id", "left")
     if comp is not None:
