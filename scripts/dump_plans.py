@@ -65,12 +65,13 @@ SHOWCASE = {
         "(bracketed __gkey Filter below the window)"
     ),
     "temperature_mixture_sample": (
-        "per-source rank consumes only the md5-prefix survivors "
-        "(CASE-threshold Filter below the source-partitioned window)"
+        "per-source rank consumes only the md5-prefix survivors — the "
+        "slice predicate rides the broadcast plan-table join's residual "
+        "condition (round 8; no per-source CASE WHEN chain)"
     ),
     "token_budget_mixture_sample": (
-        "per-source running-token cut over the md5-prefix slice; quota "
-        "joins broadcast"
+        "per-source running-token cut over the md5-prefix slice; "
+        "threshold+quota ride one broadcast plan-table join (round 8)"
     ),
 }
 
