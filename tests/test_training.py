@@ -431,3 +431,15 @@ def test_temperature_sample_5k_sources_bounded_compile(spark):
     got = out.groupBy().count().collect()[0][0]
     # every source has equal size, so quota = total/n_src = 1 doc each
     assert got == n_src
+
+
+def test_token_budget_sample_5k_sources_bounded_compile(spark):
+    """Same 5k-source bound as temperature_sample: the token-budget
+    variant's threshold+quota must ride the broadcast plan table, never a
+    per-source expression chain."""
+    n_src = 5000
+    rows = [(s * 2 + j, f"src{s}", 10) for s in range(n_src) for j in range(2)]
+    docs = spark.createDataFrame(rows, "doc_id int, source string, n_tokens int")
+    # equal token mass per source: quota = budget/n_src = 10 tokens = 1 doc
+    out = tr.token_budget_sample(docs, budget=n_src * 10.0)
+    assert out.groupBy().count().collect()[0][0] == n_src
