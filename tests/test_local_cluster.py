@@ -51,6 +51,61 @@ spark.stop()
 """
 
 
+INDEX_SCRIPT = """
+import sys
+from translator_tm_provider_pipelines_spark.session import get_spark
+from translator_tm_provider_pipelines_spark.streaming import dedup_index as di
+
+idx = sys.argv[1]
+spark = get_spark(
+    app_name="local-cluster-index-smoke",
+    master="local-cluster[2,4,4096]",
+    shuffle_partitions=8,
+    extra_conf={"spark.driver.memory": "4g"},
+)
+base = ("the quick brown fox jumps over the lazy dog and then runs far "
+        "away into the deep dark forest where nobody ever goes at night")
+rows = [(i, base) for i in range(1, 7)]
+mk = lambda rs: spark.createDataFrame(rs, "doc_id int, text string")
+for bi, lo in enumerate(range(0, 6, 2)):
+    di.update_near_dup_index(spark, mk(rows[lo:lo + 2]), idx, batch_id=bi,
+                             max_bucket_size=3)
+# reconcile runs repair hops with localCheckpoint between hops — the
+# block-lifetime assumption a multi-JVM cluster actually stresses
+di.reconcile_capped_buckets(spark, idx, max_bucket_size=3, repair_hops=-1)
+keep = {r.doc_id: r.canonical_id
+        for r in di.keep_list_from_index(spark, idx).collect()}
+assert all(keep[d] == 1 for d in range(2, 7)), keep
+print("LC_INDEX_OK", flush=True)
+spark.stop()
+"""
+
+
+@pytest.mark.localcluster
+def test_local_cluster_index_reconcile(tmp_path):
+    """The incremental index's update → reconcile(repair_hops) → keep-list
+    flow on separate executor JVMs: localCheckpoint blocks live on
+    executors here (not in the driver's process), parquet round-trips
+    cross real process boundaries."""
+    script = tmp_path / "lc_index.py"
+    script.write_text(INDEX_SCRIPT)
+    env = dict(os.environ)
+    env["SPARK_GRAFT_CPUS"] = "8"
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    proc = subprocess.run(
+        [sys.executable, str(script), str(tmp_path / "idx")],
+        capture_output=True,
+        text=True,
+        timeout=900,
+        cwd=REPO,
+        env=env,
+    )
+    assert proc.returncode == 0 and "LC_INDEX_OK" in proc.stdout, (
+        f"local-cluster index smoke failed\nstdout: {proc.stdout[-3000:]}\n"
+        f"stderr: {proc.stderr[-3000:]}"
+    )
+
+
 @pytest.mark.localcluster
 def test_local_cluster_smoke(tmp_path):
     sf_dir = os.environ.get("SPARK_GRAFT_SMOKE_SF", "/root/testdata/sf0.001")
