@@ -9,6 +9,8 @@ md5 cost is per-row-constant and off the 100 TB text bytes.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -465,6 +467,32 @@ def dsir_gumbel_sample(
     ).drop("__gkey")
 
 
+# md5-prefix threshold ladder for the mixture samplers: power-of-two
+# 4-hex-char prefixes '0001'..'8000' plus 'g' (above every hex key). The
+# per-source stats pass counts survivors at EVERY rung in one aggregate
+# (17 fixed conditional sums — constant in source cardinality), and the
+# driver picks the smallest rung >= the desired threshold, so the exact
+# survivor count at the chosen threshold is already known — threshold
+# selection AND validation come out of a single dimension-sized action.
+# Rounding up to a rung at most doubles the slice (<= 2*slack*quota rows
+# through the per-source window) — still boundary-sliced, never the
+# full source.
+_PREFIX_LADDER: list[tuple[int, str]] = [
+    (1 << k, format(1 << k, "04x")) for k in range(16)
+] + [(1 << 16, "g")]
+
+
+def _ladder_rung(v: int) -> tuple[int, str]:
+    """(index, prefix) of the smallest ladder rung >= v; (-1, '0000') for
+    v <= 0 (keep nothing — 0 survivors by construction)."""
+    if v <= 0:
+        return -1, "0000"
+    for i, (rv, prefix) in enumerate(_PREFIX_LADDER):
+        if rv >= v:
+            return i, prefix
+    return len(_PREFIX_LADDER) - 1, "g"
+
+
 def _mixture_plan_table(spark, rows, src_type, quota_type=T.LongType()):
     """Per-source plan table (source, md5-prefix threshold, quota,
     deficient-fallback flag) for the two mixture samplers. Built from one
@@ -503,72 +531,60 @@ def temperature_sample(
     754 in every engine; arbitrary pow is not).
 
     Output: (doc_id, source). Scale shape — boundary-slice ranking, not
-    a full-source window: each source gets an md5-PREFIX keep threshold
-    of ``quota/n · slack`` plus ``min_margin``/65536, carried on a small
-    per-source plan table that BROADCAST-joins onto the corpus (a
-    threshold expression per source would compile an O(n_sources)-deep
-    CASE WHEN chain — at 10k sources that overflows codegen; the join is
-    the same plan at any cardinality). Because the prefix filter keeps
-    exactly a prefix of the per-source rank order (the first 4 md5 hex
-    chars dominate the full-md5 sort), ranking the survivors reproduces
-    the full-source ranks for every rank ≤ quota — the per-source window
-    then sorts ~``slack × quota`` rows instead of the whole source.
-    ONE dimension-sized driver action collects per-source count, quota,
-    threshold AND survivor count together; it validates the binomial
-    margin, and any deficient source — astronomically unlikely at the
-    defaults, but possible for tiny sources — falls back to ranking that
-    source in full, so the output is EXACTLY the unfiltered ranking's
-    for every distribution."""
+    a full-source window: each source gets an md5-PREFIX keep threshold,
+    the smallest ``_PREFIX_LADDER`` rung above ``quota/n · slack`` plus
+    ``min_margin``/65536, carried on a small per-source plan table that
+    BROADCAST-joins onto the corpus (a threshold expression per source
+    would compile an O(n_sources)-deep CASE WHEN chain — at 10k sources
+    that overflows codegen; the join is the same plan at any
+    cardinality). Because the prefix filter keeps exactly a prefix of
+    the per-source rank order (the first 4 md5 hex chars dominate the
+    full-md5 sort), ranking the survivors reproduces the full-source
+    ranks for every rank ≤ quota — the per-source window then sorts
+    ≤ ``2 · slack × quota`` rows instead of the whole source.
+    ONE dimension-sized driver action runs in total: the stats pass
+    counts per-source rows AND survivors at every ladder rung in the
+    same aggregate, so threshold choice and its validation come from one
+    collect (round 8: a fused-but-nested broadcast chain and the r7
+    two-collect shape both measured slower — see SCALING.md). Any
+    deficient source — astronomically unlikely at the defaults, but
+    possible for tiny sources — falls back to ranking that source in
+    full, so the output is EXACTLY the unfiltered ranking's for every
+    distribution."""
     staged = docs.select(
         F.col(id_col).alias("doc_id"), F.col(source_col).alias("source")
     )
     key = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4)
-    w = F.pow(F.col("n").cast("double"), F.lit(float(alpha)))
-    cnts = staged.groupBy(F.col("source").alias("__src")).agg(
-        F.count(F.lit(1)).alias("n")
-    )
-    tot_w = cnts.agg(F.sum(w).alias("tw"))
-    quota_df = cnts.crossJoin(F.broadcast(tot_w)).select(
-        "__src",
-        "n",
-        F.round(F.lit(int(total)) * w / F.col("tw")).cast("long").alias("__quota"),
-    )
-    # prefix threshold as a COLUMN of the per-source table: ceil(q·slack/n
-    # · 0x10000) + margin, rendered as 4 lowercase hex chars ('g' sorts
-    # above every hex digit → keep all; '0000' keeps nothing). Exactness
-    # never hinges on the threshold value — the survivor-count validation
-    # plus full-rank fallback below make the output threshold-independent.
-    v = F.ceil(
-        F.lit(float(0x10000) * float(slack)) * F.col("__quota") / F.col("n")
-    ) + F.lit(int(min_margin))
-    thr_df = quota_df.withColumn(
-        "__thr",
-        F.when(F.col("__quota") <= 0, F.lit("0000"))
-        .when(v >= 0x10000, F.lit("g"))
-        .otherwise(F.lower(F.lpad(F.hex(v), 4, "0"))),
-    )
-    # single fused driver action: n, quota, threshold, survivor count
-    stats = (
-        staged.join(F.broadcast(thr_df), F.col("source") == F.col("__src"))
-        .groupBy("source")
-        .agg(
-            F.first("n").alias("n"),
-            F.first("__quota").alias("q"),
-            F.first("__thr").alias("t"),
-            F.sum(F.when(key < F.col("__thr"), 1).otherwise(0)).alias("ns"),
-        )
-    )
-    plan_rows = [
-        (
-            r["source"],
-            r["t"],
-            int(r["q"]),
-            int(r["ns"]) < min(int(r["n"]), int(r["q"])),  # deficient?
-        )
-        for r in stats.collect()
+    # ONE stats action: per-source n + survivor count at every ladder rung
+    rung_counts = [
+        F.sum(F.when(key < F.lit(p), 1).otherwise(0)).alias(f"ns{i}")
+        for i, (_v, p) in enumerate(_PREFIX_LADDER)
     ]
+    stats = sorted(  # deterministic source order for the weight summation
+        staged.groupBy("source").agg(F.count(F.lit(1)).alias("n"), *rung_counts)
+        .collect(),
+        key=lambda r: str(r["source"]),
+    )
+    # pow-half via math.sqrt (correctly rounded — the engine/oracle
+    # cross-agreement convention) and HALF_UP rounding (Spark/DuckDB
+    # round; Python's round() is banker's and would disagree on .5)
+    pw = (lambda x: math.sqrt(x)) if alpha == 0.5 else (lambda x: x ** alpha)
+    tw = sum(pw(float(r["n"])) for r in stats)
+    plan_rows = []
+    for r in stats:
+        n = int(r["n"])
+        q = int(math.floor(total * pw(float(n)) / tw + 0.5)) if tw else 0
+        if q <= 0:
+            plan_rows.append((r["source"], "0000", q, False))
+            continue
+        v = int(-(-0x10000 * q * slack // n)) + min_margin  # ceil + margin
+        i, prefix = _ladder_rung(v)
+        ns = int(r[f"ns{i}"])
+        plan_rows.append((r["source"], prefix, q, ns < min(n, q)))
     plan = _mixture_plan_table(
-        stats.sparkSession, plan_rows, stats.schema["source"].dataType
+        docs.sparkSession,
+        plan_rows,
+        staged.schema["source"].dataType,
     )
     survivors = staged.join(
         F.broadcast(plan), F.col("source") == F.col("__psrc")
@@ -608,17 +624,19 @@ def token_budget_sample(
     Output: (doc_id, source). Scale shape mirrors
     :func:`temperature_sample`: per-source thresholds ride a small
     BROADCAST-joined plan table (never an O(n_sources) CASE WHEN chain);
-    each source pre-filters to an md5-PREFIX slice of expected size
-    ``slack ×`` its token keep-fraction, so the per-source
-    cumulative-sum window sorts only the slice, never the full source.
-    ONE dimension-sized driver action collects per-source token total,
-    row count, quota, threshold, and the slice's token sum + row count
-    together; exactness is validated per source — if a source's
-    surviving slice neither crosses its quota (slice token sum ≤ quota,
-    i.e. its max running total never passes it) nor covers the whole
-    source, the boundary might extend past the slice, and that source
-    falls back to a full-source window — the output equals the
-    unfiltered computation for every input (pinned by test)."""
+    each source pre-filters to an md5-PREFIX slice — the smallest
+    ``_PREFIX_LADDER`` rung above ``slack ×`` its token keep-fraction —
+    so the per-source cumulative-sum window sorts ≤ 2·slack× the keep
+    fraction, never the full source. ONE dimension-sized driver action
+    runs in total: the stats pass collects per-source token total, row
+    count, AND the slice token sum + row count at every ladder rung in
+    the same aggregate. Exactness is validated per source at the chosen
+    rung — if a source's surviving slice neither crosses its quota
+    (slice token sum ≤ quota, i.e. its max running total never passes
+    it) nor covers the whole source, the boundary might extend past the
+    slice, and that source falls back to a full-source window — the
+    output equals the unfiltered computation for every input (pinned by
+    test)."""
     toks = F.col(token_col).cast("double")
     staged = docs.select(
         F.col(id_col).alias("doc_id"),
@@ -626,63 +644,52 @@ def token_budget_sample(
         toks.alias("__tok"),
     )
     key = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4)
-    cnts = staged.groupBy(F.col("source").alias("__src")).agg(
-        F.sum("__tok").alias("tok"), F.count(F.lit(1)).alias("n")
-    )
-    w = F.pow(F.col("tok"), F.lit(float(alpha)))
-    tot_w = cnts.agg(F.sum(w).alias("tw"))
-    quota_df = cnts.crossJoin(F.broadcast(tot_w)).select(
-        "__src",
-        "tok",
-        "n",
-        # round to 4 decimals on BOTH engine and oracle: the quota is a
-        # double ratio whose last ulp may differ across engines, and the
-        # boundary compare must not hinge on it
-        F.round(F.lit(float(budget)) * w / F.col("tw"), 4).alias("__quota"),
-    )
-    # prefix threshold as a column: ceil(min(1, q/tok)·slack·0x10000) +
-    # margin. Exactness never hinges on it — the validation + fallback
-    # below make the output threshold-independent.
-    frac = F.least(F.lit(1.0), F.col("__quota") / F.col("tok"))
-    v = F.ceil(F.lit(float(0x10000) * float(slack)) * frac) + F.lit(int(min_margin))
-    thr_df = quota_df.withColumn(
-        "__thr",
-        F.when((F.col("__quota") <= 0) | (F.col("tok") <= 0), F.lit("0000"))
-        .when(v >= 0x10000, F.lit("g"))
-        .otherwise(F.lower(F.lpad(F.hex(v), 4, "0"))),
-    )
-    # single fused driver action: totals, quota, threshold, and the
-    # slice's token sum (== the max running total of the slice) + count
-    stats = (
-        staged.join(F.broadcast(thr_df), F.col("source") == F.col("__src"))
-        .groupBy("source")
-        .agg(
-            F.first("tok").alias("tok"),
-            F.first("n").alias("n"),
-            F.first("__quota").alias("q"),
-            F.first("__thr").alias("t"),
-            F.sum(F.when(key < F.col("__thr"), F.col("__tok"))).alias("stok"),
-            F.sum(F.when(key < F.col("__thr"), 1).otherwise(0)).alias("sc"),
+    # ONE stats action: per-source totals + slice count/token-sum at
+    # every ladder rung
+    rung_aggs = []
+    for i, (_v, p) in enumerate(_PREFIX_LADDER):
+        rung_aggs.append(
+            F.sum(F.when(key < F.lit(p), 1).otherwise(0)).alias(f"sc{i}")
         )
+        rung_aggs.append(F.sum(F.when(key < F.lit(p), F.col("__tok"))).alias(f"st{i}"))
+    stats = sorted(
+        staged.groupBy("source")
+        .agg(F.sum("__tok").alias("tok"), F.count(F.lit(1)).alias("n"), *rung_aggs)
+        .collect(),
+        key=lambda r: str(r["source"]),
     )
-    plan_rows = [
-        (
-            r["source"],
-            r["t"],
-            float(r["q"]),
-            bool(
-                float(r["q"]) > 0
-                and float(r["tok"] or 0.0) > 0
-                and float(r["stok"] or 0.0) <= float(r["q"])  # never crossed
-                and int(r["sc"]) < int(r["n"])  # ...and not the whole source
-            ),
+    pw = (lambda x: math.sqrt(x)) if alpha == 0.5 else (lambda x: x ** alpha)
+    tw = sum(pw(float(r["tok"] or 0.0)) for r in stats)
+    plan_rows = []
+    for r in stats:
+        tok, n = float(r["tok"] or 0.0), int(r["n"])
+        # round to 4 decimals HALF_UP on BOTH engine and oracle: the
+        # quota is a double ratio whose last ulp may differ across
+        # engines, and the boundary compare must not hinge on it
+        q = (
+            math.floor(budget * pw(tok) / tw * 10000.0 + 0.5) / 10000.0
+            if tw
+            else 0.0
         )
-        for r in stats.collect()
-    ]
+        if q <= 0 or tok <= 0:
+            plan_rows.append((r["source"], "0000", q, False))
+            continue
+        frac = min(1.0, q / tok)
+        v = int(-(-0x10000 * frac * slack // 1)) + min_margin
+        i, prefix = _ladder_rung(v)
+        stok, sc = float(r[f"st{i}"] or 0.0), int(r[f"sc{i}"])
+        plan_rows.append(
+            (
+                r["source"],
+                prefix,
+                q,
+                bool(stok <= q and sc < n),  # never crossed, not whole source
+            )
+        )
     plan = _mixture_plan_table(
-        stats.sparkSession,
+        docs.sparkSession,
         plan_rows,
-        stats.schema["source"].dataType,
+        staged.schema["source"].dataType,
         quota_type=T.DoubleType(),
     )
     cum = F.sum("__tok").over(
