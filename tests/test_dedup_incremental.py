@@ -643,12 +643,160 @@ def test_reconcile_rerun_same_id_after_ingest_keeps_prior_repairs(
     # and the rewrite stayed one-partition / idempotent: a third same-id
     # run with nothing new changes nothing
     di.reconcile_capped_buckets(spark, idx, max_bucket_size=3)
-    assert _keep(spark, idx) == _keep(spark, idx)
     keep3 = dict(
         (r.doc_id, r.canonical_id)
         for r in di.keep_list_from_index(spark, idx).collect()
     )
     assert keep3 == keep2
+
+
+def test_reconcile_watermark_skips_unchanged_buckets(spark, tmp_path):
+    """r8 VERDICT task 1: a reconcile run records a per-bucket watermark
+    (max band batch_id at repair time + settings fingerprint); the next
+    run under the same settings SKIPS buckets with no newer band rows —
+    near-no-op instead of a full re-verification — and fresh ingest into
+    a bucket re-activates exactly that bucket."""
+    import os
+
+    cluster = [(i, BASE) for i in range(1, 7)]
+    idx = str(tmp_path / "idx")
+    for bi, lo in enumerate(range(0, 6, 2)):
+        di.update_near_dup_index(
+            spark, _df(spark, cluster[lo:lo + 2]), idx, batch_id=bi,
+            max_bucket_size=3,
+        )
+    first = di.reconcile_capped_buckets(spark, idx, max_bucket_size=3)
+    assert first.count() >= 1
+    assert "batch_id=-1" in os.listdir(f"{idx}/reconciled")
+    wm1 = {
+        (r.band, r.band_sig): r.watermark
+        for r in spark.read.parquet(f"{idx}/reconciled").collect()
+    }
+    assert wm1 and all(v == 2 for v in wm1.values())  # last ingest batch
+    keep1 = _keep(spark, idx)
+
+    # unchanged index: the re-run skips every bucket — zero new pairs,
+    # zero candidate verification, watermarks unchanged
+    second = di.reconcile_capped_buckets(spark, idx, max_bucket_size=3)
+    assert second.count() == 0
+    assert _keep(spark, idx) == keep1
+    wm2 = {
+        (r.band, r.band_sig): r.watermark
+        for r in spark.read.parquet(f"{idx}/reconciled").collect()
+    }
+    assert wm2 == wm1
+
+    # fresh ingest into the over-cap bucket raises its band batch_id past
+    # the stored watermark: the bucket re-activates and the late arrivals
+    # are repaired; the watermark advances to the new batch
+    di.update_near_dup_index(
+        spark, _df(spark, [(20, BASE), (21, BASE)]), idx, batch_id=3,
+        max_bucket_size=3,
+    )
+    third = di.reconcile_capped_buckets(spark, idx, max_bucket_size=3)
+    linked = {
+        d for r in third.collect() for d in (r.doc_a, r.doc_b)
+    }
+    assert {20, 21} <= linked
+    keep3 = dict(
+        (r.doc_id, r.canonical_id)
+        for r in di.keep_list_from_index(spark, idx).collect()
+    )
+    assert keep3[20] == 1 and keep3[21] == 1 and keep3[6] == 1
+    wm3 = {
+        (r.band, r.band_sig): r.watermark
+        for r in spark.read.parquet(f"{idx}/reconciled").collect()
+    }
+    assert all(v == 3 for v in wm3.values())
+
+
+def test_reconcile_watermark_config_change_is_not_skipped(spark, tmp_path):
+    """A watermark written under one settings fingerprint must not skip a
+    run with different settings (deeper hops can attach members the
+    shallower run could not): each config writes its own watermark rows."""
+    cluster = [(i, BASE) for i in range(1, 7)]
+    idx = str(tmp_path / "idx")
+    for bi, lo in enumerate(range(0, 6, 2)):
+        di.update_near_dup_index(
+            spark, _df(spark, cluster[lo:lo + 2]), idx, batch_id=bi,
+            max_bucket_size=3,
+        )
+    di.reconcile_capped_buckets(spark, idx, max_bucket_size=3, repair_hops=0)
+    di.reconcile_capped_buckets(spark, idx, max_bucket_size=3, repair_hops=-1)
+    sigs = {
+        r.config_sig for r in spark.read.parquet(f"{idx}/reconciled").collect()
+    }
+    assert sigs == {
+        di._reconcile_config_sig(3, 0.8, 3, 0, 8),
+        di._reconcile_config_sig(3, 0.8, 3, -1, 8),
+    }
+    # every negative repair_hops value normalizes to the same converged
+    # fingerprint: a -2 run after a -1 run is a skip, not a re-verify
+    assert di._reconcile_config_sig(3, 0.8, 3, -2, 8) == di._reconcile_config_sig(
+        3, 0.8, 3, -1, 8
+    )
+
+
+def test_reconcile_watermarks_disabled(spark, tmp_path):
+    """use_watermarks=False keeps the pre-r9 behavior: no reconciled/
+    side table is written and every run re-derives candidates."""
+    import os
+
+    cluster = [(i, BASE) for i in range(1, 6)]
+    idx = str(tmp_path / "idx")
+    for bi, lo in enumerate(range(0, 5, 2)):
+        di.update_near_dup_index(
+            spark, _df(spark, cluster[lo:lo + 2]), idx, batch_id=bi,
+            max_bucket_size=2,
+        )
+    di.reconcile_capped_buckets(
+        spark, idx, max_bucket_size=2, use_watermarks=False
+    )
+    assert not os.path.isdir(f"{idx}/reconciled")
+    keep = dict(
+        (r.doc_id, r.canonical_id)
+        for r in di.keep_list_from_index(spark, idx).collect()
+    )
+    assert all(keep[d] == 1 for d in range(1, 6))
+
+
+def test_reconcile_watermark_compaction_never_hides_repairs(spark, tmp_path):
+    """Compaction collapses band rows into one higher batch_id, so a
+    stored watermark can never mask post-watermark arrivals that the
+    merge folded in: after ingest(batch 3) + compact(upto 3), the bucket's
+    current watermark (3) exceeds the stored one (2) and reconcile still
+    repairs the late members. Compacting with NO intervening ingest keeps
+    the skip (batch ids don't advance past the stored watermark)."""
+    cluster = [(i, BASE) for i in range(1, 7)]
+    idx = str(tmp_path / "idx")
+    for bi, lo in enumerate(range(0, 6, 2)):
+        di.update_near_dup_index(
+            spark, _df(spark, cluster[lo:lo + 2]), idx, batch_id=bi,
+            max_bucket_size=3,
+        )
+    di.reconcile_capped_buckets(spark, idx, max_bucket_size=3)
+    keep1 = _keep(spark, idx)
+    # no-ingest compaction: bucket max batch_id stays at the stored
+    # watermark, so the next run still skips and changes nothing
+    di.compact_index(spark, idx, upto_batch=2)
+    assert di.reconcile_capped_buckets(spark, idx, max_bucket_size=3).count() == 0
+    assert _keep(spark, idx) == keep1
+    # ingest into the over-cap bucket, then compact BEFORE reconciling:
+    # the merge rewrites every band row to batch_id=3 — the watermark
+    # comparison must still see the bucket as newer than its repair
+    di.update_near_dup_index(
+        spark, _df(spark, [(20, BASE), (21, BASE)]), idx, batch_id=3,
+        max_bucket_size=3,
+    )
+    di.compact_index(spark, idx, upto_batch=3)
+    repaired = di.reconcile_capped_buckets(spark, idx, max_bucket_size=3)
+    linked = {d for r in repaired.collect() for d in (r.doc_a, r.doc_b)}
+    assert {20, 21} <= linked
+    keep2 = dict(
+        (r.doc_id, r.canonical_id)
+        for r in di.keep_list_from_index(spark, idx).collect()
+    )
+    assert keep2[20] == 1 and keep2[21] == 1
 
 
 def test_keep_best_from_index_duplicate_quality_rows(spark, tmp_path):

@@ -631,14 +631,21 @@ def run_near_dup_index_reconcile(spark: SparkSession, argv: list[str]) -> None:
                    help="star second-hop repair passes after the base "
                         "re-star; negative = until converged")
     ns = p.parse_args(argv)
-    di.reconcile_capped_buckets(
+    repaired = di.reconcile_capped_buckets(
         spark, ns.indexDir, ns.maxBucketSize, threshold=ns.threshold,
         reconcile_id=ns.reconcileId, repair_hops=ns.repairHops,
     )
+    # count the function's return (materialized handle): the partition on
+    # disk is cumulative across same-id re-runs — counting it would report
+    # prior runs' repairs as this run's
+    n = repaired.count()
     part = di.reconcile_partition_id(ns.reconcileId)
     written = di._read_index(spark, ns.indexDir, "pairs")
-    n = 0 if written is None else written.where(F.col("batch_id") == part).count()
-    print(f"reconcile run {ns.reconcileId}: {n} repaired pairs")
+    total = 0 if written is None else written.where(F.col("batch_id") == part).count()
+    print(
+        f"reconcile run {ns.reconcileId}: {n} newly repaired pairs "
+        f"({total} total in reconcile partition)"
+    )
 
 
 def run_near_dup_index_stats(spark: SparkSession, argv: list[str]) -> None:
