@@ -1,25 +1,28 @@
-"""sf10 incremental-index measurement (VERDICT r7 tasks 2 & 6): the
-maintenance-path cost of a CAPPED index at 500k docs — delta absorb +
-gauge + converged auto-reconcile — against the batch comparator it must
-equal, ``near_dup_keep_list(max_bucket_size=8, oversize_policy="star",
-star_repair_hops=-1)`` (the converged star-repair run already measured in
-SCALING_STAR_REPAIR_sf10.json). The sf1 artifact stops at 50k docs and its
-gauge already showed ~15k over-cap buckets; this is the 10× run that tests
-reconcile/repair at the scale where the cap actually binds everywhere
-(100-member clusters, cap 8 → every cluster bucket is over-cap, so the
-reconcile pass carries essentially all pair derivation).
+"""sf10 incremental-index measurement (r7 tasks 2 & 6; extended in r9 for
+VERDICT r8 tasks 1 & 2): the maintenance-path cost of a CAPPED index at
+500k docs — delta absorb + gauge + converged reconcile — against the
+batch comparator it must equal, ``near_dup_keep_list(max_bucket_size=8,
+oversize_policy="star", star_repair_hops=-1)``.
 
-Also proves the round-7 ``keep_best_from_index`` at this scale: after the
-converged reconcile, the index keep-best must equal the batch
-``near_dup_keep_best`` (same cap/star/hops) row for row.
+Round-9 scenario shape (watermark acceptance): TWO 1% deltas. The first
+reconcile repairs the whole backlog (and records per-bucket watermarks);
+the second delta then re-activates only the buckets it touches, so the
+second converged reconcile must cost near delta-scale — the r8 honest
+negative was 359.5 s for EVERY reconcile on the all-duplicates slice
+because each run re-verified every over-cap bucket. A third reconcile
+with nothing new measures the pure watermark no-op. Keep-list equality
+against the batch star-repair path over the full corpus is asserted at
+the END, i.e. across backfill + both deltas + all three reconciles —
+watermark skipping must not change the result, only the cost.
 
-Regenerate the slice first if missing:
-    python scripts/make_scaled_data.py --copies 100 --tables documents \
-           --dest .scaledata/sf10-docs
-
-Usage: python scripts/bench_incremental_index_sf10.py
-       [--sfDir .scaledata/sf10-docs] [--delta-pct 1.0] [--cap 8]
-       [--out SCALING_INCR_sf10.json]
+Run on both corpora (r8 task 2):
+  python scripts/make_scaled_data.py --copies 100 --tables documents \
+         --dest .scaledata/sf10-docs            # all-duplicates worst case
+  python scripts/make_mixed_data.py             # realistic 20% dup-rate
+  python scripts/bench_incremental_index_sf10.py \
+         [--sfDir .scaledata/sf10-docs] [--out SCALING_INCR_sf10.json]
+  python scripts/bench_incremental_index_sf10.py \
+         --sfDir .scaledata/sf10-docs-mixed --out SCALING_INCR_sf10_mixed.json
 
 Single pass per stage (each is minutes; the committed artifact is the
 authoritative number, per SCALING.md's methodology pin).
@@ -59,10 +62,14 @@ def main() -> None:
         "doc_id", "text", "n_chars"
     )
     n_docs = docs.count()
-    cut = docs.approxQuantile("doc_id", [1.0 - ns.delta_pct / 100.0], 0.0)[0]
-    base = docs.select("doc_id", "text").where(F.col("doc_id") <= cut)
-    delta = docs.select("doc_id", "text").where(F.col("doc_id") > cut)
-    n_delta = delta.count()
+    d = ns.delta_pct / 100.0
+    cut1, cut2 = docs.approxQuantile("doc_id", [1.0 - 2 * d, 1.0 - d], 0.0)
+    base = docs.select("doc_id", "text").where(F.col("doc_id") <= cut1)
+    delta1 = docs.select("doc_id", "text").where(
+        (F.col("doc_id") > cut1) & (F.col("doc_id") <= cut2)
+    )
+    delta2 = docs.select("doc_id", "text").where(F.col("doc_id") > cut2)
+    n_delta1, n_delta2 = delta1.count(), delta2.count()
     cap = ns.cap
     batch_kw = dict(
         max_bucket_size=cap, oversize_policy="star", star_repair_hops=-1
@@ -74,7 +81,8 @@ def main() -> None:
         "metric": "near_dup_incremental_vs_full_sf10",
         "sf_dir": ns.sfDir,
         "n_docs": n_docs,
-        "n_delta": n_delta,
+        "n_delta1": n_delta1,
+        "n_delta2": n_delta2,
         "delta_pct": ns.delta_pct,
         "max_bucket_size": cap,
     }
@@ -85,9 +93,9 @@ def main() -> None:
         print("backfill:", rec["backfill_sec"], flush=True)
 
         t0 = time.monotonic()
-        di.update_near_dup_index(spark, delta, idx, batch_id=1, max_bucket_size=cap)
+        di.update_near_dup_index(spark, delta1, idx, batch_id=1, max_bucket_size=cap)
         rec["delta_batch_sec"] = round(time.monotonic() - t0, 1)
-        print("delta:", rec["delta_batch_sec"], flush=True)
+        print("delta1:", rec["delta_batch_sec"], flush=True)
 
         t0 = time.monotonic()
         gauge = di.index_bucket_stats(spark, idx, max_bucket_size=cap)
@@ -100,7 +108,38 @@ def main() -> None:
             spark, idx, max_bucket_size=cap, reconcile_id=0, repair_hops=-1
         )
         rec["reconcile_converged_sec"] = round(time.monotonic() - t0, 1)
-        print("reconcile:", rec["reconcile_converged_sec"], flush=True)
+        print("reconcile1:", rec["reconcile_converged_sec"], flush=True)
+
+        # second 1% delta AFTER a converged reconcile: the watermark
+        # acceptance scenario — only the buckets this delta touches
+        # re-activate, so the second converged reconcile must cost near
+        # delta-scale, not reconcile1's backlog-scale
+        t0 = time.monotonic()
+        di.update_near_dup_index(spark, delta2, idx, batch_id=2, max_bucket_size=cap)
+        rec["delta2_batch_sec"] = round(time.monotonic() - t0, 1)
+        print("delta2:", rec["delta2_batch_sec"], flush=True)
+
+        t0 = time.monotonic()
+        gauge2 = di.index_bucket_stats(spark, idx, max_bucket_size=cap)
+        rec["gauge2_sec"] = round(time.monotonic() - t0, 1)
+        rec["gauge2_stats"] = gauge2
+        print("gauge2:", rec["gauge2_sec"], gauge2, flush=True)
+
+        t0 = time.monotonic()
+        di.reconcile_capped_buckets(
+            spark, idx, max_bucket_size=cap, reconcile_id=0, repair_hops=-1
+        )
+        rec["reconcile2_converged_sec"] = round(time.monotonic() - t0, 1)
+        print("reconcile2:", rec["reconcile2_converged_sec"], flush=True)
+
+        # nothing-new reconcile: the pure watermark no-op cost a cron pays
+        # when the gauge fires on permanently stranded members
+        t0 = time.monotonic()
+        di.reconcile_capped_buckets(
+            spark, idx, max_bucket_size=cap, reconcile_id=0, repair_hops=-1
+        )
+        rec["reconcile_noop_sec"] = round(time.monotonic() - t0, 1)
+        print("reconcile noop:", rec["reconcile_noop_sec"], flush=True)
 
         # batch comparator: the converged star-repair keep list (the cost a
         # daily full-recompute pipeline would pay for the same result)
@@ -111,28 +150,70 @@ def main() -> None:
         rec["full_recompute_sec"] = round(time.monotonic() - t0, 1)
         print("full recompute:", rec["full_recompute_sec"], flush=True)
 
-        maint = (
-            rec["delta_batch_sec"] + rec["gauge_sec"] + rec["reconcile_converged_sec"]
-        )
-        rec["maintenance_total_sec"] = round(maint, 1)
         rec["speedup_delta_only"] = round(
             rec["full_recompute_sec"] / rec["delta_batch_sec"], 2
         )
-        rec["speedup_incl_reconcile"] = round(rec["full_recompute_sec"] / maint, 2)
+        rec["speedup_delta_incl_reconcile2"] = round(
+            rec["full_recompute_sec"]
+            / (rec["delta2_batch_sec"] + rec["gauge2_sec"] + rec["reconcile2_converged_sec"]),
+            2,
+        )
+        rec["reconcile2_vs_reconcile1"] = round(
+            rec["reconcile2_converged_sec"] / rec["reconcile_converged_sec"], 3
+        )
 
+        # keep-list equality over the FULL history (backfill + 2 deltas +
+        # 3 reconciles, watermark skipping active): must equal the batch
+        # converged-star-repair keep list row for row
         inc = di.keep_list_from_index(spark, idx).localCheckpoint()
         batch_kl = dedup.near_dup_keep_list(docs, **batch_kw).localCheckpoint()
-        rec["keep_list_mismatch_rows"] = (
+        mism = (
             inc.unionByName(batch_kl)
+            .groupBy("doc_id", "canonical_id", "is_kept")
+            .count()
+            .where(F.col("count") != 2)
+        )
+        rec["keep_list_mismatch_rows"] = mism.count()
+        rec["keep_list_mismatch_sample"] = [
+            [int(r["doc_id"]), int(r["canonical_id"]), bool(r["is_kept"])]
+            for r in mism.orderBy("doc_id").limit(20).collect()
+        ]
+        print(
+            "keep-list mismatch:",
+            rec["keep_list_mismatch_rows"],
+            rec["keep_list_mismatch_sample"],
+            flush=True,
+        )
+
+        # attribution control: one more converged reconcile with ALL
+        # skipping disabled (no watermarks read, no persisted failures) —
+        # if the keep list is unchanged, any batch/incremental mismatch
+        # above is the documented chain-attachment divergence of the star
+        # policy, NOT repairs lost to watermark/failure skipping
+        t0 = time.monotonic()
+        di.reconcile_capped_buckets(
+            spark, idx, max_bucket_size=cap, reconcile_id=0, repair_hops=-1,
+            use_watermarks=False, persist_failures=False,
+        )
+        rec["reconcile_noskip_control_sec"] = round(time.monotonic() - t0, 1)
+        inc2 = di.keep_list_from_index(spark, idx).localCheckpoint()
+        rec["keep_list_changed_by_noskip_rows"] = (
+            inc.unionByName(inc2)
             .groupBy("doc_id", "canonical_id", "is_kept")
             .count()
             .where(F.col("count") != 2)
             .count()
         )
-        print("keep-list mismatch:", rec["keep_list_mismatch_rows"], flush=True)
+        print(
+            "no-skip control:",
+            rec["reconcile_noskip_control_sec"],
+            "changed rows:",
+            rec["keep_list_changed_by_noskip_rows"],
+            flush=True,
+        )
 
-        # round-7 keep_best_from_index at scale: quality rides in as a side
-        # table (n_chars), must equal the batch keep-best row for row
+        # keep_best_from_index at scale: quality rides in as a side table
+        # (n_chars), must equal the batch keep-best row for row
         quality = docs.select("doc_id", "n_chars")
         t0 = time.monotonic()
         kb_idx = di.keep_best_from_index(

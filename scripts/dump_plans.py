@@ -81,13 +81,33 @@ KEEP = re.compile(
     r"Window|Sort |TakeOrdered|Generate"
 )
 
+#: session-dependent tokens scrubbed from plan text so the committed
+#: snapshot is reproducible: expression ids (#123) and codegen/plan ids
+#: are assigned by a per-JVM counter, and broadcast exchange ids vary
+#: with execution order. Plan SHAPE (operators, join strategies, pushed
+#: filters, exchange count) survives normalization untouched.
+_NORMALIZE = [
+    (re.compile(r"#\d+L?"), "#N"),
+    (re.compile(r"\[plan_id=\d+\]"), "[plan_id=N]"),
+    (re.compile(r"\[id=#?N?\d*\]"), "[id=N]"),
+    (re.compile(r"WholeStageCodegen \(\d+\)"), "WholeStageCodegen (N)"),
+    (re.compile(r"dynamicpruning#N?\d*"), "dynamicpruning#N"),
+]
 
-def main() -> None:
+
+def normalize(text: str) -> str:
+    for pat, rep in _NORMALIZE:
+        text = pat.sub(rep, text)
+    return text
+
+
+def render(spark) -> str:
+    """The full PLANS.md content for the current code — used by main()
+    to write the file and by tests/test_plan_shapes.py to fail on drift
+    (r8 VERDICT task 7: the snapshots were hand-refreshed and drifted
+    mid-round)."""
     from translator_tm_provider_pipelines_spark.plans import testdata_queries as tq
-    from translator_tm_provider_pipelines_spark.session import get_spark
 
-    spark = get_spark(app_name="dump_plans")
-    spark.sparkContext.setLogLevel("ERROR")
     out = [
         "# PLANS — physical-plan evidence for headline queries",
         "",
@@ -106,7 +126,7 @@ def main() -> None:
             for ln in plan.splitlines()
             if KEEP.search(ln)
         ]
-        shown = "\n".join(lines[:40])
+        shown = normalize("\n".join(lines[:40]))
         n_ex = plan.count("Exchange")
         out += [
             f"## {name}",
@@ -118,8 +138,17 @@ def main() -> None:
             "```",
             "",
         ]
+    return "\n".join(out)
+
+
+def main() -> None:
+    from translator_tm_provider_pipelines_spark.session import get_spark
+
+    spark = get_spark(app_name="dump_plans")
+    spark.sparkContext.setLogLevel("ERROR")
+    text = render(spark)
     with open(os.path.join(os.path.dirname(__file__), "..", "PLANS.md"), "w") as f:
-        f.write("\n".join(out))
+        f.write(text)
     print("wrote PLANS.md")
 
 

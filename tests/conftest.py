@@ -11,6 +11,11 @@ def pytest_configure(config):
         "localcluster: end-to-end smoke on local-cluster[2,4,4096] "
         "(separate executor JVMs; subprocess-hosted)",
     )
+    config.addinivalue_line(
+        "markers",
+        "slow: minutes-scale artifact checks (e.g. PLANS.md freshness); "
+        "run by default, deselect with -m 'not slow' while iterating",
+    )
 
 
 @pytest.fixture(scope="session")

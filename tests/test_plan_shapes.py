@@ -447,3 +447,67 @@ def test_dsir_gumbel_ranks_boundary_slice_only(spark):
     full weight relation."""
     f = _first_filter_below(plan_text(spark, "dsir_gumbel_resample"), "__gkey")
     assert "__gkey" in f and ">=" in f and "<=" in f
+
+
+@pytest.mark.slow
+def test_plans_md_is_fresh(tmp_path):
+    """r8 VERDICT task 7: PLANS.md must be exactly what
+    scripts/dump_plans.py would write for the current code — the
+    snapshots were hand-refreshed and drifted mid-round in r8. Runs in a
+    subprocess with the generator's own session config (the suite's
+    local[4]/4-shuffle-partition session would legitimately change
+    Exchange partition counts); session-dependent ids are normalized by
+    the generator itself."""
+    import os
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    out_file = tmp_path / "plans_now.md"
+    script = tmp_path / "regen.py"
+    script.write_text(
+        f"""
+import importlib.util, sys
+sys.path.insert(0, {repo!r})
+spec = importlib.util.spec_from_file_location(
+    "dump_plans", {repo!r} + "/scripts/dump_plans.py")
+m = importlib.util.module_from_spec(spec)
+spec.loader.exec_module(m)
+from translator_tm_provider_pipelines_spark.session import get_spark
+spark = get_spark(app_name="plans-fresh")
+spark.sparkContext.setLogLevel("ERROR")
+open({str(out_file)!r}, "w").write(m.render(spark))
+spark.stop()
+"""
+    )
+    env = dict(os.environ)
+    env["SPARK_GRAFT_CPUS"] = "32"  # the generator's committed config
+    env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
+    proc = subprocess.run(
+        [sys.executable, str(script)],
+        capture_output=True,
+        text=True,
+        timeout=900,
+        cwd=repo,
+        env=env,
+    )
+    assert proc.returncode == 0, (
+        f"plan regeneration failed\nstdout: {proc.stdout[-2000:]}\n"
+        f"stderr: {proc.stderr[-2000:]}"
+    )
+    with open(os.path.join(repo, "PLANS.md")) as f:
+        committed = f.read()
+    fresh = out_file.read_text()
+    assert fresh == committed, (
+        "PLANS.md is stale: an operator's executed plan changed without a "
+        "snapshot refresh. Run `python scripts/dump_plans.py` and commit "
+        "the result. First divergence:\n"
+        + next(
+            (
+                f"committed: {a!r}\nfresh:     {b!r}"
+                for a, b in zip(committed.splitlines(), fresh.splitlines())
+                if a != b
+            ),
+            "(length difference only)",
+        )
+    )

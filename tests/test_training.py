@@ -443,3 +443,93 @@ def test_token_budget_sample_5k_sources_bounded_compile(spark):
     # equal token mass per source: quota = budget/n_src = 10 tokens = 1 doc
     out = tr.token_budget_sample(docs, budget=n_src * 10.0)
     assert out.groupBy().count().collect()[0][0] == n_src
+
+
+def test_mixture_quota_half_up_convention_vs_registry_oracle(spark):
+    """r8 VERDICT task 6: the mixture quota arithmetic is pinned to
+    floor(x+0.5) (HALF_UP — what Spark's and DuckDB's round() do) plus
+    math.sqrt for alpha=0.5. Python's round() is banker's and keeps a
+    DIFFERENT document count on .5-boundary quotas, silently breaking
+    oracle hash equality. Engineered boundary: two 4-doc sources and
+    total=5 give each source quota 5·2/4 = 2.5 EXACTLY (binary-exact
+    arithmetic, no float fuzz), so HALF_UP keeps 3 per source where
+    banker's keeps 2. The expectation comes from the REGISTRY oracle's
+    own SQL text (total literal swapped) run in DuckDB — the test fails
+    if EITHER side's rounding mode changes."""
+    import sys
+    from collections import Counter
+
+    import duckdb
+    import pandas as pd
+
+    sys.path.insert(0, "/root/repo")
+    import __spark_entry__ as entry
+
+    rows = [(i, "src_a" if i < 4 else "src_b") for i in range(8)]
+    docs = spark.createDataFrame(rows, "doc_id int, source string")
+    got = sorted(
+        (r.doc_id, r.source)
+        for r in tr.temperature_sample(docs, total=5, alpha=0.5).collect()
+    )
+    per_src = Counter(s for _, s in got)
+    assert per_src == {"src_a": 3, "src_b": 3}  # HALF_UP on 2.5 → 3
+    # the trap this test exists for: Python's banker's round would say 2
+    assert round(2.5) == 2
+
+    sql = entry.oracle_sql()["temperature_mixture_sample"].replace("300", "5")
+    con = duckdb.connect()
+    con.register("documents", pd.DataFrame(rows, columns=["doc_id", "source"]))
+    want = sorted(map(tuple, con.sql(sql).fetchall()))
+    assert got == want
+
+
+@pytest.mark.parametrize("alpha", [0.3, 0.5, 0.7])
+def test_mixture_quota_alpha_sweep_matches_oracle_arithmetic(spark, alpha):
+    """Quota arithmetic across the alpha range: per-source kept sets must
+    equal DuckDB's cast(round(total·n^alpha/Σw) AS bigint) rank-prefix
+    rule on an uneven source profile (pow for alpha≠0.5, sqrt for 0.5 —
+    both correctly rounded, so engine and oracle agree bit-for-bit)."""
+    import duckdb
+    import pandas as pd
+
+    counts = {"a": 7, "b": 13, "c": 3, "d": 1}
+    rows = []
+    i = 0
+    for s, n in sorted(counts.items()):
+        for _ in range(n):
+            rows.append((i, s))
+            i += 1
+    docs = spark.createDataFrame(rows, "doc_id int, source string")
+    got = sorted(
+        (r.doc_id, r.source)
+        for r in tr.temperature_sample(docs, total=11, alpha=alpha).collect()
+    )
+    w = "sqrt(cast(n AS double))" if alpha == 0.5 else f"pow(cast(n AS double), {alpha})"
+    con = duckdb.connect()
+    con.register("documents", pd.DataFrame(rows, columns=["doc_id", "source"]))
+    want = sorted(
+        map(
+            tuple,
+            con.sql(
+                f"""
+        WITH cnt AS (SELECT source, count(*) AS n FROM documents GROUP BY 1),
+        qt AS (SELECT source, {w} AS w FROM cnt),
+        quota AS (
+          SELECT source, cast(round(11 * w / (SELECT sum(w) FROM qt)) AS bigint) AS q
+          FROM qt
+        ),
+        ranked AS (
+          SELECT doc_id, source,
+                 row_number() OVER (
+                   PARTITION BY source ORDER BY md5(cast(doc_id AS varchar)), doc_id
+                 ) AS rn
+          FROM documents
+        )
+        SELECT r.doc_id, r.source
+        FROM ranked r JOIN quota q ON q.source = r.source
+        WHERE r.rn <= q.q
+        """
+            ).fetchall(),
+        )
+    )
+    assert got == want

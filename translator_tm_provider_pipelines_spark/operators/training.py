@@ -567,7 +567,13 @@ def temperature_sample(
     )
     # pow-half via math.sqrt (correctly rounded — the engine/oracle
     # cross-agreement convention) and HALF_UP rounding (Spark/DuckDB
-    # round; Python's round() is banker's and would disagree on .5)
+    # round; Python's round() is banker's and would disagree on .5 —
+    # pinned by test_mixture_quota_half_up_convention_vs_registry_oracle).
+    # floor(x+0.5) and round() can in principle part ways one ulp BELOW
+    # .5 (x = 0.49999999999999994 has x+0.5 == 1.0): both sides compute
+    # the same double ratio from the same counts, so they sit on the
+    # same side of any such edge; if an exact decimal boundary ever
+    # matters, inject a driver-computed quota literal into the oracle.
     pw = (lambda x: math.sqrt(x)) if alpha == 0.5 else (lambda x: x ** alpha)
     tw = sum(pw(float(r["n"])) for r in stats)
     plan_rows = []
