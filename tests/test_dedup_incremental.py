@@ -816,3 +816,214 @@ def test_keep_best_from_index_duplicate_quality_rows(spark, tmp_path):
     by_id = {r.doc_id: r for r in out}
     # doc 1 scores as max(10, 99) = 99 > doc 2's max(50, 40): doc 1 kept
     assert by_id[1].is_kept and not by_id[2].is_kept and by_id[2].kept_id == 1
+
+
+CHAIN_LSH = dict(threshold=0.85, k=3, num_perms=8, rows_per_band=1)
+
+
+def _chain_rows(n=5):
+    base = (
+        "alpha bravo charlie delta echo foxtrot golf hotel india juliet "
+        "kilo lima mike november oscar papa quebec romeo sierra tango "
+        "uniform victor whiskey xray yankee zulu amber birch cedar dune "
+        "ember fjord grove heath iris jade knoll lotus maple nectar "
+        "onyx pearl quartz reef slate topaz umber vale willow zenith "
+        "arbor basin cliff ridge marsh glen fen moor crag peak"
+    ).split()
+    repl = "one two three four five six seven eight nine ten".split()
+    return [(i, " ".join(repl[: 2 * i] + base[2 * i:])) for i in range(n)]
+
+
+def _spy_verify(monkeypatch):
+    """Record every candidate pair reconcile actually exact-verifies."""
+    attempted: list[tuple[int, int]] = []
+    orig = di.dedup._verify_candidates
+
+    def wrapper(docs, cands, **kw):
+        attempted.extend(
+            (r.doc_a, r.doc_b) for r in cands.select("doc_a", "doc_b").collect()
+        )
+        return orig(docs, cands, **kw)
+
+    monkeypatch.setattr(di.dedup, "_verify_candidates", wrapper)
+    return attempted
+
+
+def test_reconcile_persists_failures_skips_reverification(
+    spark, tmp_path, monkeypatch
+):
+    """r9: persisted verification failures. The chain cluster's far
+    members fail their star edge to the representative; those failures
+    land in the failed/ side table, and a bucket RE-ACTIVATED by fresh
+    ingest (watermark no longer covers it) re-verifies only edges
+    involving the new member — never a known-failed edge again."""
+    rows = _chain_rows()
+    idx = str(tmp_path / "idx")
+    for bi, batch in enumerate([rows[:2], rows[2:4], rows[4:]]):
+        di.update_near_dup_index(
+            spark, _df(spark, batch), idx, batch_id=bi,
+            max_bucket_size=2, **CHAIN_LSH,
+        )
+    di.reconcile_capped_buckets(
+        spark, idx, max_bucket_size=2, threshold=0.85, k=3, repair_hops=-1
+    )
+    failed = {
+        (r.doc_a, r.doc_b, r.config_sig)
+        for r in spark.read.parquet(f"{idx}/failed").collect()
+    }
+    assert failed  # chain shape: some star/hop edges genuinely fail
+    assert {s for (_, _, s) in failed} == {di._failure_config_sig(0.85, 3)}
+    failed_pairs = {(a, b) for (a, b, _) in failed}
+
+    # fresh ingest re-activates the bucket: an exact twin of the chain
+    # MIDDLE joins late — its every band bucket is the over-cap
+    # {2,3,4} bucket, so the per-batch cap guard strands it (a twin of
+    # the chain HEAD would link at ingest through the under-cap {0,1}
+    # buckets and leave the reconcile nothing to do)
+    di.update_near_dup_index(
+        spark, _df(spark, [(10, rows[2][1])]), idx, batch_id=3,
+        max_bucket_size=2, **CHAIN_LSH,
+    )
+    attempted = _spy_verify(monkeypatch)
+    di.reconcile_capped_buckets(
+        spark, idx, max_bucket_size=2, threshold=0.85, k=3, repair_hops=-1
+    )
+    assert attempted  # the new member's edges were verified...
+    assert all(10 in p for p in attempted)  # ...and ONLY those
+    assert not failed_pairs & set(attempted)
+    keep = dict(
+        (r.doc_id, r.canonical_id)
+        for r in di.keep_list_from_index(spark, idx).collect()
+    )
+    assert keep[10] == 2  # late twin joined the chain-tail cluster
+    # full keep-list parity with the batch converged-star path
+    batch_kl = sorted(map(tuple, dedup.near_dup_keep_list(
+        _df(spark, rows + [(10, rows[2][1])]),
+        max_bucket_size=2, oversize_policy="star", star_repair_hops=-1,
+        **CHAIN_LSH,
+    ).collect()))
+    assert _keep(spark, idx) == batch_kl
+
+
+def test_reconcile_failures_survive_maintenance_config_changes(
+    spark, tmp_path, monkeypatch
+):
+    """Failures are fingerprinted by (threshold, k) ONLY: changing hop
+    depth or reps-per-hop invalidates the reconcile watermark (bucket
+    re-activates) but not the failures — the re-verification that follows
+    attempts zero already-failed edges. A different threshold is a
+    different fingerprint and must re-verify."""
+    rows = _chain_rows()
+    idx = str(tmp_path / "idx")
+    for bi, batch in enumerate([rows[:2], rows[2:4], rows[4:]]):
+        di.update_near_dup_index(
+            spark, _df(spark, batch), idx, batch_id=bi,
+            max_bucket_size=2, **CHAIN_LSH,
+        )
+    di.reconcile_capped_buckets(
+        spark, idx, max_bucket_size=2, threshold=0.85, k=3, repair_hops=-1
+    )
+    keep1 = _keep(spark, idx)
+    # different reps_per_hop => different watermark fingerprint => the
+    # bucket is NOT skipped — but successes + failures cover every edge,
+    # so nothing is re-verified
+    attempted = _spy_verify(monkeypatch)
+    di.reconcile_capped_buckets(
+        spark, idx, max_bucket_size=2, threshold=0.85, k=3, repair_hops=-1,
+        reps_per_hop=4,
+    )
+    assert attempted == []
+    assert _keep(spark, idx) == keep1
+    # a STRICTER threshold must not trust 0.85-failures (sig differs), and
+    # re-verifies the bucket's star edges
+    attempted2 = _spy_verify(monkeypatch)
+    di.reconcile_capped_buckets(
+        spark, idx, max_bucket_size=2, threshold=0.95, k=3
+    )
+    assert attempted2
+    sigs = {
+        r.config_sig for r in spark.read.parquet(f"{idx}/failed").collect()
+    }
+    assert di._failure_config_sig(0.95, 3) in sigs
+
+
+def test_reconcile_persist_failures_disabled(spark, tmp_path):
+    """persist_failures=False keeps the pre-r9 behavior: no failed/ side
+    table, identical keep list."""
+    import os
+
+    rows = _chain_rows()
+    idx = str(tmp_path / "idx")
+    for bi, batch in enumerate([rows[:2], rows[2:4], rows[4:]]):
+        di.update_near_dup_index(
+            spark, _df(spark, batch), idx, batch_id=bi,
+            max_bucket_size=2, **CHAIN_LSH,
+        )
+    di.reconcile_capped_buckets(
+        spark, idx, max_bucket_size=2, threshold=0.85, k=3, repair_hops=-1,
+        use_watermarks=False, persist_failures=False,
+    )
+    assert not os.path.isdir(f"{idx}/failed")
+    batch_kl = sorted(map(tuple, dedup.near_dup_keep_list(
+        _df(spark, rows), max_bucket_size=2, oversize_policy="star",
+        star_repair_hops=-1, **CHAIN_LSH,
+    ).collect()))
+    assert _keep(spark, idx) == batch_kl
+
+
+def test_index_bucket_stats_watermark_aware(spark, tmp_path, capsys):
+    """r9: the watermark-aware gauge. A member stranded because its every
+    candidate edge genuinely fails (chain far member under repair_hops=0)
+    keeps n_stranded positive forever; with reconcile_settings the gauge
+    reports n_unreconciled_buckets=0 after the repair and should_reconcile
+    stops recommending no-op runs — until fresh ingest re-activates the
+    bucket."""
+    rows = _chain_rows()
+    idx = str(tmp_path / "idx")
+    for bi, batch in enumerate([rows[:2], rows[2:4], rows[4:]]):
+        di.update_near_dup_index(
+            spark, _df(spark, batch), idx, batch_id=bi,
+            max_bucket_size=2, **CHAIN_LSH,
+        )
+    settings = {"threshold": 0.85, "k": 3, "repair_hops": 0}
+    before = di.index_bucket_stats(
+        spark, idx, max_bucket_size=2, reconcile_settings=settings
+    )
+    assert before["n_unreconciled_buckets"] == before["n_over_cap_buckets"] > 0
+    assert di.should_reconcile(before)
+
+    di.reconcile_capped_buckets(
+        spark, idx, max_bucket_size=2, threshold=0.85, k=3, repair_hops=0
+    )
+    after = di.index_bucket_stats(
+        spark, idx, max_bucket_size=2, reconcile_settings=settings
+    )
+    # far chain members stay stranded (their star edges genuinely fail at
+    # hops=0) but every over-cap bucket is reconciled: no run recommended
+    assert after["n_stranded"] > 0
+    assert after["n_unreconciled_buckets"] == 0
+    assert not di.should_reconcile(after)
+    # the settings-less gauge (pre-r9 contract) would keep recommending
+    legacy = di.index_bucket_stats(spark, idx, max_bucket_size=2)
+    assert "n_unreconciled_buckets" not in legacy
+    assert di.should_reconcile(legacy)
+
+    # fresh ingest re-activates the bucket
+    di.update_near_dup_index(
+        spark, _df(spark, [(10, rows[0][1] + " tail")]), idx, batch_id=3,
+        max_bucket_size=2, **CHAIN_LSH,
+    )
+    reactivated = di.index_bucket_stats(
+        spark, idx, max_bucket_size=2, reconcile_settings=settings
+    )
+    assert reactivated["n_unreconciled_buckets"] > 0
+    assert di.should_reconcile(reactivated)
+
+    from translator_tm_provider_pipelines_spark import cli
+
+    cli.main([
+        "NEAR_DUP_INDEX_STATS", "--indexDir", idx, "--maxBucketSize", "2",
+        "--watermarkAware", "--threshold", "0.85", "--repairHops", "0",
+    ])
+    out = capsys.readouterr().out
+    assert '"n_unreconciled_buckets"' in out and "reconcile recommended" in out

@@ -23,11 +23,18 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 # universal_input_join: partition-pruned join path; near_dup_star_repaired:
 # LSH + iterative repair with localCheckpoint between hops (the most
 # cluster-sensitive lifetime assumption); cooccurrence_metrics: the
-# broadcast-totals + pair-agg analytics path.
+# broadcast-totals + pair-agg analytics path. r9 additions (VERDICT r8
+# task 5): the round-8 sampler redesign — temperature/token-budget mixture
+# samplers ride a broadcast literal plan table (createDataFrame rows must
+# cross executor serialization) and dsir_top_selection's boundary_top_n
+# brackets a quantile with multi-JVM partial aggregates.
 SMOKE_QUERIES = (
     "universal_input_join",
     "near_dup_star_repaired",
     "cooccurrence_metrics",
+    "temperature_mixture_sample",
+    "token_budget_mixture_sample",
+    "dsir_top_selection",
 )
 
 SCRIPT = f"""

@@ -599,3 +599,27 @@ def test_retrain_ivf_index_restores_balance(spark, emb, tmp_path):
         ).collect()
     ]
     assert got == truth
+
+
+def test_retrain_default_never_runs_percentroid_driver_loop(
+    spark, emb, tmp_path, monkeypatch
+):
+    """r9 (VERDICT r8 task 3): the default retrain path must never reach
+    the exact farthest-first loop — the last driver-coordinated
+    O(n_lists)-scan routine in the repo — and the exact variant stays
+    available only behind an explicit exact_seed=True."""
+    path = str(tmp_path / "ivf_gate")
+    base = emb.where(F.col("vec_id") < 200).select("vec_id", "embedding")
+    cents0 = similarity.seed_centroids(base, n_lists=4)
+    similarity.add_to_ivf_index(base, path, cents0, batch_id=0)
+
+    def boom(*a, **kw):
+        raise AssertionError("exact farthest_first_centroids reached on the default path")
+
+    monkeypatch.setattr(similarity, "farthest_first_centroids", boom)
+    cents = similarity.retrain_ivf_index(spark, path, n_lists=4, n_iters=1)
+    assert len(cents) == 4  # sampled one-scan seeding carried the retrain
+    with pytest.raises(AssertionError, match="default path"):
+        similarity.retrain_ivf_index(
+            spark, path, n_lists=4, n_iters=1, exact_seed=True
+        )

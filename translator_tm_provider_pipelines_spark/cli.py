@@ -630,10 +630,19 @@ def run_near_dup_index_reconcile(spark: SparkSession, argv: list[str]) -> None:
     p.add_argument("--repairHops", type=int, default=0,
                    help="star second-hop repair passes after the base "
                         "re-star; negative = until converged")
+    p.add_argument("--noWatermarks", action="store_true",
+                   help="re-verify every over-cap bucket even when its "
+                        "stored repair watermark covers it (ground-truth "
+                        "control runs)")
+    p.add_argument("--noPersistFailures", action="store_true",
+                   help="neither skip known-failed edges nor record this "
+                        "run's failures (ground-truth control runs)")
     ns = p.parse_args(argv)
     repaired = di.reconcile_capped_buckets(
         spark, ns.indexDir, ns.maxBucketSize, threshold=ns.threshold,
         reconcile_id=ns.reconcileId, repair_hops=ns.repairHops,
+        use_watermarks=not ns.noWatermarks,
+        persist_failures=not ns.noPersistFailures,
     )
     # count the function's return (materialized handle): the partition on
     # disk is cumulative across same-id re-runs — counting it would report
@@ -661,8 +670,29 @@ def run_near_dup_index_stats(spark: SparkSession, argv: list[str]) -> None:
     p.add_argument("--indexDir", required=True)
     p.add_argument("--maxBucketSize", type=int, required=True)
     p.add_argument("--maxStranded", type=int, default=0)
+    p.add_argument("--watermarkAware", action="store_true",
+                   help="also report n_unreconciled_buckets under the "
+                        "reconcile settings below, and only recommend a "
+                        "reconcile when some over-cap bucket is NOT "
+                        "covered by its stored repair watermark — "
+                        "permanently stranded members stop scheduling "
+                        "no-op maintenance runs")
+    p.add_argument("--threshold", type=float, default=0.8)
+    p.add_argument("--shingleK", type=int, default=3)
+    p.add_argument("--repairHops", type=int, default=0)
+    p.add_argument("--repsPerHop", type=int, default=8)
     ns = p.parse_args(argv)
-    stats = di.index_bucket_stats(spark, ns.indexDir, ns.maxBucketSize)
+    settings = None
+    if ns.watermarkAware:
+        settings = {
+            "threshold": ns.threshold,
+            "k": ns.shingleK,
+            "repair_hops": ns.repairHops,
+            "reps_per_hop": ns.repsPerHop,
+        }
+    stats = di.index_bucket_stats(
+        spark, ns.indexDir, ns.maxBucketSize, reconcile_settings=settings
+    )
     print(_json.dumps(stats))
     if di.should_reconcile(stats, ns.maxStranded):
         print("reconcile recommended")
@@ -823,10 +853,15 @@ def run_ivf_retrain(spark: SparkSession, argv: list[str]) -> None:
     p.add_argument("--nLists", type=int, default=16)
     p.add_argument("--nIters", type=int, default=3)
     p.add_argument("--sampleFraction", type=float, default=None)
+    p.add_argument("--exactSeed", action="store_true",
+                   help="exact full-corpus farthest-first seeding: "
+                        "n_lists driver-coordinated scans — small "
+                        "corpora only (default: one-scan deterministic "
+                        "oversample)")
     ns = p.parse_args(argv)
     cents = sim.retrain_ivf_index(
         spark, ns.indexDir, n_lists=ns.nLists, n_iters=ns.nIters,
-        sample_fraction=ns.sampleFraction,
+        sample_fraction=ns.sampleFraction, exact_seed=ns.exactSeed,
     )
     for cid, vec in cents:
         print(_json.dumps({"centroid_id": cid, "vector": vec}))

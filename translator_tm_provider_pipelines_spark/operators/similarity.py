@@ -338,7 +338,11 @@ def farthest_first_centroids(
     100 TB × n_lists=1000 is the wrong cost shape. Prefer
     :func:`sampled_farthest_first_centroids` (one scan, same selection
     rule over a deterministic oversample) for anything large; this exact
-    variant remains for small corpora and as the reference selection."""
+    variant remains for small corpora and as the reference selection.
+    No production path reaches it by default — :func:`retrain_ivf_index`
+    gates it behind ``exact_seed=True`` (pinned by test), and
+    :func:`train_centroids` / :func:`ann_ivf` default to one-scan
+    seeding."""
     first = (
         embeddings.select(id_col, vec_col).orderBy(id_col).limit(1).collect()[0]
     )
@@ -945,6 +949,7 @@ def retrain_ivf_index(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     scale: int = 6,
+    exact_seed: bool = False,
 ) -> list[tuple[int, list[float]]]:
     """The retrain-and-rewrite that :func:`ivf_should_retrain` prescribes:
     read the whole incremental index (every ``ivf_batch``), train fresh
@@ -956,6 +961,13 @@ def retrain_ivf_index(
     new centroids — persist them wherever the old ones lived; mixing
     quantizers in one index path is never valid, which is why this
     rewrites rather than appends.
+
+    Seeding is :func:`sampled_farthest_first_centroids` — ONE corpus scan
+    regardless of ``n_lists``. ``exact_seed=True`` switches to the exact
+    full-corpus :func:`farthest_first_centroids`, which runs ``n_lists``
+    DRIVER-COORDINATED full scans (at n_lists=1000 over 100 TB that is
+    1000 sequential jobs) — reference-quality selection for small corpora
+    only, never the production path.
 
     Staged like :func:`compact_index`: the reassigned rows land in a
     dot-prefixed sibling (`<path>.retrain_tmp`, invisible to readers and
@@ -972,7 +984,8 @@ def retrain_ivf_index(
         if sample_fraction is not None
         else emb
     )
-    init = farthest_first_centroids(
+    seed_fn = farthest_first_centroids if exact_seed else sampled_farthest_first_centroids
+    init = seed_fn(
         train, n_lists, id_col=id_col, vec_col=vec_col, scale=scale
     )
     cents = train_centroids(

@@ -12,6 +12,12 @@ absorb a 0.1% delta. This module maintains a persisted index instead:
                             per-bucket repair watermarks (negative
                             reconcile partitions only; see
                             :func:`reconcile_capped_buckets`)
+    <index_dir>/failed/     (doc_a, doc_b, config_sig)
+                            reconcile candidates whose exact Jaccard
+                            FAILED the threshold — immutable facts under
+                            a (threshold, k) fingerprint, persisted so a
+                            re-activated bucket never re-verifies the
+                            same below-threshold edge twice
 
 Each update computes band signatures for the NEW documents only (the
 zero-shuffle per-row program), joins them against the accumulated band
@@ -246,6 +252,17 @@ def _reconcile_config_sig(
     )
 
 
+def _failure_config_sig(threshold: float, k: float) -> str:
+    """Fingerprint a persisted verification FAILURE is valid under. An
+    edge's exact Jaccard is a pure function of the two immutable documents
+    and the shingle size ``k``; ``threshold`` decides pass/fail. Cap, hop
+    depth, and reps-per-hop only choose WHICH edges get attempted, never
+    the verdict, so failures persisted under one maintenance configuration
+    stay valid when those knobs change (unlike the reconcile watermarks,
+    which fingerprint all five)."""
+    return f"t={threshold!r}|k={k}"
+
+
 def reconcile_capped_buckets(
     spark: SparkSession,
     index_dir: str,
@@ -256,6 +273,7 @@ def reconcile_capped_buckets(
     repair_hops: int = 0,
     reps_per_hop: int = 8,
     use_watermarks: bool = True,
+    persist_failures: bool = True,
 ) -> DataFrame:
     """Repair pass for an index maintained with ``max_bucket_size``: emit
     the star-policy edges for every bucket that has OUTGROWN the cap,
@@ -326,7 +344,26 @@ def reconcile_capped_buckets(
     band rows to a single higher batch_id, which conservatively
     invalidates every watermark — one wasteful re-verification, never a
     lost repair. Watermarks land AFTER the pairs partition, so a crash
-    between the writes re-verifies rather than skips."""
+    between the writes re-verifies rather than skips.
+
+    **Persisted failures** (``persist_failures``, default on): watermarks
+    skip UNCHANGED buckets, but a bucket re-activated by a single new
+    member still re-derives its full star candidate set — and in a
+    chain-shaped boilerplate bucket most representative edges genuinely
+    fail the threshold, so without a record of failures every re-activated
+    bucket re-pays exact-Jaccard verification for edges already known to
+    be below threshold. Each run therefore also lands its
+    attempted-but-failed candidate pairs in the ``failed/`` side table
+    (same negative-partition + union-back discipline), fingerprinted by
+    ``(threshold, k)`` only: a failed Jaccard is an immutable fact of the
+    two documents, so cap/hop/reps changes never invalidate it (and
+    compaction, which bumps band batch_ids past the watermarks, does not
+    touch it either). The next run anti-joins its candidates against the
+    matching failures, so a re-activated bucket verifies ONLY edges
+    involving genuinely new members — the step from O(touched buckets ×
+    bucket size) back down to O(new members). Failures land after the
+    pairs and before the watermarks: a crash anywhere re-verifies at most
+    the in-flight run's candidates, never skips an unverified edge."""
     bands = _read_index(spark, index_dir, "bands")
     docs = _read_index(spark, index_dir, "docs")
     if bands is None or docs is None:
@@ -373,9 +410,21 @@ def reconcile_capped_buckets(
     )
     if old_edges is not None:
         cands = cands.join(old_edges, ["doc_a", "doc_b"], "left_anti")
+    known_failed = None
+    if persist_failures:
+        fail_sig = _failure_config_sig(threshold, k)
+        failed_tab = _read_index(spark, index_dir, "failed")
+        if failed_tab is not None:
+            known_failed = (
+                failed_tab.where(F.col("config_sig") == fail_sig)
+                .select("doc_a", "doc_b")
+                .distinct()
+            )
+            cands = cands.join(known_failed, ["doc_a", "doc_b"], "left_anti")
     repaired = dedup._verify_candidates(
         doc_cols, cands, k=k, threshold=threshold, text_col="text", id_col="doc_id"
     )
+    attempted_new = cands  # every candidate exact-verified THIS run
     if repair_hops:
         # same loop shape (and the same localCheckpoint plan-stacking fix)
         # as the batch path, dedup.near_duplicates:462-486. `attempted`
@@ -389,6 +438,10 @@ def reconcile_capped_buckets(
             over.select("band", "band_sig"), ["band", "band_sig"], "left_semi"
         )
         attempted = cands if old_edges is None else cands.unionByName(old_edges)
+        if known_failed is not None:
+            # persisted failures are already-tested edges: keep the hop
+            # loop from re-proposing (and re-verifying) them
+            attempted = attempted.unionByName(known_failed)
         verified_all = (
             repaired.select("doc_a", "doc_b")
             if old_edges is None
@@ -414,12 +467,21 @@ def reconcile_capped_buckets(
             repaired = repaired.unionByName(v2)
             verified_all = verified_all.unionByName(v2.select("doc_a", "doc_b"))
             attempted = attempted.unionByName(cand2)
+            attempted_new = attempted_new.unionByName(cand2)
     pid = reconcile_partition_id(reconcile_id)
     # materialize the return value BEFORE the overwrite: its lineage
     # anti-joins against ALL existing pairs partitions, including the one
     # the dynamic overwrite below replaces — a caller materializing the
     # returned DataFrame afterwards would otherwise re-read a deleted file
     repaired = repaired.localCheckpoint()
+    failed_new = None
+    if persist_failures:
+        # attempted-but-unverified = this run's failures; materialized
+        # BEFORE the pairs overwrite for the same reads-what-it-overwrites
+        # reason as `repaired` (its lineage anti-joins the pairs table)
+        failed_new = attempted_new.join(
+            repaired.select("doc_a", "doc_b"), ["doc_a", "doc_b"], "left_anti"
+        ).distinct().localCheckpoint()
     to_write = repaired
     if old_pairs is not None and "batch_id" in old_pairs.columns:
         # keep the prior run's rows for this reconcile_id: the fresh
@@ -434,6 +496,21 @@ def reconcile_capped_buckets(
         ).select(*repaired.columns).localCheckpoint()
         to_write = repaired.unionByName(prior)
     _write_batch(to_write, index_dir, "pairs", pid)
+    if persist_failures:
+        # after the pairs, before the watermarks: a crash here re-verifies
+        # this run's candidates on the next run (watermark not yet
+        # advanced) but never skips an unverified edge
+        new_fl = failed_new.select(
+            "doc_a", "doc_b", F.lit(fail_sig).alias("config_sig")
+        )
+        failed_tab = _read_index(spark, index_dir, "failed")
+        if failed_tab is not None:
+            prior_fl = failed_tab.where(F.col("batch_id") == pid).select(
+                "doc_a", "doc_b", "config_sig"
+            )
+            new_fl = new_fl.unionByName(prior_fl).distinct()
+        new_fl = new_fl.localCheckpoint()
+        _write_batch(new_fl, index_dir, "failed", pid)
     if use_watermarks:
         # AFTER the pairs land (crash between the writes → re-verify, never
         # skip-with-lost-pairs). Same union-back + overwrite discipline as
@@ -461,7 +538,10 @@ def reconcile_capped_buckets(
 
 
 def index_bucket_stats(
-    spark: SparkSession, index_dir: str, max_bucket_size: int
+    spark: SparkSession,
+    index_dir: str,
+    max_bucket_size: int,
+    reconcile_settings: dict | None = None,
 ) -> dict[str, int]:
     """Maintenance gauge for a capped index — answers "is a reconcile run
     worth scheduling yet?" without running one:
@@ -473,6 +553,17 @@ def index_bucket_stats(
       would try to link. Late arrivals to over-cap buckets land here
       under ``oversize_policy="drop"``; under ``"star"`` only members
       whose representative edge failed verification (chain shapes).
+    - ``n_unreconciled_buckets`` (only when ``reconcile_settings`` is
+      given): over-cap buckets a reconcile under those settings would NOT
+      skip — no stored watermark under the matching fingerprint, or band
+      rows newer than it. Permanently stranded members (every candidate
+      edge genuinely below threshold) keep ``n_stranded`` positive
+      forever; this column is what actually predicts the next reconcile's
+      scope, so :func:`should_reconcile` requires it to be positive when
+      present. ``reconcile_settings`` takes the reconcile knobs the cron
+      passes to :func:`reconcile_capped_buckets` — ``threshold``, ``k``,
+      ``repair_hops``, ``reps_per_hop`` — defaulting to that function's
+      defaults; ``max_bucket_size`` is this function's own argument.
 
     One bucket-keyed aggregate over the bands table and one distinct over
     the pair endpoints — both dimension-of-the-duplicate-population
@@ -482,13 +573,41 @@ def index_bucket_stats(
     if bands is None:
         raise FileNotFoundError(f"no index at {index_dir}")
     band_cols = bands.select("doc_id", "band", "band_sig")
-    sizes = band_cols.groupBy("band", "band_sig").agg(
-        F.countDistinct("doc_id").alias("__bn")
+    sizes = bands.groupBy("band", "band_sig").agg(
+        F.countDistinct("doc_id").alias("__bn"),
+        F.max("batch_id").alias("__wm"),
     )
     over = sizes.where(F.col("__bn") > max_bucket_size)
     n_over = over.count()
+    n_unreconciled: int | None = None
+    if reconcile_settings is not None:
+        s = dict(reconcile_settings)
+        cfg_sig = _reconcile_config_sig(
+            max_bucket_size,
+            s.pop("threshold", 0.8),
+            s.pop("k", 3),
+            s.pop("repair_hops", 0),
+            s.pop("reps_per_hop", 8),
+        )
+        if s:
+            raise ValueError(f"unknown reconcile_settings keys: {sorted(s)}")
+        unrec = over
+        wm_tab = _read_index(spark, index_dir, "reconciled")
+        if wm_tab is not None:
+            stored = (
+                wm_tab.where(F.col("config_sig") == cfg_sig)
+                .groupBy("band", "band_sig")
+                .agg(F.max("watermark").alias("__stored"))
+            )
+            unrec = over.join(stored, ["band", "band_sig"], "left").where(
+                F.col("__stored").isNull() | (F.col("__stored") < F.col("__wm"))
+            )
+        n_unreconciled = unrec.count()
     if n_over == 0:
-        return {"n_over_cap_buckets": 0, "n_over_cap_members": 0, "n_stranded": 0}
+        stats = {"n_over_cap_buckets": 0, "n_over_cap_members": 0, "n_stranded": 0}
+        if n_unreconciled is not None:
+            stats["n_unreconciled_buckets"] = 0
+        return stats
     members = (
         band_cols.join(over.select("band", "band_sig"), ["band", "band_sig"])
         .select("doc_id")
@@ -503,19 +622,32 @@ def index_bucket_stats(
         ).distinct()
         stranded = members.join(attached, "doc_id", "left_anti")
     counts = members.agg(F.count(F.lit(1)).alias("m")).first()
-    return {
+    stats = {
         "n_over_cap_buckets": n_over,
         "n_over_cap_members": int(counts["m"]),
         "n_stranded": int(stranded.count()),
     }
+    if n_unreconciled is not None:
+        stats["n_unreconciled_buckets"] = n_unreconciled
+    return stats
 
 
 def should_reconcile(stats: dict[str, int], max_stranded: int = 0) -> bool:
     """Watermark rule for :func:`index_bucket_stats`: reconcile when more
     than ``max_stranded`` over-cap members have no verified pair. Zero is
     the strict setting (any stranded member schedules maintenance); set a
-    positive watermark to amortize reconcile cost over more ingest."""
-    return stats["n_stranded"] > max_stranded
+    positive watermark to amortize reconcile cost over more ingest.
+
+    When the stats carry ``n_unreconciled_buckets`` (watermark-aware
+    gauge), it must also be positive: members whose every candidate edge
+    genuinely fails the threshold stay stranded FOREVER, and without this
+    gate a strict cron would schedule a no-op reconcile after every gauge
+    once such members exist."""
+    if stats["n_stranded"] <= max_stranded:
+        return False
+    if "n_unreconciled_buckets" in stats:
+        return stats["n_unreconciled_buckets"] > 0
+    return True
 
 
 def _hadoop_fs(spark: SparkSession, path: str):
@@ -580,12 +712,15 @@ def compact_index(
     the merge dedupes: docs by doc_id, bands and pairs by full row.
     Keep-list equality across compaction is pinned by test.
 
-    The ``reconciled/`` watermark table is NOT compacted: it holds one
-    small partition per distinct reconcile_id (a cron keeps one id
-    forever). Rewriting bands to ``batch_id=upto_batch`` raises every
-    bucket's max band batch_id past its stored watermark, so the next
-    reconcile conservatively re-verifies everything once — wasteful,
-    never wrong (pinned by test)."""
+    The ``reconciled/`` watermark and ``failed/`` failure tables are NOT
+    compacted: each holds one small partition per distinct reconcile_id
+    (a cron keeps one id forever). Rewriting bands to
+    ``batch_id=upto_batch`` raises every bucket's max band batch_id past
+    its stored watermark, so the next reconcile conservatively
+    re-verifies everything once — wasteful, never wrong (pinned by
+    test); the persisted failures are (threshold, k) facts about
+    immutable documents, so they stay valid across compaction and make
+    even that conservative pass cheap."""
     tmp_root = os.path.join(index_dir, ".compact_tmp")
     removed: dict[str, int] = {}
     dedupe_keys = {"docs": ["doc_id"], "bands": None, "pairs": None}
@@ -739,8 +874,12 @@ def incremental_near_dup_stream(
     ``reconcile_repair_hops``). The reconcile run uses
     ``reconcile_id=batch_id``, so a foreachBatch RETRY re-runs the same
     idempotent reconcile at the same (negative) partition, and distinct
-    trigger batches never collide. Leave it ``None`` to run maintenance
-    out-of-band (the CLI's NEAR_DUP_INDEX_STATS / _RECONCILE pair)."""
+    trigger batches never collide. The gauge is watermark-aware (it
+    passes this stream's reconcile settings), so members that stay
+    stranded after a converged reconcile — every candidate edge genuinely
+    below threshold — do not re-schedule a no-op repair on every N-th
+    batch. Leave it ``None`` to run maintenance out-of-band (the CLI's
+    NEAR_DUP_INDEX_STATS / _RECONCILE pair)."""
     if reconcile_every is not None and max_bucket_size is None:
         raise ValueError("reconcile_every requires max_bucket_size")
 
@@ -760,8 +899,19 @@ def incremental_near_dup_stream(
             oversize_policy=oversize_policy,
         )
         if reconcile_every is not None and (batch_id + 1) % reconcile_every == 0:
+            # watermark-aware gauge under the exact settings the reconcile
+            # below would run with: permanently stranded members (every
+            # candidate edge genuinely below threshold) stop scheduling
+            # no-op maintenance once their buckets are reconciled
             stats = index_bucket_stats(
-                batch_df.sparkSession, index_dir, max_bucket_size
+                batch_df.sparkSession,
+                index_dir,
+                max_bucket_size,
+                reconcile_settings={
+                    "threshold": threshold,
+                    "k": k,
+                    "repair_hops": reconcile_repair_hops,
+                },
             )
             if should_reconcile(stats, reconcile_max_stranded):
                 reconcile_capped_buckets(
