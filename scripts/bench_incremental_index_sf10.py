@@ -167,21 +167,44 @@ def main() -> None:
         # converged-star-repair keep list row for row
         inc = di.keep_list_from_index(spark, idx).localCheckpoint()
         batch_kl = dedup.near_dup_keep_list(docs, **batch_kw).localCheckpoint()
-        mism = (
-            inc.unionByName(batch_kl)
-            .groupBy("doc_id", "canonical_id", "is_kept")
-            .count()
-            .where(F.col("count") != 2)
-        )
-        rec["keep_list_mismatch_rows"] = mism.count()
-        rec["keep_list_mismatch_sample"] = [
+        inc_only = inc.exceptAll(batch_kl).localCheckpoint()
+        batch_only = batch_kl.exceptAll(inc).localCheckpoint()
+        rec["keep_list_mismatch_rows"] = inc_only.count() + batch_only.count()
+        # direction matters: an index-only ATTACHMENT (is_kept=false, some
+        # canonical) is backed by an exact-verified >=threshold pair by
+        # construction — the batch side's bounded star promotion (the
+        # documented residual: star_second_hop_pairs docstring) left a
+        # genuine near-dup stranded; the reverse direction would mean the
+        # index LOST a repair and must be zero when the no-skip control
+        # below reports zero changed rows
+        rec["keep_list_index_only_sample"] = [
             [int(r["doc_id"]), int(r["canonical_id"]), bool(r["is_kept"])]
-            for r in mism.orderBy("doc_id").limit(20).collect()
+            for r in inc_only.orderBy("doc_id").limit(20).collect()
         ]
+        rec["keep_list_batch_only_sample"] = [
+            [int(r["doc_id"]), int(r["canonical_id"]), bool(r["is_kept"])]
+            for r in batch_only.orderBy("doc_id").limit(20).collect()
+        ]
+        # of the docs the two sides place differently, how many does the
+        # INDEX attach to a cluster while BATCH keeps them singletons
+        # (recall the batch side missed) vs the reverse
+        iattach = {
+            r[0]
+            for r in rec["keep_list_index_only_sample"]
+            if not r[2]
+        }
+        battach = {
+            r[0]
+            for r in rec["keep_list_batch_only_sample"]
+            if not r[2]
+        }
+        rec["n_index_attaches_batch_strands"] = len(iattach - battach)
+        rec["n_batch_attaches_index_strands"] = len(battach - iattach)
         print(
             "keep-list mismatch:",
             rec["keep_list_mismatch_rows"],
-            rec["keep_list_mismatch_sample"],
+            "index-only:", rec["keep_list_index_only_sample"],
+            "batch-only:", rec["keep_list_batch_only_sample"],
             flush=True,
         )
 

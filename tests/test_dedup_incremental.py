@@ -1027,3 +1027,173 @@ def test_index_bucket_stats_watermark_aware(spark, tmp_path, capsys):
     ])
     out = capsys.readouterr().out
     assert '"n_unreconciled_buckets"' in out and "reconcile recommended" in out
+
+
+def test_reconcile_fresh_member_star_attaches_starved_late_arrival(
+    spark, tmp_path
+):
+    """r9: the fresh-member star (promotion-starvation fix). Handcrafted
+    index state reproducing the mixed-sf10 4-doc divergence: a late
+    arrival lands in an already-reconciled boilerplate bucket whose
+    min-id rep is a genuine stranger; its true neighbors are ATTACHED
+    (never promoted by the hop loop) and a smaller-id stranded stranger
+    monopolizes the reps_per_hop=1 promotion slot — without the fix the
+    late arrival stays a singleton forever (every hop re-promotes the
+    stalled stranger and converges). With the fix, members whose band
+    rows post-date the bucket's watermark star against the whole bucket
+    and the genuine edges are found."""
+    uniq = ("garnet beryl opal topaz spinel zircon "
+            "peridot iolite kunzite morganite heliodor sphene").split()
+    T = ("the shared boilerplate block about spark shuffles parquet files "
+         "broadcast joins and adaptive execution repeated verbatim across "
+         "this synthetic near duplicate cluster fixture corpus")
+    rows0 = [
+        (1, " ".join(f"{w}{i}" for i, w in enumerate(uniq))),   # stranger
+        (2, " ".join(f"{w}x{i}" for i, w in enumerate(uniq))),  # stranger
+        (3, T + " member one"),
+        (4, T + " member two"),
+    ]
+    idx = str(tmp_path / "idx")
+    di._write_batch(_df(spark, rows0), idx, "docs", 0)
+    di._write_batch(
+        spark.createDataFrame(
+            [(d, 0, "B") for d in (1, 2, 3, 4)],
+            "doc_id int, band int, band_sig string",
+        ),
+        idx, "bands", 0,
+    )
+    # (3,4) verified at ingest through a private under-cap bucket
+    di._write_batch(
+        spark.createDataFrame([(3, 4, 1.0)], "doc_a int, doc_b int, jaccard double"),
+        idx, "pairs", 0,
+    )
+    # backlog reconcile converges: rep 1 fails against everyone, the hop
+    # loop re-promotes 1 (still the min unattached) and stalls
+    di.reconcile_capped_buckets(
+        spark, idx, max_bucket_size=2, repair_hops=-1, reps_per_hop=1
+    )
+    keep1 = dict(
+        (r.doc_id, r.canonical_id)
+        for r in di.keep_list_from_index(spark, idx).collect()
+    )
+    assert keep1 == {1: 1, 2: 2, 3: 3, 4: 3}
+
+    # late arrival: genuine near-dup of 3/4 lands ONLY in the shared
+    # boilerplate bucket (its minhash happened to diverge on the
+    # private band) — the measured sf10 shape
+    di._write_batch(_df(spark, [(9, T + " member three")]), idx, "docs", 1)
+    di._write_batch(
+        spark.createDataFrame(
+            [(9, 0, "B")], "doc_id int, band int, band_sig string"
+        ),
+        idx, "bands", 1,
+    )
+    # control: with the fresh star disabled the starvation strands 9
+    # (use_watermarks=False so this diagnostic run does not advance the
+    # bucket's watermark and consume the re-activation the default run
+    # below must see)
+    di.reconcile_capped_buckets(
+        spark, idx, max_bucket_size=2, repair_hops=-1, reps_per_hop=1,
+        fresh_reps_per_bucket=0, use_watermarks=False,
+    )
+    keep2 = dict(
+        (r.doc_id, r.canonical_id)
+        for r in di.keep_list_from_index(spark, idx).collect()
+    )
+    assert keep2[9] == 9  # stranded: genuine neighbors attached, never promoted
+    # default path: fresh member 9 stars against the whole bucket
+    di.reconcile_capped_buckets(
+        spark, idx, max_bucket_size=2, repair_hops=-1, reps_per_hop=1
+    )
+    keep3 = dict(
+        (r.doc_id, r.canonical_id)
+        for r in di.keep_list_from_index(spark, idx).collect()
+    )
+    assert keep3[9] == 3 and keep3[4] == 3  # attached through (3,9)/(4,9)
+    # strangers stay apart — the fresh star verified and REJECTED their
+    # edges to 9, and those failures are persisted
+    assert keep3[1] == 1 and keep3[2] == 2
+    failed = {
+        (r.doc_a, r.doc_b)
+        for r in spark.read.parquet(f"{idx}/failed").collect()
+    }
+    assert (1, 9) in failed and (2, 9) in failed
+
+
+def test_reconcile_fresh_star_overflow_holds_watermark(spark, tmp_path):
+    """r9: a bucket with more unattached fresh members than
+    fresh_reps_per_bucket keeps its OLD watermark (advancing it would
+    hide the unstarred remainder from every future run), stays visible
+    as unreconciled in the gauge, and successive runs drain the backlog
+    as slice members attach."""
+    T = ("the shared boilerplate block about spark shuffles parquet files "
+         "broadcast joins and adaptive execution repeated verbatim across "
+         "this synthetic near duplicate cluster fixture corpus")
+    rows0 = [(3, T + " member one"), (4, T + " member two"),
+             (1, "completely unrelated words about nothing in particular "
+                 "echoing through an empty hall of mirrors and dust")]
+    idx = str(tmp_path / "idx")
+    di._write_batch(_df(spark, rows0), idx, "docs", 0)
+    di._write_batch(
+        spark.createDataFrame(
+            [(d, 0, "B") for d in (1, 3, 4)],
+            "doc_id int, band int, band_sig string",
+        ),
+        idx, "bands", 0,
+    )
+    di._write_batch(
+        spark.createDataFrame([(3, 4, 1.0)], "doc_a int, doc_b int, jaccard double"),
+        idx, "pairs", 0,
+    )
+    di.reconcile_capped_buckets(spark, idx, max_bucket_size=2, repair_hops=-1,
+                                reps_per_hop=1)
+    wm0 = {r.watermark for r in spark.read.parquet(f"{idx}/reconciled").collect()}
+    assert wm0 == {0}
+    # two fresh members arrive in one batch: 8 is a genuine member of the
+    # 3/4 cluster, 9 is a genuine stranger (8 and 9 must not attach
+    # through EACH OTHER — a fresh member's star covers its fellow fresh
+    # members too, which would drain the whole backlog in one run)
+    di._write_batch(
+        _df(spark, [(8, T + " member eight"),
+                    (9, "entirely distinct vocabulary discussing watermark "
+                        "holds slices backlogs and overflow semantics at "
+                        "length without any shared boilerplate words")]),
+        idx, "docs", 1,
+    )
+    di._write_batch(
+        spark.createDataFrame(
+            [(8, 0, "B"), (9, 0, "B")], "doc_id int, band int, band_sig string"
+        ),
+        idx, "bands", 1,
+    )
+    settings = {"repair_hops": -1, "reps_per_hop": 1}
+    # run 1: slice is the single smallest unattached fresh member (8) —
+    # it attaches; the watermark is HELD (9 still unstarred), so the
+    # gauge keeps the bucket unreconciled
+    di.reconcile_capped_buckets(spark, idx, max_bucket_size=2, repair_hops=-1,
+                                reps_per_hop=1, fresh_reps_per_bucket=1)
+    keep = dict((r.doc_id, r.canonical_id)
+                for r in di.keep_list_from_index(spark, idx).collect())
+    assert keep[8] == 3 and keep[9] == 9
+    wm1 = {r.watermark for r in spark.read.parquet(f"{idx}/reconciled").collect()}
+    assert wm1 == {0}  # held
+    stats = di.index_bucket_stats(spark, idx, max_bucket_size=2,
+                                  reconcile_settings=settings)
+    assert stats["n_unreconciled_buckets"] == 1
+    # run 2: 8 attached and out of the slice; 9 is starred, every edge
+    # genuinely fails (persisted), the backlog is drained and the
+    # watermark advances — stranded-but-done, no further runs recommended
+    di.reconcile_capped_buckets(spark, idx, max_bucket_size=2, repair_hops=-1,
+                                reps_per_hop=1, fresh_reps_per_bucket=1)
+    keep = dict((r.doc_id, r.canonical_id)
+                for r in di.keep_list_from_index(spark, idx).collect())
+    assert keep[9] == 9  # genuinely alone, now verified so
+    failed = {(r.doc_a, r.doc_b)
+              for r in spark.read.parquet(f"{idx}/failed").collect()}
+    assert (3, 9) in failed and (4, 9) in failed
+    wm2 = {r.watermark for r in spark.read.parquet(f"{idx}/reconciled").collect()}
+    assert wm2 == {1}
+    stats = di.index_bucket_stats(spark, idx, max_bucket_size=2,
+                                  reconcile_settings=settings)
+    assert stats["n_unreconciled_buckets"] == 0
+    assert not di.should_reconcile(stats)

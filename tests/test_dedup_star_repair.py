@@ -174,3 +174,40 @@ def test_negative_hops_repairs_until_converged(spark):
     conv = _pairset(dedup.near_duplicates(docs, star_repair_hops=-1, **LSH))
     many = _pairset(dedup.near_duplicates(docs, star_repair_hops=5, **LSH))
     assert conv == many == {(0, 1), (2, 3), (3, 4)}
+
+
+def test_second_hop_unit_promotion_starvation_residual(spark):
+    """r9: the documented residual bound, pinned at fixture scale. With
+    reps_per_hop=1, promotion always picks the bucket's SMALLEST
+    unattached member; when its edges are exhausted the loop's next call
+    yields zero fresh candidates and terminates — member 4, ranked below
+    the stalled member, is never promoted, so its genuine edge to the
+    ATTACHED member 3 is never proposed. A wider reps_per_hop proposes
+    it in the first hop. This is the exact mechanism behind the 4-doc
+    index-vs-batch keep-list divergence measured on the mixed sf10
+    corpus (SCALING.md round-9 block): the index's reconcile promotes
+    from a smaller unattached set, so the same member IS promoted there."""
+    # bucket {1,2,3,4}, cap 3 (over-cap); 3 is attached (pair with 99
+    # from another bucket); 1, 2, 4 unattached; ground truth: 4's only
+    # genuine neighbor is 3
+    bands = _bands(spark, [(d, 0, "b0") for d in (1, 2, 3, 4)])
+    verified = _pairs(spark, [(3, 99)])
+    # hop 1: smallest unattached (1) promotes, stars against everyone
+    hop1 = dedup.star_second_hop_pairs(bands, verified, 3, reps_per_hop=1)
+    assert _pairset(hop1) == {(1, 2), (1, 3), (1, 4)}
+    # every hop-1 edge fails verification (1 is genuinely alone):
+    # attempted grows, verified does not
+    attempted = _pairs(spark, [(1, 2), (1, 3), (1, 4)])
+    hop2 = dedup.star_second_hop_pairs(
+        bands, verified, 3, attempted=attempted, reps_per_hop=1
+    )
+    # starvation: member 1 is STILL the smallest unattached, its
+    # proposals are all anti-joined away, and (3, 4) — genuine, never
+    # attempted — is not proposed; the caller's empty-candidate check
+    # ends the loop here with 4 stranded
+    assert hop2.count() == 0
+    # reps_per_hop=3 promotes 1, 2 AND 4 in one hop: (3, 4) is proposed
+    hop_wide = dedup.star_second_hop_pairs(
+        bands, verified, 3, attempted=attempted, reps_per_hop=3
+    )
+    assert (3, 4) in _pairset(hop_wide)

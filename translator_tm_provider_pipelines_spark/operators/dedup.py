@@ -321,10 +321,19 @@ def star_second_hop_pairs(
     representative either attaches (unattached set shrinks) or all its
     edges fail and enter ``attempted`` — a genuinely-alone member whose
     every bucket edge has been tried yields zero fresh candidates, and
-    the caller's empty-candidate check ends the loop. A bucket whose
-    min-unattached member is exhausted stops repairing that bucket even
-    if other unattached members remain; those can only pair with each
-    other and stay unrepaired — the documented residual bound. Returns
+    the caller's empty-candidate check ends the loop. The residual
+    bound: promotion always picks the ``reps_per_hop`` SMALLEST
+    unattached members, so once those stall (all their edges attempted,
+    none attaching) the loop terminates and members ranked below them
+    are never promoted — any unattempted edge of theirs, including a
+    genuine >=threshold edge to an ATTACHED member, stays unattempted.
+    Promoting until every unattached member has had a turn would
+    degenerate to full pairwise expansion of over-cap buckets (the
+    quadratic trap the cap exists to fence), so the bound is
+    deliberate; it is also why the incremental index's reconcile — which
+    promotes from a much smaller unattached set — can attach a handful
+    of genuine near-dups this batch pass strands (measured: 4 docs of
+    500k on the mixed sf10 corpus, SCALING.md round-9 block). Returns
     (doc_a, doc_b) candidates (doc_a < doc_b) for the caller to
     Jaccard-verify and union into the pair set before connected
     components. Recovered members attach to a genuine ≥-threshold

@@ -274,6 +274,7 @@ def reconcile_capped_buckets(
     reps_per_hop: int = 8,
     use_watermarks: bool = True,
     persist_failures: bool = True,
+    fresh_reps_per_bucket: int = 64,
 ) -> DataFrame:
     """Repair pass for an index maintained with ``max_bucket_size``: emit
     the star-policy edges for every bucket that has OUTGROWN the cap,
@@ -363,7 +364,37 @@ def reconcile_capped_buckets(
     involving genuinely new members — the step from O(touched buckets ×
     bucket size) back down to O(new members). Failures land after the
     pairs and before the watermarks: a crash anywhere re-verifies at most
-    the in-flight run's candidates, never skips an unverified edge."""
+    the in-flight run's candidates, never skips an unverified edge.
+
+    **Fresh-member star** (``fresh_reps_per_bucket``, default 64): the
+    hop loop promotes only UNATTACHED members, smallest ids first, and
+    stops when the smallest stall — so a late arrival whose genuine
+    neighbor is already attached (and therefore never promoted) can be
+    starved if enough smaller-id stranded strangers sit above it in the
+    promotion order (measured: 4 of 500k docs on the mixed sf10 corpus
+    before this fix). For buckets that carry a stored watermark — i.e.
+    were already repaired to convergence — the members whose band rows
+    arrived AFTER that watermark (the reason the bucket re-activated)
+    and are STILL unattached once the base star and hop loop have run
+    are additionally starred against the ENTIRE bucket, up to the
+    ``fresh_reps_per_bucket`` smallest such ids per bucket per run. The
+    rescue runs as a post-pass, so fresh members the normal repair
+    already attached cost nothing; only genuinely stranded late
+    arrivals pay O(fresh × bucket) — delta-scale, never the quadratic
+    all-pairs the cap fences — and the anti-join against verified pairs
+    + persisted failures means re-runs never re-attempt these edges.
+    A bucket whose unattached-fresh backlog EXCEEDS the per-run bound
+    keeps its old watermark (the hold below), so it stays active —
+    visible as unreconciled in the gauge — and successive runs drain
+    the backlog as slice members attach and drop out of the
+    unattached-fresh set. Members that fail EVERY edge stay in the
+    slice (their redo is near-free through the persisted failures) and
+    can pin ranks beyond the bound while they remain unattached: a
+    bucket ingesting more than ``fresh_reps_per_bucket`` genuinely
+    unique members per maintenance interval retains that residual, and
+    the gauge keeps reporting it. Backlog buckets (no watermark yet)
+    keep the plain bounded star+hops: defining "fresh" there would mean
+    every member and re-open the quadratic trap. Set 0 to disable."""
     bands = _read_index(spark, index_dir, "bands")
     docs = _read_index(spark, index_dir, "docs")
     if bands is None or docs is None:
@@ -392,9 +423,14 @@ def reconcile_capped_buckets(
             over = over.join(stored, ["band", "band_sig"], "left").where(
                 F.col("__stored").isNull() | (F.col("__stored") < F.col("__wm"))
             )
+    if "__stored" not in over.columns:
+        over = over.withColumn("__stored", F.lit(None).cast("long"))
     # the active over-cap bucket set drives the base star candidates, the
-    # hop loop's bucket scope, and the watermark write — materialize once
-    over = over.select("band", "band_sig", "ds", "__wm").localCheckpoint()
+    # fresh-member star, the hop loop's bucket scope, and the watermark
+    # write — materialize once
+    over = over.select(
+        "band", "band_sig", "ds", "__wm", "__stored"
+    ).localCheckpoint()
     star = F.transform(
         F.slice(F.col("ds"), 2, F.greatest(F.size("ds") - 1, F.lit(0))),
         lambda y: F.struct(F.get(F.col("ds"), 0).alias("doc_a"), y.alias("doc_b")),
@@ -468,6 +504,82 @@ def reconcile_capped_buckets(
             verified_all = verified_all.unionByName(v2.select("doc_a", "doc_b"))
             attempted = attempted.unionByName(cand2)
             attempted_new = attempted_new.unionByName(cand2)
+    fresh = None
+    if fresh_reps_per_bucket:
+        # fresh-member star POST-pass (promotion-starvation fix,
+        # docstring): for re-activated buckets (stored watermark exists),
+        # members whose band rows post-date the watermark and are STILL
+        # unattached after base star + hops star against the whole
+        # bucket, smallest fresh_reps_per_bucket ids per bucket.
+        # Running after verification means the common case — fresh
+        # members attached through the bucket representative or the hop
+        # loop — costs nothing here; only genuinely stranded late
+        # arrivals pay the O(fresh × bucket) rescue, and the anti-joins
+        # below keep re-runs from ever re-attempting an edge.
+        repaired = repaired.localCheckpoint()
+        reactivated = over.where(F.col("__stored").isNotNull())
+        attached_ids = repaired.select(
+            F.explode(F.array("doc_a", "doc_b")).alias("doc_id")
+        )
+        if old_edges is not None:
+            attached_ids = attached_ids.unionByName(
+                old_edges.select(
+                    F.explode(F.array("doc_a", "doc_b")).alias("doc_id")
+                )
+            )
+        fresh_members = (
+            bands.select("doc_id", "band", "band_sig", "batch_id")
+            .join(
+                reactivated.select("band", "band_sig", "__stored"),
+                ["band", "band_sig"],
+            )
+            .where(F.col("batch_id") > F.col("__stored"))
+            .join(attached_ids.distinct(), "doc_id", "left_anti")
+        )
+        fresh = (
+            fresh_members.groupBy("band", "band_sig")
+            .agg(F.array_sort(F.collect_set("doc_id")).alias("__fr_all"))
+            .select(
+                "band",
+                "band_sig",
+                F.slice("__fr_all", 1, fresh_reps_per_bucket).alias("__fr"),
+                (F.size("__fr_all") > fresh_reps_per_bucket).alias("__ovf"),
+            )
+            .localCheckpoint()  # read again below for the watermark hold
+        )
+        fresh_cands = (
+            fresh.join(
+                reactivated.select("band", "band_sig", "ds"),
+                ["band", "band_sig"],
+            )
+            .select(F.explode("__fr").alias("__f"), "ds")
+            .select("__f", F.explode("ds").alias("__o"))
+            .where(F.col("__f") != F.col("__o"))
+            .select(
+                F.least("__f", "__o").alias("doc_a"),
+                F.greatest("__f", "__o").alias("doc_b"),
+            )
+            .distinct()
+        )
+        fresh_cands = fresh_cands.join(
+            attempted_new, ["doc_a", "doc_b"], "left_anti"
+        )
+        if old_edges is not None:
+            fresh_cands = fresh_cands.join(
+                old_edges, ["doc_a", "doc_b"], "left_anti"
+            )
+        if known_failed is not None:
+            fresh_cands = fresh_cands.join(
+                known_failed, ["doc_a", "doc_b"], "left_anti"
+            )
+        fresh_cands = fresh_cands.localCheckpoint()
+        if fresh_cands.head(1):
+            v3 = dedup._verify_candidates(
+                doc_cols, fresh_cands, k=k, threshold=threshold,
+                text_col="text", id_col="doc_id",
+            )
+            repaired = repaired.unionByName(v3)
+            attempted_new = attempted_new.unionByName(fresh_cands)
     pid = reconcile_partition_id(reconcile_id)
     # materialize the return value BEFORE the overwrite: its lineage
     # anti-joins against ALL existing pairs partitions, including the one
@@ -522,6 +634,16 @@ def reconcile_capped_buckets(
             F.lit(cfg_sig).alias("config_sig"),
             F.col("__wm").alias("watermark"),
         )
+        if fresh is not None:
+            # watermark HOLD for overflow buckets: a bucket with more
+            # fresh members than fresh_reps_per_bucket got only its
+            # smallest slice starred this run; advancing its watermark
+            # would hide the rest from every future run (permanent
+            # starvation). Held buckets stay unreconciled in the gauge
+            # and re-activate next run, where the anti-join against this
+            # run's verified/failed edges makes the redo near-free.
+            held = fresh.where(F.col("__ovf")).select("band", "band_sig")
+            new_wm = new_wm.join(held, ["band", "band_sig"], "left_anti")
         wm_tab = _read_index(spark, index_dir, "reconciled")
         if wm_tab is not None:
             prior_wm = wm_tab.where(F.col("batch_id") == pid).select(
