@@ -187,19 +187,24 @@ def main() -> None:
         ]
         # of the docs the two sides place differently, how many does the
         # INDEX attach to a cluster while BATCH keeps them singletons
-        # (recall the batch side missed) vs the reverse
-        iattach = {
-            r[0]
-            for r in rec["keep_list_index_only_sample"]
-            if not r[2]
-        }
-        battach = {
-            r[0]
-            for r in rec["keep_list_batch_only_sample"]
-            if not r[2]
-        }
-        rec["n_index_attaches_batch_strands"] = len(iattach - battach)
-        rec["n_batch_attaches_index_strands"] = len(battach - iattach)
+        # (recall the batch side's bounded promotion missed) vs the
+        # reverse — exact counts over the full diff, not the samples
+        rec["n_index_attaches_batch_strands"] = (
+            inc_only.where(~F.col("is_kept"))
+            .select("doc_id")
+            .join(
+                batch_only.where(F.col("is_kept")).select("doc_id"), "doc_id"
+            )
+            .count()
+        )
+        rec["n_batch_attaches_index_strands"] = (
+            batch_only.where(~F.col("is_kept"))
+            .select("doc_id")
+            .join(
+                inc_only.where(F.col("is_kept")).select("doc_id"), "doc_id"
+            )
+            .count()
+        )
         print(
             "keep-list mismatch:",
             rec["keep_list_mismatch_rows"],
