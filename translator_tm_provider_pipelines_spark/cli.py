@@ -637,12 +637,17 @@ def run_near_dup_index_reconcile(spark: SparkSession, argv: list[str]) -> None:
     p.add_argument("--noPersistFailures", action="store_true",
                    help="neither skip known-failed edges nor record this "
                         "run's failures (ground-truth control runs)")
+    p.add_argument("--freshRepsPerBucket", type=int, default=64,
+                   help="per-bucket per-run bound on the fresh-member "
+                        "rescue star (late arrivals to already-reconciled "
+                        "buckets); 0 disables")
     ns = p.parse_args(argv)
     repaired = di.reconcile_capped_buckets(
         spark, ns.indexDir, ns.maxBucketSize, threshold=ns.threshold,
         reconcile_id=ns.reconcileId, repair_hops=ns.repairHops,
         use_watermarks=not ns.noWatermarks,
         persist_failures=not ns.noPersistFailures,
+        fresh_reps_per_bucket=ns.freshRepsPerBucket,
     )
     # count the function's return (materialized handle): the partition on
     # disk is cumulative across same-id re-runs — counting it would report

@@ -982,6 +982,7 @@ def incremental_near_dup_stream(
     reconcile_every: int | None = None,
     reconcile_repair_hops: int = 0,
     reconcile_max_stranded: int = 0,
+    reconcile_fresh_reps_per_bucket: int = 64,
 ) -> DataStreamWriter:
     """foreachBatch wrapper: each micro-batch of newly ingested documents
     updates the index via :func:`update_near_dup_index`. Combine with
@@ -1044,6 +1045,7 @@ def incremental_near_dup_stream(
                     k=k,
                     reconcile_id=batch_id,
                     repair_hops=reconcile_repair_hops,
+                    fresh_reps_per_bucket=reconcile_fresh_reps_per_bucket,
                 )
 
     return (
