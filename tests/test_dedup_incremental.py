@@ -205,7 +205,8 @@ def test_compact_index_preserves_keep_list_and_merges_partitions(
     )
     before = _keep(spark, idx)
     removed = di.compact_index(spark, idx, upto_batch=2, target_partitions=1)
-    assert removed == {"bands": 2, "docs": 2, "pairs": 2}
+    assert removed == {"bands": 2, "docs": 2, "pairs": 2,
+                       "failed": 0, "reconciled": 0}
     for sub in ("bands", "docs", "pairs"):
         assert _batch_dirs(idx, sub) == ["batch_id=2"], sub
     assert _keep(spark, idx) == before
@@ -465,16 +466,24 @@ def test_incremental_repair_hops_match_batch_star_repaired(spark, tmp_path):
             spark, _df(spark, batch), idx, batch_id=bi,
             max_bucket_size=2, **lsh,
         )
-    # base reconcile alone strands the far chain member: its star edge to
-    # the bucket representative fails exact-Jaccard verification
+    # base reconcile with hops AND rescue disabled strands the far chain
+    # member: its star edge to the bucket representative fails
+    # exact-Jaccard verification (diagnostic control — watermarks off so
+    # this run does not consume the re-activation the repair run needs,
+    # which also disables failure persistence at the CLI level; here the
+    # library default persist_failures=True is fine, failed edges are
+    # immutable facts)
     di.reconcile_capped_buckets(
-        spark, idx, max_bucket_size=2, threshold=0.85, k=3, reconcile_id=0
+        spark, idx, max_bucket_size=2, threshold=0.85, k=3, reconcile_id=0,
+        fresh_reps_per_bucket=0, use_watermarks=False,
     )
     keep0 = dict((r.doc_id, r.canonical_id)
                  for r in di.keep_list_from_index(spark, idx).collect())
-    assert keep0[4] == 4  # still a singleton without repair hops
+    assert keep0[4] == 4  # still a singleton without repair hops or rescue
     # converged repair hops reattach it — full keep-list parity with the
-    # batch star_repair_hops=-1 run
+    # batch star_repair_hops=-1 run. (r10: the default untried-member
+    # rescue would reattach it even WITHOUT hops; hops are kept here to
+    # pin the hop path itself.)
     di.reconcile_capped_buckets(
         spark, idx, max_bucket_size=2, threshold=0.85, k=3,
         reconcile_id=1, repair_hops=-1,
@@ -992,8 +1001,12 @@ def test_index_bucket_stats_watermark_aware(spark, tmp_path, capsys):
     assert before["n_unreconciled_buckets"] == before["n_over_cap_buckets"] > 0
     assert di.should_reconcile(before)
 
+    # rescue off: this test pins the gauge's behavior around members that
+    # STAY stranded after a reconcile (r10's untried-member rescue would
+    # reattach these chain members even at hops=0)
     di.reconcile_capped_buckets(
-        spark, idx, max_bucket_size=2, threshold=0.85, k=3, repair_hops=0
+        spark, idx, max_bucket_size=2, threshold=0.85, k=3, repair_hops=0,
+        fresh_reps_per_bucket=0,
     )
     after = di.index_bucket_stats(
         spark, idx, max_bucket_size=2, reconcile_settings=settings
@@ -1039,9 +1052,10 @@ def test_reconcile_fresh_member_star_attaches_starved_late_arrival(
     (never promoted by the hop loop) and a smaller-id stranded stranger
     monopolizes the reps_per_hop=1 promotion slot — without the fix the
     late arrival stays a singleton forever (every hop re-promotes the
-    stalled stranger and converges). With the fix, members whose band
-    rows post-date the bucket's watermark star against the whole bucket
-    and the genuine edges are found."""
+    stalled stranger and converges). With the fix (r10 criterion:
+    unattached members that still have UNTRIED bucket edges), the late
+    arrival stars against the whole bucket and the genuine edges are
+    found."""
     uniq = ("garnet beryl opal topaz spinel zircon "
             "peridot iolite kunzite morganite heliodor sphene").split()
     T = ("the shared boilerplate block about spark shuffles parquet files "
@@ -1197,3 +1211,327 @@ def test_reconcile_fresh_star_overflow_holds_watermark(spark, tmp_path):
                                   reconcile_settings=settings)
     assert stats["n_unreconciled_buckets"] == 0
     assert not di.should_reconcile(stats)
+
+
+def test_reconcile_never_verified_ghost_edge_not_persisted_as_failure(
+    spark, tmp_path
+):
+    """r10 ADVICE fix: an edge whose endpoint exists in bands/ but not in
+    docs/ (crash between update_near_dup_index's bands and docs writes)
+    is silently DROPPED by verification, not computed — it must NOT be
+    persisted as a permanent (threshold, k) failure, and the bucket's
+    watermark must be HELD so the edge stays visible. Once the doc text
+    lands, the next reconcile verifies the edge and the genuine pair
+    attaches — with the old derivation (attempted minus repaired) it
+    would have been anti-joined away forever."""
+    T = ("the shared boilerplate block about spark shuffles parquet files "
+         "broadcast joins and adaptive execution repeated verbatim across "
+         "this synthetic near duplicate cluster fixture corpus")
+    uniq = "garnet beryl opal topaz spinel zircon peridot iolite".split()
+    idx = str(tmp_path / "idx")
+    di._write_batch(
+        _df(spark, [
+            (1, " ".join(f"{w}{i}" for i, w in enumerate(uniq))),  # stranger
+            (3, T + " member one"),
+            (4, T + " member two"),
+        ]),
+        idx, "docs", 0,
+    )
+    di._write_batch(
+        spark.createDataFrame(
+            [(d, 0, "B") for d in (1, 3, 4, 9)],
+            "doc_id int, band int, band_sig string",
+        ),
+        idx, "bands", 0,
+    )
+    di._write_batch(
+        spark.createDataFrame([(3, 4, 1.0)],
+                              "doc_a int, doc_b int, jaccard double"),
+        idx, "pairs", 0,
+    )
+    # doc 9's text never landed: bands row exists, docs row does not.
+    # Reconcile proposes its edges, verification drops them silently.
+    di.reconcile_capped_buckets(spark, idx, max_bucket_size=2,
+                                repair_hops=-1, reps_per_hop=1)
+    failed = {(r.doc_a, r.doc_b)
+              for r in spark.read.parquet(f"{idx}/failed").collect()}
+    assert not any(9 in e for e in failed), failed  # never-verified ≠ failed
+    assert (1, 3) in failed and (1, 4) in failed    # genuine failures persist
+    # ghost hold: the bucket stays unreconciled (no watermark row), so the
+    # gauge keeps scheduling maintenance instead of hiding the lost edges
+    wm_tab = di._read_index(spark, idx, "reconciled")
+    assert wm_tab is None or wm_tab.count() == 0
+    keep = dict((r.doc_id, r.canonical_id)
+                for r in di.keep_list_from_index(spark, idx).collect())
+    assert 9 not in keep  # no doc row yet
+    # the doc text lands (in the real protocol: the stream's idempotent
+    # retry of the half-written batch) — the next reconcile verifies the
+    # previously dropped edges and the genuine pair attaches
+    di._write_batch(_df(spark, [(9, T + " member three")]), idx, "docs", 1)
+    di.reconcile_capped_buckets(spark, idx, max_bucket_size=2,
+                                repair_hops=-1, reps_per_hop=1)
+    keep = dict((r.doc_id, r.canonical_id)
+                for r in di.keep_list_from_index(spark, idx).collect())
+    assert keep[9] == 3  # attached through (3,9)/(4,9)
+    failed = {(r.doc_a, r.doc_b)
+              for r in spark.read.parquet(f"{idx}/failed").collect()}
+    assert (1, 9) in failed  # stranger edge now genuinely verified-failed
+    # and with the ghost gone the watermark finally advances
+    wm = spark.read.parquet(f"{idx}/reconciled").collect()
+    assert len(wm) == 1 and wm[0].watermark == 0
+
+
+def test_reconcile_rescue_slice_drains_past_permanent_strangers(
+    spark, tmp_path
+):
+    """r10 ADVICE fix: members that fail EVERY edge become fully
+    attempted and drop OUT of the rescue ranking and the overflow test —
+    under r9's post-watermark criterion a permanent stranger with a
+    smaller id than a genuine late near-dup would pin the bound-1 slice
+    forever (held watermark, starved genuine member, no-op reconciles
+    scheduled indefinitely)."""
+    T = ("the shared boilerplate block about spark shuffles parquet files "
+         "broadcast joins and adaptive execution repeated verbatim across "
+         "this synthetic near duplicate cluster fixture corpus")
+    idx = str(tmp_path / "idx")
+    # min-id member 1 is itself a stranger, so the base star attaches
+    # nothing and attachment can only come through the rescue slice
+    di._write_batch(
+        _df(spark, [
+            (1, "ancient lexicon of untranslatable riddles carved into "
+                "basalt cliffs by forgotten cartographers at midnight"),
+            (3, T + " member one"), (4, T + " member two"),
+        ]),
+        idx, "docs", 0,
+    )
+    di._write_batch(
+        spark.createDataFrame([(1, 0, "B"), (3, 0, "B"), (4, 0, "B")],
+                              "doc_id int, band int, band_sig string"),
+        idx, "bands", 0,
+    )
+    di._write_batch(
+        spark.createDataFrame([(3, 4, 1.0)],
+                              "doc_a int, doc_b int, jaccard double"),
+        idx, "pairs", 0,
+    )
+    di.reconcile_capped_buckets(spark, idx, max_bucket_size=1, repair_hops=-1,
+                                reps_per_hop=1)
+    # batch 1: 5 = permanent stranger (smaller id), 8 = genuine member
+    di._write_batch(
+        _df(spark, [
+            (5, "completely unrelated words about nothing in particular "
+                "echoing through an empty hall of mirrors and dust"),
+            (8, T + " member eight"),
+        ]),
+        idx, "docs", 1,
+    )
+    di._write_batch(
+        spark.createDataFrame([(5, 0, "B"), (8, 0, "B")],
+                              "doc_id int, band int, band_sig string"),
+        idx, "bands", 1,
+    )
+    # run 1 (bound 1): slice = {5}; every edge fails and is persisted;
+    # watermark HELD (8 still has untried edges)
+    di.reconcile_capped_buckets(spark, idx, max_bucket_size=1, repair_hops=-1,
+                                reps_per_hop=1, fresh_reps_per_bucket=1)
+    keep = dict((r.doc_id, r.canonical_id)
+                for r in di.keep_list_from_index(spark, idx).collect())
+    assert keep[5] == 5 and keep[8] == 8 and keep[1] == 1
+    wm = {r.watermark
+          for r in spark.read.parquet(f"{idx}/reconciled").collect()}
+    assert wm == {0}  # held
+    # run 2 (bound 1): 5 is fully attempted -> drops out of the ranking;
+    # slice = {8}, which attaches, and the watermark advances
+    di.reconcile_capped_buckets(spark, idx, max_bucket_size=1, repair_hops=-1,
+                                reps_per_hop=1, fresh_reps_per_bucket=1)
+    keep = dict((r.doc_id, r.canonical_id)
+                for r in di.keep_list_from_index(spark, idx).collect())
+    assert keep[8] == 3 and keep[5] == 5
+    wm = {r.watermark
+          for r in spark.read.parquet(f"{idx}/reconciled").collect()}
+    assert wm == {1}
+    stats = di.index_bucket_stats(
+        spark, idx, max_bucket_size=1,
+        reconcile_settings={"repair_hops": -1, "reps_per_hop": 1},
+    )
+    assert stats["n_unreconciled_buckets"] == 0
+    assert not di.should_reconcile(stats)
+
+
+def test_compact_index_merges_side_tables_preserving_skip(spark, tmp_path):
+    """r10: compact_index also merges the failed/ and reconciled/ side
+    tables (the in-stream maintenance path writes one negative partition
+    per triggering micro-batch — partition explosion at cron cadence),
+    and the merge preserves skip-reverification: a reconcile after
+    compaction must not re-propose edges recorded as failed, nor re-
+    process buckets whose merged watermark still covers them."""
+    T = ("the shared boilerplate block about spark shuffles parquet files "
+         "broadcast joins and adaptive execution repeated verbatim across "
+         "this synthetic near duplicate cluster fixture corpus")
+    idx = str(tmp_path / "idx")
+    di._write_batch(
+        _df(spark, [
+            (1, "ancient lexicon of untranslatable riddles carved into "
+                "basalt cliffs by forgotten cartographers at midnight"),
+            (3, T + " member one"), (4, T + " member two"),
+        ]),
+        idx, "docs", 0,
+    )
+    di._write_batch(
+        spark.createDataFrame([(1, 0, "B"), (3, 0, "B"), (4, 0, "B")],
+                              "doc_id int, band int, band_sig string"),
+        idx, "bands", 0,
+    )
+    di._write_batch(
+        spark.createDataFrame([(3, 4, 1.0)],
+                              "doc_a int, doc_b int, jaccard double"),
+        idx, "pairs", 0,
+    )
+    # two maintenance runs at distinct ids, each with fresh work -> two
+    # negative partitions in failed/ and reconciled/ (the in-stream
+    # reconcile_id=batch_id shape)
+    di.reconcile_capped_buckets(spark, idx, max_bucket_size=2,
+                                repair_hops=-1, reconcile_id=0)
+    di._write_batch(
+        _df(spark, [(2, "completely unrelated words about nothing in "
+                        "particular echoing through an empty hall of "
+                        "mirrors and dust")]),
+        idx, "docs", 1,
+    )
+    di._write_batch(
+        spark.createDataFrame([(2, 0, "B")],
+                              "doc_id int, band int, band_sig string"),
+        idx, "bands", 1,
+    )
+    di.reconcile_capped_buckets(spark, idx, max_bucket_size=2,
+                                repair_hops=-1, reconcile_id=1)
+    import os
+    n_failed_parts = len([d for d in os.listdir(f"{idx}/failed")
+                          if d.startswith("batch_id=")])
+    assert n_failed_parts == 2
+    removed = di.compact_index(spark, idx, upto_batch=1, target_partitions=1)
+    assert removed["failed"] == 2 and removed["reconciled"] == 2
+    failed = spark.read.parquet(f"{idx}/failed")
+    assert {(r.doc_a, r.doc_b) for r in failed.collect()} == {
+        (1, 3), (1, 4), (1, 2), (2, 3), (2, 4),
+    }
+    assert {r.batch_id for r in failed.collect()} == {1}
+    wm = spark.read.parquet(f"{idx}/reconciled").collect()
+    assert len(wm) == 1 and wm[0].watermark == 1  # max-merged, one row
+    # skip-reverification is preserved through the merge: re-activate the
+    # bucket with a genuine new member and record every candidate set the
+    # verification stage receives — the known-failed edges never reappear
+    di._write_batch(_df(spark, [(8, T + " member eight")]), idx, "docs", 2)
+    di._write_batch(
+        spark.createDataFrame([(8, 0, "B")],
+                              "doc_id int, band int, band_sig string"),
+        idx, "bands", 2,
+    )
+    seen: list[set] = []
+    real_verify = dedup._verify_candidates
+
+    def recording_verify(docs, cands, **kw):
+        seen.append({(r.doc_a, r.doc_b)
+                     for r in cands.select("doc_a", "doc_b").collect()})
+        return real_verify(docs, cands, **kw)
+
+    import unittest.mock as mock
+    with mock.patch.object(dedup, "_verify_candidates", recording_verify):
+        di.reconcile_capped_buckets(spark, idx, max_bucket_size=2,
+                                    repair_hops=-1, reconcile_id=2)
+    proposed = set().union(*seen) if seen else set()
+    assert not proposed & {(1, 3), (1, 4), (1, 2), (2, 3), (2, 4)}
+    assert (3, 8) in proposed  # the genuinely new member's edges ran
+    keep = dict((r.doc_id, r.canonical_id)
+                for r in di.keep_list_from_index(spark, idx).collect())
+    assert keep[8] == 3 and keep[1] == 1 and keep[2] == 2
+
+
+def test_reconcile_watermark_frozen_against_mid_run_ingest(
+    spark, tmp_path, monkeypatch
+):
+    """r10 (VERDICT task 6): the reconcile watermark records the bucket's
+    max band batch_id AS OF CANDIDATE DERIVATION, not as of the write. A
+    batch ingested between derivation and the watermark write must keep
+    the bucket active for the NEXT run — re-reading max batch_id at
+    write time would stamp the post-derivation batch as covered and
+    silently skip its members forever. The ingest is injected through
+    the _write_batch seam, immediately before the reconcile's first
+    (pairs) write — after all derivation/verification, before the
+    watermark lands."""
+    T = ("the shared boilerplate block about spark shuffles parquet files "
+         "broadcast joins and adaptive execution repeated verbatim across "
+         "this synthetic near duplicate cluster fixture corpus")
+    idx = str(tmp_path / "idx")
+    di._write_batch(
+        _df(spark, [
+            (1, "ancient lexicon of untranslatable riddles carved into "
+                "basalt cliffs by forgotten cartographers at midnight"),
+            (3, T + " member one"), (4, T + " member two"),
+        ]),
+        idx, "docs", 0,
+    )
+    di._write_batch(
+        spark.createDataFrame([(1, 0, "B"), (3, 0, "B"), (4, 0, "B")],
+                              "doc_id int, band int, band_sig string"),
+        idx, "bands", 0,
+    )
+    di._write_batch(
+        spark.createDataFrame([(3, 4, 1.0)],
+                              "doc_a int, doc_b int, jaccard double"),
+        idx, "pairs", 0,
+    )
+    di.reconcile_capped_buckets(spark, idx, max_bucket_size=2,
+                                repair_hops=-1, reconcile_id=0)
+    # normal ingest re-activates the bucket (batch 1 > watermark 0);
+    # band rows handcrafted into the same bucket, as throughout this file
+    di._write_batch(_df(spark, [(8, T + " member eight")]), idx, "docs", 1)
+    di._write_batch(
+        spark.createDataFrame([(8, 0, "B")],
+                              "doc_id int, band int, band_sig string"),
+        idx, "bands", 1,
+    )
+    real_write = di._write_batch
+    state = {"injected": False}
+
+    def inject_then_write(df, index_dir, sub, batch_id):
+        if not state["injected"] and batch_id < 0:
+            state["injected"] = True
+            # mid-run ingest: member 9 lands in the same bucket at batch 2
+            # AFTER the running reconcile derived its candidates (what a
+            # racing micro-batch's update_near_dup_index writes)
+            real_write(_df(spark, [(9, T + " member nine")]),
+                       idx, "docs", 2)
+            real_write(
+                spark.createDataFrame(
+                    [(9, 0, "B")], "doc_id int, band int, band_sig string"
+                ),
+                idx, "bands", 2,
+            )
+        return real_write(df, index_dir, sub, batch_id)
+
+    monkeypatch.setattr(di, "_write_batch", inject_then_write)
+    di.reconcile_capped_buckets(spark, idx, max_bucket_size=2,
+                                repair_hops=-1, reconcile_id=1)
+    monkeypatch.setattr(di, "_write_batch", real_write)
+    assert state["injected"]
+    # the watermark must be the DERIVATION-time max (1), not the
+    # post-ingest max (2); the skip check aggregates max over all runs'
+    # partitions
+    wm = max(r.watermark
+             for r in spark.read.parquet(f"{idx}/reconciled").collect())
+    assert wm == 1, wm
+    stats = di.index_bucket_stats(
+        spark, idx, max_bucket_size=2,
+        reconcile_settings={"repair_hops": -1},
+    )
+    assert stats["n_unreconciled_buckets"] == 1  # bucket stays active
+    # ... so the next run still processes the mid-run arrival
+    di.reconcile_capped_buckets(spark, idx, max_bucket_size=2,
+                                repair_hops=-1, reconcile_id=2)
+    keep = dict((r.doc_id, r.canonical_id)
+                for r in di.keep_list_from_index(spark, idx).collect())
+    assert keep[9] == 3 and keep[8] == 3
+    wm = max(r.watermark
+             for r in spark.read.parquet(f"{idx}/reconciled").collect())
+    assert wm == 2

@@ -176,17 +176,17 @@ def test_negative_hops_repairs_until_converged(spark):
     assert conv == many == {(0, 1), (2, 3), (3, 4)}
 
 
-def test_second_hop_unit_promotion_starvation_residual(spark):
-    """r9: the documented residual bound, pinned at fixture scale. With
-    reps_per_hop=1, promotion always picks the bucket's SMALLEST
-    unattached member; when its edges are exhausted the loop's next call
-    yields zero fresh candidates and terminates — member 4, ranked below
-    the stalled member, is never promoted, so its genuine edge to the
-    ATTACHED member 3 is never proposed. A wider reps_per_hop proposes
-    it in the first hop. This is the exact mechanism behind the 4-doc
-    index-vs-batch keep-list divergence measured on the mixed sf10
-    corpus (SCALING.md round-9 block): the index's reconcile promotes
-    from a smaller unattached set, so the same member IS promoted there."""
+def test_second_hop_unit_promotion_starvation_rescued(spark):
+    """r9 documented the promotion-starvation residual; r10 closes it
+    with star_rescue_pairs. With reps_per_hop=1 the hop loop always
+    picks the bucket's SMALLEST unattached member; when its edges are
+    exhausted the loop terminates — member 4, ranked below the stalled
+    member, is never promoted, so its genuine edge to the ATTACHED
+    member 3 is never proposed (the mechanism behind the 74-row
+    index-vs-batch keep-list divergence on the mixed sf10 corpus,
+    SCALING.md). The rescue ranks by HAS-AN-UNTRIED-EDGE instead, so
+    the stalled stranger drops out of the ranking and member 4 gets its
+    turn — (3, 4) is proposed and the member attaches."""
     # bucket {1,2,3,4}, cap 3 (over-cap); 3 is attached (pair with 99
     # from another bucket); 1, 2, 4 unattached; ground truth: 4's only
     # genuine neighbor is 3
@@ -201,13 +201,58 @@ def test_second_hop_unit_promotion_starvation_residual(spark):
     hop2 = dedup.star_second_hop_pairs(
         bands, verified, 3, attempted=attempted, reps_per_hop=1
     )
-    # starvation: member 1 is STILL the smallest unattached, its
-    # proposals are all anti-joined away, and (3, 4) — genuine, never
-    # attempted — is not proposed; the caller's empty-candidate check
-    # ends the loop here with 4 stranded
+    # the hop loop ALONE starves: member 1 is STILL the smallest
+    # unattached, its proposals are all anti-joined away, and (3, 4) —
+    # genuine, never attempted — is not proposed; the caller's
+    # empty-candidate check ends the loop here with 4 stranded
     assert hop2.count() == 0
-    # reps_per_hop=3 promotes 1, 2 AND 4 in one hop: (3, 4) is proposed
-    hop_wide = dedup.star_second_hop_pairs(
-        bands, verified, 3, attempted=attempted, reps_per_hop=3
+    # the rescue excludes fully-attempted member 1 from the ranking:
+    # bound 1 picks member 2 (smallest WITH untried edges), proposing
+    # exactly its untried edges
+    r1 = dedup.star_rescue_pairs(
+        bands, verified, 3, attempted=attempted, reps_per_bucket=1
     )
-    assert (3, 4) in _pairset(hop_wide)
+    assert _pairset(r1) == {(2, 3), (2, 4)}
+    # round 2 (2's edges all failed → attempted): member 4's turn —
+    # (3, 4), the starved genuine edge, is finally proposed
+    attempted2 = _pairs(
+        spark, [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4)]
+    )
+    r2 = dedup.star_rescue_pairs(
+        bands, verified, 3, attempted=attempted2, reps_per_bucket=1
+    )
+    assert _pairset(r2) == {(3, 4)}
+    # and once every unattached member is fully attempted, the rescue
+    # converges (empty) — the caller's loop terminates
+    attempted3 = attempted2.unionByName(_pairs(spark, [(3, 4)]))
+    r3 = dedup.star_rescue_pairs(
+        bands, verified, 3, attempted=attempted3, reps_per_bucket=1
+    )
+    assert r3.count() == 0
+    # a wide bound proposes both members' untried edges in one round
+    r_wide = dedup.star_rescue_pairs(
+        bands, verified, 3, attempted=attempted, reps_per_bucket=3
+    )
+    assert _pairset(r_wide) == {(2, 3), (2, 4), (3, 4)}
+
+
+def test_near_duplicates_star_rescue_attaches_without_hops(spark):
+    """End-to-end: star_rescue_reps alone (no repair hops) reattaches the
+    stranded chain member — the rescue subsumes the hop loop's recall
+    repair and closes its starvation residual, converging to the same
+    pair set as converged hops on this fixture."""
+    docs = _chain_df(spark)
+    stats = {}
+    got = _pairset(dedup.near_duplicates(
+        docs, star_rescue_reps=1, repair_stats=stats, **LSH
+    ))
+    assert got == {(0, 1), (2, 3), (3, 4)}
+    assert stats["rescue_converged"] and stats["rescue_rounds"] >= 1
+    # keep-list parity with the uncapped run, via rescue instead of hops
+    uncapped = dedup.near_dup_keep_list(
+        docs, threshold=0.85, k=3, num_perms=8, rows_per_band=1
+    )
+    rescued = dedup.near_dup_keep_list(docs, star_rescue_reps=1, **LSH)
+    assert sorted(map(tuple, uncapped.collect())) == sorted(
+        map(tuple, rescued.collect())
+    )

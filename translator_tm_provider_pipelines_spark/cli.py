@@ -631,22 +631,31 @@ def run_near_dup_index_reconcile(spark: SparkSession, argv: list[str]) -> None:
                    help="star second-hop repair passes after the base "
                         "re-star; negative = until converged")
     p.add_argument("--noWatermarks", action="store_true",
-                   help="re-verify every over-cap bucket even when its "
-                        "stored repair watermark covers it (ground-truth "
-                        "control runs)")
+                   help="ground-truth control: ignore AND do not advance "
+                        "stored repair watermarks, re-verifying every "
+                        "over-cap bucket. Implies --noPersistFailures — a "
+                        "true control must not skip known-failed edges "
+                        "either, and must not record this diagnostic "
+                        "run's failures into the live index")
     p.add_argument("--noPersistFailures", action="store_true",
                    help="neither skip known-failed edges nor record this "
-                        "run's failures (ground-truth control runs)")
+                        "run's failures (ground-truth control runs; "
+                        "implied by --noWatermarks)")
     p.add_argument("--freshRepsPerBucket", type=int, default=64,
-                   help="per-bucket per-run bound on the fresh-member "
-                        "rescue star (late arrivals to already-reconciled "
-                        "buckets); 0 disables")
+                   help="per-bucket per-run bound on the untried-member "
+                        "rescue star (unattached over-cap members with "
+                        "untried bucket edges — starved late arrivals and "
+                        "backlog members alike); 0 disables")
     ns = p.parse_args(argv)
     repaired = di.reconcile_capped_buckets(
         spark, ns.indexDir, ns.maxBucketSize, threshold=ns.threshold,
         reconcile_id=ns.reconcileId, repair_hops=ns.repairHops,
         use_watermarks=not ns.noWatermarks,
-        persist_failures=not ns.noPersistFailures,
+        # --noWatermarks implies --noPersistFailures: with failures still
+        # persisted (or skipped) the "re-verify everything" promise above
+        # would be false, and the control would contaminate the live
+        # failed/ table with a partition keyed by this diagnostic run's id
+        persist_failures=not (ns.noPersistFailures or ns.noWatermarks),
         fresh_reps_per_bucket=ns.freshRepsPerBucket,
     )
     # count the function's return (materialized handle): the partition on
@@ -718,6 +727,11 @@ def run_near_dup_keep_best(spark: SparkSession, argv: list[str]) -> None:
     p.add_argument("--oversizePolicy", choices=["drop", "star"], default="drop")
     p.add_argument("--starRepairHops", type=int, default=0,
                    help="star-repair hops; negative = until converged")
+    p.add_argument("--starRescueReps", type=int, default=0,
+                   help="per-bucket per-round bound on the post-hop "
+                        "promotion-starvation rescue (unattached over-cap "
+                        "members with untried edges star against their "
+                        "whole bucket, iterated until drained); 0 disables")
     ns = p.parse_args(argv)
     dd.near_dup_keep_best(
         spark.read.parquet(ns.documents),
@@ -726,6 +740,7 @@ def run_near_dup_keep_best(spark: SparkSession, argv: list[str]) -> None:
         max_bucket_size=ns.maxBucketSize,
         oversize_policy=ns.oversizePolicy,
         star_repair_hops=ns.starRepairHops,
+        star_rescue_reps=ns.starRescueReps,
     ).write.mode("overwrite").parquet(ns.output)
 
 

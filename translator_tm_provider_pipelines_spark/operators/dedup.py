@@ -376,6 +376,104 @@ def star_second_hop_pairs(
     return out
 
 
+def _star_untried_edges(
+    bands: DataFrame,
+    verified: DataFrame,
+    max_bucket_size: int,
+    attempted: DataFrame | None = None,
+) -> DataFrame:
+    """(band, band_sig, __m, doc_a, doc_b): every UNTRIED bucket edge of
+    every unattached over-cap bucket member, keyed by that member
+    (``__m``). The shared enumeration under :func:`star_rescue_pairs` and
+    the incremental index's rescue pass — callers slice the member set
+    per bucket (bounded work per round) and need the per-bucket
+    member counts for overflow/watermark decisions.
+
+    "Unattached" is global (no verified edge at all), as in
+    :func:`star_second_hop_pairs`; "untried" anti-joins ``attempted``
+    (the caller's cumulative candidate set — base star + hops + persisted
+    failures where available). Volume is unattached × bucket_size per
+    bucket BEFORE the anti-join — edge enumeration only, never Jaccard
+    verification, and it shrinks every round as members attach or their
+    edges enter ``attempted``."""
+    over = (
+        bands.groupBy("band", "band_sig")
+        .agg(F.array_sort(F.collect_set("doc_id")).alias("ds"))
+        .where(F.size("ds") > max_bucket_size)
+    )
+    members = over.select("band", "band_sig", F.explode("ds").alias("doc_id"))
+    vids = verified.select(
+        F.explode(F.array("doc_a", "doc_b")).alias("doc_id")
+    ).distinct()
+    unatt = members.join(vids, "doc_id", "left_anti").withColumnRenamed(
+        "doc_id", "__m"
+    )
+    edges = (
+        unatt.join(over, ["band", "band_sig"])
+        .select("band", "band_sig", "__m", F.explode("ds").alias("__o"))
+        .where(F.col("__m") != F.col("__o"))
+        .select(
+            "band",
+            "band_sig",
+            "__m",
+            F.least("__m", "__o").alias("doc_a"),
+            F.greatest("__m", "__o").alias("doc_b"),
+        )
+    )
+    if attempted is not None:
+        edges = edges.join(
+            attempted.select("doc_a", "doc_b"), ["doc_a", "doc_b"], "left_anti"
+        )
+    return edges
+
+
+def star_rescue_pairs(
+    bands: DataFrame,
+    verified: DataFrame,
+    max_bucket_size: int,
+    attempted: DataFrame | None = None,
+    reps_per_bucket: int = 64,
+) -> DataFrame:
+    """Post-convergence rescue candidates for the star policy — closes the
+    promotion-starvation residual of :func:`star_second_hop_pairs` (its
+    docstring: the hop loop ranks by id among ALL unattached members, so
+    once the smallest ``reps_per_hop`` stall with every edge attempted,
+    members ranked below them are never promoted, and a genuine
+    ≥-threshold edge to an ATTACHED member stays unattempted — the 74-row
+    index-vs-batch keep-list divergence measured on the mixed sf10
+    corpus, SCALING.md round-9/10 blocks).
+
+    The fix is the ranking: promote only unattached members that still
+    HAVE an untried bucket edge — stalled strangers (fully attempted,
+    never attaching) drop out of the ranking instead of monopolizing the
+    promotion slots. Each chosen member stars against its whole bucket
+    (all untried edges at once), so after one turn it is fully attempted
+    and leaves the ranking; iterating the caller's
+    verify-union-anti-join loop therefore converges in
+    ceil(stranded_per_bucket / reps_per_bucket) rounds with per-round
+    candidate volume ≤ reps_per_bucket × bucket_size per bucket — the
+    same linearity fence as the hop loop, never the quadratic all-pairs
+    expansion the cap exists to prevent. Returns (doc_a, doc_b)
+    candidates for the caller to Jaccard-verify."""
+    edges = _star_untried_edges(
+        bands, verified, max_bucket_size, attempted=attempted
+    )
+    chosen = (
+        edges.groupBy("band", "band_sig")
+        .agg(
+            F.slice(
+                F.array_sort(F.collect_set("__m")), 1, reps_per_bucket
+            ).alias("__rs")
+        )
+        .select("band", "band_sig", F.explode("__rs").alias("__m"))
+    )
+    return (
+        edges.join(chosen, ["band", "band_sig", "__m"], "left_semi")
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+
 def jaccard_for_pairs(shingles: DataFrame, pairs: DataFrame) -> DataFrame:
     """Exact shingle-set Jaccard for given (doc_a, doc_b) pairs — the
     verification stage after LSH candidate generation."""
@@ -417,6 +515,7 @@ def near_duplicates(
     max_bucket_size: int | None = None,
     oversize_policy: str = "drop",
     star_repair_hops: int = 0,
+    star_rescue_reps: int = 0,
     repair_stats: dict | None = None,
 ) -> DataFrame:
     """MinHash-LSH near-dup pipeline: shingle → signature → bands →
@@ -426,6 +525,22 @@ def near_duplicates(
     ``{"hops_run": k, "converged": bool}`` after the repair loop — the
     observability hook the sf10 scaling runs record the auto-hops count
     through (a converged run reports how many hops it actually needed).
+    With ``star_rescue_reps`` it additionally carries
+    ``{"rescue_rounds": n, "rescue_converged": bool}``.
+
+    ``star_rescue_reps`` (star policy only) runs the promotion-starvation
+    rescue AFTER the hop loop: unattached over-cap bucket members that
+    still have untried bucket edges — members the hop loop's smallest-id
+    ranking never promoted because stalled strangers monopolized its
+    slots (:func:`star_rescue_pairs`) — star against their whole bucket,
+    ``star_rescue_reps`` members per bucket per round, iterated until no
+    untried edge remains. With this on (and converged hops) every
+    unattached member's bucket edges end up exact-verified, so the keep
+    list converges to the same attachment set as the incremental index's
+    drained reconcile (the r9 74-row divergence → 0; SCALING.md). Cost
+    is bounded per round like the hop loop; total extra verification is
+    one Jaccard per stranded-member bucket edge — linear in stranded
+    members × bucket size, paid only by genuinely stranded strangers.
 
     ``star_repair_hops`` (only meaningful with ``oversize_policy="star"``
     and a ``max_bucket_size``) runs up to that many
@@ -474,8 +589,8 @@ def near_duplicates(
         docs, cands, k=k, threshold=threshold, text_col=text_col,
         id_col=id_col, persist=persist,
     )
+    attempted = cands
     if star_repair_hops and max_bucket_size is not None and oversize_policy == "star":
-        attempted = cands
         # star_repair_hops < 0 = repair until converged (the loop breaks
         # as soon as a hop yields no fresh candidates; the `attempted`
         # anti-join guarantees each hop shrinks the untried edge set, so
@@ -503,6 +618,37 @@ def near_duplicates(
             attempted = attempted.unionByName(cand2)
         if repair_stats is not None:
             repair_stats.update({"hops_run": hops_run, "converged": converged})
+    if star_rescue_reps and max_bucket_size is not None and oversize_policy == "star":
+        # promotion-starvation rescue (star_rescue_pairs docstring): after
+        # the hop loop stalls, members with untried edges — skipped by the
+        # smallest-id ranking — get their turn, bounded per bucket per
+        # round. Each chosen member is fully attempted after its round, so
+        # the loop converges in ceil(stranded/reps) rounds.
+        rescue_rounds, rescue_converged = 0, False
+        while True:
+            verified = verified.localCheckpoint()
+            cand3 = star_rescue_pairs(
+                bands_df,
+                verified,
+                max_bucket_size,
+                attempted=attempted,
+                reps_per_bucket=star_rescue_reps,
+            ).localCheckpoint()
+            if not cand3.head(1):
+                rescue_converged = True
+                break
+            rescue_rounds += 1
+            v3 = _verify_candidates(
+                docs, cand3, k=k, threshold=threshold, text_col=text_col,
+                id_col=id_col,
+            )
+            verified = verified.unionByName(v3)
+            attempted = attempted.unionByName(cand3)
+        if repair_stats is not None:
+            repair_stats.update(
+                {"rescue_rounds": rescue_rounds,
+                 "rescue_converged": rescue_converged}
+            )
     return verified
 
 
@@ -787,6 +933,7 @@ def near_dup_keep_list(
     max_bucket_size: int | None = None,
     oversize_policy: str = "drop",
     star_repair_hops: int = 0,
+    star_rescue_reps: int = 0,
     repair_stats: dict | None = None,
 ) -> DataFrame:
     """The dedup pass's end product: (doc_id, canonical_id, is_kept) for
@@ -812,6 +959,7 @@ def near_dup_keep_list(
         max_bucket_size=max_bucket_size,
         oversize_policy=oversize_policy,
         star_repair_hops=star_repair_hops,
+        star_rescue_reps=star_rescue_reps,
         repair_stats=repair_stats,
     )
     comp = connected_components(pairs)
@@ -838,6 +986,7 @@ def near_dup_keep_best(
     max_bucket_size: int | None = None,
     oversize_policy: str = "drop",
     star_repair_hops: int = 0,
+    star_rescue_reps: int = 0,
     repair_stats: dict | None = None,
 ) -> DataFrame:
     """Quality-aware near-dup keep list (the FineWeb/DataComp refinement
@@ -866,6 +1015,7 @@ def near_dup_keep_best(
         max_bucket_size=max_bucket_size,
         oversize_policy=oversize_policy,
         star_repair_hops=star_repair_hops,
+        star_rescue_reps=star_rescue_reps,
         repair_stats=repair_stats,
     )
     comp = connected_components(pairs)

@@ -366,35 +366,35 @@ def reconcile_capped_buckets(
     pairs and before the watermarks: a crash anywhere re-verifies at most
     the in-flight run's candidates, never skips an unverified edge.
 
-    **Fresh-member star** (``fresh_reps_per_bucket``, default 64): the
-    hop loop promotes only UNATTACHED members, smallest ids first, and
-    stops when the smallest stall — so a late arrival whose genuine
+    **Untried-member rescue** (``fresh_reps_per_bucket``, default 64):
+    the hop loop promotes only UNATTACHED members, smallest ids first,
+    and stops when the smallest stall — so a member whose genuine
     neighbor is already attached (and therefore never promoted) can be
     starved if enough smaller-id stranded strangers sit above it in the
     promotion order (measured: 4 of 500k docs on the mixed sf10 corpus
-    before this fix). For buckets that carry a stored watermark — i.e.
-    were already repaired to convergence — the members whose band rows
-    arrived AFTER that watermark (the reason the bucket re-activated)
-    and are STILL unattached once the base star and hop loop have run
-    are additionally starred against the ENTIRE bucket, up to the
-    ``fresh_reps_per_bucket`` smallest such ids per bucket per run. The
-    rescue runs as a post-pass, so fresh members the normal repair
-    already attached cost nothing; only genuinely stranded late
-    arrivals pay O(fresh × bucket) — delta-scale, never the quadratic
-    all-pairs the cap fences — and the anti-join against verified pairs
-    + persisted failures means re-runs never re-attempt these edges.
-    A bucket whose unattached-fresh backlog EXCEEDS the per-run bound
-    keeps its old watermark (the hold below), so it stays active —
-    visible as unreconciled in the gauge — and successive runs drain
-    the backlog as slice members attach and drop out of the
-    unattached-fresh set. Members that fail EVERY edge stay in the
-    slice (their redo is near-free through the persisted failures) and
-    can pin ranks beyond the bound while they remain unattached: a
-    bucket ingesting more than ``fresh_reps_per_bucket`` genuinely
-    unique members per maintenance interval retains that residual, and
-    the gauge keeps reporting it. Backlog buckets (no watermark yet)
-    keep the plain bounded star+hops: defining "fresh" there would mean
-    every member and re-open the quadratic trap. Set 0 to disable."""
+    before r9's fix). After the base star and hop loop, unattached
+    members of ACTIVE over-cap buckets that still have an UNTRIED bucket
+    edge — not verified, not attempted this run, not in the persisted
+    failures — are additionally starred against the ENTIRE bucket, up to
+    the ``fresh_reps_per_bucket`` smallest such ids per bucket per run
+    (:func:`..operators.dedup._star_untried_edges`). Ranking by
+    has-an-untried-edge rather than r9's arrived-after-the-watermark
+    closes both residuals that criterion left (round-10): members that
+    fail every edge become fully attempted and DROP OUT of the ranking
+    and the overflow test — the slice progresses and the watermark
+    always eventually advances — and backlog members starved on the very
+    first reconcile (which pre-date any watermark) are reachable, so a
+    fully drained index attains the same attachment set as the batch
+    path with ``star_rescue_reps`` (keep-list equality on the mixed
+    corpus, SCALING.md round-10 block). The rescue runs as a post-pass,
+    so members the normal repair already attached cost nothing; each
+    chosen member proposes ALL its untried edges at once and is fully
+    attempted after its turn, so per-run verification stays bounded by
+    slice × bucket and successive runs strictly drain the backlog. A
+    bucket whose untried-member count EXCEEDS the per-run bound keeps
+    its old watermark (the hold below), stays visible as unreconciled in
+    the gauge, and re-activates next run — delta-scale work each run,
+    never the quadratic all-pairs the cap fences. Set 0 to disable."""
     bands = _read_index(spark, index_dir, "bands")
     docs = _read_index(spark, index_dir, "docs")
     if bands is None or docs is None:
@@ -504,82 +504,70 @@ def reconcile_capped_buckets(
             verified_all = verified_all.unionByName(v2.select("doc_a", "doc_b"))
             attempted = attempted.unionByName(cand2)
             attempted_new = attempted_new.unionByName(cand2)
-    fresh = None
+    rescue = None
     if fresh_reps_per_bucket:
-        # fresh-member star POST-pass (promotion-starvation fix,
-        # docstring): for re-activated buckets (stored watermark exists),
-        # members whose band rows post-date the watermark and are STILL
-        # unattached after base star + hops star against the whole
-        # bucket, smallest fresh_reps_per_bucket ids per bucket.
-        # Running after verification means the common case — fresh
-        # members attached through the bucket representative or the hop
-        # loop — costs nothing here; only genuinely stranded late
-        # arrivals pay the O(fresh × bucket) rescue, and the anti-joins
-        # below keep re-runs from ever re-attempting an edge.
+        # rescue POST-pass (promotion-starvation fix, docstring): over the
+        # ACTIVE over-cap buckets, unattached members that still have an
+        # UNTRIED bucket edge — after the base star, the hop loop, the
+        # accumulated verified pairs, and the persisted failures — star
+        # against their whole bucket, smallest fresh_reps_per_bucket such
+        # members per bucket per run. "Has an untried edge" (rather than
+        # r9's "band row post-dates the watermark") is the criterion that
+        # both drains — a member whose every edge is verified-or-failed
+        # drops out of the ranking and the overflow test, so the
+        # watermark eventually advances (the round-10 ADVICE fix) — and
+        # reaches backlog members the hop loop's smallest-id ranking
+        # starved on the FIRST reconcile, which the post-watermark
+        # criterion could never see (they pre-date it). Running after
+        # verification means members the normal repair attached cost
+        # nothing; only genuinely stranded members pay the
+        # O(stranded × bucket) edge enumeration, and verification stays
+        # bounded by the per-bucket slice.
         repaired = repaired.localCheckpoint()
-        reactivated = over.where(F.col("__stored").isNotNull())
-        attached_ids = repaired.select(
-            F.explode(F.array("doc_a", "doc_b")).alias("doc_id")
+        active_bands = band_cols.join(
+            over.select("band", "band_sig"), ["band", "band_sig"], "left_semi"
         )
+        verified_all = repaired.select("doc_a", "doc_b")
         if old_edges is not None:
-            attached_ids = attached_ids.unionByName(
-                old_edges.select(
-                    F.explode(F.array("doc_a", "doc_b")).alias("doc_id")
-                )
-            )
-        fresh_members = (
-            bands.select("doc_id", "band", "band_sig", "batch_id")
-            .join(
-                reactivated.select("band", "band_sig", "__stored"),
-                ["band", "band_sig"],
-            )
-            .where(F.col("batch_id") > F.col("__stored"))
-            .join(attached_ids.distinct(), "doc_id", "left_anti")
-        )
-        fresh = (
-            fresh_members.groupBy("band", "band_sig")
-            .agg(F.array_sort(F.collect_set("doc_id")).alias("__fr_all"))
+            verified_all = verified_all.unionByName(old_edges)
+        attempted_all = attempted_new
+        if old_edges is not None:
+            attempted_all = attempted_all.unionByName(old_edges)
+        if known_failed is not None:
+            attempted_all = attempted_all.unionByName(known_failed)
+        untried = dedup._star_untried_edges(
+            active_bands, verified_all, max_bucket_size,
+            attempted=attempted_all,
+        ).localCheckpoint()
+        # per-bucket slice + overflow flag, both read again for the
+        # watermark hold below
+        rescue = (
+            untried.groupBy("band", "band_sig")
+            .agg(F.array_sort(F.collect_set("__m")).alias("__ms"))
             .select(
                 "band",
                 "band_sig",
-                F.slice("__fr_all", 1, fresh_reps_per_bucket).alias("__fr"),
-                (F.size("__fr_all") > fresh_reps_per_bucket).alias("__ovf"),
+                F.slice("__ms", 1, fresh_reps_per_bucket).alias("__fr"),
+                (F.size("__ms") > fresh_reps_per_bucket).alias("__ovf"),
             )
-            .localCheckpoint()  # read again below for the watermark hold
+            .localCheckpoint()
         )
-        fresh_cands = (
-            fresh.join(
-                reactivated.select("band", "band_sig", "ds"),
-                ["band", "band_sig"],
-            )
-            .select(F.explode("__fr").alias("__f"), "ds")
-            .select("__f", F.explode("ds").alias("__o"))
-            .where(F.col("__f") != F.col("__o"))
-            .select(
-                F.least("__f", "__o").alias("doc_a"),
-                F.greatest("__f", "__o").alias("doc_b"),
-            )
+        chosen = rescue.select(
+            "band", "band_sig", F.explode("__fr").alias("__m")
+        )
+        rescue_cands = (
+            untried.join(chosen, ["band", "band_sig", "__m"], "left_semi")
+            .select("doc_a", "doc_b")
             .distinct()
+            .localCheckpoint()
         )
-        fresh_cands = fresh_cands.join(
-            attempted_new, ["doc_a", "doc_b"], "left_anti"
-        )
-        if old_edges is not None:
-            fresh_cands = fresh_cands.join(
-                old_edges, ["doc_a", "doc_b"], "left_anti"
-            )
-        if known_failed is not None:
-            fresh_cands = fresh_cands.join(
-                known_failed, ["doc_a", "doc_b"], "left_anti"
-            )
-        fresh_cands = fresh_cands.localCheckpoint()
-        if fresh_cands.head(1):
+        if rescue_cands.head(1):
             v3 = dedup._verify_candidates(
-                doc_cols, fresh_cands, k=k, threshold=threshold,
+                doc_cols, rescue_cands, k=k, threshold=threshold,
                 text_col="text", id_col="doc_id",
             )
             repaired = repaired.unionByName(v3)
-            attempted_new = attempted_new.unionByName(fresh_cands)
+            attempted_new = attempted_new.unionByName(rescue_cands)
     pid = reconcile_partition_id(reconcile_id)
     # materialize the return value BEFORE the overwrite: its lineage
     # anti-joins against ALL existing pairs partitions, including the one
@@ -590,10 +578,33 @@ def reconcile_capped_buckets(
     if persist_failures:
         # attempted-but-unverified = this run's failures; materialized
         # BEFORE the pairs overwrite for the same reads-what-it-overwrites
-        # reason as `repaired` (its lineage anti-joins the pairs table)
-        failed_new = attempted_new.join(
-            repaired.select("doc_a", "doc_b"), ["doc_a", "doc_b"], "left_anti"
-        ).distinct().localCheckpoint()
+        # reason as `repaired` (its lineage anti-joins the pairs table).
+        # Only edges whose BOTH endpoints have a doc row may fail: the
+        # verification inner-joins per-doc shingle counts, so a pair with
+        # an endpoint present in bands/ but missing from docs/ (a crash
+        # between update_near_dup_index's bands and docs writes, or a
+        # reconcile racing a live micro-batch) is silently DROPPED, not
+        # computed — persisting it as a (threshold, k) failure would
+        # anti-join it away forever, even after the retry lands the doc
+        # text (round-10 ADVICE fix). Such edges stay untried instead —
+        # the foreachBatch retry that completes the half-written batch
+        # re-derives and verifies them itself (per-batch idempotence),
+        # and until then re-proposing them is a few dropped rows per run,
+        # never a lost pair.
+        doc_ids = doc_cols.select("doc_id")
+        failed_new = (
+            attempted_new.join(
+                repaired.select("doc_a", "doc_b"), ["doc_a", "doc_b"], "left_anti"
+            )
+            .join(
+                doc_ids.withColumnRenamed("doc_id", "doc_a"), "doc_a", "left_semi"
+            )
+            .join(
+                doc_ids.withColumnRenamed("doc_id", "doc_b"), "doc_b", "left_semi"
+            )
+            .distinct()
+            .localCheckpoint()
+        )
     to_write = repaired
     if old_pairs is not None and "batch_id" in old_pairs.columns:
         # keep the prior run's rows for this reconcile_id: the fresh
@@ -634,16 +645,41 @@ def reconcile_capped_buckets(
             F.lit(cfg_sig).alias("config_sig"),
             F.col("__wm").alias("watermark"),
         )
-        if fresh is not None:
+        if rescue is not None:
             # watermark HOLD for overflow buckets: a bucket with more
-            # fresh members than fresh_reps_per_bucket got only its
+            # untried-edge members than fresh_reps_per_bucket got only its
             # smallest slice starred this run; advancing its watermark
             # would hide the rest from every future run (permanent
             # starvation). Held buckets stay unreconciled in the gauge
             # and re-activate next run, where the anti-join against this
-            # run's verified/failed edges makes the redo near-free.
-            held = fresh.where(F.col("__ovf")).select("band", "band_sig")
+            # run's verified/failed edges makes the redo near-free — and
+            # because fully-attempted members drop OUT of the untried
+            # ranking, successive runs strictly drain the backlog and the
+            # watermark always eventually advances (round-10 ADVICE fix:
+            # members that fail every edge no longer pin the slice).
+            held = rescue.where(F.col("__ovf")).select("band", "band_sig")
             new_wm = new_wm.join(held, ["band", "band_sig"], "left_anti")
+        # GHOST hold: a bucket holding a band row whose doc text never
+        # landed (crash between update_near_dup_index's bands and docs
+        # writes) has edges this run could not verify OR fail — they were
+        # silently dropped by the shingle inner-join, and the failure
+        # persistence above deliberately excludes them. Advancing the
+        # watermark would hide those edges until unrelated new ingest
+        # re-activates the bucket; holding it keeps the bucket honestly
+        # unreconciled in the gauge. The normal path out is the stream's
+        # idempotent retry of the half-written batch (which re-derives and
+        # verifies its own candidates AND lands the doc row, clearing the
+        # hold); until then each cron run redoes only the ghost edges —
+        # everything else is anti-joined away by pairs and failures.
+        ghost = (
+            bands.select("doc_id", "band", "band_sig")
+            .join(over.select("band", "band_sig"), ["band", "band_sig"],
+                  "left_semi")
+            .join(doc_cols.select("doc_id"), "doc_id", "left_anti")
+            .select("band", "band_sig")
+            .distinct()
+        )
+        new_wm = new_wm.join(ghost, ["band", "band_sig"], "left_anti")
         wm_tab = _read_index(spark, index_dir, "reconciled")
         if wm_tab is not None:
             prior_wm = wm_tab.where(F.col("batch_id") == pid).select(
@@ -834,26 +870,43 @@ def compact_index(
     the merge dedupes: docs by doc_id, bands and pairs by full row.
     Keep-list equality across compaction is pinned by test.
 
-    The ``reconciled/`` watermark and ``failed/`` failure tables are NOT
-    compacted: each holds one small partition per distinct reconcile_id
-    (a cron keeps one id forever). Rewriting bands to
-    ``batch_id=upto_batch`` raises every bucket's max band batch_id past
-    its stored watermark, so the next reconcile conservatively
-    re-verifies everything once — wasteful, never wrong (pinned by
-    test); the persisted failures are (threshold, k) facts about
-    immutable documents, so they stay valid across compaction and make
-    even that conservative pass cheap."""
+    The ``reconciled/`` watermark and ``failed/`` failure side tables ARE
+    compacted too (round-10): a cron that keeps one reconcile_id forever
+    holds a single partition each, but the in-stream maintenance path
+    uses ``reconcile_id=batch_id`` — one negative partition per
+    triggering micro-batch — and the failed table's rows grow
+    monotonically with every run (failures are immutable facts that are
+    never deleted, only deduplicated). Their rows merge into the same
+    ``batch_id=upto_batch`` partition as the main tables — reconcile
+    runs only ever dynamic-overwrite their own NEGATIVE partition, so a
+    non-negative merge partition can never be clobbered — deduplicated
+    by full row (failed) / max watermark per bucket+fingerprint
+    (reconciled). Skip-reverification behavior is preserved: the
+    reconcile reads these tables across ALL partitions (pinned by test).
+    Rewriting bands to ``batch_id=upto_batch`` raises every bucket's max
+    band batch_id past its stored watermark, so the next reconcile
+    conservatively re-verifies every over-cap bucket's candidate set
+    once — wasteful, never wrong (pinned by test) — and the compacted
+    failures are exactly what keeps that conservative pass cheap."""
     tmp_root = os.path.join(index_dir, ".compact_tmp")
     removed: dict[str, int] = {}
-    dedupe_keys = {"docs": ["doc_id"], "bands": None, "pairs": None}
-    for sub in _SUBDIRS:
+    dedupe_keys = {"docs": ["doc_id"], "bands": None, "pairs": None,
+                   "failed": None}
+    for sub in (*_SUBDIRS, "failed", "reconciled"):
         df = _read_index(spark, index_dir, sub)
         if df is None:
             removed[sub] = 0
             continue
         old = df.where(F.col("batch_id") <= upto_batch).drop("batch_id")
-        keys = dedupe_keys[sub]
-        old = old.dropDuplicates(keys) if keys else old.distinct()
+        if sub == "reconciled":
+            # one row per bucket+fingerprint, keeping the max watermark —
+            # the exact value every reconcile's skip check aggregates to
+            old = old.groupBy("band", "band_sig", "config_sig").agg(
+                F.max("watermark").alias("watermark")
+            )
+        else:
+            keys = dedupe_keys[sub]
+            old = old.dropDuplicates(keys) if keys else old.distinct()
         if target_partitions:
             old = old.coalesce(target_partitions)
         tmp = os.path.join(tmp_root, sub)
