@@ -1,19 +1,29 @@
-"""sf10 incremental-index measurement (r7 tasks 2 & 6; extended in r9 for
-VERDICT r8 tasks 1 & 2): the maintenance-path cost of a CAPPED index at
-500k docs — delta absorb + gauge + converged reconcile — against the
-batch comparator it must equal, ``near_dup_keep_list(max_bucket_size=8,
-oversize_policy="star", star_repair_hops=-1)``.
+"""sf10 incremental-index measurement (r7 tasks 2 & 6; extended r9 for
+VERDICT r8 tasks 1 & 2; extended r10 for VERDICT r9 tasks 1, 2 & 5): the
+maintenance-path cost of a CAPPED index at 500k docs — delta absorb +
+gauge + converged reconcile — against the batch comparator it must equal,
+``near_dup_keep_list(max_bucket_size=8, oversize_policy="star",
+star_repair_hops=-1, star_rescue_reps=64)``.
 
-Round-9 scenario shape (watermark acceptance): TWO 1% deltas. The first
-reconcile repairs the whole backlog (and records per-bucket watermarks);
-the second delta then re-activates only the buckets it touches, so the
-second converged reconcile must cost near delta-scale — the r8 honest
-negative was 359.5 s for EVERY reconcile on the all-duplicates slice
-because each run re-verified every over-cap bucket. A third reconcile
-with nothing new measures the pure watermark no-op. Keep-list equality
-against the batch star-repair path over the full corpus is asserted at
-the END, i.e. across backfill + both deltas + all three reconciles —
-watermark skipping must not change the result, only the cost.
+Round-10 scenario shape: THREE 1% deltas. The first reconcile repairs the
+whole backlog (recording per-bucket watermarks and persisted failures,
+and draining the untried-member rescue — buckets whose rescue backlog
+exceeds the per-run bound hold their watermark, so the drain loop keeps
+reconciling until the watermark-aware gauge reports zero unreconciled
+buckets). Each later delta re-activates only the buckets it touches, so
+reconcile2 must cost near delta-scale, and reconcile3 at-or-below
+reconcile2 (the steady state a cron reaches: failures warm, each run pays
+only the new members). A final reconcile with nothing new measures the
+pure watermark no-op. The failed/ side table's row and file counts are
+recorded after every maintenance stage and after compact_index, showing
+the compaction flattening (r9 task 2).
+
+Keep-list equality against the batch star-repair+rescue path over the
+full corpus is asserted at the END, i.e. across backfill + three deltas +
+all reconciles — watermark/failure skipping must not change the result,
+only the cost. The r9 comparator (hops only, no rescue) is also computed
+once: its mismatch count quantifies exactly what the rescue closed (the
+74-row promotion-starvation divergence measured in r9).
 
 Run on both corpora (r8 task 2):
   python scripts/make_scaled_data.py --copies 100 --tables documents \
@@ -40,6 +50,21 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+RECONCILE_SETTINGS = {"repair_hops": -1}
+MAX_DRAIN_RUNS = 40
+
+
+def _failed_stats(spark, di, idx: str) -> dict[str, int]:
+    """Row + data-file count of the failed/ side table (r9 task 2: it
+    grows monotonically; compaction must flatten the file count)."""
+    tab = di._read_index(spark, idx, "failed")
+    rows = 0 if tab is None else tab.count()
+    files = 0
+    root = os.path.join(idx, "failed")
+    for dirpath, _dirnames, filenames in os.walk(root):
+        files += sum(1 for f in filenames if f.endswith(".parquet"))
+    return {"rows": rows, "files": files}
+
 
 def main() -> None:
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -47,6 +72,8 @@ def main() -> None:
     ap.add_argument("--sfDir", default=os.path.join(repo, ".scaledata/sf10-docs"))
     ap.add_argument("--delta-pct", type=float, default=1.0)
     ap.add_argument("--cap", type=int, default=8)
+    ap.add_argument("--rescue", type=int, default=64,
+                    help="fresh_reps_per_bucket / star_rescue_reps bound")
     ap.add_argument("--out", default=os.path.join(repo, "SCALING_INCR_sf10.json"))
     ns = ap.parse_args()
 
@@ -63,16 +90,20 @@ def main() -> None:
     )
     n_docs = docs.count()
     d = ns.delta_pct / 100.0
-    cut1, cut2 = docs.approxQuantile("doc_id", [1.0 - 2 * d, 1.0 - d], 0.0)
-    base = docs.select("doc_id", "text").where(F.col("doc_id") <= cut1)
-    delta1 = docs.select("doc_id", "text").where(
-        (F.col("doc_id") > cut1) & (F.col("doc_id") <= cut2)
+    cut1, cut2, cut3 = docs.approxQuantile(
+        "doc_id", [1.0 - 3 * d, 1.0 - 2 * d, 1.0 - d], 0.0
     )
-    delta2 = docs.select("doc_id", "text").where(F.col("doc_id") > cut2)
-    n_delta1, n_delta2 = delta1.count(), delta2.count()
-    cap = ns.cap
+    base = docs.select("doc_id", "text").where(F.col("doc_id") <= cut1)
+    deltas = [
+        docs.select("doc_id", "text").where(
+            (F.col("doc_id") > lo) & (F.col("doc_id") <= hi)
+        )
+        for lo, hi in [(cut1, cut2), (cut2, cut3)]
+    ] + [docs.select("doc_id", "text").where(F.col("doc_id") > cut3)]
+    cap, rescue = ns.cap, ns.rescue
     batch_kw = dict(
-        max_bucket_size=cap, oversize_policy="star", star_repair_hops=-1
+        max_bucket_size=cap, oversize_policy="star", star_repair_hops=-1,
+        star_rescue_reps=rescue,
     )
 
     work = tempfile.mkdtemp(prefix="incr_bench_sf10_")
@@ -81,11 +112,37 @@ def main() -> None:
         "metric": "near_dup_incremental_vs_full_sf10",
         "sf_dir": ns.sfDir,
         "n_docs": n_docs,
-        "n_delta1": n_delta1,
-        "n_delta2": n_delta2,
+        "n_deltas": [df.count() for df in deltas],
         "delta_pct": ns.delta_pct,
         "max_bucket_size": cap,
+        "rescue_bound": rescue,
     }
+
+    def drained_reconcile(tag: str) -> None:
+        """Converged reconcile, repeated until the watermark-aware gauge
+        reports zero unreconciled buckets (the untried-member rescue is
+        bounded per bucket per run; overflow buckets hold their watermark
+        and successive runs drain the backlog)."""
+        runs: list[float] = []
+        while True:
+            t0 = time.monotonic()
+            di.reconcile_capped_buckets(
+                spark, idx, max_bucket_size=cap, reconcile_id=0,
+                repair_hops=-1, fresh_reps_per_bucket=rescue,
+            )
+            runs.append(round(time.monotonic() - t0, 1))
+            stats = di.index_bucket_stats(
+                spark, idx, max_bucket_size=cap,
+                reconcile_settings=RECONCILE_SETTINGS,
+            )
+            if stats["n_unreconciled_buckets"] == 0 or len(runs) >= MAX_DRAIN_RUNS:
+                break
+        rec[f"{tag}_sec"] = runs[0]
+        rec[f"{tag}_drain_secs"] = runs
+        rec[f"{tag}_runs"] = len(runs)
+        rec[f"{tag}_failed"] = _failed_stats(spark, di, idx)
+        print(f"{tag}: {runs} failed={rec[f'{tag}_failed']}", flush=True)
+
     try:
         t0 = time.monotonic()
         di.update_near_dup_index(spark, base, idx, batch_id=0, max_bucket_size=cap)
@@ -93,7 +150,9 @@ def main() -> None:
         print("backfill:", rec["backfill_sec"], flush=True)
 
         t0 = time.monotonic()
-        di.update_near_dup_index(spark, delta1, idx, batch_id=1, max_bucket_size=cap)
+        di.update_near_dup_index(
+            spark, deltas[0], idx, batch_id=1, max_bucket_size=cap
+        )
         rec["delta_batch_sec"] = round(time.monotonic() - t0, 1)
         print("delta1:", rec["delta_batch_sec"], flush=True)
 
@@ -103,19 +162,18 @@ def main() -> None:
         rec["gauge_stats"] = gauge
         print("gauge:", rec["gauge_sec"], gauge, flush=True)
 
-        t0 = time.monotonic()
-        di.reconcile_capped_buckets(
-            spark, idx, max_bucket_size=cap, reconcile_id=0, repair_hops=-1
-        )
-        rec["reconcile_converged_sec"] = round(time.monotonic() - t0, 1)
-        print("reconcile1:", rec["reconcile_converged_sec"], flush=True)
+        # backlog reconcile: repairs everything accumulated since backfill,
+        # drained to a fully-covered watermark table
+        drained_reconcile("reconcile_converged")
 
         # second 1% delta AFTER a converged reconcile: the watermark
         # acceptance scenario — only the buckets this delta touches
-        # re-activate, so the second converged reconcile must cost near
-        # delta-scale, not reconcile1's backlog-scale
+        # re-activate, so reconcile2 must cost near delta-scale, not
+        # reconcile1's backlog-scale
         t0 = time.monotonic()
-        di.update_near_dup_index(spark, delta2, idx, batch_id=2, max_bucket_size=cap)
+        di.update_near_dup_index(
+            spark, deltas[1], idx, batch_id=2, max_bucket_size=cap
+        )
         rec["delta2_batch_sec"] = round(time.monotonic() - t0, 1)
         print("delta2:", rec["delta2_batch_sec"], flush=True)
 
@@ -125,24 +183,39 @@ def main() -> None:
         rec["gauge2_stats"] = gauge2
         print("gauge2:", rec["gauge2_sec"], gauge2, flush=True)
 
+        drained_reconcile("reconcile2_converged")
+
+        # third 1% delta (r9 task 5): the steady state a cron reaches —
+        # failures warm, reconcile3 pays only the new members' edges and
+        # must cost at-or-below reconcile2
         t0 = time.monotonic()
-        di.reconcile_capped_buckets(
-            spark, idx, max_bucket_size=cap, reconcile_id=0, repair_hops=-1
+        di.update_near_dup_index(
+            spark, deltas[2], idx, batch_id=3, max_bucket_size=cap
         )
-        rec["reconcile2_converged_sec"] = round(time.monotonic() - t0, 1)
-        print("reconcile2:", rec["reconcile2_converged_sec"], flush=True)
+        rec["delta3_batch_sec"] = round(time.monotonic() - t0, 1)
+        print("delta3:", rec["delta3_batch_sec"], flush=True)
+
+        t0 = time.monotonic()
+        gauge3 = di.index_bucket_stats(spark, idx, max_bucket_size=cap)
+        rec["gauge3_sec"] = round(time.monotonic() - t0, 1)
+        rec["gauge3_stats"] = gauge3
+        print("gauge3:", rec["gauge3_sec"], gauge3, flush=True)
+
+        drained_reconcile("reconcile3_converged")
 
         # nothing-new reconcile: the pure watermark no-op cost a cron pays
         # when the gauge fires on permanently stranded members
         t0 = time.monotonic()
         di.reconcile_capped_buckets(
-            spark, idx, max_bucket_size=cap, reconcile_id=0, repair_hops=-1
+            spark, idx, max_bucket_size=cap, reconcile_id=0, repair_hops=-1,
+            fresh_reps_per_bucket=rescue,
         )
         rec["reconcile_noop_sec"] = round(time.monotonic() - t0, 1)
         print("reconcile noop:", rec["reconcile_noop_sec"], flush=True)
 
-        # batch comparator: the converged star-repair keep list (the cost a
-        # daily full-recompute pipeline would pay for the same result)
+        # batch comparator: the converged star-repair+rescue keep list
+        # (the cost a daily full-recompute pipeline would pay for the
+        # same result)
         t0 = time.monotonic()
         dedup.near_dup_keep_list(docs, **batch_kw).write.format("noop").mode(
             "overwrite"
@@ -155,28 +228,33 @@ def main() -> None:
         )
         rec["speedup_delta_incl_reconcile2"] = round(
             rec["full_recompute_sec"]
-            / (rec["delta2_batch_sec"] + rec["gauge2_sec"] + rec["reconcile2_converged_sec"]),
+            / (rec["delta2_batch_sec"] + rec["gauge2_sec"]
+               + sum(rec["reconcile2_converged_drain_secs"])),
+            2,
+        )
+        rec["speedup_delta_incl_reconcile3"] = round(
+            rec["full_recompute_sec"]
+            / (rec["delta3_batch_sec"] + rec["gauge3_sec"]
+               + sum(rec["reconcile3_converged_drain_secs"])),
             2,
         )
         rec["reconcile2_vs_reconcile1"] = round(
-            rec["reconcile2_converged_sec"] / rec["reconcile_converged_sec"], 3
+            sum(rec["reconcile2_converged_drain_secs"])
+            / sum(rec["reconcile_converged_drain_secs"]), 3
+        )
+        rec["reconcile3_vs_reconcile2"] = round(
+            sum(rec["reconcile3_converged_drain_secs"])
+            / sum(rec["reconcile2_converged_drain_secs"]), 3
         )
 
-        # keep-list equality over the FULL history (backfill + 2 deltas +
-        # 3 reconciles, watermark skipping active): must equal the batch
-        # converged-star-repair keep list row for row
+        # keep-list equality over the FULL history (backfill + 3 deltas +
+        # all reconciles, watermark/failure skipping active): must equal
+        # the batch converged-star-repair+rescue keep list row for row
         inc = di.keep_list_from_index(spark, idx).localCheckpoint()
         batch_kl = dedup.near_dup_keep_list(docs, **batch_kw).localCheckpoint()
         inc_only = inc.exceptAll(batch_kl).localCheckpoint()
         batch_only = batch_kl.exceptAll(inc).localCheckpoint()
         rec["keep_list_mismatch_rows"] = inc_only.count() + batch_only.count()
-        # direction matters: an index-only ATTACHMENT (is_kept=false, some
-        # canonical) is backed by an exact-verified >=threshold pair by
-        # construction — the batch side's bounded star promotion (the
-        # documented residual: star_second_hop_pairs docstring) left a
-        # genuine near-dup stranded; the reverse direction would mean the
-        # index LOST a repair and must be zero when the no-skip control
-        # below reports zero changed rows
         rec["keep_list_index_only_sample"] = [
             [int(r["doc_id"]), int(r["canonical_id"]), bool(r["is_kept"])]
             for r in inc_only.orderBy("doc_id").limit(20).collect()
@@ -185,26 +263,6 @@ def main() -> None:
             [int(r["doc_id"]), int(r["canonical_id"]), bool(r["is_kept"])]
             for r in batch_only.orderBy("doc_id").limit(20).collect()
         ]
-        # of the docs the two sides place differently, how many does the
-        # INDEX attach to a cluster while BATCH keeps them singletons
-        # (recall the batch side's bounded promotion missed) vs the
-        # reverse — exact counts over the full diff, not the samples
-        rec["n_index_attaches_batch_strands"] = (
-            inc_only.where(~F.col("is_kept"))
-            .select("doc_id")
-            .join(
-                batch_only.where(F.col("is_kept")).select("doc_id"), "doc_id"
-            )
-            .count()
-        )
-        rec["n_batch_attaches_index_strands"] = (
-            batch_only.where(~F.col("is_kept"))
-            .select("doc_id")
-            .join(
-                inc_only.where(F.col("is_kept")).select("doc_id"), "doc_id"
-            )
-            .count()
-        )
         print(
             "keep-list mismatch:",
             rec["keep_list_mismatch_rows"],
@@ -213,15 +271,32 @@ def main() -> None:
             flush=True,
         )
 
+        # the r9 comparator (hops only, NO rescue): its divergence count
+        # quantifies exactly what the rescue closed — the batch-side
+        # promotion starvation measured at 74 rows on the mixed corpus
+        batch_norescue = dedup.near_dup_keep_list(
+            docs, max_bucket_size=cap, oversize_policy="star",
+            star_repair_hops=-1,
+        ).localCheckpoint()
+        rec["keep_list_mismatch_rows_vs_norescue_batch"] = (
+            inc.exceptAll(batch_norescue).count()
+            + batch_norescue.exceptAll(inc).count()
+        )
+        print(
+            "mismatch vs no-rescue batch (the closed starvation gap):",
+            rec["keep_list_mismatch_rows_vs_norescue_batch"],
+            flush=True,
+        )
+
         # attribution control: one more converged reconcile with ALL
         # skipping disabled (no watermarks read, no persisted failures) —
-        # if the keep list is unchanged, any batch/incremental mismatch
-        # above is the documented chain-attachment divergence of the star
-        # policy, NOT repairs lost to watermark/failure skipping
+        # if the keep list is unchanged, no repair was lost to
+        # watermark/failure skipping
         t0 = time.monotonic()
         di.reconcile_capped_buckets(
             spark, idx, max_bucket_size=cap, reconcile_id=0, repair_hops=-1,
             use_watermarks=False, persist_failures=False,
+            fresh_reps_per_bucket=rescue,
         )
         rec["reconcile_noskip_control_sec"] = round(time.monotonic() - t0, 1)
         inc2 = di.keep_list_from_index(spark, idx).localCheckpoint()
@@ -264,6 +339,21 @@ def main() -> None:
             rec["keep_best_batch_sec"],
             "mismatch:",
             rec["keep_best_mismatch_rows"],
+            flush=True,
+        )
+
+        # compaction flattening (r9 task 2): merge every partition —
+        # including the failed/ and reconciled/ side tables — and record
+        # the failed table's row/file counts before vs after
+        rec["failed_before_compaction"] = _failed_stats(spark, di, idx)
+        t0 = time.monotonic()
+        di.compact_index(spark, idx, upto_batch=3, target_partitions=32)
+        rec["compact_sec"] = round(time.monotonic() - t0, 1)
+        rec["failed_after_compaction"] = _failed_stats(spark, di, idx)
+        print(
+            "compaction:", rec["compact_sec"],
+            "failed before:", rec["failed_before_compaction"],
+            "after:", rec["failed_after_compaction"],
             flush=True,
         )
     finally:

@@ -1535,3 +1535,41 @@ def test_reconcile_watermark_frozen_against_mid_run_ingest(
     wm = max(r.watermark
              for r in spark.read.parquet(f"{idx}/reconciled").collect())
     assert wm == 2
+
+
+def test_cli_nowatermarks_implies_nopersistfailures(spark, tmp_path, capsys):
+    """r10 ADVICE fix: NEAR_DUP_INDEX_RECONCILE --noWatermarks is the
+    ground-truth control and must neither skip known-failed edges nor
+    record this diagnostic run's failures — i.e. it implies
+    --noPersistFailures (previously a control run with failures still
+    persisted silently skipped known-failed edges, making it
+    incomparable to the default path)."""
+    from unittest import mock
+
+    from translator_tm_provider_pipelines_spark import cli
+    from translator_tm_provider_pipelines_spark.streaming import dedup_index
+
+    idx = str(tmp_path / "idx")
+    di._write_batch(_df(spark, [(3, BASE), (4, BASE + " tail")]),
+                    idx, "docs", 0)
+    di._write_batch(
+        spark.createDataFrame([(3, 0, "B"), (4, 0, "B")],
+                              "doc_id int, band int, band_sig string"),
+        idx, "bands", 0,
+    )
+    seen = {}
+    real = dedup_index.reconcile_capped_buckets
+
+    def record(*a, **kw):
+        seen.update(kw)
+        return real(*a, **kw)
+
+    with mock.patch.object(dedup_index, "reconcile_capped_buckets", record):
+        cli.main([
+            "NEAR_DUP_INDEX_RECONCILE", "--indexDir", idx,
+            "--maxBucketSize", "1", "--noWatermarks",
+        ])
+    assert seen["use_watermarks"] is False
+    assert seen["persist_failures"] is False  # implied by --noWatermarks
+    # no failed/ table may exist after a pure control run
+    assert di._read_index(spark, idx, "failed") is None

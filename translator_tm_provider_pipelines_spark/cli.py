@@ -876,8 +876,9 @@ def run_ivf_retrain(spark: SparkSession, argv: list[str]) -> None:
     p.add_argument("--exactSeed", action="store_true",
                    help="exact full-corpus farthest-first seeding: "
                         "n_lists driver-coordinated scans — small "
-                        "corpora only (default: one-scan deterministic "
-                        "oversample)")
+                        "corpora only (measured 111x slower than the "
+                        "default one-scan deterministic oversample at "
+                        "2k vectors / 16 lists)")
     ns = p.parse_args(argv)
     cents = sim.retrain_ivf_index(
         spark, ns.indexDir, n_lists=ns.nLists, n_iters=ns.nIters,

@@ -342,7 +342,13 @@ def farthest_first_centroids(
     No production path reaches it by default — :func:`retrain_ivf_index`
     gates it behind ``exact_seed=True`` (pinned by test), and
     :func:`train_centroids` / :func:`ann_ivf` default to one-scan
-    seeding."""
+    seeding. Why it stays at all (r10 benchmark note): at sf0.1
+    (2,000 vectors, n_lists=16) this loop measured 23.1 s vs the sampled
+    variant's 0.2 s — 111× — so it exists solely as (a) the reference
+    selection rule the sampled variant's driver-side logic is tested
+    against (tests/test_similarity.py) and (b) an exact-seed escape
+    hatch for small corpora where bit-reproducing a published centroid
+    set matters more than cost."""
     first = (
         embeddings.select(id_col, vec_col).orderBy(id_col).limit(1).collect()[0]
     )

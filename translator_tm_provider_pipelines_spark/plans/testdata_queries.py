@@ -1612,6 +1612,106 @@ def near_dup_star_repaired_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "near_dup_star_rescued",
+    f"""
+    WITH {_MINHASH_SQL},
+    pos AS (SELECT unnest(generate_series(1, {_POS_CAP})) AS p),
+    sh AS (
+      SELECT DISTINCT doc_id,
+             list_extract(words, p) || ' ' || list_extract(words, p + 1) || ' ' || list_extract(words, p + 2) AS shingle
+      FROM docs, pos WHERE p <= len(words) - 2
+    ),
+    bsz AS (
+      SELECT band, band_sig, count(DISTINCT doc_id) AS n, min(doc_id) AS m
+      FROM bands GROUP BY 1, 2 HAVING count(DISTINCT doc_id) >= 2
+    ),
+    cand1 AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a
+      JOIN bands b ON a.band = b.band AND a.band_sig = b.band_sig
+      JOIN bsz s ON s.band = a.band AND s.band_sig = a.band_sig AND s.n <= 2
+      WHERE a.doc_id < b.doc_id
+      UNION
+      SELECT DISTINCT s.m AS doc_a, a.doc_id AS doc_b
+      FROM bands a
+      JOIN bsz s ON s.band = a.band AND s.band_sig = a.band_sig AND s.n > 2
+      WHERE a.doc_id > s.m
+    ),
+    cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+    inter1 AS (
+      SELECT c.doc_a, c.doc_b, count(*) AS n_inter
+      FROM cand1 c JOIN sh a ON a.doc_id = c.doc_a
+      JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+      GROUP BY 1, 2
+    ),
+    v1 AS (
+      SELECT c.doc_a, c.doc_b,
+             round(coalesce(i.n_inter, 0) / cast(ca.n + cb.n - coalesce(i.n_inter, 0) AS double), 8) AS jaccard
+      FROM cand1 c
+      LEFT JOIN inter1 i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+      JOIN cnt ca ON ca.doc_id = c.doc_a
+      JOIN cnt cb ON cb.doc_id = c.doc_b
+      WHERE round(coalesce(i.n_inter, 0) / cast(ca.n + cb.n - coalesce(i.n_inter, 0) AS double), 8) >= 0.8
+    ),
+    vids AS (SELECT doc_a AS d FROM v1 UNION SELECT doc_b FROM v1),
+    unatt AS (
+      SELECT b.band, b.band_sig, b.doc_id
+      FROM bands b
+      JOIN bsz s ON s.band = b.band AND s.band_sig = b.band_sig AND s.n > 2
+      WHERE b.doc_id NOT IN (SELECT d FROM vids)
+    ),
+    cand2 AS (
+      SELECT DISTINCT least(r.doc_id, b.doc_id) AS doc_a,
+                      greatest(r.doc_id, b.doc_id) AS doc_b
+      FROM unatt r
+      JOIN bands b ON b.band = r.band AND b.band_sig = r.band_sig
+      WHERE b.doc_id != r.doc_id
+      EXCEPT SELECT doc_a, doc_b FROM cand1
+    ),
+    inter2 AS (
+      SELECT c.doc_a, c.doc_b, count(*) AS n_inter
+      FROM cand2 c JOIN sh a ON a.doc_id = c.doc_a
+      JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+      GROUP BY 1, 2
+    ),
+    v2 AS (
+      SELECT c.doc_a, c.doc_b,
+             round(coalesce(i.n_inter, 0) / cast(ca.n + cb.n - coalesce(i.n_inter, 0) AS double), 8) AS jaccard
+      FROM cand2 c
+      LEFT JOIN inter2 i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+      JOIN cnt ca ON ca.doc_id = c.doc_a
+      JOIN cnt cb ON cb.doc_id = c.doc_b
+      WHERE round(coalesce(i.n_inter, 0) / cast(ca.n + cb.n - coalesce(i.n_inter, 0) AS double), 8) >= 0.8
+    )
+    SELECT doc_a, doc_b, jaccard FROM v1
+    UNION SELECT doc_a, doc_b, jaccard FROM v2
+    """,
+)
+def near_dup_star_rescued_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star-capped near-dup pipeline (cap 2) plus the r10
+    promotion-starvation rescue (operators/dedup.py:star_rescue_pairs)
+    run with an UNBOUNDED per-round slice: every still-unattached
+    over-cap bucket member proposes all its untried bucket edges at
+    once, so the rescue loop converges in exactly one round and the
+    whole pipeline is value-exactly expressible as two-stage SQL (base
+    star verify, then unattached-member expansion minus the attempted
+    set, verified). This is the path that closes the hop loop's
+    smallest-id promotion starvation — the bounded production setting
+    (star_rescue_reps=64, iterated) reaches the same fixpoint because a
+    chosen member is fully attempted after its round (docstring proof);
+    the unbounded setting here makes that fixpoint one-shot for the
+    oracle."""
+    return dedup.near_duplicates(
+        _t(spark, sf_dir, "documents"),
+        threshold=0.8,
+        max_bucket_size=2,
+        oversize_policy="star",
+        star_repair_hops=0,
+        star_rescue_reps=1_000_000,
+    )
+
+
+@register(
     "near_dup_keep_list",
     f"""
     WITH RECURSIVE {_MINHASH_SQL},
