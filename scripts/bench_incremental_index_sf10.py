@@ -74,6 +74,12 @@ def main() -> None:
     ap.add_argument("--cap", type=int, default=8)
     ap.add_argument("--rescue", type=int, default=64,
                     help="fresh_reps_per_bucket / star_rescue_reps bound")
+    ap.add_argument("--rescueMinBands", type=int, default=3,
+                    help="deterministic band-agreement prefilter, shared "
+                         "by the index reconcile and the batch comparator "
+                         "(equality holds at any shared value); 3 keeps "
+                         "J>=0.8 edges (~6.6 of 16 bands shared) and "
+                         "kills half-overlap stranger edges (~1)")
     ap.add_argument("--out", default=os.path.join(repo, "SCALING_INCR_sf10.json"))
     ns = ap.parse_args()
 
@@ -103,7 +109,7 @@ def main() -> None:
     cap, rescue = ns.cap, ns.rescue
     batch_kw = dict(
         max_bucket_size=cap, oversize_policy="star", star_repair_hops=-1,
-        star_rescue_reps=rescue,
+        star_rescue_reps=rescue, star_rescue_min_bands=ns.rescueMinBands,
     )
 
     work = tempfile.mkdtemp(prefix="incr_bench_sf10_")
@@ -116,6 +122,7 @@ def main() -> None:
         "delta_pct": ns.delta_pct,
         "max_bucket_size": cap,
         "rescue_bound": rescue,
+        "rescue_min_shared_bands": ns.rescueMinBands,
     }
 
     def drained_reconcile(tag: str) -> None:
@@ -129,6 +136,7 @@ def main() -> None:
             di.reconcile_capped_buckets(
                 spark, idx, max_bucket_size=cap, reconcile_id=0,
                 repair_hops=-1, fresh_reps_per_bucket=rescue,
+                rescue_min_shared_bands=ns.rescueMinBands,
             )
             runs.append(round(time.monotonic() - t0, 1))
             stats = di.index_bucket_stats(
@@ -209,6 +217,7 @@ def main() -> None:
         di.reconcile_capped_buckets(
             spark, idx, max_bucket_size=cap, reconcile_id=0, repair_hops=-1,
             fresh_reps_per_bucket=rescue,
+            rescue_min_shared_bands=ns.rescueMinBands,
         )
         rec["reconcile_noop_sec"] = round(time.monotonic() - t0, 1)
         print("reconcile noop:", rec["reconcile_noop_sec"], flush=True)
@@ -297,6 +306,7 @@ def main() -> None:
             spark, idx, max_bucket_size=cap, reconcile_id=0, repair_hops=-1,
             use_watermarks=False, persist_failures=False,
             fresh_reps_per_bucket=rescue,
+            rescue_min_shared_bands=ns.rescueMinBands,
         )
         rec["reconcile_noskip_control_sec"] = round(time.monotonic() - t0, 1)
         inc2 = di.keep_list_from_index(spark, idx).localCheckpoint()

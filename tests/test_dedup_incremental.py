@@ -1124,8 +1124,12 @@ def test_reconcile_fresh_member_star_attaches_starved_late_arrival(
         for r in di.keep_list_from_index(spark, idx).collect()
     )
     assert keep3[9] == 3 and keep3[4] == 3  # attached through (3,9)/(4,9)
-    # strangers stay apart — the fresh star verified and REJECTED their
-    # edges to 9, and those failures are persisted
+    # strangers stay apart; (1, 9) was proposed by the base star (rep 1)
+    # and its genuine failure is persisted. (2, 9) was out of rescue
+    # scope in round 1 (both endpoints unattached — stranger-to-stranger
+    # edges are the 100 TB quadratic trap), but once 9 ATTACHED, round 2
+    # of the same run re-derived the bucket and proposed it — exactly
+    # what the batch fixpoint does — and its failure is persisted too
     assert keep3[1] == 1 and keep3[2] == 2
     failed = {
         (r.doc_a, r.doc_b)
@@ -1134,12 +1138,14 @@ def test_reconcile_fresh_member_star_attaches_starved_late_arrival(
     assert (1, 9) in failed and (2, 9) in failed
 
 
-def test_reconcile_fresh_star_overflow_holds_watermark(spark, tmp_path):
-    """r9: a bucket with more unattached fresh members than
-    fresh_reps_per_bucket keeps its OLD watermark (advancing it would
-    hide the unstarred remainder from every future run), stays visible
-    as unreconciled in the gauge, and successive runs drain the backlog
-    as slice members attach."""
+def test_reconcile_rescue_bound_drains_within_run(spark, tmp_path):
+    """r10: the per-bucket rescue bound is a per-ROUND fence, not a
+    per-run result cap — a bucket with more untried-edge members than
+    fresh_reps_per_bucket feeds its overflow into the next round's scope
+    and the run drains to the global fixpoint before the watermark is
+    written (r9 held the watermark across runs instead; the round loop
+    replaces that so an advanced watermark always certifies
+    no-qualifying-untried-edge)."""
     T = ("the shared boilerplate block about spark shuffles parquet files "
          "broadcast joins and adaptive execution repeated verbatim across "
          "this synthetic near duplicate cluster fixture corpus")
@@ -1165,8 +1171,8 @@ def test_reconcile_fresh_star_overflow_holds_watermark(spark, tmp_path):
     assert wm0 == {0}
     # two fresh members arrive in one batch: 8 is a genuine member of the
     # 3/4 cluster, 9 is a genuine stranger (8 and 9 must not attach
-    # through EACH OTHER — a fresh member's star covers its fellow fresh
-    # members too, which would drain the whole backlog in one run)
+    # through each other — unattached-to-unattached edges are outside
+    # the rescue's attached-targeted scope by design)
     di._write_batch(
         _df(spark, [(8, T + " member eight"),
                     (9, "entirely distinct vocabulary discussing watermark "
@@ -1181,36 +1187,31 @@ def test_reconcile_fresh_star_overflow_holds_watermark(spark, tmp_path):
         idx, "bands", 1,
     )
     settings = {"repair_hops": -1, "reps_per_hop": 1}
-    # run 1: slice is the single smallest unattached fresh member (8) —
-    # it attaches; the watermark is HELD (9 still unstarred), so the
-    # gauge keeps the bucket unreconciled
+    # ONE run, bound 1: round 1 slices {8} (smallest with an untried
+    # qualifying edge) and attaches it; 9 overflows the slice, so the
+    # bucket re-enters the next round's scope, where 9's edges are
+    # verified (and genuinely fail, persisted) — the run ends at the
+    # fixpoint and the watermark advances
     di.reconcile_capped_buckets(spark, idx, max_bucket_size=2, repair_hops=-1,
                                 reps_per_hop=1, fresh_reps_per_bucket=1)
     keep = dict((r.doc_id, r.canonical_id)
                 for r in di.keep_list_from_index(spark, idx).collect())
-    assert keep[8] == 3 and keep[9] == 9
-    wm1 = {r.watermark for r in spark.read.parquet(f"{idx}/reconciled").collect()}
-    assert wm1 == {0}  # held
-    stats = di.index_bucket_stats(spark, idx, max_bucket_size=2,
-                                  reconcile_settings=settings)
-    assert stats["n_unreconciled_buckets"] == 1
-    # run 2: 8 attached and out of the slice; 9 is starred, every edge
-    # genuinely fails (persisted), the backlog is drained and the
-    # watermark advances — stranded-but-done, no further runs recommended
-    di.reconcile_capped_buckets(spark, idx, max_bucket_size=2, repair_hops=-1,
-                                reps_per_hop=1, fresh_reps_per_bucket=1)
-    keep = dict((r.doc_id, r.canonical_id)
-                for r in di.keep_list_from_index(spark, idx).collect())
-    assert keep[9] == 9  # genuinely alone, now verified so
+    assert keep[8] == 3 and keep[9] == 9  # 9 genuinely alone, verified so
     failed = {(r.doc_a, r.doc_b)
               for r in spark.read.parquet(f"{idx}/failed").collect()}
     assert (3, 9) in failed and (4, 9) in failed
-    wm2 = {r.watermark for r in spark.read.parquet(f"{idx}/reconciled").collect()}
-    assert wm2 == {1}
+    wm1 = {r.watermark for r in spark.read.parquet(f"{idx}/reconciled").collect()}
+    assert wm1 == {1}  # drained within the run: watermark advanced
     stats = di.index_bucket_stats(spark, idx, max_bucket_size=2,
                                   reconcile_settings=settings)
     assert stats["n_unreconciled_buckets"] == 0
     assert not di.should_reconcile(stats)
+    # idempotent no-op re-run
+    di.reconcile_capped_buckets(spark, idx, max_bucket_size=2, repair_hops=-1,
+                                reps_per_hop=1, fresh_reps_per_bucket=1)
+    keep2 = dict((r.doc_id, r.canonical_id)
+                 for r in di.keep_list_from_index(spark, idx).collect())
+    assert keep2 == keep
 
 
 def test_reconcile_never_verified_ghost_edge_not_persisted_as_failure(
@@ -1284,12 +1285,13 @@ def test_reconcile_never_verified_ghost_edge_not_persisted_as_failure(
 def test_reconcile_rescue_slice_drains_past_permanent_strangers(
     spark, tmp_path
 ):
-    """r10 ADVICE fix: members that fail EVERY edge become fully
-    attempted and drop OUT of the rescue ranking and the overflow test —
-    under r9's post-watermark criterion a permanent stranger with a
-    smaller id than a genuine late near-dup would pin the bound-1 slice
-    forever (held watermark, starved genuine member, no-op reconciles
-    scheduled indefinitely)."""
+    """r10 ADVICE fix: members that exhaust their qualifying targets
+    become fully attempted and drop OUT of the rescue ranking — under
+    r9's post-watermark criterion a permanent stranger with a smaller id
+    than a genuine late near-dup would pin the bound-1 slice forever
+    (held watermark, starved genuine member, no-op reconciles scheduled
+    indefinitely). With the round loop both members get their turn
+    within ONE run."""
     T = ("the shared boilerplate block about spark shuffles parquet files "
          "broadcast joins and adaptive execution repeated verbatim across "
          "this synthetic near duplicate cluster fixture corpus")
@@ -1330,23 +1332,18 @@ def test_reconcile_rescue_slice_drains_past_permanent_strangers(
                               "doc_id int, band int, band_sig string"),
         idx, "bands", 1,
     )
-    # run 1 (bound 1): slice = {5}; every edge fails and is persisted;
-    # watermark HELD (8 still has untried edges)
+    # ONE run (bound 1): round 1 slices {5} — the permanent stranger's
+    # qualifying edges all fail and are persisted; the overflow feeds
+    # round 2, where 5 is fully attempted and DROPS OUT of the ranking,
+    # so {8} gets its turn and attaches; the watermark advances
     di.reconcile_capped_buckets(spark, idx, max_bucket_size=1, repair_hops=-1,
                                 reps_per_hop=1, fresh_reps_per_bucket=1)
     keep = dict((r.doc_id, r.canonical_id)
                 for r in di.keep_list_from_index(spark, idx).collect())
-    assert keep[5] == 5 and keep[8] == 8 and keep[1] == 1
-    wm = {r.watermark
-          for r in spark.read.parquet(f"{idx}/reconciled").collect()}
-    assert wm == {0}  # held
-    # run 2 (bound 1): 5 is fully attempted -> drops out of the ranking;
-    # slice = {8}, which attaches, and the watermark advances
-    di.reconcile_capped_buckets(spark, idx, max_bucket_size=1, repair_hops=-1,
-                                reps_per_hop=1, fresh_reps_per_bucket=1)
-    keep = dict((r.doc_id, r.canonical_id)
-                for r in di.keep_list_from_index(spark, idx).collect())
-    assert keep[8] == 3 and keep[5] == 5
+    assert keep[8] == 3 and keep[5] == 5 and keep[1] == 1
+    failed = {(r.doc_a, r.doc_b)
+              for r in spark.read.parquet(f"{idx}/failed").collect()}
+    assert (3, 5) in failed and (4, 5) in failed
     wm = {r.watermark
           for r in spark.read.parquet(f"{idx}/reconciled").collect()}
     assert wm == {1}
@@ -1573,3 +1570,76 @@ def test_cli_nowatermarks_implies_nopersistfailures(spark, tmp_path, capsys):
     assert seen["persist_failures"] is False  # implied by --noWatermarks
     # no failed/ table may exist after a pure control run
     assert di._read_index(spark, idx, "failed") is None
+
+
+def test_reconcile_reactivates_on_post_watermark_ingest_attachment(
+    spark, tmp_path
+):
+    """r10: a watermark-covered bucket whose member ATTACHES via a later
+    ingest batch (a pair verified in another bucket — no new band row
+    here) owes a rescue re-derivation: the newly attached member is now
+    a qualifying target for its starved genuine neighbors. The
+    activation filter and the gauge compare the stored watermark against
+    the bucket's max incident ingest-pairs batch_id, and the watermark
+    write covers that clock so the bucket settles after the repair."""
+    T = ("the shared boilerplate block about spark shuffles parquet files "
+         "broadcast joins and adaptive execution repeated verbatim across "
+         "this synthetic near duplicate cluster fixture corpus")
+    idx = str(tmp_path / "idx")
+    # bucket B = {1 stranger, 6, 7}; 6 and 7 are genuine near-dups but
+    # BOTH unattached, so the attached-targeted rescue cannot see their
+    # edge yet
+    di._write_batch(
+        _df(spark, [
+            (1, "ancient lexicon of untranslatable riddles carved into "
+                "basalt cliffs by forgotten cartographers at midnight"),
+            (6, T + " member six"), (7, T + " member seven"),
+        ]),
+        idx, "docs", 0,
+    )
+    di._write_batch(
+        spark.createDataFrame([(1, 0, "B"), (6, 0, "B"), (7, 0, "B")],
+                              "doc_id int, band int, band_sig string"),
+        idx, "bands", 0,
+    )
+    di.reconcile_capped_buckets(spark, idx, max_bucket_size=2,
+                                repair_hops=-1, reps_per_hop=1)
+    keep = dict((r.doc_id, r.canonical_id)
+                for r in di.keep_list_from_index(spark, idx).collect())
+    # (6, 7) is a stranded genuine pair visible only in an over-cap
+    # bucket: out of the attached-targeted rescue's scope, both singleton
+    assert keep[6] == 6 and keep[7] == 7
+    # ingest batch 1: doc 9 joins 7 in a PRIVATE bucket C and their pair
+    # verifies at ingest — 7 is now attached, with no new band row in B
+    di._write_batch(_df(spark, [(9, T + " member seven prime")]),
+                    idx, "docs", 1)
+    di._write_batch(
+        spark.createDataFrame([(9, 1, "C"), (7, 1, "C")],
+                              "doc_id int, band int, band_sig string"),
+        idx, "bands", 1,
+    )
+    di._write_batch(
+        spark.createDataFrame([(7, 9, 0.95)],
+                              "doc_a int, doc_b int, jaccard double"),
+        idx, "pairs", 1,
+    )
+    stats = di.index_bucket_stats(
+        spark, idx, max_bucket_size=2,
+        reconcile_settings={"repair_hops": -1, "reps_per_hop": 1},
+    )
+    assert stats["n_unreconciled_buckets"] >= 1  # B re-activated
+    assert di.should_reconcile(stats)
+    di.reconcile_capped_buckets(spark, idx, max_bucket_size=2,
+                                repair_hops=-1, reps_per_hop=1)
+    keep = dict((r.doc_id, r.canonical_id)
+                for r in di.keep_list_from_index(spark, idx).collect())
+    # the rescue proposed (6, 7) — 7 is attached now — and it verified
+    assert keep[6] == 6 and keep[7] == 6 and keep[9] == 6
+    # ...and the bucket settles: the written watermark covers the
+    # attachment clock, so no further run is recommended
+    stats = di.index_bucket_stats(
+        spark, idx, max_bucket_size=2,
+        reconcile_settings={"repair_hops": -1, "reps_per_hop": 1},
+    )
+    assert stats["n_unreconciled_buckets"] == 0
+    assert not di.should_reconcile(stats)

@@ -206,34 +206,42 @@ def test_second_hop_unit_promotion_starvation_rescued(spark):
     # genuine, never attempted — is not proposed; the caller's
     # empty-candidate check ends the loop here with 4 stranded
     assert hop2.count() == 0
-    # the rescue excludes fully-attempted member 1 from the ranking:
-    # bound 1 picks member 2 (smallest WITH untried edges), proposing
-    # exactly its untried edges
+    # the rescue excludes fully-attempted member 1 from the ranking and
+    # targets only ATTACHED co-bucket members (3 is the lone attached
+    # member — stranger-to-stranger edges like (2, 4) are out of scope,
+    # the 100 TB cost fence): bound 1 picks member 2 (smallest with an
+    # untried qualifying edge)
     r1 = dedup.star_rescue_pairs(
         bands, verified, 3, attempted=attempted, reps_per_bucket=1
     )
-    assert _pairset(r1) == {(2, 3), (2, 4)}
-    # round 2 (2's edges all failed → attempted): member 4's turn —
-    # (3, 4), the starved genuine edge, is finally proposed
-    attempted2 = _pairs(
-        spark, [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4)]
-    )
+    assert _pairset(r1) == {(2, 3)}
+    # round 2 ((2, 3) failed → attempted): member 4's turn — (3, 4),
+    # the starved genuine edge, is finally proposed
+    attempted2 = _pairs(spark, [(1, 2), (1, 3), (1, 4), (2, 3)])
     r2 = dedup.star_rescue_pairs(
         bands, verified, 3, attempted=attempted2, reps_per_bucket=1
     )
     assert _pairset(r2) == {(3, 4)}
-    # and once every unattached member is fully attempted, the rescue
-    # converges (empty) — the caller's loop terminates
+    # and once every unattached member has tried all its attached
+    # targets, the rescue converges (empty) — the caller's loop ends
     attempted3 = attempted2.unionByName(_pairs(spark, [(3, 4)]))
     r3 = dedup.star_rescue_pairs(
         bands, verified, 3, attempted=attempted3, reps_per_bucket=1
     )
     assert r3.count() == 0
-    # a wide bound proposes both members' untried edges in one round
+    # a wide bound proposes both members' qualifying edges in one round
     r_wide = dedup.star_rescue_pairs(
         bands, verified, 3, attempted=attempted, reps_per_bucket=3
     )
-    assert _pairset(r_wide) == {(2, 3), (2, 4), (3, 4)}
+    assert _pairset(r_wide) == {(2, 3), (3, 4)}
+    # band-agreement prefilter: these fixture pairs share exactly ONE
+    # bucket, so a floor of 2 filters them all out (deterministically —
+    # the same filter applies on the index side, preserving equality)
+    r_floor = dedup.star_rescue_pairs(
+        bands, verified, 3, attempted=attempted, reps_per_bucket=3,
+        min_shared_bands=2,
+    )
+    assert r_floor.count() == 0
 
 
 def test_near_duplicates_star_rescue_attaches_without_hops(spark):

@@ -644,8 +644,17 @@ def run_near_dup_index_reconcile(spark: SparkSession, argv: list[str]) -> None:
     p.add_argument("--freshRepsPerBucket", type=int, default=64,
                    help="per-bucket per-run bound on the untried-member "
                         "rescue star (unattached over-cap members with "
-                        "untried bucket edges — starved late arrivals and "
-                        "backlog members alike); 0 disables")
+                        "untried qualifying edges to ATTACHED co-bucket "
+                        "members — starved late arrivals and backlog "
+                        "members alike); 0 disables")
+    p.add_argument("--rescueMinBands", type=int, default=1,
+                   help="deterministic band-agreement prefilter for "
+                        "rescue edges: a pair qualifies only when it "
+                        "shares at least this many over-cap buckets. "
+                        "Set >= 2 at scale (J>=0.8 pairs share ~6.6 of "
+                        "16 bands; half-overlap strangers ~1); must "
+                        "match the batch comparator's "
+                        "--starRescueMinBands for keep-list equality")
     ns = p.parse_args(argv)
     repaired = di.reconcile_capped_buckets(
         spark, ns.indexDir, ns.maxBucketSize, threshold=ns.threshold,
@@ -657,6 +666,7 @@ def run_near_dup_index_reconcile(spark: SparkSession, argv: list[str]) -> None:
         # failed/ table with a partition keyed by this diagnostic run's id
         persist_failures=not (ns.noPersistFailures or ns.noWatermarks),
         fresh_reps_per_bucket=ns.freshRepsPerBucket,
+        rescue_min_shared_bands=ns.rescueMinBands,
     )
     # count the function's return (materialized handle): the partition on
     # disk is cumulative across same-id re-runs — counting it would report
@@ -730,8 +740,13 @@ def run_near_dup_keep_best(spark: SparkSession, argv: list[str]) -> None:
     p.add_argument("--starRescueReps", type=int, default=0,
                    help="per-bucket per-round bound on the post-hop "
                         "promotion-starvation rescue (unattached over-cap "
-                        "members with untried edges star against their "
-                        "whole bucket, iterated until drained); 0 disables")
+                        "members propose untried edges to ATTACHED "
+                        "co-bucket members, iterated until drained); "
+                        "0 disables")
+    p.add_argument("--starRescueMinBands", type=int, default=1,
+                   help="deterministic band-agreement prefilter for "
+                        "rescue edges (shared over-cap buckets); set "
+                        ">= 2 at scale")
     ns = p.parse_args(argv)
     dd.near_dup_keep_best(
         spark.read.parquet(ns.documents),
@@ -741,6 +756,7 @@ def run_near_dup_keep_best(spark: SparkSession, argv: list[str]) -> None:
         oversize_policy=ns.oversizePolicy,
         star_repair_hops=ns.starRepairHops,
         star_rescue_reps=ns.starRescueReps,
+        star_rescue_min_bands=ns.starRescueMinBands,
     ).write.mode("overwrite").parquet(ns.output)
 
 

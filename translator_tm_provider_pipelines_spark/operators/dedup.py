@@ -381,50 +381,83 @@ def _star_untried_edges(
     verified: DataFrame,
     max_bucket_size: int,
     attempted: DataFrame | None = None,
+    min_shared_bands: int = 1,
 ) -> DataFrame:
-    """(band, band_sig, __m, doc_a, doc_b): every UNTRIED bucket edge of
-    every unattached over-cap bucket member, keyed by that member
-    (``__m``). The shared enumeration under :func:`star_rescue_pairs` and
-    the incremental index's rescue pass — callers slice the member set
-    per bucket (bounded work per round) and need the per-bucket
-    member counts for overflow/watermark decisions.
+    """(band, band_sig, __m, doc_a, doc_b): every UNTRIED qualifying
+    rescue edge — an unattached over-cap bucket member (``__m``) paired
+    with an ATTACHED co-bucket member — keyed by the unattached member's
+    over-cap buckets. The shared enumeration under
+    :func:`star_rescue_pairs` and the incremental index's rescue pass;
+    callers slice the member set per bucket (bounded verification per
+    round) and use the per-bucket member counts for overflow/watermark
+    decisions.
+
+    Scope and scale shape (r10, measured): the rescue exists to close
+    promotion starvation — an unattached member whose GENUINE neighbor
+    is already attached (and therefore never promoted by the hop loop).
+    Its edge enumeration is therefore unattached × ATTACHED per bucket,
+    never unattached × bucket: on the mixed sf10 corpus the latter is
+    Σ n² ≈ 45M rows (max bucket 2,433 members — the quadratic trap the
+    cap exists to fence; enumerating it OOM'd a 16g driver), while
+    stranger-to-stranger edges are out of rescue scope by construction
+    (a fully stranded genuine pair is the base candidates' job — any
+    shared under-cap bucket proposes it full-pairwise).
+
+    ``min_shared_bands`` prunes further: a pair qualifies only when it
+    co-occurs in at least that many distinct over-cap buckets. Band
+    signatures are a pure function of the two immutable documents
+    (seedless MinHash), so the filter is DETERMINISTIC and identical on
+    the batch and index paths — keep-list equality holds at any shared
+    setting. At J ≥ 0.8 a pair shares ≈ 6.6 of 16 bands (P(<3) ≈ 1.3%),
+    while half-splice strangers (J ≈ 0.33) share ≥3 with probability
+    <1%, so ``min_shared_bands=3`` keeps the genuine starved edges and
+    kills the stranger × attached bulk — set it ≥ 2 at scale, leave 1
+    (no filter) for small corpora and unit fixtures.
 
     "Unattached" is global (no verified edge at all), as in
     :func:`star_second_hop_pairs`; "untried" anti-joins ``attempted``
     (the caller's cumulative candidate set — base star + hops + persisted
-    failures where available). Volume is unattached × bucket_size per
-    bucket BEFORE the anti-join — edge enumeration only, never Jaccard
-    verification, and it shrinks every round as members attach or their
-    edges enter ``attempted``."""
-    over = (
-        bands.groupBy("band", "band_sig")
-        .agg(F.array_sort(F.collect_set("doc_id")).alias("ds"))
-        .where(F.size("ds") > max_bucket_size)
+    failures where available). The enumeration shrinks every round as
+    members attach or their edges enter ``attempted``."""
+    ob = bands.select("doc_id", "band", "band_sig").distinct()
+    sizes = ob.groupBy("band", "band_sig").agg(
+        F.count(F.lit(1)).alias("__bn")
     )
-    members = over.select("band", "band_sig", F.explode("ds").alias("doc_id"))
+    over = sizes.where(F.col("__bn") > max_bucket_size).select(
+        "band", "band_sig"
+    )
+    ob = ob.join(over, ["band", "band_sig"], "left_semi")
     vids = verified.select(
         F.explode(F.array("doc_a", "doc_b")).alias("doc_id")
     ).distinct()
-    unatt = members.join(vids, "doc_id", "left_anti").withColumnRenamed(
+    u = ob.join(vids, "doc_id", "left_anti").withColumnRenamed(
         "doc_id", "__m"
     )
-    edges = (
-        unatt.join(over, ["band", "band_sig"])
-        .select("band", "band_sig", "__m", F.explode("ds").alias("__o"))
-        .where(F.col("__m") != F.col("__o"))
-        .select(
-            "band",
-            "band_sig",
-            "__m",
-            F.least("__m", "__o").alias("doc_a"),
-            F.greatest("__m", "__o").alias("doc_b"),
-        )
+    a = ob.join(vids, "doc_id", "left_semi").withColumnRenamed(
+        "doc_id", "__o"
+    )
+    qual = (
+        u.join(a, ["band", "band_sig"])
+        .groupBy("__m", "__o")
+        .agg(F.count(F.lit(1)).alias("__nb"))
+    )
+    if min_shared_bands > 1:
+        qual = qual.where(F.col("__nb") >= min_shared_bands)
+    edges = qual.select(
+        "__m",
+        F.least("__m", "__o").alias("doc_a"),
+        F.greatest("__m", "__o").alias("doc_b"),
     )
     if attempted is not None:
         edges = edges.join(
             attempted.select("doc_a", "doc_b"), ["doc_a", "doc_b"], "left_anti"
         )
-    return edges
+    # re-attach the unattached member's over-cap bucket keys for the
+    # caller's per-bucket slice/overflow logic — the qualifying untried
+    # set is small by now, so this join is cheap
+    return edges.join(
+        u.select("band", "band_sig", "__m"), "__m"
+    ).select("band", "band_sig", "__m", "doc_a", "doc_b")
 
 
 def star_rescue_pairs(
@@ -433,6 +466,7 @@ def star_rescue_pairs(
     max_bucket_size: int,
     attempted: DataFrame | None = None,
     reps_per_bucket: int = 64,
+    min_shared_bands: int = 1,
 ) -> DataFrame:
     """Post-convergence rescue candidates for the star policy — closes the
     promotion-starvation residual of :func:`star_second_hop_pairs` (its
@@ -443,20 +477,26 @@ def star_rescue_pairs(
     index-vs-batch keep-list divergence measured on the mixed sf10
     corpus, SCALING.md round-9/10 blocks).
 
-    The fix is the ranking: promote only unattached members that still
-    HAVE an untried bucket edge — stalled strangers (fully attempted,
-    never attaching) drop out of the ranking instead of monopolizing the
-    promotion slots. Each chosen member stars against its whole bucket
-    (all untried edges at once), so after one turn it is fully attempted
-    and leaves the ranking; iterating the caller's
-    verify-union-anti-join loop therefore converges in
-    ceil(stranded_per_bucket / reps_per_bucket) rounds with per-round
-    candidate volume ≤ reps_per_bucket × bucket_size per bucket — the
-    same linearity fence as the hop loop, never the quadratic all-pairs
-    expansion the cap exists to prevent. Returns (doc_a, doc_b)
-    candidates for the caller to Jaccard-verify."""
+    Two fixes over the hop loop's ranking: (1) promote only unattached
+    members that still HAVE an untried qualifying edge — stalled
+    strangers (fully attempted, never attaching) drop out of the ranking
+    instead of monopolizing the promotion slots; (2) the proposed edges
+    target only ATTACHED co-bucket members, optionally pre-filtered by
+    deterministic band agreement (``min_shared_bands``; see
+    :func:`_star_untried_edges` for the scope and scale reasoning — the
+    starvation signature is precisely a genuine neighbor that is
+    attached). Each chosen member proposes all its untried qualifying
+    edges at once, so after one turn it is fully attempted against the
+    CURRENT attached set and leaves the ranking; members it newly
+    attaches can enlarge the target set for the next round, so the
+    caller's verify-union-anti-join loop iterates until no qualifying
+    untried edge remains — per-round candidate volume stays bounded by
+    reps_per_bucket × attached_per_bucket per bucket, never the
+    quadratic all-pairs expansion the cap exists to prevent. Returns
+    (doc_a, doc_b) candidates for the caller to Jaccard-verify."""
     edges = _star_untried_edges(
-        bands, verified, max_bucket_size, attempted=attempted
+        bands, verified, max_bucket_size, attempted=attempted,
+        min_shared_bands=min_shared_bands,
     )
     chosen = (
         edges.groupBy("band", "band_sig")
@@ -516,6 +556,7 @@ def near_duplicates(
     oversize_policy: str = "drop",
     star_repair_hops: int = 0,
     star_rescue_reps: int = 0,
+    star_rescue_min_bands: int = 1,
     repair_stats: dict | None = None,
 ) -> DataFrame:
     """MinHash-LSH near-dup pipeline: shingle → signature → bands →
@@ -530,17 +571,21 @@ def near_duplicates(
 
     ``star_rescue_reps`` (star policy only) runs the promotion-starvation
     rescue AFTER the hop loop: unattached over-cap bucket members that
-    still have untried bucket edges — members the hop loop's smallest-id
-    ranking never promoted because stalled strangers monopolized its
-    slots (:func:`star_rescue_pairs`) — star against their whole bucket,
+    still have an untried qualifying edge to an ATTACHED co-bucket
+    member — members the hop loop's smallest-id ranking never promoted
+    because stalled strangers monopolized its slots
+    (:func:`star_rescue_pairs`) — propose those edges,
     ``star_rescue_reps`` members per bucket per round, iterated until no
-    untried edge remains. With this on (and converged hops) every
-    unattached member's bucket edges end up exact-verified, so the keep
-    list converges to the same attachment set as the incremental index's
-    drained reconcile (the r9 74-row divergence → 0; SCALING.md). Cost
-    is bounded per round like the hop loop; total extra verification is
-    one Jaccard per stranded-member bucket edge — linear in stranded
-    members × bucket size, paid only by genuinely stranded strangers.
+    qualifying untried edge remains. ``star_rescue_min_bands`` is the
+    deterministic band-agreement prefilter (identical on the incremental
+    index's reconcile, so keep-list equality holds at any shared
+    setting; set ≥ 2 at scale — see :func:`_star_untried_edges`). With
+    this on (and converged hops) the keep list converges to the same
+    attachment set as the index's drained reconcile (the r9 74-row
+    divergence → 0; SCALING.md round-10 block). Total extra verification
+    is one Jaccard per stranded-member × attached-member qualifying
+    edge — starvation-population scale, never the quadratic all-pairs
+    the cap fences.
 
     ``star_repair_hops`` (only meaningful with ``oversize_policy="star"``
     and a ``max_bucket_size``) runs up to that many
@@ -633,6 +678,7 @@ def near_duplicates(
                 max_bucket_size,
                 attempted=attempted,
                 reps_per_bucket=star_rescue_reps,
+                min_shared_bands=star_rescue_min_bands,
             ).localCheckpoint()
             if not cand3.head(1):
                 rescue_converged = True
@@ -934,6 +980,7 @@ def near_dup_keep_list(
     oversize_policy: str = "drop",
     star_repair_hops: int = 0,
     star_rescue_reps: int = 0,
+    star_rescue_min_bands: int = 1,
     repair_stats: dict | None = None,
 ) -> DataFrame:
     """The dedup pass's end product: (doc_id, canonical_id, is_kept) for
@@ -960,6 +1007,7 @@ def near_dup_keep_list(
         oversize_policy=oversize_policy,
         star_repair_hops=star_repair_hops,
         star_rescue_reps=star_rescue_reps,
+        star_rescue_min_bands=star_rescue_min_bands,
         repair_stats=repair_stats,
     )
     comp = connected_components(pairs)
@@ -987,6 +1035,7 @@ def near_dup_keep_best(
     oversize_policy: str = "drop",
     star_repair_hops: int = 0,
     star_rescue_reps: int = 0,
+    star_rescue_min_bands: int = 1,
     repair_stats: dict | None = None,
 ) -> DataFrame:
     """Quality-aware near-dup keep list (the FineWeb/DataComp refinement
@@ -1016,6 +1065,7 @@ def near_dup_keep_best(
         oversize_policy=oversize_policy,
         star_repair_hops=star_repair_hops,
         star_rescue_reps=star_rescue_reps,
+        star_rescue_min_bands=star_rescue_min_bands,
         repair_stats=repair_stats,
     )
     comp = connected_components(pairs)

@@ -1660,12 +1660,18 @@ def near_dup_star_repaired_q(spark: SparkSession, sf_dir: str) -> DataFrame:
       JOIN bsz s ON s.band = b.band AND s.band_sig = b.band_sig AND s.n > 2
       WHERE b.doc_id NOT IN (SELECT d FROM vids)
     ),
+    att AS (
+      SELECT b.band, b.band_sig, b.doc_id
+      FROM bands b
+      JOIN bsz s ON s.band = b.band AND s.band_sig = b.band_sig AND s.n > 2
+      WHERE b.doc_id IN (SELECT d FROM vids)
+    ),
     cand2 AS (
-      SELECT DISTINCT least(r.doc_id, b.doc_id) AS doc_a,
-                      greatest(r.doc_id, b.doc_id) AS doc_b
+      SELECT DISTINCT least(r.doc_id, a.doc_id) AS doc_a,
+                      greatest(r.doc_id, a.doc_id) AS doc_b
       FROM unatt r
-      JOIN bands b ON b.band = r.band AND b.band_sig = r.band_sig
-      WHERE b.doc_id != r.doc_id
+      JOIN att a ON a.band = r.band AND a.band_sig = r.band_sig
+      WHERE a.doc_id != r.doc_id
       EXCEPT SELECT doc_a, doc_b FROM cand1
     ),
     inter2 AS (
@@ -1688,27 +1694,33 @@ def near_dup_star_repaired_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def near_dup_star_rescued_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Star-capped near-dup pipeline (cap 2) plus the r10
-    promotion-starvation rescue (operators/dedup.py:star_rescue_pairs)
-    run with an UNBOUNDED per-round slice: every still-unattached
-    over-cap bucket member proposes all its untried bucket edges at
-    once, so the rescue loop converges in exactly one round and the
-    whole pipeline is value-exactly expressible as two-stage SQL (base
-    star verify, then unattached-member expansion minus the attempted
-    set, verified). This is the path that closes the hop loop's
-    smallest-id promotion starvation — the bounded production setting
-    (star_rescue_reps=64, iterated) reaches the same fixpoint because a
-    chosen member is fully attempted after its round (docstring proof);
-    the unbounded setting here makes that fixpoint one-shot for the
-    oracle."""
-    return dedup.near_duplicates(
-        _t(spark, sf_dir, "documents"),
-        threshold=0.8,
-        max_bucket_size=2,
-        oversize_policy="star",
-        star_repair_hops=0,
-        star_rescue_reps=1_000_000,
+    """Star-capped near-dup pipeline (cap 2) plus ONE round of the r10
+    promotion-starvation rescue (operators/dedup.py:star_rescue_pairs):
+    still-unattached over-cap bucket members propose their untried edges
+    to ATTACHED co-bucket members — the starvation signature is exactly
+    a genuine neighbor that is attached, so stranger-to-stranger edges
+    stay out of scope (the 100 TB cost fence; see _star_untried_edges).
+    One explicit round is value-exactly expressible as two-stage SQL
+    (base star verify, then unattached x attached expansion minus the
+    attempted set, verified); the production loop iterates rounds
+    because newly attached members enlarge the target set — the
+    iterated fixpoint is pinned by unit tests and the sf10 keep-list
+    equality artifact (SCALING.md round-10 block)."""
+    docs = _t(spark, sf_dir, "documents")
+    bands_df = dedup.lsh_bands(dedup.minhash_signatures_doc(docs))
+    cands = dedup.lsh_candidate_pairs(
+        bands_df, max_bucket_size=2, oversize_policy="star"
     )
+    v1 = dedup._verify_candidates(
+        docs, cands, k=3, threshold=0.8, text_col="text", id_col="doc_id"
+    ).localCheckpoint()
+    cand2 = dedup.star_rescue_pairs(
+        bands_df, v1, 2, attempted=cands, reps_per_bucket=1_000_000
+    )
+    v2 = dedup._verify_candidates(
+        docs, cand2, k=3, threshold=0.8, text_col="text", id_col="doc_id"
+    )
+    return v1.unionByName(v2)
 
 
 @register(

@@ -275,6 +275,7 @@ def reconcile_capped_buckets(
     use_watermarks: bool = True,
     persist_failures: bool = True,
     fresh_reps_per_bucket: int = 64,
+    rescue_min_shared_bands: int = 1,
 ) -> DataFrame:
     """Repair pass for an index maintained with ``max_bucket_size``: emit
     the star-policy edges for every bucket that has OUTGROWN the cap,
@@ -373,28 +374,35 @@ def reconcile_capped_buckets(
     starved if enough smaller-id stranded strangers sit above it in the
     promotion order (measured: 4 of 500k docs on the mixed sf10 corpus
     before r9's fix). After the base star and hop loop, unattached
-    members of ACTIVE over-cap buckets that still have an UNTRIED bucket
-    edge — not verified, not attempted this run, not in the persisted
-    failures — are additionally starred against the ENTIRE bucket, up to
-    the ``fresh_reps_per_bucket`` smallest such ids per bucket per run
-    (:func:`..operators.dedup._star_untried_edges`). Ranking by
-    has-an-untried-edge rather than r9's arrived-after-the-watermark
-    closes both residuals that criterion left (round-10): members that
-    fail every edge become fully attempted and DROP OUT of the ranking
-    and the overflow test — the slice progresses and the watermark
-    always eventually advances — and backlog members starved on the very
-    first reconcile (which pre-date any watermark) are reachable, so a
-    fully drained index attains the same attachment set as the batch
-    path with ``star_rescue_reps`` (keep-list equality on the mixed
-    corpus, SCALING.md round-10 block). The rescue runs as a post-pass,
-    so members the normal repair already attached cost nothing; each
-    chosen member proposes ALL its untried edges at once and is fully
-    attempted after its turn, so per-run verification stays bounded by
-    slice × bucket and successive runs strictly drain the backlog. A
-    bucket whose untried-member count EXCEEDS the per-run bound keeps
-    its old watermark (the hold below), stays visible as unreconciled in
-    the gauge, and re-activates next run — delta-scale work each run,
-    never the quadratic all-pairs the cap fences. Set 0 to disable."""
+    members of ACTIVE over-cap buckets that still have an UNTRIED
+    qualifying edge — a pair with an ATTACHED co-bucket member, passing
+    the ``rescue_min_shared_bands`` band-agreement prefilter, not
+    verified, not attempted this run, not in the persisted failures —
+    propose those edges, up to the ``fresh_reps_per_bucket`` smallest
+    such member ids per bucket per run
+    (:func:`..operators.dedup._star_untried_edges`; targeting attached
+    members only is the 100 TB cost fence — the starvation signature is
+    precisely a genuine neighbor that is attached, while
+    stranger-to-stranger expansion is the quadratic trap the cap
+    exists to prevent, measured at Σn² ≈ 45M pairs on the mixed sf10
+    corpus). Ranking by has-an-untried-qualifying-edge rather than r9's
+    arrived-after-the-watermark closes both residuals that criterion
+    left (round-10): members that exhaust their targets become fully
+    attempted and DROP OUT of the ranking and the overflow test — the
+    slice progresses and the watermark always eventually advances — and
+    backlog members starved on the very first reconcile (which pre-date
+    any watermark) are reachable, so a fully drained index attains the
+    same attachment fixpoint as the batch path with
+    ``star_rescue_reps`` at the same ``min_shared_bands`` (the filter
+    is a pure function of the two immutable documents, hence identical
+    across paths; keep-list equality on the mixed corpus, SCALING.md
+    round-10 block). The rescue runs as a post-pass, so members the
+    normal repair already attached cost nothing; newly attached members
+    enlarge the target set, so the drain iterates across runs. A bucket
+    whose untried-member count EXCEEDS the per-run bound keeps its old
+    watermark (the hold below), stays visible as unreconciled in the
+    gauge, and re-activates next run — delta-scale work each run. Set
+    0 to disable."""
     bands = _read_index(spark, index_dir, "bands")
     docs = _read_index(spark, index_dir, "docs")
     if bands is None or docs is None:
@@ -412,7 +420,39 @@ def reconcile_capped_buckets(
         )
         .where(F.size("ds") > max_bucket_size)
     )
+    old_pairs = _read_index(spark, index_dir, "pairs")
     if use_watermarks:
+        if old_pairs is not None:
+            # post-watermark ATTACHMENT clock (round-10): a covered
+            # bucket's member attached by a LATER ingest batch (a pair
+            # verified in another bucket at ingest) creates new
+            # qualifying rescue targets here without any new band row,
+            # so "band rows unchanged" alone is not fixpoint evidence.
+            # Per bucket, track the max NON-NEGATIVE pairs batch_id
+            # incident to its members — reconcile-partition pairs
+            # (negative ids) are excluded because the run that wrote
+            # them already pulled every touched bucket into its own
+            # rescue scope (the round loop below). The activation filter
+            # compares the stored watermark against this clock, and the
+            # watermark WRITE covers it (greatest of band and attachment
+            # clocks), so a drained bucket settles instead of
+            # re-activating forever. One linear pass over the pairs
+            # table.
+            att = (
+                old_pairs.where(F.col("batch_id") >= 0)
+                .select(
+                    F.explode(F.array("doc_a", "doc_b")).alias("doc_id"),
+                    "batch_id",
+                )
+                .groupBy("doc_id")
+                .agg(F.max("batch_id").alias("__att"))
+            )
+            b_att = (
+                band_cols.join(att, "doc_id")
+                .groupBy("band", "band_sig")
+                .agg(F.max("__att").alias("__attwm"))
+            )
+            over = over.join(b_att, ["band", "band_sig"], "left")
         wm_tab = _read_index(spark, index_dir, "reconciled")
         if wm_tab is not None:
             stored = (
@@ -420,16 +460,25 @@ def reconcile_capped_buckets(
                 .groupBy("band", "band_sig")
                 .agg(F.max("watermark").alias("__stored"))
             )
-            over = over.join(stored, ["band", "band_sig"], "left").where(
-                F.col("__stored").isNull() | (F.col("__stored") < F.col("__wm"))
+            over = over.join(stored, ["band", "band_sig"], "left")
+            active = F.col("__stored").isNull() | (
+                F.col("__stored") < F.col("__wm")
             )
+            if "__attwm" in over.columns:
+                active = active | (
+                    F.col("__stored")
+                    < F.coalesce(F.col("__attwm"), F.lit(-(1 << 60)))
+                )
+            over = over.where(active)
     if "__stored" not in over.columns:
         over = over.withColumn("__stored", F.lit(None).cast("long"))
+    if "__attwm" not in over.columns:
+        over = over.withColumn("__attwm", F.lit(None).cast("long"))
     # the active over-cap bucket set drives the base star candidates, the
-    # fresh-member star, the hop loop's bucket scope, and the watermark
+    # rescue's first round, the hop loop's bucket scope, and the watermark
     # write — materialize once
     over = over.select(
-        "band", "band_sig", "ds", "__wm", "__stored"
+        "band", "band_sig", "ds", "__wm", "__stored", "__attwm"
     ).localCheckpoint()
     star = F.transform(
         F.slice(F.col("ds"), 2, F.greatest(F.size("ds") - 1, F.lit(0))),
@@ -440,7 +489,6 @@ def reconcile_capped_buckets(
         .select("p.doc_a", "p.doc_b")
         .distinct()
     )
-    old_pairs = _read_index(spark, index_dir, "pairs")
     old_edges = (
         old_pairs.select("doc_a", "doc_b").distinct() if old_pairs is not None else None
     )
@@ -504,70 +552,104 @@ def reconcile_capped_buckets(
             verified_all = verified_all.unionByName(v2.select("doc_a", "doc_b"))
             attempted = attempted.unionByName(cand2)
             attempted_new = attempted_new.unionByName(cand2)
-    rescue = None
     if fresh_reps_per_bucket:
-        # rescue POST-pass (promotion-starvation fix, docstring): over the
-        # ACTIVE over-cap buckets, unattached members that still have an
-        # UNTRIED bucket edge — after the base star, the hop loop, the
-        # accumulated verified pairs, and the persisted failures — star
-        # against their whole bucket, smallest fresh_reps_per_bucket such
-        # members per bucket per run. "Has an untried edge" (rather than
-        # r9's "band row post-dates the watermark") is the criterion that
-        # both drains — a member whose every edge is verified-or-failed
-        # drops out of the ranking and the overflow test, so the
-        # watermark eventually advances (the round-10 ADVICE fix) — and
-        # reaches backlog members the hop loop's smallest-id ranking
-        # starved on the FIRST reconcile, which the post-watermark
-        # criterion could never see (they pre-date it). Running after
-        # verification means members the normal repair attached cost
-        # nothing; only genuinely stranded members pay the
-        # O(stranded × bucket) edge enumeration, and verification stays
-        # bounded by the per-bucket slice.
+        # rescue POST-pass (promotion-starvation fix, docstring):
+        # unattached members of the scope buckets that still have an
+        # UNTRIED qualifying edge — a pair with an ATTACHED co-bucket
+        # member passing the band-agreement prefilter, after the base
+        # star, the hop loop, the accumulated verified pairs, and the
+        # persisted failures — propose those edges, bounded per bucket
+        # per ROUND. The loop iterates to the global fixpoint WITHIN the
+        # run: each round's attachments can create new qualifying
+        # targets (the newly attached member is now a valid rescue
+        # target wherever it sits), so the next round's scope is every
+        # over-cap bucket containing a member attached last round — the
+        # watermark-covered ones included; they are at fixpoint only
+        # w.r.t. the attached set as of their last processing — plus the
+        # buckets whose member slice overflowed the per-round bound.
+        # Terminates because every round's candidates enter `attempted`
+        # and candidates are drawn from a finite, shrinking untried set.
+        # At loop exit NO qualifying untried edge exists anywhere, which
+        # is exactly the batch path's star_rescue_reps fixpoint at the
+        # same min_shared_bands — the keep-list equality invariant.
         repaired = repaired.localCheckpoint()
-        active_bands = band_cols.join(
-            over.select("band", "band_sig"), ["band", "band_sig"], "left_semi"
-        )
         verified_all = repaired.select("doc_a", "doc_b")
         if old_edges is not None:
             verified_all = verified_all.unionByName(old_edges)
+        verified_all = verified_all.localCheckpoint()
         attempted_all = attempted_new
         if old_edges is not None:
             attempted_all = attempted_all.unionByName(old_edges)
         if known_failed is not None:
             attempted_all = attempted_all.unionByName(known_failed)
-        untried = dedup._star_untried_edges(
-            active_bands, verified_all, max_bucket_size,
-            attempted=attempted_all,
-        ).localCheckpoint()
-        # per-bucket slice + overflow flag, both read again for the
-        # watermark hold below
-        rescue = (
-            untried.groupBy("band", "band_sig")
-            .agg(F.array_sort(F.collect_set("__m")).alias("__ms"))
-            .select(
-                "band",
-                "band_sig",
-                F.slice("__ms", 1, fresh_reps_per_bucket).alias("__fr"),
-                (F.size("__ms") > fresh_reps_per_bucket).alias("__ovf"),
+        overcap_all = (
+            band_cols.groupBy("band", "band_sig")
+            .agg(F.countDistinct("doc_id").alias("__n"))
+            .where(F.col("__n") > max_bucket_size)
+            .select("band", "band_sig")
+            .localCheckpoint()
+        )
+        scope = over.select("band", "band_sig")
+        while True:
+            scope_bands = band_cols.join(
+                scope, ["band", "band_sig"], "left_semi"
             )
-            .localCheckpoint()
-        )
-        chosen = rescue.select(
-            "band", "band_sig", F.explode("__fr").alias("__m")
-        )
-        rescue_cands = (
-            untried.join(chosen, ["band", "band_sig", "__m"], "left_semi")
-            .select("doc_a", "doc_b")
-            .distinct()
-            .localCheckpoint()
-        )
-        if rescue_cands.head(1):
+            untried = dedup._star_untried_edges(
+                scope_bands, verified_all, max_bucket_size,
+                attempted=attempted_all,
+                min_shared_bands=rescue_min_shared_bands,
+            ).localCheckpoint()
+            sliced = (
+                untried.groupBy("band", "band_sig")
+                .agg(F.array_sort(F.collect_set("__m")).alias("__ms"))
+                .select(
+                    "band",
+                    "band_sig",
+                    F.slice("__ms", 1, fresh_reps_per_bucket).alias("__fr"),
+                    (F.size("__ms") > fresh_reps_per_bucket).alias("__ovf"),
+                )
+                .localCheckpoint()
+            )
+            chosen = sliced.select(
+                "band", "band_sig", F.explode("__fr").alias("__m")
+            )
+            rescue_cands = (
+                untried.join(chosen, ["band", "band_sig", "__m"], "left_semi")
+                .select("doc_a", "doc_b")
+                .distinct()
+                .localCheckpoint()
+            )
+            if not rescue_cands.head(1):
+                break
             v3 = dedup._verify_candidates(
                 doc_cols, rescue_cands, k=k, threshold=threshold,
                 text_col="text", id_col="doc_id",
-            )
-            repaired = repaired.unionByName(v3)
+            ).localCheckpoint()
+            repaired = repaired.unionByName(v3).localCheckpoint()
             attempted_new = attempted_new.unionByName(rescue_cands)
+            attempted_all = attempted_all.unionByName(rescue_cands)
+            verified_all = verified_all.unionByName(
+                v3.select("doc_a", "doc_b")
+            ).localCheckpoint()
+            touched = (
+                band_cols.join(
+                    v3.select(
+                        F.explode(F.array("doc_a", "doc_b")).alias("doc_id")
+                    ).distinct(),
+                    "doc_id",
+                    "left_semi",
+                )
+                .select("band", "band_sig")
+                .distinct()
+                .join(overcap_all, ["band", "band_sig"], "left_semi")
+            )
+            scope = (
+                touched.unionByName(
+                    sliced.where(F.col("__ovf")).select("band", "band_sig")
+                )
+                .distinct()
+                .localCheckpoint()
+            )
     pid = reconcile_partition_id(reconcile_id)
     # materialize the return value BEFORE the overwrite: its lineage
     # anti-joins against ALL existing pairs partitions, including the one
@@ -643,22 +725,17 @@ def reconcile_capped_buckets(
             "band",
             "band_sig",
             F.lit(cfg_sig).alias("config_sig"),
-            F.col("__wm").alias("watermark"),
+            # cover BOTH clocks: band rows and incident ingest
+            # attachments as of derivation (greatest skips nulls)
+            F.greatest(F.col("__wm"), F.col("__attwm")).alias("watermark"),
         )
-        if rescue is not None:
-            # watermark HOLD for overflow buckets: a bucket with more
-            # untried-edge members than fresh_reps_per_bucket got only its
-            # smallest slice starred this run; advancing its watermark
-            # would hide the rest from every future run (permanent
-            # starvation). Held buckets stay unreconciled in the gauge
-            # and re-activate next run, where the anti-join against this
-            # run's verified/failed edges makes the redo near-free — and
-            # because fully-attempted members drop OUT of the untried
-            # ranking, successive runs strictly drain the backlog and the
-            # watermark always eventually advances (round-10 ADVICE fix:
-            # members that fail every edge no longer pin the slice).
-            held = rescue.where(F.col("__ovf")).select("band", "band_sig")
-            new_wm = new_wm.join(held, ["band", "band_sig"], "left_anti")
+        # No overflow hold is needed (round-10): the rescue's round loop
+        # above drains to the global fixpoint WITHIN the run (per-round
+        # slice overflow feeds the next round's scope), so an advanced
+        # watermark genuinely certifies "no qualifying untried edge
+        # remains for this bucket as of this attached set"; later
+        # attachments re-activate it through the pairs-batch comparison
+        # in the activation filter.
         # GHOST hold: a bucket holding a band row whose doc text never
         # landed (crash between update_near_dup_index's bands and docs
         # writes) has edges this run could not verify OR fail — they were
@@ -757,9 +834,36 @@ def index_bucket_stats(
                 .groupBy("band", "band_sig")
                 .agg(F.max("watermark").alias("__stored"))
             )
-            unrec = over.join(stored, ["band", "band_sig"], "left").where(
-                F.col("__stored").isNull() | (F.col("__stored") < F.col("__wm"))
+            unrec = over.join(stored, ["band", "band_sig"], "left")
+            active = F.col("__stored").isNull() | (
+                F.col("__stored") < F.col("__wm")
             )
+            pairs_tab = _read_index(spark, index_dir, "pairs")
+            if pairs_tab is not None:
+                # same post-watermark ATTACHMENT re-activation rule as
+                # reconcile_capped_buckets (round-10): a covered bucket
+                # whose member attached via a LATER ingest batch owes a
+                # rescue re-derivation, and the gauge must schedule it
+                att = (
+                    pairs_tab.where(F.col("batch_id") >= 0)
+                    .select(
+                        F.explode(F.array("doc_a", "doc_b")).alias("doc_id"),
+                        "batch_id",
+                    )
+                    .groupBy("doc_id")
+                    .agg(F.max("batch_id").alias("__att"))
+                )
+                b_att = (
+                    band_cols.join(att, "doc_id")
+                    .groupBy("band", "band_sig")
+                    .agg(F.max("__att").alias("__attwm"))
+                )
+                unrec = unrec.join(b_att, ["band", "band_sig"], "left")
+                active = active | (
+                    F.col("__stored")
+                    < F.coalesce(F.col("__attwm"), F.lit(-(1 << 60)))
+                )
+            unrec = unrec.where(active)
         n_unreconciled = unrec.count()
     if n_over == 0:
         stats = {"n_over_cap_buckets": 0, "n_over_cap_members": 0, "n_stranded": 0}
@@ -1036,6 +1140,7 @@ def incremental_near_dup_stream(
     reconcile_repair_hops: int = 0,
     reconcile_max_stranded: int = 0,
     reconcile_fresh_reps_per_bucket: int = 64,
+    reconcile_rescue_min_bands: int = 1,
 ) -> DataStreamWriter:
     """foreachBatch wrapper: each micro-batch of newly ingested documents
     updates the index via :func:`update_near_dup_index`. Combine with
@@ -1099,6 +1204,7 @@ def incremental_near_dup_stream(
                     reconcile_id=batch_id,
                     repair_hops=reconcile_repair_hops,
                     fresh_reps_per_bucket=reconcile_fresh_reps_per_bucket,
+                    rescue_min_shared_bands=reconcile_rescue_min_bands,
                 )
 
     return (
