@@ -382,6 +382,7 @@ def _star_untried_edges(
     max_bucket_size: int,
     attempted: DataFrame | None = None,
     min_shared_bands: int = 1,
+    member_buckets: DataFrame | None = None,
 ) -> DataFrame:
     """(band, band_sig, __m, doc_a, doc_b): every UNTRIED qualifying
     rescue edge — an unattached over-cap bucket member (``__m``) paired
@@ -418,7 +419,16 @@ def _star_untried_edges(
     :func:`star_second_hop_pairs`; "untried" anti-joins ``attempted``
     (the caller's cumulative candidate set — base star + hops + persisted
     failures where available). The enumeration shrinks every round as
-    members attach or their edges enter ``attempted``."""
+    members attach or their edges enter ``attempted``.
+
+    ``member_buckets`` (optional (band, band_sig) frame) restricts WHICH
+    buckets' unattached members are eligible — the incremental index's
+    round scope — while the pair enumeration and the shared-bucket count
+    always run over ALL over-cap buckets: a scoped count would
+    under-report pairs whose other shared buckets are watermark-covered
+    and mis-filter them below the floor, breaking the fixpoint the
+    watermark certifies. The returned bucket keys (for the caller's
+    slice) are likewise restricted to the scope."""
     ob = bands.select("doc_id", "band", "band_sig").distinct()
     sizes = ob.groupBy("band", "band_sig").agg(
         F.count(F.lit(1)).alias("__bn")
@@ -433,6 +443,14 @@ def _star_untried_edges(
     u = ob.join(vids, "doc_id", "left_anti").withColumnRenamed(
         "doc_id", "__m"
     )
+    u_scope = u
+    if member_buckets is not None:
+        u_scope = u.join(
+            member_buckets.select("band", "band_sig"),
+            ["band", "band_sig"], "left_semi",
+        )
+        u_ids = u_scope.select("__m").distinct()
+        u = u.join(u_ids, "__m", "left_semi")
     a = ob.join(vids, "doc_id", "left_semi").withColumnRenamed(
         "doc_id", "__o"
     )
@@ -452,11 +470,11 @@ def _star_untried_edges(
         edges = edges.join(
             attempted.select("doc_a", "doc_b"), ["doc_a", "doc_b"], "left_anti"
         )
-    # re-attach the unattached member's over-cap bucket keys for the
+    # re-attach the unattached member's (scope) bucket keys for the
     # caller's per-bucket slice/overflow logic — the qualifying untried
     # set is small by now, so this join is cheap
     return edges.join(
-        u.select("band", "band_sig", "__m"), "__m"
+        u_scope.select("band", "band_sig", "__m"), "__m"
     ).select("band", "band_sig", "__m", "doc_a", "doc_b")
 
 

@@ -591,13 +591,16 @@ def reconcile_capped_buckets(
         )
         scope = over.select("band", "band_sig")
         while True:
-            scope_bands = band_cols.join(
-                scope, ["band", "band_sig"], "left_semi"
-            )
+            # full band table + member scope: eligible members come from
+            # the scope buckets, but pair enumeration and the
+            # shared-bucket count run over ALL over-cap buckets (a
+            # scoped count would mis-filter pairs whose other shared
+            # buckets are watermark-covered — see _star_untried_edges)
             untried = dedup._star_untried_edges(
-                scope_bands, verified_all, max_bucket_size,
+                band_cols, verified_all, max_bucket_size,
                 attempted=attempted_all,
                 min_shared_bands=rescue_min_shared_bands,
+                member_buckets=scope,
             ).localCheckpoint()
             sliced = (
                 untried.groupBy("band", "band_sig")
