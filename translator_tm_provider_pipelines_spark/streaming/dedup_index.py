@@ -518,7 +518,7 @@ def reconcile_capped_buckets(
         # once — wasted verification, never wrong output. The hop loop only
         # looks at ACTIVE buckets (watermark-skipped ones were already
         # repaired to convergence under this exact settings fingerprint).
-        band_cols = band_cols.join(
+        hop_bands = band_cols.join(
             over.select("band", "band_sig"), ["band", "band_sig"], "left_semi"
         )
         attempted = cands if old_edges is None else cands.unionByName(old_edges)
@@ -536,7 +536,7 @@ def reconcile_capped_buckets(
             repaired = repaired.localCheckpoint()
             verified_all = verified_all.localCheckpoint()
             cand2 = dedup.star_second_hop_pairs(
-                band_cols,
+                hop_bands,
                 verified_all,
                 max_bucket_size,
                 attempted=attempted,
