@@ -175,14 +175,14 @@ def main() -> None:
     if errors:
         out["errors"] = errors
 
-    # regression guard: compare against the committed round-1 baseline
-    # (BASELINE_BENCH.json; VERDICT r1 asks ≤2× per query). Queries added
-    # after the baseline round have no reference point and are skipped.
-    baseline = None
-    baseline_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BASELINE_BENCH.json")
-    if os.path.isfile(baseline_path) and sf == 0.1:
-        with open(baseline_path) as f:
-            base = json.load(f)
+    # regression guards, two baselines:
+    # - BASELINE_BENCH.json: the round-1 artifact (43 queries) — kept for
+    #   cross-round continuity (VERDICT r1 asks ≤2× per query);
+    # - BASELINE_BENCH_v2.json (round-10): per-query MEDIAN across three
+    #   final-code round-10 runs, covering the FULL registry, so queries
+    #   added after round 1 get a regression bar too (VERDICT r9 task 4).
+    # Queries absent from a baseline artifact are skipped for that bar.
+    def _compare(base: dict) -> dict:
         shared = [q for q in timings if q in base["queries"]]
         base_total = round(sum(base["queries"][q] for q in shared), 3)
         cur_total = round(sum(timings[q] for q in shared), 3)
@@ -192,8 +192,9 @@ def main() -> None:
         # meaningful against a near-idle (calib_sec ≈ CALIB_REF_SEC)
         # baseline, which is what CALIB_REF_SEC encodes for the r1 artifact
         base_calib = base.get("calib_sec") or CALIB_REF_SEC
-        baseline = {
+        return {
             "total_sec": base_total,
+            "n_shared": len(shared),
             "ratio": round(cur_total / base_total, 3) if base_total else None,
             # ratio with the box's momentary speed divided out of both
             # runs: comparable across sessions on a contended box
@@ -209,7 +210,19 @@ def main() -> None:
                 if base["queries"][q] > 0.2 and timings[q] / base["queries"][q] > 2.0
             },
         }
-        out["baseline"] = baseline
+
+    baseline = None
+    here = os.path.dirname(os.path.abspath(__file__))
+    if sf == 0.1:
+        p1 = os.path.join(here, "BASELINE_BENCH.json")
+        if os.path.isfile(p1):
+            with open(p1) as f:
+                baseline = _compare(json.load(f))
+            out["baseline"] = baseline
+        p2 = os.path.join(here, "BASELINE_BENCH_v2.json")
+        if os.path.isfile(p2):
+            with open(p2) as f:
+                out["baseline_v2"] = _compare(json.load(f))
 
     # The round driver records only the LAST 2000 chars of stdout and parses
     # a JSON line out of that tail. The full per-query map for 100+ queries
@@ -244,6 +257,8 @@ def main() -> None:
     }
     if baseline is not None:
         compact["baseline"] = baseline
+    if "baseline_v2" in out:
+        compact["baseline_v2"] = out["baseline_v2"]
     print(json.dumps(compact))
     sys.stdout.flush()
     spark.stop()
