@@ -73,6 +73,11 @@ SHOWCASE = {
         "per-source running-token cut over the md5-prefix slice; "
         "threshold+quota ride one broadcast plan-table join (round 8)"
     ),
+    "near_dup_star_rescued": (
+        "round-11: band/candidate tables checkpointed once and reused by "
+        "both verify stages and the rescue; the rescue enumeration is "
+        "unattached x attached only — no cartesian, no all-pairs"
+    ),
 }
 
 KEEP = re.compile(

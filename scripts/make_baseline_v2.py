@@ -66,7 +66,7 @@ def main() -> None:
         "metric": "baseline_bench_v2_sf0.1",
         "provenance": (
             f"per-query median of {ns.runs} fresh-JVM bench.py runs on the "
-            "round-10 final code (VERDICT r9 task 4); the r1 "
+            "round-11 final code (VERDICT r9 task 4 / r10 task 2); the r1 "
             "BASELINE_BENCH.json stays alongside for cross-round continuity"
         ),
         "sf": 0.1,

@@ -994,7 +994,12 @@ def test_index_bucket_stats_watermark_aware(spark, tmp_path, capsys):
             spark, _df(spark, batch), idx, batch_id=bi,
             max_bucket_size=2, **CHAIN_LSH,
         )
-    settings = {"threshold": 0.85, "k": 3, "repair_hops": 0}
+    # rescue-off in BOTH the gauge settings and the reconcile run below:
+    # the rescue knobs are part of the watermark fingerprint (r11), so a
+    # gauge querying under different knobs would correctly report the
+    # bucket as unreconciled
+    settings = {"threshold": 0.85, "k": 3, "repair_hops": 0,
+                "fresh_reps_per_bucket": 0}
     before = di.index_bucket_stats(
         spark, idx, max_bucket_size=2, reconcile_settings=settings
     )
@@ -1643,3 +1648,207 @@ def test_reconcile_reactivates_on_post_watermark_ingest_attachment(
     )
     assert stats["n_unreconciled_buckets"] == 0
     assert not di.should_reconcile(stats)
+
+
+def test_reconcile_attachment_clock_gated_to_completed_batches(
+    spark, tmp_path
+):
+    """r11 ADVICE (high): update_near_dup_index writes pairs BEFORE
+    bands, so a reconcile racing a live micro-batch N (or running after
+    a crash between the writes) can see batch-N pairs while its
+    bands/docs snapshots end at N-1. The attachment clock must not
+    trust those pairs: stamping watermark=N would permanently mask
+    batch N's band rows when the retry lands them (wm == stored ==
+    attwm == N, bucket never re-activates, the new member's owed
+    rescue edges are skipped forever). The clock is gated to batches
+    visible in docs/ — written LAST, read FIRST — so the racing run
+    leaves the watermark alone and the completed batch re-activates
+    the bucket."""
+    T = ("the shared boilerplate block about spark shuffles parquet files "
+         "broadcast joins and adaptive execution repeated verbatim across "
+         "this synthetic near duplicate cluster fixture corpus")
+    idx = str(tmp_path / "idx")
+    # bucket B = {1 stranger, 6, 7}; 6 and 7 genuine dups, both
+    # unattached after the first reconcile (rep 1 fails everyone, the
+    # hop loop stalls on the stranger) -- watermark for B lands at 0
+    di._write_batch(
+        _df(spark, [
+            (1, "ancient lexicon of untranslatable riddles carved into "
+                "basalt cliffs by forgotten cartographers at midnight"),
+            (6, T + " member six"), (7, T + " member seven"),
+        ]),
+        idx, "docs", 0,
+    )
+    di._write_batch(
+        spark.createDataFrame(
+            [(1, 0, "B"), (6, 0, "B"), (7, 0, "B"), (7, 1, "C")],
+            "doc_id int, band int, band_sig string",
+        ),
+        idx, "bands", 0,
+    )
+    di.reconcile_capped_buckets(spark, idx, max_bucket_size=2,
+                                repair_hops=-1, reps_per_hop=1)
+    keep = dict((r.doc_id, r.canonical_id)
+                for r in di.keep_list_from_index(spark, idx).collect())
+    assert keep[6] == 6 and keep[7] == 7  # both stranded in over-cap B
+
+    # batch 1 IN FLIGHT: doc 8 (dup of 7, private bucket C -> pair
+    # verified at ingest) and doc 9 (dup of 7, lands in over-cap B ->
+    # its candidates were cap-dropped at ingest). Only the PAIRS write
+    # has landed; bands/docs of batch 1 are not yet visible.
+    di._write_batch(
+        spark.createDataFrame([(7, 8, 0.95)],
+                              "doc_a int, doc_b int, jaccard double"),
+        idx, "pairs", 1,
+    )
+    raced = di.reconcile_capped_buckets(spark, idx, max_bucket_size=2,
+                                        repair_hops=-1, reps_per_hop=1)
+    # the racing run must not certify anything on the strength of the
+    # incomplete batch: bucket B stays covered at watermark 0
+    assert raced.count() == 0
+    wm = spark.read.parquet(f"{idx}/reconciled")
+    assert wm.agg(F.max("watermark")).first()[0] == 0
+
+    # the stream's idempotent retry completes batch 1
+    di._write_batch(
+        _df(spark, [(8, T + " member seven prime"),
+                    (9, T + " member seven second")]),
+        idx, "docs", 1,
+    )
+    di._write_batch(
+        spark.createDataFrame([(8, 1, "C"), (9, 0, "B")],
+                              "doc_id int, band int, band_sig string"),
+        idx, "bands", 1,
+    )
+    # now the bucket re-activates (band clock 1 > stored 0) and the
+    # rescue attaches both stranded genuine members through attached 7
+    di.reconcile_capped_buckets(spark, idx, max_bucket_size=2,
+                                repair_hops=-1, reps_per_hop=1)
+    keep = dict((r.doc_id, r.canonical_id)
+                for r in di.keep_list_from_index(spark, idx).collect())
+    assert keep[6] == 6 and keep[7] == 6 and keep[8] == 6 and keep[9] == 6
+    assert keep[1] == 1
+    # and settles: watermark now covers both clocks
+    stats = di.index_bucket_stats(
+        spark, idx, max_bucket_size=2,
+        reconcile_settings={"repair_hops": -1, "reps_per_hop": 1},
+    )
+    assert stats["n_unreconciled_buckets"] == 0
+
+
+def test_reconcile_watermark_rescue_knob_change_is_not_skipped(
+    spark, tmp_path
+):
+    """r11 ADVICE (medium): the watermark certifies 'no qualifying
+    untried edge remains' only AT a given rescue configuration, so the
+    rescue knobs are part of the settings fingerprint: a run with the
+    rescue newly enabled (or at a different min-shared-bands floor)
+    must not skip buckets covered by a rescue-off watermark. The
+    rescue BOUND magnitude stays out (pacing only)."""
+    sig = di._reconcile_config_sig
+    off = sig(3, 0.8, 3, 0, 8, fresh_reps_per_bucket=0)
+    on1 = sig(3, 0.8, 3, 0, 8, fresh_reps_per_bucket=64,
+              rescue_min_shared_bands=1)
+    on2 = sig(3, 0.8, 3, 0, 8, fresh_reps_per_bucket=64,
+              rescue_min_shared_bands=2)
+    assert off != on1 and on1 != on2
+    # floor is irrelevant while the rescue is off; bound magnitude is
+    # pacing, not fixpoint
+    assert off == sig(3, 0.8, 3, 0, 8, fresh_reps_per_bucket=0,
+                      rescue_min_shared_bands=3)
+    assert on1 == sig(3, 0.8, 3, 0, 8, fresh_reps_per_bucket=128,
+                      rescue_min_shared_bands=1)
+
+    # integration: rescue-off reconcile covers the bucket with a
+    # watermark; the late arrival stays starved. Re-running with the
+    # rescue ON must process the bucket (different fingerprint) and
+    # attach it -- under a shared fingerprint it would be skipped.
+    T = ("the shared boilerplate block about spark shuffles parquet files "
+         "broadcast joins and adaptive execution repeated verbatim across "
+         "this synthetic near duplicate cluster fixture corpus")
+    idx = str(tmp_path / "idx")
+    di._write_batch(
+        _df(spark, [
+            (1, "ancient lexicon of untranslatable riddles carved into "
+                "basalt cliffs by forgotten cartographers at midnight"),
+            (3, T + " member one"), (4, T + " member two"),
+        ]),
+        idx, "docs", 0,
+    )
+    di._write_batch(
+        spark.createDataFrame([(1, 0, "B"), (3, 0, "B"), (4, 0, "B")],
+                              "doc_id int, band int, band_sig string"),
+        idx, "bands", 0,
+    )
+    di._write_batch(
+        spark.createDataFrame([(3, 4, 1.0)],
+                              "doc_a int, doc_b int, jaccard double"),
+        idx, "pairs", 0,
+    )
+    # late arrival 9: genuine neighbor of attached 3/4, starved by the
+    # stranger-stalled hop loop while the rescue is off
+    di._write_batch(_df(spark, [(9, T + " member three")]), idx, "docs", 1)
+    di._write_batch(
+        spark.createDataFrame([(9, 0, "B")],
+                              "doc_id int, band int, band_sig string"),
+        idx, "bands", 1,
+    )
+    di.reconcile_capped_buckets(
+        spark, idx, max_bucket_size=2, repair_hops=-1, reps_per_hop=1,
+        fresh_reps_per_bucket=0,
+    )
+    keep = dict((r.doc_id, r.canonical_id)
+                for r in di.keep_list_from_index(spark, idx).collect())
+    assert keep[9] == 9  # starved under rescue-off, bucket now covered
+    di.reconcile_capped_buckets(
+        spark, idx, max_bucket_size=2, repair_hops=-1, reps_per_hop=1,
+    )
+    keep = dict((r.doc_id, r.canonical_id)
+                for r in di.keep_list_from_index(spark, idx).collect())
+    assert keep[9] == 3  # rescue-on run was NOT skipped
+
+
+def test_compact_index_repair_pairs_stay_negative(spark, tmp_path):
+    """r11 ADVICE (low): compaction merges the pairs table's repair
+    (negative) partitions into a single NEGATIVE partition of their
+    own, never the non-negative merge target -- folded-in repair pairs
+    would otherwise read as fresh ingest attachments and pile onto the
+    post-compaction conservative pass. Keep list and repair rows are
+    unchanged across the merge."""
+    cluster = [(i, BASE) for i in range(1, 7)]
+    idx = str(tmp_path / "idx")
+    for bi, lo in enumerate(range(0, 6, 2)):
+        di.update_near_dup_index(
+            spark, _df(spark, cluster[lo:lo + 2]), idx, batch_id=bi,
+            max_bucket_size=3,
+        )
+    # two maintenance runs at distinct ids -> two negative partitions
+    di.reconcile_capped_buckets(spark, idx, max_bucket_size=3,
+                                reconcile_id=0)
+    di.reconcile_capped_buckets(spark, idx, max_bucket_size=3,
+                                reconcile_id=1, repair_hops=-1)
+    pairs = spark.read.parquet(f"{idx}/pairs")
+    pre_ids = {r.batch_id for r in pairs.select("batch_id").distinct().collect()}
+    assert min(pre_ids) < 0
+    repair_rows = {
+        (r.doc_a, r.doc_b)
+        for r in pairs.where(F.col("batch_id") < 0).collect()
+    }
+    assert repair_rows
+    keep_before = dict(
+        (r.doc_id, r.canonical_id)
+        for r in di.keep_list_from_index(spark, idx).collect()
+    )
+    di.compact_index(spark, idx, upto_batch=2, target_partitions=1)
+    pairs = spark.read.parquet(f"{idx}/pairs")
+    post_ids = {r.batch_id for r in pairs.select("batch_id").distinct().collect()}
+    assert post_ids <= {2, di.reconcile_partition_id(2)}
+    post_repairs = {
+        (r.doc_a, r.doc_b)
+        for r in pairs.where(F.col("batch_id") < 0).collect()
+    }
+    assert post_repairs == repair_rows  # merged, still negative
+    assert dict(
+        (r.doc_id, r.canonical_id)
+        for r in di.keep_list_from_index(spark, idx).collect()
+    ) == keep_before

@@ -705,6 +705,8 @@ def run_near_dup_index_stats(spark: SparkSession, argv: list[str]) -> None:
     p.add_argument("--shingleK", type=int, default=3)
     p.add_argument("--repairHops", type=int, default=0)
     p.add_argument("--repsPerHop", type=int, default=8)
+    p.add_argument("--freshRepsPerBucket", type=int, default=64)
+    p.add_argument("--rescueMinBands", type=int, default=1)
     ns = p.parse_args(argv)
     settings = None
     if ns.watermarkAware:
@@ -713,6 +715,8 @@ def run_near_dup_index_stats(spark: SparkSession, argv: list[str]) -> None:
             "k": ns.shingleK,
             "repair_hops": ns.repairHops,
             "reps_per_hop": ns.repsPerHop,
+            "fresh_reps_per_bucket": ns.freshRepsPerBucket,
+            "rescue_min_shared_bands": ns.rescueMinBands,
         }
     stats = di.index_bucket_stats(
         spark, ns.indexDir, ns.maxBucketSize, reconcile_settings=settings

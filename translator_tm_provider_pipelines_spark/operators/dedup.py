@@ -292,6 +292,7 @@ def star_second_hop_pairs(
     max_bucket_size: int,
     attempted: DataFrame | None = None,
     reps_per_hop: int = 8,
+    overcap_bands: DataFrame | None = None,
 ) -> DataFrame:
     """Repair candidates for ``oversize_policy="star"``: over-cap bucket
     members left UNATTACHED after verification re-star against the
@@ -339,9 +340,18 @@ def star_second_hop_pairs(
     components. Recovered members attach to a genuine ≥-threshold
     neighbor, which may be a DIFFERENT component than full pairwise
     expansion would produce for chain clusters — recall is repaired,
-    exact component equality is not promised."""
+    exact component equality is not promised.
+
+    ``overcap_bands`` (optional): the band rows of over-cap buckets,
+    already restricted (and typically materialized) by the caller — a
+    hop LOOP otherwise re-derives the full band pipeline every
+    iteration even though the band table is static within a run (r11).
+    Must be derived from the same ``bands`` at the same cap; the size
+    filter is re-applied, so a superset restriction only wastes, never
+    corrupts."""
+    src = overcap_bands if overcap_bands is not None else bands
     over = (
-        bands.groupBy("band", "band_sig")
+        src.groupBy("band", "band_sig")
         .agg(F.array_sort(F.collect_set("doc_id")).alias("ds"))
         .where(F.size("ds") > max_bucket_size)
     )
@@ -383,6 +393,7 @@ def _star_untried_edges(
     attempted: DataFrame | None = None,
     min_shared_bands: int = 1,
     member_buckets: DataFrame | None = None,
+    overcap_bands: DataFrame | None = None,
 ) -> DataFrame:
     """(band, band_sig, __m, doc_a, doc_b): every UNTRIED qualifying
     rescue edge — an unattached over-cap bucket member (``__m``) paired
@@ -428,15 +439,26 @@ def _star_untried_edges(
     under-report pairs whose other shared buckets are watermark-covered
     and mis-filter them below the floor, breaking the fixpoint the
     watermark certifies. The returned bucket keys (for the caller's
-    slice) are likewise restricted to the scope."""
-    ob = bands.select("doc_id", "band", "band_sig").distinct()
-    sizes = ob.groupBy("band", "band_sig").agg(
-        F.count(F.lit(1)).alias("__bn")
-    )
-    over = sizes.where(F.col("__bn") > max_bucket_size).select(
-        "band", "band_sig"
-    )
-    ob = ob.join(over, ["band", "band_sig"], "left_semi")
+    slice) are likewise restricted to the scope.
+
+    ``overcap_bands`` (optional): the DISTINCT over-cap band-row
+    restriction (doc_id, band, band_sig) precomputed — and typically
+    localCheckpoint'd — by the caller. The rescue loop calls this
+    function every round, and without it each round re-derives the full
+    band pipeline and the bucket-size aggregate from scratch even
+    though the band table is static within a run (r11). Must be exactly
+    the distinct rows of ``bands`` in buckets above the SAME cap."""
+    if overcap_bands is not None:
+        ob = overcap_bands.select("doc_id", "band", "band_sig")
+    else:
+        ob = bands.select("doc_id", "band", "band_sig").distinct()
+        sizes = ob.groupBy("band", "band_sig").agg(
+            F.count(F.lit(1)).alias("__bn")
+        )
+        over = sizes.where(F.col("__bn") > max_bucket_size).select(
+            "band", "band_sig"
+        )
+        ob = ob.join(over, ["band", "band_sig"], "left_semi")
     vids = verified.select(
         F.explode(F.array("doc_a", "doc_b")).alias("doc_id")
     ).distinct()
@@ -485,6 +507,7 @@ def star_rescue_pairs(
     attempted: DataFrame | None = None,
     reps_per_bucket: int = 64,
     min_shared_bands: int = 1,
+    overcap_bands: DataFrame | None = None,
 ) -> DataFrame:
     """Post-convergence rescue candidates for the star policy — closes the
     promotion-starvation residual of :func:`star_second_hop_pairs` (its
@@ -514,7 +537,7 @@ def star_rescue_pairs(
     (doc_a, doc_b) candidates for the caller to Jaccard-verify."""
     edges = _star_untried_edges(
         bands, verified, max_bucket_size, attempted=attempted,
-        min_shared_bands=min_shared_bands,
+        min_shared_bands=min_shared_bands, overcap_bands=overcap_bands,
     )
     chosen = (
         edges.groupBy("band", "band_sig")
@@ -653,7 +676,40 @@ def near_duplicates(
         id_col=id_col, persist=persist,
     )
     attempted = cands
-    if star_repair_hops and max_bucket_size is not None and oversize_policy == "star":
+    run_hops = bool(
+        star_repair_hops and max_bucket_size is not None
+        and oversize_policy == "star"
+    )
+    run_rescue = bool(
+        star_rescue_reps and max_bucket_size is not None
+        and oversize_policy == "star"
+    )
+    ob_cap = None
+
+    def _materialize_overcap() -> DataFrame:
+        # the hop/rescue loops only ever look at OVER-CAP bucket band
+        # rows, and the band table is static within a run — when a loop
+        # enters its SECOND round, derive and materialize that
+        # restriction once so later rounds reuse it instead of
+        # re-running the minhash→bands→sizes pipeline per iteration
+        # (r11: the converged sf10 hop loop re-derived the full-corpus
+        # band table 6×). Lazy on purpose: a single-round run is
+        # cheaper re-deriving than checkpointing (measured at sf0.1 —
+        # the eager version cost the 1-hop bench query ~2 s in pure
+        # job-scheduling overhead). Over-cap rows are
+        # boilerplate-population sized — safe to checkpoint.
+        ob = bands_df.select("doc_id", "band", "band_sig").distinct()
+        over_keys = (
+            ob.groupBy("band", "band_sig")
+            .agg(F.count(F.lit(1)).alias("__bn"))
+            .where(F.col("__bn") > max_bucket_size)
+            .select("band", "band_sig")
+        )
+        return ob.join(
+            over_keys, ["band", "band_sig"], "left_semi"
+        ).localCheckpoint()
+
+    if run_hops:
         # star_repair_hops < 0 = repair until converged (the loop breaks
         # as soon as a hop yields no fresh candidates; the `attempted`
         # anti-join guarantees each hop shrinks the untried edge set, so
@@ -667,11 +723,18 @@ def near_duplicates(
             # stack the whole verify pipeline per iteration
             verified = verified.localCheckpoint()
             cand2 = star_second_hop_pairs(
-                bands_df, verified, max_bucket_size, attempted=attempted
+                bands_df, verified, max_bucket_size, attempted=attempted,
+                overcap_bands=ob_cap,
             ).localCheckpoint()
             if not cand2.head(1):
                 converged = True
                 break
+            if hops_run == 0 and n_hops > 1:
+                # a further hop is possible: materialize the loop's
+                # static inputs once (_materialize_overcap rationale)
+                if ob_cap is None:
+                    ob_cap = _materialize_overcap()
+                attempted = attempted.localCheckpoint()
             hops_run += 1
             v2 = _verify_candidates(
                 docs, cand2, k=k, threshold=threshold, text_col=text_col,
@@ -681,7 +744,7 @@ def near_duplicates(
             attempted = attempted.unionByName(cand2)
         if repair_stats is not None:
             repair_stats.update({"hops_run": hops_run, "converged": converged})
-    if star_rescue_reps and max_bucket_size is not None and oversize_policy == "star":
+    if run_rescue:
         # promotion-starvation rescue (star_rescue_pairs docstring): after
         # the hop loop stalls, members with untried edges — skipped by the
         # smallest-id ranking — get their turn, bounded per bucket per
@@ -697,10 +760,19 @@ def near_duplicates(
                 attempted=attempted,
                 reps_per_bucket=star_rescue_reps,
                 min_shared_bands=star_rescue_min_bands,
+                overcap_bands=ob_cap,
             ).localCheckpoint()
             if not cand3.head(1):
                 rescue_converged = True
                 break
+            if rescue_rounds == 0:
+                # the while loop always admits another round: materialize
+                # the static inputs at the first productive round
+                # (_materialize_overcap rationale; ob_cap may already
+                # exist from the hop loop)
+                if ob_cap is None:
+                    ob_cap = _materialize_overcap()
+                attempted = attempted.localCheckpoint()
             rescue_rounds += 1
             v3 = _verify_candidates(
                 docs, cand3, k=k, threshold=threshold, text_col=text_col,

@@ -1707,16 +1707,27 @@ def near_dup_star_rescued_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     iterated fixpoint is pinned by unit tests and the sf10 keep-list
     equality artifact (SCALING.md round-10 block)."""
     docs = _t(spark, sf_dir, "documents")
-    bands_df = dedup.lsh_bands(dedup.minhash_signatures_doc(docs))
+    # materialize the band table and the base candidate set ONCE: both
+    # are tiny (4 band rows per doc; candidate pairs are star-bounded)
+    # but sit under every downstream consumer — v1 evaluates the
+    # candidate lineage four times (id semi-join + three joins in
+    # jaccard_for_pairs), the rescue reads bands twice and anti-joins
+    # the attempted set. Without the checkpoints the whole
+    # minhash→bands→star pipeline re-runs per consumer (~95 Spark
+    # stages, 11.3 s at sf0.1 in the r10 bench); with them the query
+    # runs each stage once (r11 task 4).
+    bands_df = dedup.lsh_bands(
+        dedup.minhash_signatures_doc(docs)
+    ).localCheckpoint()
     cands = dedup.lsh_candidate_pairs(
         bands_df, max_bucket_size=2, oversize_policy="star"
-    )
+    ).localCheckpoint()
     v1 = dedup._verify_candidates(
         docs, cands, k=3, threshold=0.8, text_col="text", id_col="doc_id"
     ).localCheckpoint()
     cand2 = dedup.star_rescue_pairs(
         bands_df, v1, 2, attempted=cands, reps_per_bucket=1_000_000
-    )
+    ).localCheckpoint()
     v2 = dedup._verify_candidates(
         docs, cand2, k=3, threshold=0.8, text_col="text", id_col="doc_id"
     )

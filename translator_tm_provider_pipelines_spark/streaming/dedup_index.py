@@ -237,6 +237,8 @@ def _reconcile_config_sig(
     k: int,
     repair_hops: int,
     reps_per_hop: int,
+    fresh_reps_per_bucket: int = 64,
+    rescue_min_shared_bands: int = 1,
 ) -> str:
     """Settings fingerprint a reconcile watermark is valid under. A
     watermark written by a run with different settings must not skip the
@@ -244,11 +246,25 @@ def _reconcile_config_sig(
     attach members the shallower run could not, and threshold/k/cap
     changes redefine which edges the bucket even owes (``repair_hops < 0``
     always means "until converged", so every negative value normalizes to
-    the same fingerprint)."""
+    the same fingerprint).
+
+    The rescue knobs are fingerprinted too (round-11): a watermark
+    certifies "no qualifying untried edge remains" only AT a specific
+    ``rescue_min_shared_bands`` floor and only when the rescue ran at
+    all, so a run with the rescue newly enabled, disabled, or at a
+    different floor must not be skipped on the strength of it. The
+    rescue BOUND magnitude (``fresh_reps_per_bucket`` above zero) stays
+    out for the same reason ``reps_per_hop``'s pacing does not redefine
+    the fixpoint: it only changes WHICH edges are tried per round — the
+    within-run round loop drains to the same fixpoint regardless."""
     hops = "conv" if repair_hops < 0 else str(repair_hops)
+    rescue = (
+        "off" if fresh_reps_per_bucket == 0
+        else f"minbands={rescue_min_shared_bands}"
+    )
     return (
         f"cap={max_bucket_size}|t={threshold!r}|k={k}|hops={hops}"
-        f"|reps={reps_per_hop}"
+        f"|reps={reps_per_hop}|rescue={rescue}"
     )
 
 
@@ -314,9 +330,10 @@ def reconcile_capped_buckets(
     the rewrite (they are exact-verified pairs over immutable docs, so
     always still valid), so the dynamic overwrite never loses a prior
     run's repairs — a cron'd maintenance job can keep the CLI default id
-    forever. :func:`compact_index` merges repair partitions like any
-    other. Returns the newly verified pairs (prior-partition rows are
-    rewritten but not returned).
+    forever. :func:`compact_index` merges repair partitions into a
+    single negative partition of their own (they must never enter the
+    non-negative ingest attachment clock). Returns the newly verified
+    pairs (prior-partition rows are rewritten but not returned).
 
     After reconciling, the index's pair set is a superset of the batch
     star path's for those buckets (the early full-pairwise edges are all
@@ -403,14 +420,22 @@ def reconcile_capped_buckets(
     watermark (the hold below), stays visible as unreconciled in the
     gauge, and re-activates next run — delta-scale work each run. Set
     0 to disable."""
-    bands = _read_index(spark, index_dir, "bands")
+    # READ ORDER INVARIANT: docs strictly before bands. docs is the LAST
+    # table update_near_dup_index writes (pairs -> bands -> docs), and
+    # stream batches are serial, so any batch id visible in this docs
+    # snapshot had fully committed its bands write BEFORE this (later)
+    # bands listing — max(docs.batch_id) is therefore a certificate that
+    # every band row of batches <= it is present in `bands`. The
+    # attachment clock below leans on exactly that (round-11 ADVICE fix).
     docs = _read_index(spark, index_dir, "docs")
+    bands = _read_index(spark, index_dir, "bands")
     if bands is None or docs is None:
         raise FileNotFoundError(f"no index at {index_dir}")
     band_cols = bands.select("doc_id", "band", "band_sig")
     doc_cols = docs.select("doc_id", "text")
     cfg_sig = _reconcile_config_sig(
-        max_bucket_size, threshold, k, repair_hops, reps_per_hop
+        max_bucket_size, threshold, k, repair_hops, reps_per_hop,
+        fresh_reps_per_bucket, rescue_min_shared_bands,
     )
     over = (
         bands.groupBy("band", "band_sig")
@@ -438,8 +463,27 @@ def reconcile_capped_buckets(
             # clocks), so a drained bucket settles instead of
             # re-activating forever. One linear pass over the pairs
             # table.
+            #
+            # COMPLETED-BATCH GATE (round-11 ADVICE): pairs land BEFORE
+            # bands within a batch, so a reconcile racing a live
+            # micro-batch N (or running after a crash between the
+            # writes) can see batch-N pairs while its bands snapshot
+            # ends at N-1. Trusting such a pair would stamp the bucket's
+            # watermark at N, and when batch N's band rows later land
+            # (the stream's idempotent retry), __wm == stored ==
+            # __attwm == N — the bucket never re-activates and the new
+            # members' owed edges are skipped forever. Only batches
+            # visible in docs/ (written LAST, read FIRST above) are
+            # provably complete in this run's bands snapshot, so the
+            # clock is capped at max(docs.batch_id); later pairs
+            # re-activate the bucket on the run that can actually see
+            # their batch's band rows.
+            completed_wm = docs.agg(F.max("batch_id")).first()[0]
             att = (
-                old_pairs.where(F.col("batch_id") >= 0)
+                old_pairs.where(
+                    (F.col("batch_id") >= 0)
+                    & (F.col("batch_id") <= F.lit(completed_wm))
+                )
                 .select(
                     F.explode(F.array("doc_a", "doc_b")).alias("doc_id"),
                     "batch_id",
@@ -532,6 +576,7 @@ def reconcile_capped_buckets(
             else repaired.select("doc_a", "doc_b").unionByName(old_edges)
         )
         n_hops = repair_hops if repair_hops > 0 else 1_000_000
+        hops_done = 0
         for _ in range(n_hops):
             repaired = repaired.localCheckpoint()
             verified_all = verified_all.localCheckpoint()
@@ -544,6 +589,17 @@ def reconcile_capped_buckets(
             ).localCheckpoint()
             if not cand2.head(1):
                 break
+            if hops_done == 0 and n_hops > 1:
+                # a further hop is possible: materialize the loop's
+                # static inputs once so later hops reuse them instead
+                # of re-scanning the bands table and re-deriving the
+                # attempted union (base candidates + stored pairs +
+                # failures) inside every anti-join (r11). Lazy on
+                # purpose — a single-hop run is cheaper re-deriving
+                # than checkpointing (measured on the batch twin).
+                hop_bands = hop_bands.localCheckpoint()
+                attempted = attempted.localCheckpoint()
+            hops_done += 1
             v2 = dedup._verify_candidates(
                 doc_cols, cand2, k=k, threshold=threshold,
                 text_col="text", id_col="doc_id",
@@ -589,6 +645,14 @@ def reconcile_capped_buckets(
             .select("band", "band_sig")
             .localCheckpoint()
         )
+        # the attempted union and the over-cap band-row restriction are
+        # static within the run; materialized lazily at the first
+        # productive round (below) so later rounds reuse them instead of
+        # re-scanning the bands table and re-deriving the union per
+        # round — while a no-op or single-round run never pays the
+        # checkpoint (r11; same rationale as the batch loops)
+        ob_cap = None
+        rounds_done = 0
         scope = over.select("band", "band_sig")
         while True:
             # full band table + member scope: eligible members come from
@@ -601,6 +665,7 @@ def reconcile_capped_buckets(
                 attempted=attempted_all,
                 min_shared_bands=rescue_min_shared_bands,
                 member_buckets=scope,
+                overcap_bands=ob_cap,
             ).localCheckpoint()
             sliced = (
                 untried.groupBy("band", "band_sig")
@@ -624,6 +689,16 @@ def reconcile_capped_buckets(
             )
             if not rescue_cands.head(1):
                 break
+            if rounds_done == 0:
+                # first productive round — the while loop always admits
+                # another: materialize the static inputs now
+                ob_cap = (
+                    band_cols.distinct()
+                    .join(overcap_all, ["band", "band_sig"], "left_semi")
+                    .localCheckpoint()
+                )
+                attempted_all = attempted_all.localCheckpoint()
+            rounds_done += 1
             v3 = dedup._verify_candidates(
                 doc_cols, rescue_cands, k=k, threshold=threshold,
                 text_col="text", id_col="doc_id",
@@ -635,7 +710,7 @@ def reconcile_capped_buckets(
                 v3.select("doc_a", "doc_b")
             ).localCheckpoint()
             touched = (
-                band_cols.join(
+                ob_cap.join(
                     v3.select(
                         F.explode(F.array("doc_a", "doc_b")).alias("doc_id")
                     ).distinct(),
@@ -644,7 +719,6 @@ def reconcile_capped_buckets(
                 )
                 .select("band", "band_sig")
                 .distinct()
-                .join(overcap_all, ["band", "band_sig"], "left_semi")
             )
             scope = (
                 touched.unionByName(
@@ -800,13 +874,18 @@ def index_bucket_stats(
       scope, so :func:`should_reconcile` requires it to be positive when
       present. ``reconcile_settings`` takes the reconcile knobs the cron
       passes to :func:`reconcile_capped_buckets` — ``threshold``, ``k``,
-      ``repair_hops``, ``reps_per_hop`` — defaulting to that function's
+      ``repair_hops``, ``reps_per_hop``, ``fresh_reps_per_bucket``,
+      ``rescue_min_shared_bands`` — defaulting to that function's
       defaults; ``max_bucket_size`` is this function's own argument.
 
     One bucket-keyed aggregate over the bands table and one distinct over
     the pair endpoints — both dimension-of-the-duplicate-population
     sized, far cheaper than the reconcile pass itself. Wire it to a
     watermark via :func:`should_reconcile`."""
+    # docs before bands: same read-order invariant as
+    # reconcile_capped_buckets — max(docs.batch_id) certifies which pairs
+    # batches are complete in the bands snapshot (attachment-clock gate)
+    docs = _read_index(spark, index_dir, "docs")
     bands = _read_index(spark, index_dir, "bands")
     if bands is None:
         raise FileNotFoundError(f"no index at {index_dir}")
@@ -826,6 +905,8 @@ def index_bucket_stats(
             s.pop("k", 3),
             s.pop("repair_hops", 0),
             s.pop("reps_per_hop", 8),
+            s.pop("fresh_reps_per_bucket", 64),
+            s.pop("rescue_min_shared_bands", 1),
         )
         if s:
             raise ValueError(f"unknown reconcile_settings keys: {sorted(s)}")
@@ -842,13 +923,23 @@ def index_bucket_stats(
                 F.col("__stored") < F.col("__wm")
             )
             pairs_tab = _read_index(spark, index_dir, "pairs")
-            if pairs_tab is not None:
+            completed_wm = (
+                docs.agg(F.max("batch_id")).first()[0]
+                if docs is not None
+                else None
+            )
+            if pairs_tab is not None and completed_wm is not None:
                 # same post-watermark ATTACHMENT re-activation rule as
-                # reconcile_capped_buckets (round-10): a covered bucket
-                # whose member attached via a LATER ingest batch owes a
-                # rescue re-derivation, and the gauge must schedule it
+                # reconcile_capped_buckets (round-10), with the same
+                # completed-batch gate (round-11): only pairs whose
+                # batch is visible in docs/ count — an in-flight batch's
+                # pairs must neither schedule nor (in the reconcile)
+                # certify work its band rows can't yet support
                 att = (
-                    pairs_tab.where(F.col("batch_id") >= 0)
+                    pairs_tab.where(
+                        (F.col("batch_id") >= 0)
+                        & (F.col("batch_id") <= F.lit(completed_wm))
+                    )
                     .select(
                         F.explode(F.array("doc_a", "doc_b")).alias("doc_id"),
                         "batch_id",
@@ -922,10 +1013,16 @@ def _hadoop_fs(spark: SparkSession, path: str):
 
 
 def _delete_old_batch_dirs(
-    spark: SparkSession, index_dir: str, sub: str, upto_batch: int
+    spark: SparkSession,
+    index_dir: str,
+    sub: str,
+    upto_batch: int,
+    keep: tuple[int, ...] = (),
 ) -> int:
     """Remove ``batch_id=b`` partition directories with b < upto_batch via
-    the Hadoop FileSystem API (works on HDFS/S3/local alike)."""
+    the Hadoop FileSystem API (works on HDFS/S3/local alike). ``keep``
+    exempts specific ids — compaction's own negative merge target for
+    the pairs table sorts below every original partition."""
     fs, jpath, jvm = _hadoop_fs(spark, _part_path(index_dir, sub))
     if not fs.exists(jpath):
         return 0
@@ -938,7 +1035,7 @@ def _delete_old_batch_dirs(
             b = int(name.split("=", 1)[1])
         except ValueError:
             continue
-        if b < upto_batch:
+        if b < upto_batch and b not in keep:
             fs.delete(st.getPath(), True)
             removed += 1
     return removed
@@ -994,7 +1091,18 @@ def compact_index(
     band batch_id past its stored watermark, so the next reconcile
     conservatively re-verifies every over-cap bucket's candidate set
     once — wasteful, never wrong (pinned by test) — and the compacted
-    failures are exactly what keeps that conservative pass cheap."""
+    failures are exactly what keeps that conservative pass cheap.
+
+    The PAIRS table's negative (repair) partitions merge into their own
+    single NEGATIVE partition, ``reconcile_partition_id(upto_batch)``,
+    never the non-negative merge target (round-11): the attachment
+    clock in :func:`reconcile_capped_buckets` / :func:`index_bucket_stats`
+    reads non-negative pairs batch_ids as ingest attachments, so folding
+    repair pairs into ``batch_id=upto_batch`` would count every past
+    repair as fresh ingest and pile a second cause onto the
+    post-compaction conservative pass. A later reconcile whose id maps
+    to the merged partition simply unions the merged rows back (the
+    standard re-run discipline above), so the merge is never lost."""
     tmp_root = os.path.join(index_dir, ".compact_tmp")
     removed: dict[str, int] = {}
     dedupe_keys = {"docs": ["doc_id"], "bands": None, "pairs": None,
@@ -1004,7 +1112,25 @@ def compact_index(
         if df is None:
             removed[sub] = 0
             continue
-        old = df.where(F.col("batch_id") <= upto_batch).drop("batch_id")
+        keep_dirs: tuple[int, ...] = ()
+        sel = F.col("batch_id") <= upto_batch
+        if sub == "pairs":
+            # repair pairs stay NEGATIVE (docstring): merge every
+            # negative partition into reconcile_partition_id(upto_batch)
+            # so they never enter the ingest attachment clock
+            sel = sel & (F.col("batch_id") >= 0)
+            neg_pid = reconcile_partition_id(upto_batch)
+            neg = df.where(F.col("batch_id") < 0).drop("batch_id").distinct()
+            if target_partitions:
+                neg = neg.coalesce(target_partitions)
+            if neg.head(1):
+                tmp_neg = os.path.join(tmp_root, sub + "_neg")
+                neg.write.mode("overwrite").parquet(tmp_neg)
+                _write_batch(
+                    spark.read.parquet(tmp_neg), index_dir, sub, neg_pid
+                )
+                keep_dirs = (neg_pid,)
+        old = df.where(sel).drop("batch_id")
         if sub == "reconciled":
             # one row per bucket+fingerprint, keeping the max watermark —
             # the exact value every reconcile's skip check aggregates to
@@ -1019,7 +1145,9 @@ def compact_index(
         tmp = os.path.join(tmp_root, sub)
         old.write.mode("overwrite").parquet(tmp)
         _write_batch(spark.read.parquet(tmp), index_dir, sub, upto_batch)
-        removed[sub] = _delete_old_batch_dirs(spark, index_dir, sub, upto_batch)
+        removed[sub] = _delete_old_batch_dirs(
+            spark, index_dir, sub, upto_batch, keep=keep_dirs
+        )
     fs, jpath, _ = _hadoop_fs(spark, tmp_root)
     if fs.exists(jpath):
         fs.delete(jpath, True)
@@ -1195,6 +1323,8 @@ def incremental_near_dup_stream(
                     "threshold": threshold,
                     "k": k,
                     "repair_hops": reconcile_repair_hops,
+                    "fresh_reps_per_bucket": reconcile_fresh_reps_per_bucket,
+                    "rescue_min_shared_bands": reconcile_rescue_min_bands,
                 },
             )
             if should_reconcile(stats, reconcile_max_stranded):
