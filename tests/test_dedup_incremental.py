@@ -1852,3 +1852,55 @@ def test_compact_index_repair_pairs_stay_negative(spark, tmp_path):
         (r.doc_id, r.canonical_id)
         for r in di.keep_list_from_index(spark, idx).collect()
     ) == keep_before
+
+
+def test_compact_during_reconcile_never_loses_repairs(
+    spark, tmp_path, monkeypatch
+):
+    """r11 (VERDICT task 7): a compact_index racing an in-flight
+    reconcile — injected through the _write_batch seam immediately
+    before the reconcile's first negative-partition write, i.e. after
+    every derivation but before any of its outputs land — must never
+    lose repairs or watermarks: the reconcile's outputs are materialized
+    before its writes (reads-what-it-overwrites discipline), its dynamic
+    overwrite touches only its own negative partition, and the merge's
+    row movement at worst duplicates rows every consumer distinct's.
+    After the race the keep list equals the no-race result and a
+    follow-up reconcile is a watermark no-op."""
+    cluster = [(i, BASE) for i in range(1, 7)]
+    idx = str(tmp_path / "idx")
+    for bi, lo in enumerate(range(0, 6, 2)):
+        di.update_near_dup_index(
+            spark, _df(spark, cluster[lo:lo + 2]), idx, batch_id=bi,
+            max_bucket_size=3,
+        )
+    real_write = di._write_batch
+    state = {"injected": False}
+
+    def inject(df, index_dir, sub, batch_id):
+        if not state["injected"] and batch_id < 0:
+            state["injected"] = True
+            # maintenance compaction lands between the reconcile's
+            # derivation and its first write (compact_index's own writes
+            # re-enter this seam with the flag already set)
+            di.compact_index(spark, idx, upto_batch=2, target_partitions=1)
+        return real_write(df, index_dir, sub, batch_id)
+
+    monkeypatch.setattr(di, "_write_batch", inject)
+    di.reconcile_capped_buckets(spark, idx, max_bucket_size=3,
+                                repair_hops=-1, reconcile_id=5)
+    monkeypatch.setattr(di, "_write_batch", real_write)
+    assert state["injected"]
+    keep = dict((r.doc_id, r.canonical_id)
+                for r in di.keep_list_from_index(spark, idx).collect())
+    assert keep == {i: 1 for i in range(1, 7)}
+    # the watermark written by the raced run still covers the merged
+    # bands (compaction merged into the pre-existing max batch id), so
+    # the follow-up run is a no-op and changes nothing
+    assert di.reconcile_capped_buckets(
+        spark, idx, max_bucket_size=3, repair_hops=-1, reconcile_id=6
+    ).count() == 0
+    assert dict(
+        (r.doc_id, r.canonical_id)
+        for r in di.keep_list_from_index(spark, idx).collect()
+    ) == keep

@@ -31,6 +31,7 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 SMOKE_QUERIES = (
     "universal_input_join",
     "near_dup_star_repaired",
+    "near_dup_star_rescued",  # r11: one-round rescue + checkpointed bands
     "cooccurrence_metrics",
     "temperature_mixture_sample",
     "token_budget_mixture_sample",
@@ -83,6 +84,40 @@ di.reconcile_capped_buckets(spark, idx, max_bucket_size=3, repair_hops=-1)
 keep = {r.doc_id: r.canonical_id
         for r in di.keep_list_from_index(spark, idx).collect()}
 assert all(keep[d] == 1 for d in range(2, 7)), keep
+
+# r11: the rescue fixpoint off local[*] — a starved late arrival whose
+# genuine neighbors are ATTACHED (never promoted by the hop loop) must
+# be rescued through the round loop's lazily checkpointed inputs
+idx2 = idx + "-rescue"
+T = ("the shared boilerplate block about spark shuffles parquet files "
+     "broadcast joins and adaptive execution repeated verbatim across "
+     "this synthetic near duplicate cluster fixture corpus")
+di._write_batch(mk([
+    (1, "ancient lexicon of untranslatable riddles carved into basalt "
+        "cliffs by forgotten cartographers at midnight"),
+    (3, T + " member one"), (4, T + " member two"),
+]), idx2, "docs", 0)
+di._write_batch(
+    spark.createDataFrame([(1, 0, "B"), (3, 0, "B"), (4, 0, "B")],
+                          "doc_id int, band int, band_sig string"),
+    idx2, "bands", 0,
+)
+di._write_batch(
+    spark.createDataFrame([(3, 4, 1.0)],
+                          "doc_a int, doc_b int, jaccard double"),
+    idx2, "pairs", 0,
+)
+di._write_batch(mk([(9, T + " member three")]), idx2, "docs", 1)
+di._write_batch(
+    spark.createDataFrame([(9, 0, "B")],
+                          "doc_id int, band int, band_sig string"),
+    idx2, "bands", 1,
+)
+di.reconcile_capped_buckets(spark, idx2, max_bucket_size=2,
+                            repair_hops=-1, reps_per_hop=1)
+keep = {r.doc_id: r.canonical_id
+        for r in di.keep_list_from_index(spark, idx2).collect()}
+assert keep[9] == 3 and keep[4] == 3 and keep[1] == 1, keep
 print("LC_INDEX_OK", flush=True)
 spark.stop()
 """

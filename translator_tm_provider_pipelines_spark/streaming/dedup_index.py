@@ -733,6 +733,26 @@ def reconcile_capped_buckets(
     # the dynamic overwrite below replaces — a caller materializing the
     # returned DataFrame afterwards would otherwise re-read a deleted file
     repaired = repaired.localCheckpoint()
+    ghost = None
+    if use_watermarks:
+        # the GHOST hold (see the watermark write below) is derivation
+        # -time state, and it is the LAST consumer of the run's original
+        # bands/docs file snapshot — materialize it with the other
+        # pre-write state (r11): a compact_index racing this run deletes
+        # the snapshot's partition directories after merging them, and a
+        # lazy evaluation at watermark-write time would crash on the
+        # deleted files (FAILED_READ_FILE) after the pairs already
+        # landed — a crash the watermark ordering makes safe but a cron
+        # shouldn't pay. Cheap: bucket keys anti-joined on doc ids.
+        ghost = (
+            bands.select("doc_id", "band", "band_sig")
+            .join(over.select("band", "band_sig"), ["band", "band_sig"],
+                  "left_semi")
+            .join(doc_cols.select("doc_id"), "doc_id", "left_anti")
+            .select("band", "band_sig")
+            .distinct()
+            .localCheckpoint()
+        )
     failed_new = None
     if persist_failures:
         # attempted-but-unverified = this run's failures; materialized
@@ -825,14 +845,7 @@ def reconcile_capped_buckets(
         # verifies its own candidates AND lands the doc row, clearing the
         # hold); until then each cron run redoes only the ghost edges —
         # everything else is anti-joined away by pairs and failures.
-        ghost = (
-            bands.select("doc_id", "band", "band_sig")
-            .join(over.select("band", "band_sig"), ["band", "band_sig"],
-                  "left_semi")
-            .join(doc_cols.select("doc_id"), "doc_id", "left_anti")
-            .select("band", "band_sig")
-            .distinct()
-        )
+        # (`ghost` was materialized with the pre-write state above.)
         new_wm = new_wm.join(ghost, ["band", "band_sig"], "left_anti")
         wm_tab = _read_index(spark, index_dir, "reconciled")
         if wm_tab is not None:
