@@ -30,6 +30,7 @@ the authoritative number, per SCALING.md's methodology pin).
 from __future__ import annotations
 
 import argparse
+import atexit
 import json
 import os
 import shutil
@@ -93,6 +94,10 @@ def main() -> None:
     # — then copy the directory per floor so each drain starts identical
     cut = docs.approxQuantile("doc_id", [1.0 - ns.delta_pct / 100.0], 0.0)[0]
     work = tempfile.mkdtemp(prefix="rescue-floor-")
+    # the working dir holds the backfilled index plus one copy per floor
+    # (GB-scale at sf10); clean it up on ANY exit, including a crashed
+    # drain loop — these runs are minutes long and get retried
+    atexit.register(shutil.rmtree, work, ignore_errors=True)
     idx0 = os.path.join(work, "idx0")
     t0 = time.time()
     di.update_near_dup_index(
@@ -156,12 +161,11 @@ def main() -> None:
     for floor in floors:
         if floor == min(floors):
             continue
-        rows[str(floor)]["batch_vs_floor%s_divergence" % base_floor] = (
-            divergence(batch_keeps[floor], batch_keeps[min(floors)])
-        )
+        div = divergence(batch_keeps[floor], batch_keeps[min(floors)])
+        rows[str(floor)]["batch_vs_floor%s_divergence" % base_floor] = div
         print(
-            f"floor={floor} vs floor={base_floor}: "
-            f"{rows[str(floor)]}", flush=True,
+            f"floor={floor} vs floor={base_floor}: divergence={div}",
+            flush=True,
         )
 
     art = json.load(open(ns.artifact)) if os.path.isfile(ns.artifact) else {}

@@ -1042,6 +1042,7 @@ def test_index_bucket_stats_watermark_aware(spark, tmp_path, capsys):
     cli.main([
         "NEAR_DUP_INDEX_STATS", "--indexDir", idx, "--maxBucketSize", "2",
         "--watermarkAware", "--threshold", "0.85", "--repairHops", "0",
+        "--freshRepsPerBucket", "0",  # match the reconcile's fingerprint
     ])
     out = capsys.readouterr().out
     assert '"n_unreconciled_buckets"' in out and "reconcile recommended" in out

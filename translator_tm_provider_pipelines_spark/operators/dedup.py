@@ -386,6 +386,24 @@ def star_second_hop_pairs(
     return out
 
 
+def _overcap_band_rows(bands: DataFrame, max_bucket_size: int) -> DataFrame:
+    """DISTINCT (doc_id, band, band_sig) rows of buckets above the cap —
+    the shared derivation under the star hop/rescue machinery (r11: one
+    definition so the distinct semantics and the cap comparison cannot
+    drift across call sites). Idempotent: re-applying it to an
+    already-restricted (or superset) input only re-filters, so callers
+    that pre-materialize the restriction stay safe if they ever pass a
+    wider frame."""
+    ob = bands.select("doc_id", "band", "band_sig").distinct()
+    over = (
+        ob.groupBy("band", "band_sig")
+        .agg(F.count(F.lit(1)).alias("__bn"))
+        .where(F.col("__bn") > max_bucket_size)
+        .select("band", "band_sig")
+    )
+    return ob.join(over, ["band", "band_sig"], "left_semi")
+
+
 def _star_untried_edges(
     bands: DataFrame,
     verified: DataFrame,
@@ -441,24 +459,19 @@ def _star_untried_edges(
     watermark certifies. The returned bucket keys (for the caller's
     slice) are likewise restricted to the scope.
 
-    ``overcap_bands`` (optional): the DISTINCT over-cap band-row
-    restriction (doc_id, band, band_sig) precomputed — and typically
+    ``overcap_bands`` (optional): the over-cap band-row restriction
+    (doc_id, band, band_sig) precomputed — and typically
     localCheckpoint'd — by the caller. The rescue loop calls this
     function every round, and without it each round re-derives the full
     band pipeline and the bucket-size aggregate from scratch even
-    though the band table is static within a run (r11). Must be exactly
-    the distinct rows of ``bands`` in buckets above the SAME cap."""
-    if overcap_bands is not None:
-        ob = overcap_bands.select("doc_id", "band", "band_sig")
-    else:
-        ob = bands.select("doc_id", "band", "band_sig").distinct()
-        sizes = ob.groupBy("band", "band_sig").agg(
-            F.count(F.lit(1)).alias("__bn")
-        )
-        over = sizes.where(F.col("__bn") > max_bucket_size).select(
-            "band", "band_sig"
-        )
-        ob = ob.join(over, ["band", "band_sig"], "left_semi")
+    though the band table is static within a run (r11). The
+    distinct+cap filter is RE-APPLIED to the provided frame (cheap on
+    the restricted table), so a superset input only wastes, never
+    corrupts — same contract as :func:`star_second_hop_pairs`."""
+    ob = _overcap_band_rows(
+        overcap_bands if overcap_bands is not None else bands,
+        max_bucket_size,
+    )
     vids = verified.select(
         F.explode(F.array("doc_a", "doc_b")).alias("doc_id")
     ).distinct()
@@ -698,16 +711,7 @@ def near_duplicates(
         # the eager version cost the 1-hop bench query ~2 s in pure
         # job-scheduling overhead). Over-cap rows are
         # boilerplate-population sized — safe to checkpoint.
-        ob = bands_df.select("doc_id", "band", "band_sig").distinct()
-        over_keys = (
-            ob.groupBy("band", "band_sig")
-            .agg(F.count(F.lit(1)).alias("__bn"))
-            .where(F.col("__bn") > max_bucket_size)
-            .select("band", "band_sig")
-        )
-        return ob.join(
-            over_keys, ["band", "band_sig"], "left_semi"
-        ).localCheckpoint()
+        return _overcap_band_rows(bands_df, max_bucket_size).localCheckpoint()
 
     if run_hops:
         # star_repair_hops < 0 = repair until converged (the loop breaks

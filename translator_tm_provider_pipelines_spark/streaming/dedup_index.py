@@ -646,12 +646,17 @@ def reconcile_capped_buckets(
             .localCheckpoint()
         )
         # the attempted union and the over-cap band-row restriction are
-        # static within the run; materialized lazily at the first
-        # productive round (below) so later rounds reuse them instead of
-        # re-scanning the bands table and re-deriving the union per
-        # round — while a no-op or single-round run never pays the
-        # checkpoint (r11; same rationale as the batch loops)
-        ob_cap = None
+        # static within the run; the restriction reuses the already-
+        # checkpointed overcap_all keys from round 1 (lazily — the
+        # enumeration re-applies the cap filter on the restricted frame,
+        # so this is exactly the internal derivation minus the full-table
+        # size aggregate), and both are materialized at the first
+        # productive round so later rounds reuse them — while a no-op or
+        # single-round run never pays the checkpoint (r11; same
+        # rationale as the batch loops)
+        ob_cap = band_cols.distinct().join(
+            overcap_all, ["band", "band_sig"], "left_semi"
+        )
         rounds_done = 0
         scope = over.select("band", "band_sig")
         while True:
@@ -692,11 +697,7 @@ def reconcile_capped_buckets(
             if rounds_done == 0:
                 # first productive round — the while loop always admits
                 # another: materialize the static inputs now
-                ob_cap = (
-                    band_cols.distinct()
-                    .join(overcap_all, ["band", "band_sig"], "left_semi")
-                    .localCheckpoint()
-                )
+                ob_cap = ob_cap.localCheckpoint()
                 attempted_all = attempted_all.localCheckpoint()
             rounds_done += 1
             v3 = dedup._verify_candidates(
@@ -897,8 +898,14 @@ def index_bucket_stats(
     watermark via :func:`should_reconcile`."""
     # docs before bands: same read-order invariant as
     # reconcile_capped_buckets — max(docs.batch_id) certifies which pairs
-    # batches are complete in the bands snapshot (attachment-clock gate)
-    docs = _read_index(spark, index_dir, "docs")
+    # batches are complete in the bands snapshot (attachment-clock gate).
+    # Only the watermark-aware gauge consumes it; the legacy path skips
+    # the extra table listing.
+    docs = (
+        _read_index(spark, index_dir, "docs")
+        if reconcile_settings is not None
+        else None
+    )
     bands = _read_index(spark, index_dir, "bands")
     if bands is None:
         raise FileNotFoundError(f"no index at {index_dir}")
@@ -1136,12 +1143,15 @@ def compact_index(
             neg = df.where(F.col("batch_id") < 0).drop("batch_id").distinct()
             if target_partitions:
                 neg = neg.coalesce(target_partitions)
-            if neg.head(1):
-                tmp_neg = os.path.join(tmp_root, sub + "_neg")
-                neg.write.mode("overwrite").parquet(tmp_neg)
-                _write_batch(
-                    spark.read.parquet(tmp_neg), index_dir, sub, neg_pid
-                )
+            # stage to tmp FIRST, probe the staged result: the merge's
+            # union+distinct over every negative partition runs exactly
+            # once (an emptiness probe on `neg` itself would execute the
+            # whole plan a second time for the write)
+            tmp_neg = os.path.join(tmp_root, sub + "_neg")
+            neg.write.mode("overwrite").parquet(tmp_neg)
+            merged_neg = spark.read.schema(neg.schema).parquet(tmp_neg)
+            if merged_neg.head(1):
+                _write_batch(merged_neg, index_dir, sub, neg_pid)
                 keep_dirs = (neg_pid,)
         old = df.where(sel).drop("batch_id")
         if sub == "reconciled":
