@@ -73,6 +73,12 @@ SHOWCASE = {
         "per-source running-token cut over the md5-prefix slice; "
         "threshold+quota ride one broadcast plan-table join (round 8)"
     ),
+    "near_dup_star_repaired": (
+        "round-12: band/candidate/v1 tables checkpointed once; the "
+        "single repair hop and second verify build on ExistingRDD scans "
+        "— no per-consumer re-derivation of minhash->bands->star, no "
+        "cartesian"
+    ),
     "near_dup_star_rescued": (
         "round-11: band/candidate tables checkpointed once and reused by "
         "both verify stages and the rescue; the rescue enumeration is "

@@ -539,6 +539,31 @@ def test_near_dup_star_rescued_checkpointed_reuse(spark):
     assert p.count("Scan parquet") <= 4
 
 
+def test_near_dup_star_repaired_checkpointed_reuse(spark):
+    """r12: the repaired registry query gets the same treatment the
+    rescued one got in r11 task 4 — bands/candidates/v1 materialized
+    once, the single repair hop built on checkpoint scans. The final
+    executed plan verifies only the hop's candidates on top of
+    ExistingRDD scans (never a re-derivation of the minhash->bands->star
+    pipeline), contains no cartesian expansion, and a full execution
+    stays within the same bounded job count as the rescued sibling."""
+    sc = spark.sparkContext
+    sc.setJobGroup("repaired_shape", "plan/job shape")
+    try:
+        df = tq.QUERIES["near_dup_star_repaired"](spark, SF)
+        df.count()
+    finally:
+        sc.setJobGroup(None, None)
+    jobs = sc.statusTracker().getJobIdsForGroup("repaired_shape")
+    assert 0 < len(jobs) <= 40
+    p = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in p and "BroadcastNestedLoop" not in p
+    # v1 and cand2 enter the final plan as checkpoint scans
+    assert p.count("Scan ExistingRDD") >= 2
+    # only the second verify stage still reads the corpus
+    assert p.count("Scan parquet") <= 4
+
+
 def test_star_loops_reuse_materialized_overcap_bands(spark, monkeypatch):
     """r11: once a converged hop/rescue loop proves it is genuinely
     looping (a first productive round), it materializes the over-cap

@@ -1602,13 +1602,33 @@ def near_dup_star_repaired_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     representative (measured at sf10 in SCALING.md). The oracle
     reproduces candidate generation, both verification stages, and the
     unattached-representative promotion value-exactly."""
-    return dedup.near_duplicates(
-        _t(spark, sf_dir, "documents"),
-        threshold=0.8,
-        max_bucket_size=2,
-        oversize_policy="star",
-        star_repair_hops=1,
+    docs = _t(spark, sf_dir, "documents")
+    # r12: same checkpointed-lineage treatment the rescued query got in
+    # r11 task 4. near_duplicates(star_repair_hops=1) checkpoints
+    # `verified` inside the hop loop, but v1's OWN lineage still
+    # re-derives the minhash→bands→star pipeline per consumer (id
+    # semi-join + three joins in jaccard_for_pairs), and the hop reads
+    # the band lineage again — ~6.6 s / 1.27× its v2 median at sf0.1 in
+    # the r11 bench. Materializing the loop-static band and candidate
+    # tables once runs each base stage exactly once; the hop then builds
+    # on ExistingRDD scans (plan+job shape pinned in
+    # tests/test_plan_shapes.py alongside the rescued pin).
+    bands_df = dedup.lsh_bands(
+        dedup.minhash_signatures_doc(docs)
+    ).localCheckpoint()
+    cands = dedup.lsh_candidate_pairs(
+        bands_df, max_bucket_size=2, oversize_policy="star"
+    ).localCheckpoint()
+    v1 = dedup._verify_candidates(
+        docs, cands, k=3, threshold=0.8, text_col="text", id_col="doc_id"
+    ).localCheckpoint()
+    cand2 = dedup.star_second_hop_pairs(
+        bands_df, v1, 2, attempted=cands, reps_per_hop=8
+    ).localCheckpoint()
+    v2 = dedup._verify_candidates(
+        docs, cand2, k=3, threshold=0.8, text_col="text", id_col="doc_id"
     )
+    return v1.unionByName(v2)
 
 
 @register(
