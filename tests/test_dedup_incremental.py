@@ -1905,3 +1905,73 @@ def test_compact_during_reconcile_never_loses_repairs(
         (r.doc_id, r.canonical_id)
         for r in di.keep_list_from_index(spark, idx).collect()
     ) == keep
+
+
+def test_compact_index_empty_nonneg_pairs_readback(spark, tmp_path):
+    """r12 ADVICE (low): when every pair row lives in NEGATIVE reconcile
+    partitions (here: ingest at cap 1 / policy drop writes only empty
+    non-negative pairs batches, the reconcile then attaches the cluster
+    as repair pairs), compaction's staged non-negative pairs frame is
+    legitimately empty — the read-back must use an explicit schema (the
+    negative-merge branch always did) and the empty merge target is
+    simply not written. Keep list and repair rows survive the merge."""
+    cluster = [(i, BASE) for i in range(1, 5)]
+    idx = str(tmp_path / "idx")
+    for bi, lo in enumerate(range(0, 4, 2)):
+        di.update_near_dup_index(
+            spark, _df(spark, cluster[lo:lo + 2]), idx, batch_id=bi,
+            max_bucket_size=1, oversize_policy="drop",
+        )
+    di.reconcile_capped_buckets(spark, idx, max_bucket_size=1,
+                                reconcile_id=0)
+    pairs = spark.read.parquet(f"{idx}/pairs")
+    assert pairs.where(F.col("batch_id") >= 0).count() == 0
+    repair_rows = {
+        (r.doc_a, r.doc_b)
+        for r in pairs.where(F.col("batch_id") < 0).collect()
+    }
+    assert repair_rows
+    keep_before = dict(
+        (r.doc_id, r.canonical_id)
+        for r in di.keep_list_from_index(spark, idx).collect()
+    )
+    di.compact_index(spark, idx, upto_batch=1, target_partitions=1)
+    # the empty non-negative merge target was skipped; only the merged
+    # negative partition remains and nothing was lost
+    post = spark.read.parquet(f"{idx}/pairs")
+    post_ids = {r.batch_id for r in post.select("batch_id").distinct().collect()}
+    assert post_ids == {di.reconcile_partition_id(1)}
+    assert {
+        (r.doc_a, r.doc_b)
+        for r in post.where(F.col("batch_id") < 0).collect()
+    } == repair_rows
+    assert dict(
+        (r.doc_id, r.canonical_id)
+        for r in di.keep_list_from_index(spark, idx).collect()
+    ) == keep_before
+    # the index keeps absorbing batches after the skipped-empty merge
+    di.update_near_dup_index(
+        spark, _df(spark, [(9, BASE + " tail")]), idx, batch_id=2,
+    )
+    assert di.keep_list_from_index(spark, idx).count() == 5
+
+
+def test_negative_rescue_bound_rejected(spark, tmp_path):
+    """r12 ADVICE (low): the rescue loops run on truthiness while the
+    watermark fingerprint maps only ==0 to 'off' — a negative bound
+    would run the rescue with an ill-defined F.slice length and stamp
+    watermarks as rescue-on. Both paths fail loudly instead."""
+    import pytest
+
+    idx = str(tmp_path / "idx")
+    di.update_near_dup_index(spark, _df(spark, ROWS_B1), idx, batch_id=0,
+                             max_bucket_size=2)
+    with pytest.raises(ValueError, match="fresh_reps_per_bucket"):
+        di.reconcile_capped_buckets(
+            spark, idx, max_bucket_size=2, fresh_reps_per_bucket=-1
+        )
+    with pytest.raises(ValueError, match="star_rescue_reps"):
+        dedup.near_duplicates(
+            _df(spark, ROWS_B1), max_bucket_size=2, oversize_policy="star",
+            star_rescue_reps=-1,
+        )

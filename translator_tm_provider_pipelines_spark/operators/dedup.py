@@ -675,6 +675,14 @@ def near_duplicates(
     recompute is one cheap scan) caches shingles for the Jaccard branch;
     enable it when the upstream is expensive, or better, write
     shingles/signatures to intermediate tables at 100 TB."""
+    if star_rescue_reps < 0:
+        # the rescue loop runs on truthiness; a negative bound would
+        # reach star_rescue_pairs as an ill-defined F.slice length
+        # (same guard as the incremental index's reconcile, r12 ADVICE)
+        raise ValueError(
+            f"star_rescue_reps must be >= 0 (0 disables the rescue), "
+            f"got {star_rescue_reps}"
+        )
     sig = minhash_signatures_doc(
         docs, k=k, num_perms=num_perms, text_col=text_col, id_col=id_col
     )

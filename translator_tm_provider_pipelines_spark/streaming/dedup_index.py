@@ -268,6 +268,41 @@ def _reconcile_config_sig(
     )
 
 
+def _gated_attachment_clock(
+    pairs: DataFrame, band_cols: DataFrame, completed_wm: int
+) -> DataFrame:
+    """Per-bucket post-watermark attachment clock ``(band, band_sig,
+    __attwm)`` — the max NON-NEGATIVE pairs ``batch_id`` incident to any
+    bucket member, gated at ``completed_wm`` (the max batch visible in
+    docs/). One definition shared by ``reconcile_capped_buckets`` (the
+    re-activation + watermark-write side) and ``index_bucket_stats``
+    (the scheduling gauge) so the round-10 attachment rule and the
+    round-11 completed-batch gate cannot drift between them (r12
+    ADVICE). The gate: pairs land BEFORE bands within a batch, so pairs
+    from a batch not yet visible in docs/ (written LAST) may describe
+    band rows this run cannot see — trusting them would stamp or
+    schedule work the bands snapshot can't support. Reconcile-partition
+    pairs (negative ids) are excluded because the run that wrote them
+    already pulled every touched bucket into its own rescue scope."""
+    att = (
+        pairs.where(
+            (F.col("batch_id") >= 0)
+            & (F.col("batch_id") <= F.lit(completed_wm))
+        )
+        .select(
+            F.explode(F.array("doc_a", "doc_b")).alias("doc_id"),
+            "batch_id",
+        )
+        .groupBy("doc_id")
+        .agg(F.max("batch_id").alias("__att"))
+    )
+    return (
+        band_cols.join(att, "doc_id")
+        .groupBy("band", "band_sig")
+        .agg(F.max("__att").alias("__attwm"))
+    )
+
+
 def _failure_config_sig(threshold: float, k: float) -> str:
     """Fingerprint a persisted verification FAILURE is valid under. An
     edge's exact Jaccard is a pure function of the two immutable documents
@@ -420,6 +455,15 @@ def reconcile_capped_buckets(
     watermark (the hold below), stays visible as unreconciled in the
     gauge, and re-activates next run — delta-scale work each run. Set
     0 to disable."""
+    if fresh_reps_per_bucket < 0:
+        # the rescue loop runs on truthiness and the fingerprint maps
+        # only ==0 to "off" — a negative value would run the rescue with
+        # an ill-defined F.slice bound while stamping watermarks as
+        # rescue-on (r12 ADVICE). Fail loudly instead.
+        raise ValueError(
+            f"fresh_reps_per_bucket must be >= 0 (0 disables the "
+            f"rescue), got {fresh_reps_per_bucket}"
+        )
     # READ ORDER INVARIANT: docs strictly before bands. docs is the LAST
     # table update_near_dup_index writes (pairs -> bands -> docs), and
     # stream batches are serial, so any batch id visible in this docs
@@ -479,23 +523,7 @@ def reconcile_capped_buckets(
             # re-activate the bucket on the run that can actually see
             # their batch's band rows.
             completed_wm = docs.agg(F.max("batch_id")).first()[0]
-            att = (
-                old_pairs.where(
-                    (F.col("batch_id") >= 0)
-                    & (F.col("batch_id") <= F.lit(completed_wm))
-                )
-                .select(
-                    F.explode(F.array("doc_a", "doc_b")).alias("doc_id"),
-                    "batch_id",
-                )
-                .groupBy("doc_id")
-                .agg(F.max("batch_id").alias("__att"))
-            )
-            b_att = (
-                band_cols.join(att, "doc_id")
-                .groupBy("band", "band_sig")
-                .agg(F.max("__att").alias("__attwm"))
-            )
+            b_att = _gated_attachment_clock(old_pairs, band_cols, completed_wm)
             over = over.join(b_att, ["band", "band_sig"], "left")
         wm_tab = _read_index(spark, index_dir, "reconciled")
         if wm_tab is not None:
@@ -949,28 +977,11 @@ def index_bucket_stats(
                 else None
             )
             if pairs_tab is not None and completed_wm is not None:
-                # same post-watermark ATTACHMENT re-activation rule as
-                # reconcile_capped_buckets (round-10), with the same
-                # completed-batch gate (round-11): only pairs whose
-                # batch is visible in docs/ count — an in-flight batch's
-                # pairs must neither schedule nor (in the reconcile)
-                # certify work its band rows can't yet support
-                att = (
-                    pairs_tab.where(
-                        (F.col("batch_id") >= 0)
-                        & (F.col("batch_id") <= F.lit(completed_wm))
-                    )
-                    .select(
-                        F.explode(F.array("doc_a", "doc_b")).alias("doc_id"),
-                        "batch_id",
-                    )
-                    .groupBy("doc_id")
-                    .agg(F.max("batch_id").alias("__att"))
-                )
-                b_att = (
-                    band_cols.join(att, "doc_id")
-                    .groupBy("band", "band_sig")
-                    .agg(F.max("__att").alias("__attwm"))
+                # same attachment re-activation rule + completed-batch
+                # gate as reconcile_capped_buckets — shared derivation,
+                # see _gated_attachment_clock
+                b_att = _gated_attachment_clock(
+                    pairs_tab, band_cols, completed_wm
                 )
                 unrec = unrec.join(b_att, ["band", "band_sig"], "left")
                 active = active | (
@@ -1167,7 +1178,19 @@ def compact_index(
             old = old.coalesce(target_partitions)
         tmp = os.path.join(tmp_root, sub)
         old.write.mode("overwrite").parquet(tmp)
-        _write_batch(spark.read.parquet(tmp), index_dir, sub, upto_batch)
+        # explicit schema, symmetric with the negative-merge branch: the
+        # staged frame can be legitimately EMPTY (e.g. every pair row in
+        # negative reconcile partitions now that repair pairs are
+        # excluded from `old`), and an empty read-back must not depend
+        # on Spark having written a schema-bearing file (r12 ADVICE).
+        merged = spark.read.schema(old.schema).parquet(tmp)
+        if sub in ("docs", "bands") or merged.head(1):
+            # docs/bands are always written — their presence is the
+            # "index exists" marker (keep_list_from_index and
+            # reconcile_capped_buckets raise on absence); the optional
+            # subs simply vanish when empty, which every reader already
+            # handles (_read_index -> None)
+            _write_batch(merged, index_dir, sub, upto_batch)
         removed[sub] = _delete_old_batch_dirs(
             spark, index_dir, sub, upto_batch, keep=keep_dirs
         )
