@@ -74,6 +74,73 @@ def _telemetry(spark) -> dict:
     }
 
 
+def compare_to_baseline(
+    timings: dict[str, float],
+    spread: dict[str, list[float]],
+    base: dict,
+    calib_sec: float | None,
+) -> dict:
+    """One regression block (``baseline``/``baseline_v2``) comparing the
+    current run's per-query medians + spreads to a baseline artifact.
+
+    Noise band (round-12): a bare median ratio > 2x flagged sub-second
+    queries whose recorded pass spreads overlapped the bar (language_id
+    hit 1.71x on 0.8s with a 0.51-1.02s spread). A query is a
+    REGRESSION only when its whole current spread sits above the
+    envelope — even the fastest of its >=3 passes exceeds 2x the
+    baseline median AND the baseline's own recorded [min, max] (when the
+    artifact carries a per-query ``spread`` map; regenerated baselines
+    do, see scripts/make_baseline_v2.py). Everything in the 1.3-2x band
+    — plus over-2x medians rescued by the envelope — is emitted as
+    ``noise_excluded`` with both spreads so the call is auditable
+    instead of re-litigated (BASELINE.md "Regression noise band")."""
+    shared = [q for q in timings if q in base["queries"]]
+    base_total = round(sum(base["queries"][q] for q in shared), 3)
+    cur_total = round(sum(timings[q] for q in shared), 3)
+    # normalize BOTH sides when the baseline artifact recorded its own
+    # calibration — (cur/cur_calib)/(base/base_calib); with only the
+    # current side calibrated the ratio is half-corrected and only
+    # meaningful against a near-idle (calib_sec ≈ CALIB_REF_SEC)
+    # baseline, which is what CALIB_REF_SEC encodes for the r1 artifact
+    base_calib = base.get("calib_sec") or CALIB_REF_SEC
+    base_spread = base.get("spread", {})
+    regressions: dict[str, float] = {}
+    noise_excluded: dict[str, dict] = {}
+    for q in shared:
+        b = base["queries"][q]
+        if b <= 0.2:
+            continue
+        ratio = round(timings[q] / b, 2)
+        envelope = 2.0 * b
+        if q in base_spread:
+            envelope = max(envelope, base_spread[q][1])
+        if ratio > 2.0 and spread[q][0] > envelope:
+            regressions[q] = ratio
+        elif ratio > 1.3:
+            noise_excluded[q] = {
+                "ratio": ratio,
+                "spread": spread[q],
+                "base": b,
+                **({"base_spread": base_spread[q]}
+                   if q in base_spread else {}),
+            }
+    return {
+        "total_sec": base_total,
+        "n_shared": len(shared),
+        "ratio": round(cur_total / base_total, 3) if base_total else None,
+        # ratio with the box's momentary speed divided out of both
+        # runs: comparable across sessions on a contended box
+        "ratio_normalized": (
+            round((cur_total / calib_sec) / (base_total / base_calib), 3)
+            if base_total and calib_sec
+            else None
+        ),
+        "base_calib_sec": base.get("calib_sec"),
+        "regressions": regressions,
+        "noise_excluded": noise_excluded,
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     from translator_tm_provider_pipelines_spark.plans import testdata_queries as tq
@@ -183,33 +250,7 @@ def main() -> None:
     #   added after round 1 get a regression bar too (VERDICT r9 task 4).
     # Queries absent from a baseline artifact are skipped for that bar.
     def _compare(base: dict) -> dict:
-        shared = [q for q in timings if q in base["queries"]]
-        base_total = round(sum(base["queries"][q] for q in shared), 3)
-        cur_total = round(sum(timings[q] for q in shared), 3)
-        # normalize BOTH sides when the baseline artifact recorded its own
-        # calibration — (cur/cur_calib)/(base/base_calib); with only the
-        # current side calibrated the ratio is half-corrected and only
-        # meaningful against a near-idle (calib_sec ≈ CALIB_REF_SEC)
-        # baseline, which is what CALIB_REF_SEC encodes for the r1 artifact
-        base_calib = base.get("calib_sec") or CALIB_REF_SEC
-        return {
-            "total_sec": base_total,
-            "n_shared": len(shared),
-            "ratio": round(cur_total / base_total, 3) if base_total else None,
-            # ratio with the box's momentary speed divided out of both
-            # runs: comparable across sessions on a contended box
-            "ratio_normalized": (
-                round((cur_total / calib_sec) / (base_total / base_calib), 3)
-                if base_total and calib_sec
-                else None
-            ),
-            "base_calib_sec": base.get("calib_sec"),
-            "regressions": {
-                q: round(timings[q] / base["queries"][q], 2)
-                for q in shared
-                if base["queries"][q] > 0.2 and timings[q] / base["queries"][q] > 2.0
-            },
-        }
+        return compare_to_baseline(timings, spread, base, calib_sec)
 
     baseline = None
     here = os.path.dirname(os.path.abspath(__file__))
@@ -255,10 +296,19 @@ def main() -> None:
         "queries": {q: timings[q] for q in sorted(slowest)},
         "queries_full": "BENCH_FULL.json",
     }
+    def _trim(block: dict) -> dict:
+        # the full noise_excluded map (spreads per query) lives in the
+        # full record / BENCH_FULL.json; the compact line must fit the
+        # driver's 2000-char stdout tail, so it carries only the names
+        out = dict(block)
+        if "noise_excluded" in out:
+            out["noise_excluded"] = sorted(out["noise_excluded"])
+        return out
+
     if baseline is not None:
-        compact["baseline"] = baseline
+        compact["baseline"] = _trim(baseline)
     if "baseline_v2" in out:
-        compact["baseline_v2"] = out["baseline_v2"]
+        compact["baseline_v2"] = _trim(out["baseline_v2"])
     print(json.dumps(compact))
     sys.stdout.flush()
     spark.stop()
