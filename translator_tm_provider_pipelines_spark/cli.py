@@ -651,10 +651,13 @@ def run_near_dup_index_reconcile(spark: SparkSession, argv: list[str]) -> None:
                    help="deterministic band-agreement prefilter for "
                         "rescue edges: a pair qualifies only when it "
                         "shares at least this many over-cap buckets. "
-                        "Set >= 2 at scale (J>=0.8 pairs share ~6.6 of "
-                        "16 bands; half-overlap strangers ~1); must "
-                        "match the batch comparator's "
-                        "--starRescueMinBands for keep-list equality")
+                        "The default 1 optimizes exactness (nothing "
+                        "prefiltered); 2 is the 100 TB setting, saving "
+                        "~32-34%% maintenance wall for ~0.01%% of "
+                        "attachments (J>=0.8 pairs share ~6.6 of 16 "
+                        "bands; half-overlap strangers ~1). Must match "
+                        "the batch comparator's --starRescueMinBands "
+                        "for keep-list equality")
     ns = p.parse_args(argv)
     repaired = di.reconcile_capped_buckets(
         spark, ns.indexDir, ns.maxBucketSize, threshold=ns.threshold,
@@ -749,8 +752,9 @@ def run_near_dup_keep_best(spark: SparkSession, argv: list[str]) -> None:
                         "0 disables")
     p.add_argument("--starRescueMinBands", type=int, default=1,
                    help="deterministic band-agreement prefilter for "
-                        "rescue edges (shared over-cap buckets); set "
-                        ">= 2 at scale")
+                        "rescue edges (shared over-cap buckets); the "
+                        "default 1 optimizes exactness, 2 is the "
+                        "100 TB setting (floor sweep in SCALING.md)")
     ns = p.parse_args(argv)
     dd.near_dup_keep_best(
         spark.read.parquet(ns.documents),

@@ -633,7 +633,12 @@ def near_duplicates(
     qualifying untried edge remains. ``star_rescue_min_bands`` is the
     deterministic band-agreement prefilter (identical on the incremental
     index's reconcile, so keep-list equality holds at any shared
-    setting; set ≥ 2 at scale — see :func:`_star_untried_edges`). With
+    setting — see :func:`_star_untried_edges`). The default of 1
+    deliberately optimizes EXACTNESS (no qualifying edge is ever
+    prefiltered away, keep-list equality 0 rows at sf10); **2 is the
+    100 TB setting** — it cuts ~32-34% of maintenance wall for ~0.01%
+    of attachments (floor sweep, SCALING.md), and the floor is part of
+    the reconcile watermark fingerprint so retuning is always safe. With
     this on (and converged hops) the keep list converges to the same
     attachment set as the index's drained reconcile (the r9 74-row
     divergence → 0; SCALING.md round-10 block). Total extra verification

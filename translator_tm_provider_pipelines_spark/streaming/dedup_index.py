@@ -428,7 +428,12 @@ def reconcile_capped_buckets(
     before r9's fix). After the base star and hop loop, unattached
     members of ACTIVE over-cap buckets that still have an UNTRIED
     qualifying edge — a pair with an ATTACHED co-bucket member, passing
-    the ``rescue_min_shared_bands`` band-agreement prefilter, not
+    the ``rescue_min_shared_bands`` band-agreement prefilter (default 1
+    = exactness-first: nothing prefiltered, keep-list equality 0 rows
+    at sf10; 2 is the 100 TB setting — ~32-34% maintenance wall saved
+    for ~0.01% of attachments, floor sweep in SCALING.md; the floor is
+    fingerprinted into the watermark so retuning never skips certified
+    buckets), not
     verified, not attempted this run, not in the persisted failures —
     propose those edges, up to the ``fresh_reps_per_bucket`` smallest
     such member ids per bucket per run
