@@ -123,6 +123,83 @@ spark.stop()
 """
 
 
+COMPACT_RACE_SCRIPT = """
+import sys
+from translator_tm_provider_pipelines_spark.session import get_spark
+from translator_tm_provider_pipelines_spark.streaming import dedup_index as di
+
+idx = sys.argv[1]
+spark = get_spark(
+    app_name="local-cluster-compact-race-smoke",
+    master="local-cluster[2,4,4096]",
+    shuffle_partitions=8,
+    extra_conf={"spark.driver.memory": "4g"},
+)
+base = ("the quick brown fox jumps over the lazy dog and then runs far "
+        "away into the deep dark forest where nobody ever goes at night")
+rows = [(i, base) for i in range(1, 7)]
+mk = lambda rs: spark.createDataFrame(rs, "doc_id int, text string")
+for bi, lo in enumerate(range(0, 6, 2)):
+    di.update_near_dup_index(spark, mk(rows[lo:lo + 2]), idx, batch_id=bi,
+                             max_bucket_size=3)
+# compaction lands between the reconcile's derivation and its first
+# negative-partition write (the _write_batch seam, same injection as the
+# local[*] race test) — but HERE the merge's file moves and old-batch
+# deletes race executor-side parquet reads across real JVM boundaries,
+# the file-listing path where FAILED_READ_FILE actually differs from
+# single-process local mode (r12, VERDICT r11 task 6)
+real_write = di._write_batch
+state = {"injected": False}
+def inject(df, index_dir, sub, batch_id):
+    if not state["injected"] and batch_id < 0:
+        state["injected"] = True
+        di.compact_index(spark, idx, upto_batch=2, target_partitions=1)
+    return real_write(df, index_dir, sub, batch_id)
+di._write_batch = inject
+try:
+    di.reconcile_capped_buckets(spark, idx, max_bucket_size=3,
+                                repair_hops=-1, reconcile_id=5)
+finally:
+    di._write_batch = real_write
+assert state["injected"]
+keep = {r.doc_id: r.canonical_id
+        for r in di.keep_list_from_index(spark, idx).collect()}
+assert keep == {i: 1 for i in range(1, 7)}, keep
+# the raced run's watermark covers the merged bands: follow-up is a no-op
+assert di.reconcile_capped_buckets(spark, idx, max_bucket_size=3,
+                                   repair_hops=-1, reconcile_id=6).count() == 0
+print("LC_COMPACT_RACE_OK", flush=True)
+spark.stop()
+"""
+
+
+@pytest.mark.localcluster
+def test_local_cluster_compact_during_reconcile(tmp_path):
+    """r12 (VERDICT r11 task 6): the compaction-racing-a-reconcile
+    scenario on separate executor JVMs — the local[*] race test pins the
+    semantics, this one exercises the multi-JVM file listing (executors
+    read parquet the driver's compaction is concurrently moving and
+    deleting) where read-failure behavior genuinely differs. Same
+    timeout bound as the other smokes."""
+    script = tmp_path / "lc_compact_race.py"
+    script.write_text(COMPACT_RACE_SCRIPT)
+    env = dict(os.environ)
+    env["SPARK_GRAFT_CPUS"] = "8"
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    proc = subprocess.run(
+        [sys.executable, str(script), str(tmp_path / "idx")],
+        capture_output=True,
+        text=True,
+        timeout=900,
+        cwd=REPO,
+        env=env,
+    )
+    assert proc.returncode == 0 and "LC_COMPACT_RACE_OK" in proc.stdout, (
+        f"local-cluster compact-race smoke failed\n"
+        f"stdout: {proc.stdout[-3000:]}\nstderr: {proc.stderr[-3000:]}"
+    )
+
+
 @pytest.mark.localcluster
 def test_local_cluster_index_reconcile(tmp_path):
     """The incremental index's update → reconcile(repair_hops) → keep-list
