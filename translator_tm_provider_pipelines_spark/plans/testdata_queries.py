@@ -1878,6 +1878,72 @@ def near_dup_keep_best_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "index_bucket_gauge",
+    f"""
+    WITH {_MINHASH_SQL},
+    pos AS (SELECT unnest(generate_series(1, {_POS_CAP})) AS p),
+    sh AS (
+      SELECT DISTINCT doc_id,
+             list_extract(words, p) || ' ' || list_extract(words, p + 1) || ' ' || list_extract(words, p + 2) AS shingle
+      FROM docs, pos WHERE p <= len(words) - 2
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b ON a.band = b.band AND a.band_sig = b.band_sig
+      WHERE a.doc_id < b.doc_id
+    ),
+    cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+    inter AS (
+      SELECT c.doc_a, c.doc_b, count(*) AS n_inter
+      FROM cand c JOIN sh a ON a.doc_id = c.doc_a JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+      GROUP BY 1, 2
+    ),
+    nd AS (
+      SELECT c.doc_a, c.doc_b
+      FROM cand c
+      LEFT JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+      JOIN cnt ca ON ca.doc_id = c.doc_a
+      JOIN cnt cb ON cb.doc_id = c.doc_b
+      WHERE coalesce(i.n_inter, 0) / cast(ca.n + cb.n - coalesce(i.n_inter, 0) AS double) >= 0.8
+    ),
+    over AS (
+      SELECT band, band_sig FROM bands
+      GROUP BY 1, 2 HAVING count(DISTINCT doc_id) > 2
+    ),
+    mem AS (
+      SELECT DISTINCT b.doc_id
+      FROM bands b JOIN over o ON o.band = b.band AND o.band_sig = b.band_sig
+    ),
+    att AS (SELECT doc_a AS d FROM nd UNION SELECT doc_b FROM nd)
+    SELECT (SELECT count(*) FROM over) AS n_over_cap_buckets,
+           (SELECT count(*) FROM mem) AS n_over_cap_members,
+           (SELECT count(*) FROM mem WHERE doc_id NOT IN (SELECT d FROM att))
+             AS n_stranded
+    """,
+)
+def index_bucket_gauge_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The capped-index maintenance gauge's relational core
+    (streaming/dedup_index.py:bucket_stats_frame, the derivation under
+    index_bucket_stats' "is a reconcile worth scheduling" dict): over-cap
+    bucket count at cap 2, distinct members of those buckets, and the
+    stranded subset with no verified near-dup pair at all — here fed by
+    the batch pipeline's bands and verified pairs on the documents table
+    so the oracle can replay the same counts (r12, VERDICT r11 task 7;
+    the watermark-aware unreconciled column stays under its unit tests —
+    it reads reconcile state a stateless oracle has no analogue for)."""
+    from ..streaming import dedup_index as di
+
+    docs = _t(spark, sf_dir, "documents")
+    bands = dedup.lsh_bands(dedup.minhash_signatures_doc(docs))
+    pairs = dedup.near_duplicates(docs, threshold=0.8)
+    return di.bucket_stats_frame(
+        bands.select("doc_id", "band", "band_sig"),
+        pairs.select("doc_a", "doc_b"),
+        max_bucket_size=2,
+    )
+
+
 # ---------------------------------------------------------------------------
 # Similarity search over embeddings
 # ---------------------------------------------------------------------------

@@ -896,6 +896,46 @@ def reconcile_capped_buckets(
     return repaired
 
 
+def bucket_stats_frame(
+    band_cols: DataFrame, pairs: DataFrame | None, max_bucket_size: int
+) -> DataFrame:
+    """The gauge's relational core as a one-row DataFrame
+    ``(n_over_cap_buckets, n_over_cap_members, n_stranded)`` over a
+    bands relation ``(doc_id, band, band_sig)`` and an optional verified
+    pairs relation ``(doc_a, doc_b)``. :func:`index_bucket_stats` reads
+    these from an index directory; the registry's ``index_bucket_gauge``
+    query derives them from the batch pipeline on the documents table so
+    the same derivation sits under the DuckDB oracle (r12, VERDICT r11
+    task 7). Members/stranded are DISTINCT across buckets (a document in
+    two over-cap buckets counts once); the three scalars combine via
+    1-row broadcast joins, never a row-level cartesian."""
+    over = (
+        band_cols.groupBy("band", "band_sig")
+        .agg(F.countDistinct("doc_id").alias("__bn"))
+        .where(F.col("__bn") > max_bucket_size)
+        .select("band", "band_sig")
+    )
+    members = (
+        band_cols.join(over, ["band", "band_sig"], "left_semi")
+        .select("doc_id")
+        .distinct()
+    )
+    if pairs is None:
+        stranded = members
+    else:
+        attached = pairs.select(
+            F.explode(F.array("doc_a", "doc_b")).alias("doc_id")
+        ).distinct()
+        stranded = members.join(attached, "doc_id", "left_anti")
+    return (
+        over.agg(F.count(F.lit(1)).alias("n_over_cap_buckets"))
+        .crossJoin(
+            members.agg(F.count(F.lit(1)).alias("n_over_cap_members"))
+        )
+        .crossJoin(stranded.agg(F.count(F.lit(1)).alias("n_stranded")))
+    )
+
+
 def index_bucket_stats(
     spark: SparkSession,
     index_dir: str,
@@ -1000,24 +1040,16 @@ def index_bucket_stats(
         if n_unreconciled is not None:
             stats["n_unreconciled_buckets"] = 0
         return stats
-    members = (
-        band_cols.join(over.select("band", "band_sig"), ["band", "band_sig"])
-        .select("doc_id")
-        .distinct()
-    )
     pairs = _read_index(spark, index_dir, "pairs")
-    if pairs is None:
-        stranded = members
-    else:
-        attached = pairs.select(
-            F.explode(F.array("doc_a", "doc_b")).alias("doc_id")
-        ).distinct()
-        stranded = members.join(attached, "doc_id", "left_anti")
-    counts = members.agg(F.count(F.lit(1)).alias("m")).first()
+    row = bucket_stats_frame(
+        band_cols,
+        None if pairs is None else pairs.select("doc_a", "doc_b"),
+        max_bucket_size,
+    ).first()
     stats = {
-        "n_over_cap_buckets": n_over,
-        "n_over_cap_members": int(counts["m"]),
-        "n_stranded": int(stranded.count()),
+        "n_over_cap_buckets": int(row["n_over_cap_buckets"]),
+        "n_over_cap_members": int(row["n_over_cap_members"]),
+        "n_stranded": int(row["n_stranded"]),
     }
     if n_unreconciled is not None:
         stats["n_unreconciled_buckets"] = n_unreconciled
