@@ -37,7 +37,8 @@ SHOWCASE = {
     "sequence_packing": "one hash exchange on shard; window sort parallel across shards",
     "semantic_near_duplicates": (
         "centroid assignment as a narrow broadcast-literal expression; "
-        "one cluster-keyed shuffle; survivor-scoped cosine joins"
+        "one cluster-keyed shuffle plus the round-robin pair-explode "
+        "spread (r12); survivor-scoped cosine joins"
     ),
     "repeated_kgram_spans": (
         "md5 window keys hashed before the gram shuffle; no join-back; "

@@ -623,3 +623,64 @@ def test_retrain_default_never_runs_percentroid_driver_loop(
         similarity.retrain_ivf_index(
             spark, path, n_lists=4, n_iters=1, exact_seed=True
         )
+
+
+def test_rp_lsh_bucket_vectorized_matches_expression(spark):
+    """r12: rp_lsh_bucket's Arrow-vectorized path (auto-enabled at >=
+    VECTORIZE_MIN_PLANES, where the interpreted HOF expression chain cost
+    ~5 ms/row on the sf10 slice) must produce BIT-IDENTICAL bucket
+    strings to the expression path — the numpy GEMM reproduces Spark's
+    HALF-UP rounding exactly, and the rounding scale already absorbs
+    summation-order float noise by design. Checked at a plane count on
+    each side of the threshold, plus the auto-policy itself."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    for n_planes in (8, 96):
+        planes = similarity.hyperplanes(n_planes, 64)
+        expr = emb.select(
+            "vec_id",
+            similarity.rp_lsh_bucket(
+                F.col("embedding"), planes, vectorized=False
+            ).alias("b"),
+        )
+        vec = emb.select(
+            "vec_id",
+            similarity.rp_lsh_bucket(
+                F.col("embedding"), planes, vectorized=True
+            ).alias("b"),
+        )
+        a = {r.vec_id: r.b for r in expr.collect()}
+        b = {r.vec_id: r.b for r in vec.collect()}
+        assert a == b, f"bit mismatch at {n_planes} planes"
+        assert all(len(s) == n_planes for s in a.values())
+    # auto policy: registry-scale plane counts stay pure-expression
+    # (no PythonUDF in the plan), scale counts go vectorized
+    small = emb.select(
+        similarity.rp_lsh_bucket(
+            F.col("embedding"), similarity.hyperplanes(48, 64)
+        ).alias("b")
+    )
+    assert "pythonUDF" not in small._jdf.queryExecution().executedPlan().toString().lower()
+    big = emb.select(
+        similarity.rp_lsh_bucket(
+            F.col("embedding"), similarity.hyperplanes(96, 64)
+        ).alias("b")
+    )
+    assert "arrowevalpython" in big._jdf.queryExecution().executedPlan().toString().lower()
+
+
+def test_spread_bucket_pairs_repartitions_before_explode(spark):
+    """r12: the bucketed pair generators round-robin the bucket rows
+    before the pair explode so AQE's byte-size coalescing cannot confine
+    C(|bucket|,2) expansions to a handful of tasks (the sf10 straggler;
+    _spread_bucket_pairs docstring). The exchange must appear below the
+    explode, and results are unchanged."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cand = similarity.banded_lsh_candidate_pairs(
+        emb, n_dims=64, n_bands=4, band_planes=2
+    )
+    p = cand._jdf.queryExecution().executedPlan().toString()
+    assert "RoundRobinPartitioning" in p
+    # sanity: pairs are still distinct ordered ids
+    rows = cand.collect()
+    assert all(r.vec_a < r.vec_b for r in rows)
+    assert len(rows) == len({(r.vec_a, r.vec_b) for r in rows})

@@ -13,6 +13,7 @@ from __future__ import annotations
 import hashlib
 import math
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -166,9 +167,31 @@ def banded_lsh_candidate_pairs(
     )
     if max_bucket_size is not None:
         buckets = buckets.where(F.size("vs") <= max_bucket_size)
-    return buckets.select(_sorted_set_pairs().alias("p")).select(
-        "p.vec_a", "p.vec_b"
-    ).distinct()
+    return _spread_bucket_pairs(buckets).distinct()
+
+
+def _spread_bucket_pairs(buckets: DataFrame) -> DataFrame:
+    """Pair-expand bucket rows with the explode parallelized: the bucket
+    relation is tiny by BYTES (one row per bucket), so AQE coalesces the
+    grouping shuffle to a handful of partitions — but each row then
+    explodes into C(|bucket|,2) pairs, so the expansion (and everything
+    fused behind it) runs in those few tasks with one straggler per
+    heavy bucket. Measured on the sf10 embedding slice (r12): the
+    candidate stage ran as 12+1/13 tasks with multi-minute stragglers;
+    an explicit round-robin exchange of the bucket rows — which AQE
+    never coalesces — spreads the expansion across the full task width
+    (248 -> 75 s for the candidate pass together with the vectorized
+    bits path in ``rp_lsh_bucket``). Same trap and same fix as the
+    pre-shingle-explode repartition in ``dedup.near_duplicates``
+    (dedup.py, "Oversize buckets" numbers in SCALING.md)."""
+    n_part = int(
+        buckets.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
+    )
+    return (
+        buckets.repartition(n_part)
+        .select(_sorted_set_pairs().alias("p"))
+        .select("p.vec_a", "p.vec_b")
+    )
 
 
 def _sorted_set_pairs(vs: str = "vs") -> Column:
@@ -277,21 +300,55 @@ def hyperplanes(n_planes: int, n_dims: int) -> list[list[float]]:
     return [[_plane_component(p, d) for d in range(n_dims)] for p in range(n_planes)]
 
 
-def rp_lsh_bucket(vec_col: Column, planes: list[list[float]], scale: int = 6) -> Column:
+#: plane-count threshold above which rp_lsh_bucket switches to the
+#: Arrow-vectorized bits path: the nested-literal transform is a chain of
+#: higher-order functions Catalyst evaluates interpreted (no whole-stage
+#: codegen for HOF lambdas), costing ~allocations-per-plane per row —
+#: measured ~5 ms/row at 256 planes x 64 dims on the sf10 embedding
+#: slice, which made the bits projection the candidate stage's dominant
+#: cost. Registry-scale plane counts (<= 48) stay on the pure-expression
+#: path (plan-flat, oracle-mirrorable); the scale policy "grow
+#: band_planes ~log n" crosses into the numpy-matmul path where one
+#: Arrow batch costs a (batch x dims) @ (dims x planes) GEMM.
+VECTORIZE_MIN_PLANES = 64
+
+
+def rp_lsh_bucket(
+    vec_col: Column,
+    planes: list[list[float]],
+    scale: int = 6,
+    vectorized: bool | None = None,
+) -> Column:
     """Bucket id = sign bits of the vector against each hyperplane,
     as a bit string ('0110...'). Vectors in the same bucket are likely
     cosine neighbors (probability 1 - θ/π per plane). The dot product is
     ROUNDED before the sign test so the bit pattern is stable across
     engines (summation-order float noise ≪ the rounding scale).
 
-    All planes evaluate through ONE ``transform`` over a nested literal
-    array — one codegen loop instead of |planes| inlined aggregate
-    expressions, which keeps the generated code (and analysis time) flat
-    as band counts grow. Arithmetic per plane is unchanged, so bucket
-    strings are bit-identical to the per-plane form the oracles mirror.
-    The literal ships as one nested-list ``F.lit`` — a single py4j call
-    instead of |planes|×n_dims of them, which was seconds of driver time
-    at 48×64."""
+    Two evaluation paths with IDENTICAL output (pinned by test):
+
+    - expression (default below ``VECTORIZE_MIN_PLANES`` planes): all
+      planes evaluate through ONE ``transform`` over a nested literal
+      array — one loop instead of |planes| inlined aggregate
+      expressions, which keeps the generated code (and analysis time)
+      flat as band counts grow. The literal ships as one nested-list
+      ``F.lit`` — a single py4j call instead of |planes|×n_dims of them,
+      which was seconds of driver time at 48×64.
+    - Arrow-vectorized (default at or above the threshold): one
+      pandas_udf computing the full sign-bit matrix per Arrow batch as a
+      numpy GEMM. HOF lambdas never enter whole-stage codegen, so the
+      expression path is interpreted per plane (~5 ms/row at 256×64);
+      the GEMM amortizes to microseconds. Rounding reproduces Spark's
+      HALF-UP ``F.round`` exactly (floor(|d|·10^scale + 0.5)·sign(d)),
+      so the bit pattern — already defined to absorb summation-order
+      noise below the rounding scale — is unchanged.
+
+    ``vectorized`` forces a path explicitly (tests pin cross-path
+    equality with it)."""
+    if vectorized is None:
+        vectorized = len(planes) >= VECTORIZE_MIN_PLANES
+    if vectorized:
+        return _rp_lsh_bucket_vectorized(vec_col, planes, scale)
     planes_lit = F.lit([[float(c) for c in plane] for plane in planes])
     bits = F.transform(
         planes_lit,
@@ -300,6 +357,31 @@ def rp_lsh_bucket(vec_col: Column, planes: list[list[float]], scale: int = 6) ->
         ),
     )
     return F.array_join(bits, "")
+
+
+def _rp_lsh_bucket_vectorized(
+    vec_col: Column, planes: list[list[float]], scale: int
+) -> Column:
+    """Arrow-batched sign-bit matrix: (batch × dims) @ (dims × planes)
+    GEMM, HALF-UP rounding at ``scale`` decimals matching ``F.round``,
+    '1' iff the rounded dot ≥ 0 (−0.0 compares ≥ 0 in numpy exactly as
+    in SQL). The plane matrix ships in the task closure (n_planes ×
+    n_dims floats — KBs even at scale)."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    mat = np.asarray(planes, dtype=np.float64).T  # dims x planes
+    factor = float(10**scale)
+
+    @pandas_udf("string")
+    def _bits(vecs: pd.Series) -> pd.Series:
+        arr = np.vstack(vecs.to_numpy()).astype(np.float64)
+        d = arr @ mat
+        r = np.floor(np.abs(d) * factor + 0.5) * np.sign(d)
+        chars = np.where(r >= 0, "1", "0")
+        return pd.Series(["".join(row) for row in chars])
+
+    return _bits(vec_col)
 
 
 def seed_centroids(
@@ -684,7 +766,7 @@ def semantic_cluster_candidates(
     )
     if max_bucket_size is not None:
         buckets = buckets.where(F.size("vs") <= max_bucket_size)
-    return buckets.select(_sorted_set_pairs().alias("p")).select("p.vec_a", "p.vec_b")
+    return _spread_bucket_pairs(buckets)
 
 
 def semantic_near_duplicates(
