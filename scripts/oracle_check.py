@@ -37,6 +37,14 @@ def main() -> int:
         i = args.index("--json")
         json_out = args[i + 1]
         del args[i:i + 2]
+    only: set[str] | None = None
+    if "--only" in args:  # r12: targeted re-check while iterating
+        i = args.index("--only")
+        only = set(args[i + 1].split(","))
+        del args[i:i + 2]
+        if json_out.endswith("CORRECTNESS_FULL.json"):
+            # a partial run must never clobber the full-sweep artifact
+            json_out = "/tmp/oracle_check_partial.json"
     sf_dir = args[0] if args else "/root/testdata/sf0.01"
     import json
 
@@ -53,6 +61,8 @@ def main() -> int:
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
         )
     queries, oracles = entry.queries(), entry.oracle_sql()
+    if only is not None:
+        queries = {n: q for n, q in queries.items() if n in only}
     failures: list[str] = []
     record: dict[str, dict] = {}
     for name in sorted(queries):

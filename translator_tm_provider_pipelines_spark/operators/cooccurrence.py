@@ -226,12 +226,20 @@ def cooccurrence_metrics(
 def concept_idf(unit_concepts: DataFrame, ancestors: DataFrame | None = None) -> DataFrame:
     """A9: IDF per concept at DOCUMENT level, ancestors always added
     (ConceptIdfPipeline.java:123-148, getConceptIdf:184-203):
-    idf = ln(totalDocs / docsWithConcept), rounded to 8."""
+    idf = ln(totalDocs / docsWithConcept), rounded to 8.
+
+    Both aggregates (per-concept doc count, total distinct docs) derive
+    from the shared per-unit concept-set frame so ReuseExchange runs the
+    corpus shuffle once instead of once per branch (r12; same rationale
+    as :func:`cooccurrence_chain_from_rows`)."""
     uc = unit_concepts
     if ancestors is not None:
         uc = add_ancestor_concepts(uc, ancestors)
-    counts = concept_counts(uc)
-    totals = total_document_count(uc)
+    per_unit = _per_unit_concept_sets(uc)
+    counts = per_unit.select(F.explode("cs").alias("concept_id")).groupBy(
+        "concept_id"
+    ).agg(F.count("*").alias("concept_count"))
+    totals = per_unit.agg(F.count(F.lit(1)).alias("total_docs"))
     return counts.crossJoin(F.broadcast(totals)).select(
         "concept_id",
         "concept_count",
@@ -256,6 +264,20 @@ def cooccurrence_chain(
     )
 
 
+def _per_unit_concept_sets(unit_concepts: DataFrame) -> DataFrame:
+    """(text_id, cs ARRAY<concept_id> sorted distinct) — ONE corpus-wide
+    aggregation every chain branch below derives from narrowly. All
+    consumers build this with the byte-identical expression so Catalyst's
+    ReuseExchange collapses their shuffles into a single exchange (the r11
+    chain evaluated the distinct unit-concept relation once per branch —
+    five parquet scans + five corpus-wide shuffles in the
+    cooccurrence_metrics plan; guide §2.4 "two operations keyed the same
+    way can share one exchange")."""
+    return unit_concepts.groupBy("text_id").agg(
+        F.sort_array(F.collect_set("concept_id")).alias("cs")
+    )
+
+
 def cooccurrence_chain_from_rows(
     unit_concepts: DataFrame,
     ancestors: DataFrame | None = None,
@@ -264,31 +286,57 @@ def cooccurrence_chain_from_rows(
     persist: bool = False,
 ) -> DataFrame:
     """Chain entry for inputs already in (text_id, concept_id) row form
-    (must be distinct).
+    (must be distinct, with non-null concept ids — the form
+    :func:`unit_concept_rows` emits).
 
-    ``persist`` caches the normalized unit-concept relation for the four
-    downstream aggregation branches. Off by default — measured SLOWER at
-    bench scale (cache serialization + broken codegen outweigh one cheap
-    re-scan). Enable when the unit-concept relation comes from an
-    expensive chain (e.g. NER over raw text); at cluster scale prefer
-    materializing it to a table between stages."""
+    Scale shape (r12): every branch — pair expansion, concept counts,
+    both global totals — derives from ONE shared per-unit aggregation
+    (:func:`_per_unit_concept_sets`), expressed identically so
+    ReuseExchange materializes the corpus shuffle once and the other
+    branches read its output. The r11 form computed the distinct
+    unit-concept relation independently per branch: 5 parquet scans and
+    5 corpus-wide exchanges in the measured plan, now 1 (plan diff in
+    plans/r12/cooccurrence_metrics_{before,after}.txt). Branch
+    equivalences: per-concept count = explode of the per-unit distinct
+    sets (sets ARE the distinct relation regrouped); total_docs = row
+    count of the per-unit frame (one row per distinct text_id);
+    total_concepts = sum of per-concept counts, as before.
+
+    ``persist`` additionally caches the per-unit frame (useful when the
+    unit-concept relation comes from an expensive upstream chain, e.g.
+    NER over raw text, where even one evaluation per downstream exchange
+    is worth avoiding); at cluster scale prefer materializing it to a
+    table between stages."""
     uc = unit_concepts
     if ancestors is not None:
         uc = add_ancestor_concepts(uc, ancestors)
+    per_unit = _per_unit_concept_sets(uc)
     if persist:
         from pyspark.storagelevel import StorageLevel
 
-        uc = uc.persist(StorageLevel.MEMORY_AND_DISK)
+        per_unit = per_unit.persist(StorageLevel.MEMORY_AND_DISK)
     excluded = (
         ancestor_excluded_pairs(ancestors)
         if (ancestors is not None and exclude_ancestor_pairs)
         else None
     )
-    counts = concept_counts(uc)
+    counts = per_unit.select(F.explode("cs").alias("concept_id")).groupBy(
+        "concept_id"
+    ).agg(F.count("*").alias("concept_count"))
+    pairs = (
+        per_unit.where(F.size("cs") >= 2)
+        .select("text_id", F.explode(_pair_expand(F.col("cs"))).alias("p"))
+        .select("text_id", "p.concept1", "p.concept2")
+    )
+    if excluded is not None:
+        pairs = pairs.join(
+            F.broadcast(excluded), ["concept1", "concept2"], "left_anti"
+        )
+    total_docs = per_unit.agg(F.count(F.lit(1)).alias("total_docs"))
     return cooccurrence_metrics(
-        pair_counts(concept_pairs(uc, excluded)),
+        pair_counts(pairs),
         counts,
-        total_document_count(uc),
+        total_docs,
         total_concept_count(counts),
         with_pair_id=with_pair_id,
     )

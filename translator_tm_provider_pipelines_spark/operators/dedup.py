@@ -148,10 +148,20 @@ def word_shingles(
     ``[a-z0-9]+``. Entirely JVM-side (regexp tokenize + array expansion,
     no UDF). This is the *relation* form — needed where pairs of documents
     join on shared shingles (exact Jaccard). For MinHash use the
-    zero-shuffle :func:`minhash_signatures_doc` instead."""
-    return docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.explode(shingle_strings(words_expr(text_col), k)).alias("shingle"),
+    zero-shuffle :func:`minhash_signatures_doc` instead.
+
+    The word array is STAGED as a bound attribute through a select
+    boundary before the k-gram transform references it: inlined, every
+    ``element_at(words, i+j)`` inside the lambda re-evaluates the whole
+    regexp tokenization per element — O(words²) regexp runs per document
+    (the _dsir_features re-inline trap; measured 9.8 s → 1.2 s for this
+    frame over the sf0.1 corpus, r12)."""
+    d = docs.select(
+        F.col(id_col).alias("doc_id"), words_expr(text_col).alias("__w")
+    ).where(F.size("__w") >= k)
+    return d.select(
+        "doc_id",
+        F.explode(shingle_strings(F.col("__w"), k)).alias("shingle"),
     ).distinct()
 
 
@@ -692,11 +702,22 @@ def near_duplicates(
         docs, k=k, num_perms=num_perms, text_col=text_col, id_col=id_col
     )
     bands_df = lsh_bands(sig, rows_per_band)
+    # LAZY localCheckpoint: the candidate-pair frame is consumed at least
+    # twice (the verify stage's id semi-join + the pair join) and by
+    # every hop/rescue round's anti-join — without it each consumer
+    # re-evaluates the whole minhash→bands→bucket tower over the corpus
+    # (3 full-corpus evaluations in the r11 near_duplicates plan; guide
+    # §1.2 "don't compute things twice"). Lazy (eager=False) so plan
+    # CONSTRUCTION stays action-free — the frame materializes inside the
+    # first action and later consumers (including connected-components
+    # rounds downstream) reuse it. The frame is near-dup-population
+    # sized, not corpus sized. Measured 2.8 → 2.2 s on the sf0.1 bench
+    # query (plans/r12/near_duplicates_{before,after}.txt).
     cands = lsh_candidate_pairs(
         bands_df,
         max_bucket_size=max_bucket_size,
         oversize_policy=oversize_policy,
-    )
+    ).localCheckpoint(eager=False)
     verified = _verify_candidates(
         docs, cands, k=k, threshold=threshold, text_col=text_col,
         id_col=id_col, persist=persist,
@@ -805,6 +826,80 @@ def near_duplicates(
     return verified
 
 
+def distinct_shingle_arrays(
+    docs: DataFrame, k: int = 3, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(doc_id, sharr ARRAY<STRING>) — each document's DISTINCT word
+    k-gram shingles as ONE array row, built by a pure narrow projection
+    (tokenize → k-gram strings → array_distinct). Documents with fewer
+    than k words are absent — identical presence semantics to the
+    exploded :func:`word_shingles` relation (whose empty explode drops
+    the row), so inner joins against either form keep the same pairs.
+
+    This is the array-form twin of :func:`word_shingles` for consumers
+    that compare WHOLE shingle sets per document pair (exact-Jaccard
+    verification): set intersection becomes a per-row ``array_intersect``
+    after two doc-keyed equi-joins, instead of a shingle-level join whose
+    shuffle carries |pairs| x |shingles-per-doc| exploded rows. Row width
+    is bounded by the document's own distinct-shingle count (~ the text
+    column itself x small constant), so rows stay within normal limits
+    wherever the raw text row did.
+
+    Every non-cheap intermediate (word array, raw shingle array) is
+    staged as a bound attribute through its own select boundary: inlined,
+    the k-gram lambda's ``element_at(words, ...)`` re-runs the regexp
+    tokenization per element (O(words²) — the _dsir_features re-inline
+    trap) and the presence filter re-evaluates the whole chain (measured
+    22.7 s → 0.6 s for this frame over the sf0.1 corpus, r12). The
+    ``size(words) >= k`` pre-filter is exactly the absence rule: k or
+    more words ⟺ at least one shingle."""
+    d = docs.select(
+        F.col(id_col).alias("doc_id"), words_expr(text_col).alias("__w")
+    ).where(F.size("__w") >= k)
+    d = d.select("doc_id", shingle_strings(F.col("__w"), k).alias("__sh0"))
+    return d.select("doc_id", F.array_distinct("__sh0").alias("sharr"))
+
+
+def jaccard_for_pairs_arrays(arrays: DataFrame, pairs: DataFrame) -> DataFrame:
+    """Exact shingle-set Jaccard for (doc_a, doc_b) pairs over the
+    array-form shingle frame (:func:`distinct_shingle_arrays`): two
+    doc-keyed equi-joins attach each side's array, then one
+    ``array_intersect`` per pair computes the overlap — no shingle-level
+    shuffle, no per-pair aggregation (guide §2.3/§2.4: the r11 shape
+    shuffled |pairs| x |shingles-of-doc_a| exploded rows into the
+    (doc_b, shingle) join and paid a (doc_a, doc_b) groupBy on top;
+    measured 2.2x on near_duplicates at sf0.1). Pairs whose doc is
+    absent from ``arrays`` (fewer than k words) are dropped, matching
+    the inner count-joins of :func:`jaccard_for_pairs`; pairs with no
+    shared shingle get jaccard 0.0, also as before.
+
+    The intersection size is staged as a real attribute through a select
+    boundary so the jaccard expression references it twice without
+    re-evaluating ``array_intersect`` (CollapseProject keeps non-cheap,
+    multiply-referenced expressions staged — same trap as
+    training._dsir_features)."""
+    a = arrays.select(F.col("doc_id").alias("doc_a"), F.col("sharr").alias("__sa"))
+    b = arrays.select(F.col("doc_id").alias("doc_b"), F.col("sharr").alias("__sb"))
+    staged = (
+        pairs.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.size(F.array_intersect("__sa", "__sb")).alias("__ni"),
+            F.size("__sa").alias("__na"),
+            F.size("__sb").alias("__nb"),
+        )
+    )
+    return staged.select(
+        "doc_a",
+        "doc_b",
+        F.round(
+            F.col("__ni") / (F.col("__na") + F.col("__nb") - F.col("__ni")), 8
+        ).alias("jaccard"),
+    )
+
+
 def _verify_candidates(
     docs: DataFrame,
     cands: DataFrame,
@@ -815,30 +910,37 @@ def _verify_candidates(
     persist: bool = False,
 ) -> DataFrame:
     """Exact-Jaccard verification of candidate pairs: shingle ONLY the
-    candidate documents (semi-join) and filter at the threshold."""
+    candidate documents (semi-join), attach each side's distinct-shingle
+    array, and filter at the threshold (array route —
+    :func:`jaccard_for_pairs_arrays`)."""
     cand_ids = cands.select(
         F.explode(F.array("doc_a", "doc_b")).alias("__cand_id")
     ).distinct()
     cand_docs = docs.join(
         cand_ids, on=docs[id_col] == cand_ids["__cand_id"], how="left_semi"
     )
-    # Repartition BEFORE the shingle explode: AQE coalesces the semi-join
-    # output by its pre-explode byte size, but the explode multiplies the
-    # work ~word-count×, so the three shingle-consuming stages otherwise run
-    # in a handful of tasks (measured at the sf1 slice: 2-8 tasks, 293 s
-    # stage wall; with this exchange 27-30 s — the event-log numbers are in
-    # SCALING.md "Oversize buckets"). One narrow exchange of only the
-    # candidate texts, bounded by the near-dup survivor population.
+    # Repartition BEFORE the shingle-array projection: AQE coalesces the
+    # semi-join output by its pre-projection byte size, but building the
+    # distinct-shingle array multiplies the work ~word-count×, so the
+    # array-consuming stages otherwise run in a handful of tasks (measured
+    # at the sf1 slice on the exploded form: 2-8 tasks, 293 s stage wall;
+    # with this exchange 27-30 s — event-log numbers in SCALING.md
+    # "Oversize buckets"). One narrow exchange of only the candidate
+    # texts, bounded by the near-dup survivor population.
     n_part = int(
         docs.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
     )
     cand_docs = cand_docs.repartition(n_part, id_col)
-    sh = word_shingles(cand_docs, k=k, text_col=text_col, id_col=id_col)
+    arrays = distinct_shingle_arrays(
+        cand_docs, k=k, text_col=text_col, id_col=id_col
+    )
     if persist:
         from pyspark.storagelevel import StorageLevel
 
-        sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
-    return jaccard_for_pairs(sh, cands).where(F.col("jaccard") >= threshold)
+        arrays = arrays.persist(StorageLevel.MEMORY_AND_DISK)
+    return jaccard_for_pairs_arrays(arrays, cands).where(
+        F.col("jaccard") >= threshold
+    )
 
 
 def simhash(
@@ -1176,30 +1278,41 @@ def near_dup_keep_best(
         repair_stats=repair_stats,
     )
     comp = connected_components(pairs)
-    base = docs.select(
-        F.col(id_col).alias("doc_id"), F.col(quality_col).alias("__q")
-    ).join(comp, F.col("doc_id") == comp.node, "left")
-    canonical = F.coalesce(F.col("component"), F.col("doc_id"))
-    scored = base.select(
-        "doc_id", "__q", canonical.alias("canonical_id")
-    )
-    # argmax(quality, tie min doc_id) per cluster: min of (-q, doc_id)
+    # argmax(quality, tie min doc_id) per CLUSTER, computed over cluster
+    # MEMBERS only (r12): an untouched document is always its own singleton
+    # group — its kept_id is itself by construction — so grouping the whole
+    # corpus by canonical_id (as before) aggregated and re-shuffled mostly
+    # rows whose answer is forced. The member set is comp-sized (the
+    # near-dup population, the quantity dedup exists to make small), so the
+    # argmax aggregate and the kept_id attach below move member rows, never
+    # the corpus, and the corpus frame is evaluated once instead of twice
+    # (the old scored frame fed both the groupBy and the final join).
+    # Cluster ids can't collide with untouched doc_ids: a cluster's
+    # canonical is its min member id and that member IS in comp.
+    members = docs.select(
+        F.col(id_col).alias("__mid"), F.col(quality_col).alias("__q")
+    ).join(comp, F.col("__mid") == comp.node, "inner")
     best = (
-        scored.groupBy("canonical_id")
+        members.groupBy("component")
         .agg(
-            F.min(F.struct((-F.col("__q")).alias("nq"), F.col("doc_id").alias("d")))
+            F.min(F.struct((-F.col("__q")).alias("nq"), F.col("__mid").alias("d")))
             .alias("__b")
         )
-        .select("canonical_id", F.col("__b.d").alias("kept_id"))
+        .select(F.col("component").alias("__bc"), F.col("__b.d").alias("kept_id"))
     )
-    return (
-        scored.join(best, "canonical_id")
-        .select(
-            "doc_id",
-            "canonical_id",
-            (F.col("doc_id") == F.col("kept_id")).alias("is_kept"),
-            "kept_id",
-        )
+    labeled = docs.select(F.col(id_col).alias("doc_id")).join(
+        comp, F.col("doc_id") == comp.node, "left"
+    )
+    canonical = F.coalesce(F.col("component"), F.col("doc_id"))
+    joined = labeled.select("doc_id", canonical.alias("canonical_id")).join(
+        best, F.col("canonical_id") == F.col("__bc"), "left"
+    )
+    kept = F.coalesce(F.col("kept_id"), F.col("doc_id"))
+    return joined.select(
+        "doc_id",
+        "canonical_id",
+        (F.col("doc_id") == kept).alias("is_kept"),
+        kept.alias("kept_id"),
     )
 
 

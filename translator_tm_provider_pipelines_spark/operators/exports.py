@@ -360,10 +360,25 @@ def sentence_cooccurrence_lines(
             ),
         ).alias("line"),
     )
-    header = sentences.groupBy("doc_id").agg(
-        F.concat(
-            F.lit("SENT_COUNT\t"), F.count("*").cast("string"), F.lit("\t"), F.first("doc_id")
-        ).alias("line")
+    # header: plain count per doc, the doc id re-enters AFTER the agg from
+    # the group key itself — the r11 ``F.first("doc_id")`` forced a
+    # SortAggregate (First's string buffer is immutable, so HashAggregate
+    # is ineligible), paying two full Sorts of the sentence relation; a
+    # count-only aggregate hash-aggregates with map-side combine (guide
+    # §2.3 "aggregate before you shuffle"; plan diff in
+    # plans/r12/sentence_cooccurrence_export_{before,after}.txt).
+    header = (
+        sentences.groupBy("doc_id")
+        .agg(F.count("*").alias("__n"))
+        .select(
+            "doc_id",
+            F.concat(
+                F.lit("SENT_COUNT\t"),
+                F.col("__n").cast("string"),
+                F.lit("\t"),
+                F.col("doc_id"),
+            ).alias("line"),
+        )
     )
     return header.unionByName(body.select("doc_id", "line"))
 

@@ -241,13 +241,24 @@ def brat_annotation_batch(
     ).withColumn("hash", sha1_base64(F.col("sentence_text")))
     if already_annotated is not None:
         rows = rows.join(already_annotated, "hash", "left_anti")
+    # LAZY localCheckpoint (r12, guide §1.2): the filtered extraction
+    # relation feeds BOTH the batch-sentence selection and the annotation
+    # explode, and the selected-batch frame is then read by three final
+    # branches (ann lines, txt lines, DONE lines) — without cutting
+    # lineage each consumer re-evaluates the whole upstream extraction
+    # chain (measured: 24 parquet scans in the registry query's before
+    # plan, 4 after — plans/r12/brat_annotation_export_{before,after}).
+    # ``rows`` is extraction-output-sized (what a production run
+    # materializes between stages anyway); ``sents`` is ≤ batch_size
+    # rows. Lazy so plan construction stays action-free.
+    rows = rows.localCheckpoint(eager=False)
 
     sents = (
         rows.select("hash", "sentence_text")
         .distinct()
         .orderBy("sentence_text")
         .limit(batch_size)
-    )
+    ).localCheckpoint(eager=False)
     w_all = Window.orderBy("sentence_text")
     sents = sents.select(
         "hash",

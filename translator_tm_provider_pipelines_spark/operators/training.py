@@ -268,26 +268,55 @@ def dsir_log_weights(
     (`dsir_log_weights` query)."""
     feats_raw = _dsir_features(docs, n_buckets, text_col, id_col)
     feats_tgt = _dsir_features(target, n_buckets, text_col, id_col)
-    qc = feats_raw.groupBy("bucket").agg(F.count(F.lit(1)).alias("qn"))
+    # ONE feature-extraction pass per corpus (r12, guide §1.2/§2.4): the
+    # raw side aggregates to a (doc, bucket, count) frame FIRST and every
+    # downstream branch — the per-bucket raw distribution qc, the raw
+    # total qt, the per-doc score — derives from that one exchange (the
+    # same DataFrame object, so ReuseExchange / AQE stage reuse
+    # materializes the md5 extraction + shuffle once; the previous form
+    # ran the extraction once for qc and AGAIN for the per-doc score,
+    # plus two driver .first() actions for qt/pt). qt/pt become 1-row
+    # broadcast frames instead of Python literals, which makes the whole
+    # operator a single lazy plan with zero driver actions. Value parity:
+    # qn/pn are the same integer counts (sum of per-doc counts ⟺ count of
+    # occurrences); the denominators add the same double values in the
+    # same order (alpha·n_buckets is still pre-multiplied in Python); the
+    # per-doc sum Σ_occurrences log_ratio becomes Σ_buckets c·log_ratio —
+    # ulp-reordering of the same terms, absorbed by the round-``scale``
+    # output exactly like Spark's own partition-order nondeterminism
+    # (equality re-proved against the DuckDB oracle and the old
+    # implementation, OPTIMIZATION_r12.md).
+    per_doc = feats_raw.groupBy("__did", "bucket").agg(
+        F.count(F.lit(1)).alias("__c")
+    )
+    qc = per_doc.groupBy("bucket").agg(F.sum("__c").alias("qn"))
     pc = feats_tgt.groupBy("bucket").agg(F.count(F.lit(1)).alias("pn"))
-    qt = feats_raw.count()
-    pt = feats_tgt.count()
+    qtot = qc.agg(F.coalesce(F.sum("qn"), F.lit(0)).cast("double").alias("__qt"))
+    ptot = pc.agg(F.coalesce(F.sum("pn"), F.lit(0)).cast("double").alias("__pt"))
     ratio = (
         qc.join(pc, "bucket", "full_outer")
+        .crossJoin(F.broadcast(qtot))
+        .crossJoin(F.broadcast(ptot))
         .select(
             "bucket",
             (
-                F.log((F.coalesce(F.col("pn"), F.lit(0)) + alpha) / (pt + alpha * n_buckets))
-                - F.log((F.coalesce(F.col("qn"), F.lit(0)) + alpha) / (qt + alpha * n_buckets))
+                F.log(
+                    (F.coalesce(F.col("pn"), F.lit(0)) + alpha)
+                    / (F.col("__pt") + F.lit(float(alpha * n_buckets)))
+                )
+                - F.log(
+                    (F.coalesce(F.col("qn"), F.lit(0)) + alpha)
+                    / (F.col("__qt") + F.lit(float(alpha * n_buckets)))
+                )
             ).alias("log_ratio"),
         )
     )
     scored = (
-        feats_raw.join(F.broadcast(ratio), "bucket")
+        per_doc.join(F.broadcast(ratio), "bucket")
         .groupBy("__did")
         .agg(
-            F.sum("log_ratio").alias("__lw"),
-            F.count(F.lit(1)).alias("n_features"),
+            F.sum(F.col("__c") * F.col("log_ratio")).alias("__lw"),
+            F.sum("__c").alias("n_features"),
         )
     )
     out = docs.select(F.col(id_col).alias("doc_id")).join(

@@ -1935,8 +1935,21 @@ def index_bucket_gauge_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming import dedup_index as di
 
     docs = _t(spark, sf_dir, "documents")
-    bands = dedup.lsh_bands(dedup.minhash_signatures_doc(docs))
-    pairs = dedup.near_duplicates(docs, threshold=0.8)
+    # r12: ONE band tower shared between the gauge's bucket stats and the
+    # near-dup pipeline feeding its attached set — the previous form
+    # called near_duplicates() alongside a second lsh_bands() chain, so
+    # the minhash tower ran twice (and bucket_stats_frame reads its bands
+    # input three more times). Lazy localCheckpoints materialize bands
+    # and the candidate set once; _verify_candidates with
+    # near_duplicates' defaults (k=3, uncapped buckets, drop policy)
+    # yields the identical verified-pairs relation.
+    bands = dedup.lsh_bands(dedup.minhash_signatures_doc(docs)).localCheckpoint(
+        eager=False
+    )
+    cands = dedup.lsh_candidate_pairs(bands).localCheckpoint(eager=False)
+    pairs = dedup._verify_candidates(
+        docs, cands, k=3, threshold=0.8, text_col="text", id_col="doc_id"
+    )
     return di.bucket_stats_frame(
         bands.select("doc_id", "band", "band_sig"),
         pairs.select("doc_a", "doc_b"),

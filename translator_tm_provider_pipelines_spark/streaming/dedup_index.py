@@ -204,8 +204,8 @@ def update_near_dup_index(
         corpus.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
     )
     cand_docs = cand_docs.repartition(n_part, "doc_id")
-    sh = dedup.word_shingles(cand_docs, k=k)
-    verified = dedup.jaccard_for_pairs(sh, cands).where(
+    arrays = dedup.distinct_shingle_arrays(cand_docs, k=k)
+    verified = dedup.jaccard_for_pairs_arrays(arrays, cands).where(
         F.col("jaccard") >= threshold
     )
 
