@@ -405,21 +405,40 @@ def c4_line_filters(
     cleaned text plus the per-document accounting a curation report
     needs. Pure per-row array expressions — zero shuffle, one scan."""
     text = F.col(text_col)
-    lines = F.split(text, "\n")
-    kept = F.filter(
-        lines,
-        lambda ln: F.trim(ln).rlike(r'[.!?"]$')
-        & (F.size(F.regexp_extract_all(F.lower(ln), F.lit(WORD_RE), 1)) >= min_line_words),
-    )
-    doc_blocked = F.lower(text).contains("lorem ipsum") | text.contains("{")
-    return docs.select(
+    # STAGE the line array, the kept-line array and the block flag as
+    # bound attributes (r12): each is referenced twice downstream
+    # (n_lines/kept, n_kept_lines/clean_text, doc_blocked/clean_text) and
+    # inlined they re-run the split + per-line regex chain once PER
+    # REFERENCE (the _dsir_features re-inline trap; the kept filter is
+    # two regexes per line). CollapseProject keeps non-cheap
+    # multiply-referenced aliases staged, so the regex pass runs once.
+    staged = docs.select(
         F.col(id_col).alias("doc_id"),
-        F.size(lines).cast("long").alias("n_lines"),
-        F.size(kept).cast("long").alias("n_kept_lines"),
-        doc_blocked.alias("doc_blocked"),
-        F.when(doc_blocked, F.lit("")).otherwise(F.concat_ws("\n", kept)).alias(
-            "clean_text"
+        F.split(text, "\n").alias("__lines"),
+        (F.lower(text).contains("lorem ipsum") | text.contains("{")).alias(
+            "doc_blocked"
         ),
+    ).select(
+        "doc_id",
+        "__lines",
+        "doc_blocked",
+        F.filter(
+            F.col("__lines"),
+            lambda ln: F.trim(ln).rlike(r'[.!?"]$')
+            & (
+                F.size(F.regexp_extract_all(F.lower(ln), F.lit(WORD_RE), 1))
+                >= min_line_words
+            ),
+        ).alias("__kept"),
+    )
+    return staged.select(
+        "doc_id",
+        F.size("__lines").cast("long").alias("n_lines"),
+        F.size("__kept").cast("long").alias("n_kept_lines"),
+        "doc_blocked",
+        F.when(F.col("doc_blocked"), F.lit(""))
+        .otherwise(F.concat_ws("\n", F.col("__kept")))
+        .alias("clean_text"),
     )
 
 
