@@ -103,6 +103,11 @@ _NORMALIZE = [
     (re.compile(r"\[plan_id=\d+\]"), "[plan_id=N]"),
     (re.compile(r"\[id=#?N?\d*\]"), "[id=N]"),
     (re.compile(r"WholeStageCodegen \(\d+\)"), "WholeStageCodegen (N)"),
+    # the tree-form codegen prefix `*(3) HashAggregate...`: under AQE the
+    # numbering depends on which independent shuffle stage materializes
+    # first, so it is run-order-dependent on a loaded box (observed *(13)
+    # vs *(14) flips in test_plans_md_is_fresh)
+    (re.compile(r"\*\(\d+\)"), "*(N)"),
     (re.compile(r"dynamicpruning#N?\d*"), "dynamicpruning#N"),
 ]
 

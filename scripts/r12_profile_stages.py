@@ -76,6 +76,42 @@ def main() -> None:
         for q in ("bionlp_export", "pair_top_publications", "c4_line_filters",
                   "span_containment_counts", "topk_similar_pairs", "oger_dictionary"):
             t(spark, q, tq.QUERIES[q](spark, sf_dir))
+    elif which == "spans":
+        sent = tq._sent_frame(spark, sf_dir)
+        conc = tq._conc_frame(spark, sf_dir)
+        t(spark, "sent_frame", sent)
+        t(spark, "conc_frame", conc)
+        t(spark, "containment_counts_full", tq.QUERIES["span_containment_counts"](spark, sf_dir))
+        t(spark, "first_containing_full", tq.QUERIES["span_first_containing"](spark, sf_dir))
+        t(spark, "overlap_filter_full", tq.QUERIES["span_overlap_filter"](spark, sf_dir))
+    elif which == "exports":
+        t(spark, "sentence_cooc_full", tq.QUERIES["sentence_cooccurrence_export"](spark, sf_dir))
+        t(spark, "bionlp_full", tq.QUERIES["bionlp_export"](spark, sf_dir))
+        t(spark, "bio_tag_full", tq.QUERIES["bio_tag_export"](spark, sf_dir))
+        t(spark, "kgx_edge_full", tq.QUERIES["kgx_edge_export"](spark, sf_dir))
+    elif which == "dict":
+        terms = obo.read_obo_terms(spark, tq._OBO_FIXTURE)
+        t(spark, "obo_terms", terms)
+        d = ogerdict.build_oger_dictionary(terms, tq._TEST_DICT_CONFIG)
+        import time as _time
+        t0 = _time.perf_counter()
+        d2 = ogerdict.build_oger_dictionary(terms, tq._TEST_DICT_CONFIG)
+        print(f"  dict_build_construct_only: {_time.perf_counter()-t0:.2f}s", flush=True)
+        t(spark, "dict_build", d)
+        for q in ("oger_dictionary", "drugbank_dictionary", "taxon_promoted_dictionary",
+                  "procedure_dictionary", "trapi_ontology_nt", "trapi_assoc_nt",
+                  "hp_to_mondo_map", "ontology_ancestor_map"):
+            if q in tq.QUERIES:
+                t(spark, q, tq.QUERIES[q](spark, sf_dir))
+    elif which == "misc2":
+        for q in ("semmed_cui_idf", "idf_allowed_concepts", "distant_supervision_pairs",
+                  "curation_manifest", "extracted_relation_sentences",
+                  "concept_postprocess_chain", "minhash_band_signatures",
+                  "tfidf_topk_docs", "sheet_bert_training", "annotation_sheet_export",
+                  "repetition_metrics", "simhash_fingerprints", "ds_negative_pairs",
+                  "dictionary_ner", "input_join_failures", "concept_count_distribution"):
+            if q in tq.QUERIES:
+                t(spark, q, tq.QUERIES[q](spark, sf_dir))
     spark.stop()
 
 
