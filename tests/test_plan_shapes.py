@@ -153,11 +153,18 @@ def test_topk_similar_pairs_no_all_pairs_join(spark):
 
 def test_dictionary_build_all_broadcast_joins(spark):
     # every join in the ontology-dictionary build is against a
-    # dimension-size side → none may fall back to sort-merge
+    # dimension-size side → none may fall back to sort-merge. r12: the
+    # static config lists (removed/added synonyms, excluded-root closure)
+    # became literal map/isin expressions, so the dictionary build itself
+    # now has NO joins at all — only the category lookup join of the KGX
+    # edge export remains, and it must broadcast.
     for q in ("oger_dictionary", "ontology_kgx_edges"):
         p = plan_text(spark, q)
         assert "SortMergeJoin" not in p, q
-        assert "BroadcastHashJoin" in p, q
+    p = plan_text(spark, "oger_dictionary")
+    assert "Join" not in p  # literal predicates replaced every join (r12)
+    p = plan_text(spark, "ontology_kgx_edges")
+    assert "BroadcastHashJoin" in p
 
 
 def test_ontology_ner_broadcast_dictionary(spark):

@@ -1199,8 +1199,13 @@ def run_ontology_to_kgx(spark: SparkSession, argv: list[str]) -> None:
     p.add_argument("--output", required=True, help="output dir (nodes/ + edges/)")
     ns = p.parse_args(argv)
     terms = obo.read_obo_terms(spark, ns.ontologyFile)
-    kgo.ontology_kgx_nodes(terms).write.mode("overwrite").parquet(f"{ns.output}/nodes")
-    kgo.ontology_kgx_edges(terms).write.mode("overwrite").parquet(f"{ns.output}/edges")
+    attrs = kgo._with_categories(terms)
+    kgo.ontology_kgx_nodes(terms, attrs=attrs).write.mode("overwrite").parquet(
+        f"{ns.output}/nodes"
+    )
+    kgo.ontology_kgx_edges(terms, attrs=attrs).write.mode("overwrite").parquet(
+        f"{ns.output}/edges"
+    )
 
 
 def run_trapi_serialize(spark: SparkSession, argv: list[str]) -> None:

@@ -20,7 +20,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.hashing import sha1_base64
-from .ogerdict import transitive_descendants
+from .ogerdict import ISIN_LITERAL_CAP, transitive_descendant_ids, transitive_descendants
 
 BIOLINK_THING = "biolink:Thing"
 
@@ -177,12 +177,26 @@ def _category(prefix: Column, namespace: Column, is_gene: Column) -> Column:
 def _with_categories(terms: DataFrame) -> DataFrame:
     """term dimension + (prefix, category, uniprot_id) attribute columns
     (addAttributes, OntologyToKgx.java:525-558)."""
-    gene_ids = transitive_descendants(terms, [SO_GENE])
-    flagged = terms.join(
-        F.broadcast(gene_ids.select(F.col("id").alias("term_id"), F.lit(True).alias("__gene"))),
-        "term_id",
-        "left",
-    )
+    gene_id_list = transitive_descendant_ids(terms, [SO_GENE])
+    if gene_id_list is not None and len(gene_id_list) <= ISIN_LITERAL_CAP:
+        # dimension-size closure → literal predicate, no broadcast-join
+        # round (r12, guide §2.4)
+        flagged = terms.withColumn("__gene", F.col("term_id").isin(gene_id_list))
+    else:
+        gene_ids = (
+            terms.sparkSession.createDataFrame(
+                [(r,) for r in gene_id_list], "id string"
+            )
+            if gene_id_list is not None
+            else transitive_descendants(terms, [SO_GENE])
+        )
+        flagged = terms.join(
+            F.broadcast(
+                gene_ids.select(F.col("id").alias("term_id"), F.lit(True).alias("__gene"))
+            ),
+            "term_id",
+            "left",
+        )
     prefix = F.split(F.col("term_id"), ":").getItem(0)
     cat = _category(prefix, F.col("namespace"), F.coalesce(F.col("__gene"), F.lit(False)))
     # OBI 'organism' special case (:268-270)
@@ -203,12 +217,17 @@ def _with_categories(terms: DataFrame) -> DataFrame:
     )
 
 
-def ontology_kgx_nodes(terms: DataFrame) -> DataFrame:
+def ontology_kgx_nodes(terms: DataFrame, attrs: DataFrame | None = None) -> DataFrame:
     """KGX node rows (id, name, category) for every ontology class, plus
     biolink:GeneProduct nodes for UniProtKB same-as cross-references
     (writeNode + serializeUniprotPrSameAs, OntologyToKgx.java:316-330,
-    352-364). One distinct-by-id shuffle."""
-    attrs = _with_categories(terms)
+    352-364). One distinct-by-id shuffle.
+
+    ``attrs`` lets one program share a single :func:`_with_categories`
+    derivation (gene-closure collect + category columns) between the node
+    and edge exports instead of re-deriving it per export (r12)."""
+    if attrs is None:
+        attrs = _with_categories(terms)
     class_nodes = attrs.select(
         F.col("term_id").alias("id"), F.col("label").alias("name"), "category"
     )
@@ -220,14 +239,18 @@ def ontology_kgx_nodes(terms: DataFrame) -> DataFrame:
     return class_nodes.unionByName(uniprot_nodes).dropDuplicates(["id"])
 
 
-def ontology_kgx_edges(terms: DataFrame) -> DataFrame:
+def ontology_kgx_edges(terms: DataFrame, attrs: DataFrame | None = None) -> DataFrame:
     """KGX edge rows (subject, edge_label, object, relation, id,
     association_type): SUBCLASS_OF from ``is_a`` + typed ``relationship``
     lines + UniProt same-as; edge id = base64-sha1 of
     'subject|edge_label|object|relation|association' (KgxEdge.getId).
     Association types resolve from (source cat, target cat, relation);
-    unmapped combinations keep the reference's literal 'null'."""
-    attrs = _with_categories(terms)
+    unmapped combinations keep the reference's literal 'null'.
+
+    ``attrs`` shares one :func:`_with_categories` derivation with the
+    node export (r12)."""
+    if attrs is None:
+        attrs = _with_categories(terms)
     cats = F.broadcast(
         attrs.select(F.col("term_id").alias("__t"), F.col("category").alias("__cat"))
     )

@@ -104,6 +104,50 @@ def is_case_sensitive(s: Column) -> Column:
     )
 
 
+#: largest driver-resident id set inlined as an ``isin`` literal instead of
+#: a broadcast-join side (r12, guide §2.4/§3.1): the literal removes a whole
+#: BroadcastExchange round from the plan, but a very large In-list bloats
+#: plan size, so bigger sets fall back to the broadcast join.
+ISIN_LITERAL_CAP = 10_000
+
+
+def _parent_child_edges(terms: DataFrame) -> DataFrame:
+    """(parent, child) CURIE edge list of the ``is_a`` hierarchy."""
+    return terms.select(
+        F.explode("parents").alias("parent"), F.col("term_id").alias("child")
+    ).select(
+        curie(F.col("parent")).alias("parent"), curie(F.col("child")).alias("child")
+    )
+
+
+def transitive_descendant_ids(
+    terms: DataFrame, root_ids: list[str], driver_threshold: int = 1_000_000
+) -> list[str] | None:
+    """Driver-side variant of :func:`transitive_descendants`: the sorted
+    CURIE list of ``root_ids`` plus every descendant, or ``None`` when the
+    edge list exceeds ``driver_threshold`` (callers then take the fully
+    distributed walk). Ontology hierarchies are dimension tables, so the
+    common case is one bounded ``collect`` and zero joins downstream —
+    the id set becomes a literal predicate instead of a broadcast-join
+    side (r12, guide §2.4)."""
+    if not driver_threshold:
+        return None
+    head = _parent_child_edges(terms).limit(driver_threshold + 1).collect()
+    if len(head) > driver_threshold:
+        return None
+    children: dict[str, list[str]] = {}
+    for r in head:
+        children.setdefault(r.parent, []).append(r.child)
+    acc = set(root_ids)
+    stack = list(acc)
+    while stack:
+        for c in children.get(stack.pop(), ()):
+            if c not in acc:
+                acc.add(c)
+                stack.append(c)
+    return sorted(acc)
+
+
 def transitive_descendants(
     terms: DataFrame, root_ids: list[str], driver_threshold: int = 1_000_000
 ) -> DataFrame:
@@ -121,31 +165,16 @@ def transitive_descendants(
     ``isEmpty`` termination probe.
     """
     spark = terms.sparkSession
+    ids = transitive_descendant_ids(terms, root_ids, driver_threshold)
+    if ids is not None:
+        return spark.createDataFrame([(r,) for r in ids], "id string")
     edges = (
-        terms.select(
-            F.explode("parents").alias("parent"), F.col("term_id").alias("child")
-        )
-        .select(curie(F.col("parent")).alias("parent"), curie(F.col("child")).alias("child"))
+        _parent_child_edges(terms)
         # one materialization feeds every closure level; without this each
         # level's action re-parses the ontology source
         .persist()
     )
     try:
-        if driver_threshold:
-            head = edges.limit(driver_threshold + 1).collect()
-            if len(head) <= driver_threshold:
-                children: dict[str, list[str]] = {}
-                for r in head:
-                    children.setdefault(r.parent, []).append(r.child)
-                acc = set(root_ids)
-                stack = list(acc)
-                while stack:
-                    for c in children.get(stack.pop(), ()):
-                        if c not in acc:
-                            acc.add(c)
-                            stack.append(c)
-                return spark.createDataFrame([(r,) for r in sorted(acc)], "id string")
-
         acc = spark.createDataFrame(
             [(r,) for r in sorted(set(root_ids))], "id string"
         ).localCheckpoint()
@@ -185,12 +214,23 @@ def build_oger_dictionary(terms: DataFrame, config: OgerDictConfig) -> DataFrame
     base = base.where(F.col("label").isNotNull() & (F.col("label") != ""))
 
     if config.excluded_roots:
-        excluded = transitive_descendants(terms, list(config.excluded_roots))
-        base = base.join(
-            F.broadcast(excluded),
-            curie(base.term_id) == excluded.id,
-            "left_anti",
-        )
+        # excluded-class closures are id sets over a dimension hierarchy:
+        # inline small ones as a literal predicate (no broadcast-join
+        # round — r12, guide §2.4); only oversized closures pay the join
+        excluded_ids = transitive_descendant_ids(terms, list(config.excluded_roots))
+        if excluded_ids is not None and len(excluded_ids) <= ISIN_LITERAL_CAP:
+            base = base.where(~curie(F.col("term_id")).isin(excluded_ids))
+        else:
+            excluded = (
+                spark.createDataFrame([(r,) for r in excluded_ids], "id string")
+                if excluded_ids is not None
+                else transitive_descendants(terms, list(config.excluded_roots))
+            )
+            base = base.join(
+                F.broadcast(excluded),
+                curie(base.term_id) == excluded.id,
+                "left_anti",
+            )
 
     syn_cols = [F.array(F.col("label")), F.col("exact_synonyms")]
     if config.syn_selection == EXACT_PLUS_RELATED:
@@ -250,10 +290,24 @@ def build_oger_dictionary(terms: DataFrame, config: OgerDictConfig) -> DataFrame
     )
 
     if config.removed_synonyms:
-        removals = spark.createDataFrame(
-            list(config.removed_synonyms), "concept_id string, term string"
+        # static config pairs as a map literal instead of a broadcast
+        # anti-join: one BroadcastExchange round less (r12, guide §2.4)
+        rm: dict[str, list[str]] = {}
+        for cid, term in config.removed_synonyms:
+            rm.setdefault(cid, []).append(term)
+        rm_map = F.create_map(
+            *[
+                x
+                for cid in sorted(rm)
+                for x in (F.lit(cid), F.array(*[F.lit(t) for t in rm[cid]]))
+            ]
         )
-        rows = rows.join(F.broadcast(removals), ["concept_id", "term"], "left_anti")
+        rows = rows.where(
+            ~F.coalesce(
+                F.array_contains(rm_map[F.col("concept_id")], F.col("term")),
+                F.lit(False),
+            )
+        )
 
     if config.add_formulas:
         # ChebiOgerDictFileFactory.addChemicalFormula :93-111 — formulas
@@ -266,16 +320,24 @@ def build_oger_dictionary(terms: DataFrame, config: OgerDictConfig) -> DataFrame
         rows = rows.unionByName(formulas)
 
     if config.added_synonyms:
-        additions = spark.createDataFrame(
-            list(config.added_synonyms), "concept_id string, term string"
-        )
-        labels = base.select(
-            curie(F.col("term_id")).alias("concept_id"),
-            fix_label(F.col("label")).alias("primary_label"),
+        # static config pairs as a map literal + explode on the base
+        # branch instead of a broadcast join against it (r12, guide §2.4);
+        # explode of the NULL lookup yields no rows = the old inner join
+        add: dict[str, list[str]] = {}
+        for cid, term in config.added_synonyms:
+            add.setdefault(cid, []).append(term)
+        add_map = F.create_map(
+            *[
+                x
+                for cid in sorted(add)
+                for x in (F.lit(cid), F.array(*[F.lit(t) for t in add[cid]]))
+            ]
         )
         rows = rows.unionByName(
-            labels.join(F.broadcast(additions), "concept_id").select(
-                "concept_id", "primary_label", "term"
+            base.select(
+                curie(F.col("term_id")).alias("concept_id"),
+                fix_label(F.col("label")).alias("primary_label"),
+                F.explode(add_map[curie(F.col("term_id"))]).alias("term"),
             )
         )
 

@@ -2962,8 +2962,10 @@ def trapi_ontology_nt(spark: SparkSession, sf_dir: str) -> DataFrame:
     here), which the oracle reproduces with an inner join on the same
     prefix→URI table."""
     terms = obo.read_obo_terms(spark, _KG_FIXTURE)
-    nodes = kgo.ontology_kgx_nodes(terms)
-    edges = kgo.ontology_kgx_edges(terms)
+    # one shared category/gene-closure derivation feeds both exports (r12)
+    attrs = kgo._with_categories(terms)
+    nodes = kgo.ontology_kgx_nodes(terms, attrs=attrs)
+    edges = kgo.ontology_kgx_edges(terms, attrs=attrs)
     return trapi.ontology_nodes_nt(nodes, strict=False).unionByName(
         trapi.ontology_edges_nt(edges, strict=False)
     )
