@@ -1432,8 +1432,11 @@ def run_semmed_idf(spark: SparkSession, argv: list[str]) -> None:
     p.add_argument("--totalPmids", type=float, default=semmed.TOTAL_PMIDS)
     p.add_argument("--output", required=True)
     ns = p.parse_args(argv)
+    # distinct=False: ancestor_pmid_counts aggregates with countDistinct,
+    # so the pair dedup exchange is redundant (r12, guide §2.4)
     cp = semmed.cui_to_pmid(
-        spark.read.parquet(ns.entities), spark.read.parquet(ns.sentences)
+        spark.read.parquet(ns.entities), spark.read.parquet(ns.sentences),
+        distinct=False,
     )
     closure = None
     if ns.mrrelIsa:

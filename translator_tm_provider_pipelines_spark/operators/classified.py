@@ -137,6 +137,14 @@ def classified_sentence_tables(
         ),
     )
 
+    # LAZY localCheckpoint (r12, guide §1.2/§3.3): the four returned tables
+    # (and multi-table consumers like the KGX/TRAPI exports, which also
+    # re-join them) each re-evaluated the whole gate+explode+sha256 tower —
+    # the trapi_assoc_nt plan held 5 copies. base is extraction-output-
+    # sized (what a production run materializes between stages anyway) and
+    # is computed inside the query run, never across runs.
+    base = base.localCheckpoint(eager=False)
+
     assertion = base.select(
         "assertion_id", "subject_curie", "object_curie", "association_id"
     ).distinct()

@@ -158,12 +158,24 @@ def pair_publications(pairs: DataFrame, max_per_pair: int = 25) -> DataFrame:
     determinism. Document id to store = text_id up to the first '_'
     (doc-level ids are bare; sub-document unit ids are docId_LEVEL_hash —
     :497-536)."""
-    from pyspark.sql import Window
-
-    w = Window.partitionBy("concept1", "concept2").orderBy("text_id")
+    # Aggregation instead of a row_number window (r12, guide §2.3/§2.4):
+    # the window needed Exchange + full Sort of the pair relation; the
+    # hash aggregate keeps the same exchange but drops the sort — the ≤N
+    # smallest text_ids per pair come from one sorted-array slice, and
+    # (concept1, concept2, text_id) is unique by construction so the
+    # row_number tie behavior cannot differ. Row multiset is identical.
     return (
-        pairs.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") <= max_per_pair)
+        pairs.groupBy("concept1", "concept2")
+        .agg(
+            F.slice(
+                F.array_sort(F.collect_list("text_id")), 1, max_per_pair
+            ).alias("__ids")
+        )
+        .select(
+            "concept1",
+            "concept2",
+            F.explode("__ids").alias("text_id"),
+        )
         .select(
             "concept1",
             "concept2",

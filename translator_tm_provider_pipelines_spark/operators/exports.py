@@ -260,7 +260,11 @@ def bionlp_lines(annots: DataFrame, dedupe: bool = False) -> DataFrame:
     )
     agg = F.array_sort(F.collect_list(entry))
     if dedupe:
-        agg = F.array_sort(F.array_distinct(F.collect_list(entry)))
+        # collect_set instead of array_distinct(collect_list): duplicates
+        # drop in the map-side partial aggregate instead of riding the
+        # shuffle into one post-merge array pass (r12, guide §2.3); the
+        # final array_sort makes the set's order irrelevant
+        agg = F.array_sort(F.collect_set(entry))
     per_doc = annots.groupBy("doc_id").agg(agg.alias("es"))
     lines = F.transform(
         F.col("es"),

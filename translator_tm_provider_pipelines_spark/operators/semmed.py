@@ -39,18 +39,26 @@ TOTAL_PMIDS = 34_315_455.0
 # ---------------------------------------------------------------------------
 
 
-def cui_to_pmid(entities: DataFrame, sentences: DataFrame) -> DataFrame:
+def cui_to_pmid(
+    entities: DataFrame, sentences: DataFrame, distinct: bool = True
+) -> DataFrame:
     """Distinct (cui, pmid) pairs: the entity table's (sentence_id, cui)
     joined to the sentence table's (sentence_id, pmid)
     (SemmedDbIdf.createCui2PmidFile:166-224). One shuffle join on
     sentence_id + a distinct — versus the reference's single-JVM HashMap of
-    the full 237M-row sentence table."""
-    return (
+    the full 237M-row sentence table.
+
+    ``distinct=False`` skips the dedup exchange: pass it when the consumer
+    is multiplicity-insensitive (``ancestor_pmid_counts`` aggregates with
+    ``countDistinct``), which saves a full shuffle of the pair relation
+    (r12, guide §2.4 — a distinct whose duplicates the next aggregate
+    removes anyway)."""
+    pairs = (
         entities.select("sentence_id", "cui")
         .join(sentences.select("sentence_id", "pmid"), "sentence_id")
         .select("cui", "pmid")
-        .distinct()
     )
+    return pairs.distinct() if distinct else pairs
 
 
 def isa_edges(mrrel_lines: DataFrame, line_col: str = "line") -> DataFrame:
@@ -118,6 +126,7 @@ def semmed_idf(
     counts: DataFrame,
     labels: DataFrame | None = None,
     total_pmids: float = TOTAL_PMIDS,
+    sort: bool = True,
 ) -> DataFrame:
     """(cui, name, idf) with idf = round(ln(pmid_count / total_pmids), 3)
     — SemmedDbIdf.computeIdf:308-357. Faithful to the reference: the
@@ -125,7 +134,14 @@ def semmed_idf(
     classic ln(total/count); rarer concepts score LOWER) and the output is
     printed with ``%4.3f`` → 3 decimals, descending by idf. ``labels`` is
     the (cui, name) relation; missing labels surface as NULL name, like the
-    reference's ``map.get`` returning null into ``%s``."""
+    reference's ``map.get`` returning null into ``%s``.
+
+    ``sort=False`` drops the presentation ``orderBy`` — a global range
+    exchange + sort (plus its sampling job) that only fixes display order;
+    pass it when the consumer is order-insensitive (the oracle harness
+    compares sorted rows), keep the default for the TSV export the
+    reference prints descending (r12, guide §2.4 — an orderBy used only
+    to make output deterministic)."""
     out = counts.select(
         "cui",
         F.round(F.log(F.col("pmid_count") / F.lit(float(total_pmids))), 3).alias(
@@ -136,7 +152,8 @@ def semmed_idf(
         out = out.join(labels.select("cui", "name"), "cui", "left")
     else:
         out = out.withColumn("name", F.lit(None).cast("string"))
-    return out.select("cui", "name", "idf").orderBy(F.desc("idf"), "cui")
+    out = out.select("cui", "name", "idf")
+    return out.orderBy(F.desc("idf"), "cui") if sort else out
 
 
 def umls_hpo_xrefs(mrconso_lines: DataFrame, line_col: str = "line") -> DataFrame:

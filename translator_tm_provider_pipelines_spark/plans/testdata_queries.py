@@ -4111,16 +4111,24 @@ def semmed_cui_idf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     li = _t(spark, sf_dir, "lineitem")
     ords = _t(spark, sf_dir, "orders")
+    # no pre-dedup of ents and no pair distinct (r12, guide §2.4): the
+    # chain ends in a countDistinct(pmid) per cui, which is multiplicity-
+    # insensitive, so both exchanges were pure overhead — value-identical
+    # (oracle hash unchanged)
     ents = li.select(
         F.col("l_orderkey").cast("string").alias("sentence_id"),
         F.concat(F.lit("C"), F.col("l_suppkey").cast("string")).alias("cui"),
-    ).distinct()
+    )
     sents = ords.select(
         F.col("o_orderkey").cast("string").alias("sentence_id"),
         F.concat(F.lit("p"), F.col("o_custkey").cast("string")).alias("pmid"),
     )
-    counts = semmed.ancestor_pmid_counts(semmed.cui_to_pmid(ents, sents))
-    return semmed.semmed_idf(counts)
+    counts = semmed.ancestor_pmid_counts(
+        semmed.cui_to_pmid(ents, sents, distinct=False)
+    )
+    # sort=False: the global presentation sort is dropped — the oracle
+    # comparison is order-insensitive (r12, guide §2.4)
+    return semmed.semmed_idf(counts, sort=False)
 
 
 _SEMMED_PRED_SQL = """
