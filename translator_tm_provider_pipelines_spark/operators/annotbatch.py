@@ -99,7 +99,12 @@ def batch_overlap_matrix(
     sentence², small by construction); the dense grid comes from a
     broadcast cross of the dimension-sized key list, so zero cells cost no
     shuffle."""
-    ids = batch_sentence_ids(lines, annotator_col, batch_col, line_col)
+    # LAZY localCheckpoint (r12, guide §1.2): the distinct id relation
+    # feeds both self-join sides AND the key grid — three evaluations of
+    # the explode+sha256+distinct tower without it
+    ids = batch_sentence_ids(lines, annotator_col, batch_col, line_col).localCheckpoint(
+        eager=False
+    )
     a = ids.select(F.col("batch_key").alias("batch_a"), "sentence_id")
     b = ids.select(F.col("batch_key").alias("batch_b"), "sentence_id")
     ov = a.join(b, "sentence_id").groupBy("batch_a", "batch_b").agg(

@@ -456,10 +456,13 @@ def tfidf_terms(
         F.col(id_col).alias("doc_id"), F.explode(_words(text)).alias("term")
     )
     tf = terms.groupBy("doc_id", "term").agg(F.count("*").cast("long").alias("tf"))
-    n_docs = docs.count()
+    # corpus size as a one-row broadcast instead of a docs.count() driver
+    # action — the action was a whole extra pass over the corpus per call
+    # (r12, guide §1.2); (N+1)/(df+1) sees the identical double either way
+    n_docs = F.broadcast(docs.agg(F.count(F.lit(1)).alias("__n_docs")))
     df = tf.groupBy("term").agg(F.count("*").cast("long").alias("df"))
-    idf = F.log((F.lit(float(n_docs + 1))) / (F.col("df") + 1)) + 1.0
-    return tf.join(F.broadcast(df), "term").select(
+    idf = F.log((F.col("__n_docs") + 1).cast("double") / (F.col("df") + 1)) + 1.0
+    return tf.join(F.broadcast(df), "term").crossJoin(n_docs).select(
         "doc_id",
         "term",
         "tf",
@@ -488,27 +491,45 @@ def tfidf_topk_similar(
     norms = w.groupBy("doc_id").agg(
         F.sqrt(F.sum(F.col("weight") * F.col("weight"))).alias("norm")
     )
-    qrows = norms.where(F.col("doc_id") == query_doc_id).select("norm").collect()
-    if not qrows:
+    # cheap pushdown existence probe (r12, guide §1.2): the old qnorm
+    # collect evaluated the WHOLE tf-idf tower as an extra driver pass;
+    # "present with extractable words" needs only the query doc's row
+    text = F.col(text_col)
+    present = not (
+        docs.where(F.col(id_col) == query_doc_id)
+        .where(F.size(_words(text)) > 0)
+        .limit(1)
+        .isEmpty()
+    )
+    if not present:
         raise ValueError(
             f"query_doc_id {query_doc_id!r} not found in the corpus (or has no "
             "extractable words)"
         )
-    qnorm = float(qrows[0][0])
-    if qnorm == 0.0:
-        raise ValueError(
-            f"query_doc_id {query_doc_id!r} has a zero TF-IDF vector (every term "
-            "appears in all documents); cosine similarity is undefined"
-        )
+    # the query norm rides the plan as a one-row broadcast; it cannot be
+    # zero (smoothed idf = ln((N+1)/(df+1)) + 1 >= 1 for df <= N), and the
+    # in-plan guard keeps the old contract if the weighting ever changes
+    qn = norms.where(F.col("doc_id") == query_doc_id).select(
+        F.when(
+            F.col("norm") == 0.0,
+            F.raise_error(
+                F.lit(
+                    f"query_doc_id {query_doc_id!r} has a zero TF-IDF vector "
+                    "(every term appears in all documents); cosine similarity "
+                    "is undefined"
+                )
+            ),
+        ).otherwise(F.col("norm")).alias("__qnorm")
+    )
     dots = (
         w.where(F.col("doc_id") != query_doc_id)
         .join(F.broadcast(qvec), "term")
         .groupBy("doc_id")
         .agg(F.sum(F.col("weight") * F.col("qw")).alias("dot"))
     )
-    scored = dots.join(norms, "doc_id").select(
+    scored = dots.join(norms, "doc_id").crossJoin(F.broadcast(qn)).select(
         "doc_id",
-        F.round(F.col("dot") / (F.col("norm") * F.lit(qnorm)), 6).alias("cosine"),
+        F.round(F.col("dot") / (F.col("norm") * F.col("__qnorm")), 6).alias("cosine"),
     )
     return scored.orderBy(F.col("cosine").desc(), "doc_id").limit(k)
 
@@ -646,34 +667,46 @@ def unigram_logprob(
     hasher in ``training.py`` is exactly that)."""
     ref = reference if reference is not None else docs
     words = F.expr(f"regexp_extract_all(lower({text_col}), '([a-z0-9]+)', 1)")
-    tok = docs.select(F.col(id_col).alias("__did"), F.explode(words).alias("w"))
+    # explode_outer keeps token-less documents as one NULL-token row, so
+    # the aggregate covers every document directly and the old re-scan of
+    # ``docs`` + left join to reattach them disappears (r12, guide §2.4;
+    # doc ids are unique per the corpus contract)
+    tok = docs.select(F.col(id_col).alias("__did"), F.explode_outer(words).alias("w"))
     ref_tok = ref.select(F.explode(words).alias("w"))
     counts = ref_tok.groupBy("w").agg(F.count(F.lit(1)).alias("n"))
-    total = ref_tok.count()
-    vocab = counts.count()
-    lp = counts.select(
-        "w", F.log((F.col("n") + alpha) / (total + alpha * vocab)).alias("lp")
+    # total/vocab as a one-row aggregate of the vocabulary frame instead of
+    # two driver count() actions (r12, guide §1.2: each action was a full
+    # extra pass over the exploded reference corpus). sum(n) is the same
+    # integer count(); the per-term log arithmetic sees identical doubles.
+    stats = F.broadcast(
+        counts.agg(
+            F.sum("n").alias("__total"), F.count(F.lit(1)).alias("__vocab")
+        )
+    )
+    denom = F.col("__total") + alpha * F.col("__vocab")
+    lp = counts.crossJoin(stats).select(
+        "w", F.log((F.col("n") + alpha) / denom).alias("lp")
     )
     # out-of-vocabulary tokens (possible only with an external reference)
     # take the smoothed zero-count probability
-    import math
-
-    unk = math.log(alpha / (total + alpha * vocab))
+    unk = F.log(F.lit(alpha) / denom)
     scored = (
         tok.join(F.broadcast(lp), "w", "left")
+        .crossJoin(stats)
         .groupBy("__did")
         .agg(
-            F.avg(F.coalesce(F.col("lp"), F.lit(unk))).alias("__mlp"),
-            F.count(F.lit(1)).alias("n_tokens"),
+            # NULL token rows (token-less docs) stay out of the average —
+            # avg over the empty set is NULL, like the old left join
+            F.avg(
+                F.when(F.col("w").isNotNull(), F.coalesce(F.col("lp"), unk))
+            ).alias("__mlp"),
+            F.count("w").alias("n_tokens"),
         )
     )
-    out = docs.select(F.col(id_col).alias("doc_id")).join(
-        scored, F.col("doc_id") == F.col("__did"), "left"
-    )
-    return out.select(
-        "doc_id",
+    return scored.select(
+        F.col("__did").alias("doc_id"),
         F.round("__mlp", scale).alias("mean_logprob"),
-        F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
+        F.col("n_tokens"),
     )
 
 
@@ -690,9 +723,12 @@ def perplexity_buckets(
     from ``percentile_cont`` over the scored corpus (one tiny aggregate);
     the bucket label is then a pure projection. Docs without tokens land
     in 'tail'."""
+    # LAZY localCheckpoint (r12, guide §1.2): the scored frame feeds both
+    # the tercile aggregate and the bucket projection — without it the
+    # whole tokenize+LM tower runs twice per query
     w = unigram_logprob(
         docs, reference=reference, alpha=alpha, text_col=text_col, id_col=id_col
-    )
+    ).localCheckpoint(eager=False)
     thr = w.agg(
         F.expr("percentile_cont(0.3333333333) WITHIN GROUP (ORDER BY mean_logprob)").alias("t1"),
         F.expr("percentile_cont(0.6666666667) WITHIN GROUP (ORDER BY mean_logprob)").alias("t2"),
