@@ -110,16 +110,30 @@ def minhash_signatures_doc(
     :func:`lsh_bands`."""
     d = shingle_hash_frame(docs, k=k, text_col=text_col, id_col=id_col)
 
-    def perm_min(j: int) -> Column:
-        a, b = _perm_coeffs(j)
-        return F.array_min(
-            F.transform(F.col("shv"), lambda v: (F.lit(a) * v + F.lit(b)) % F.lit(MERSENNE_31))
-        )
-
-    d = d.select("doc_id", *[perm_min(j).alias(f"m{j}") for j in range(num_perms)])
+    # ONE fold over shv maintaining all num_perms running minima (r12):
+    # the per-permutation ``array_min(transform(shv, …))`` form
+    # materialized num_perms full-length permuted copies of the
+    # shingle-hash array per document; the fold allocates only the
+    # num_perms-element accumulator per step. Values are identical —
+    # same affine images, same min over the same multiset (shv is
+    # non-empty: size(words) >= k). MERSENNE_31 is a safe +inf sentinel
+    # because (a·v+b) mod M < M.
+    coeffs = [_perm_coeffs(j) for j in range(num_perms)]
+    mins = F.aggregate(
+        F.col("shv"),
+        F.array(*[F.lit(MERSENNE_31).cast("long") for _ in range(num_perms)]),
+        lambda acc, v: F.array(
+            *[
+                F.least(
+                    F.get(acc, j), (F.lit(a) * v + F.lit(b)) % F.lit(MERSENNE_31)
+                )
+                for j, (a, b) in enumerate(coeffs)
+            ]
+        ),
+    )
     return d.select(
         "doc_id",
-        F.array(*[F.col(f"m{j}").cast("string") for j in range(num_perms)]).alias("sig"),
+        F.transform(mins, lambda m: m.cast("string")).alias("sig"),
     )
 
 
