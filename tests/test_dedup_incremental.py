@@ -4,6 +4,7 @@ idempotency, and the foreachBatch stream wrapper."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from translator_tm_provider_pipelines_spark.operators import dedup
@@ -62,6 +63,7 @@ def test_incremental_equals_batch_keep_list(spark, tmp_path):
     assert inc_pairs == batch_pairs
 
 
+@pytest.mark.slow
 def test_incremental_batch_retry_idempotent(spark, tmp_path):
     idx = str(tmp_path / "idx")
     di.update_near_dup_index(spark, _df(spark, ROWS_B1), idx, batch_id=0)
@@ -123,6 +125,7 @@ def test_near_dup_index_cli(spark, tmp_path):
     assert keep == {(1, 1), (2, 1), (3, 3), (4, 1), (5, 5)}
 
 
+@pytest.mark.slow
 def test_incremental_equals_batch_random_splits(spark, tmp_path):
     """Property: for ANY partition of the corpus into ordered batches, the
     incremental index keep list equals the single-batch keep list (pair
@@ -342,6 +345,7 @@ def test_reconcile_cli(spark, tmp_path):
     assert all(keep[d] == 1 for d in range(1, 6))
 
 
+@pytest.mark.slow
 def test_incremental_star_policy_matches_batch_star(spark, tmp_path):
     """oversize_policy='star' in the incremental guard: a 6-member
     identical-text cluster arriving 2-at-a-time with cap 3 keeps linking
@@ -435,6 +439,7 @@ def test_empty_pairs_index_cli_counts_zero(spark, tmp_path, capsys):
     assert "0 new verified pairs" in capsys.readouterr().out
 
 
+@pytest.mark.slow
 def test_incremental_repair_hops_match_batch_star_repaired(spark, tmp_path):
     """VERDICT r6 task 2: the index-mode analogue of star second-hop
     repair. A CHAIN-shaped cluster (cumulative word drift, same fixture
@@ -497,6 +502,7 @@ def test_incremental_repair_hops_match_batch_star_repaired(spark, tmp_path):
     assert _keep(spark, idx) == batch_repaired
 
 
+@pytest.mark.slow
 def test_index_bucket_stats_watermark(spark, tmp_path, capsys):
     """index_bucket_stats + should_reconcile: the maintenance gauge counts
     over-cap buckets and stranded (pair-less) members; a reconcile run
@@ -565,6 +571,7 @@ def test_keep_best_from_index_matches_batch(spark, tmp_path):
     assert got2[2].canonical_id == 1  # cluster key unchanged
 
 
+@pytest.mark.slow
 def test_stream_auto_reconcile(spark, tmp_path):
     """reconcile_every wires the stranded-watermark maintenance into the
     stream: a 6-member identical-text cluster arriving 2-at-a-time under
@@ -613,6 +620,7 @@ def test_near_dup_index_keep_best_cli(spark, tmp_path):
     assert kb[3].is_kept  # singleton keeps itself
 
 
+@pytest.mark.slow
 def test_reconcile_rerun_same_id_after_ingest_keeps_prior_repairs(
     spark, tmp_path
 ):
@@ -659,6 +667,7 @@ def test_reconcile_rerun_same_id_after_ingest_keeps_prior_repairs(
     assert keep3 == keep2
 
 
+@pytest.mark.slow
 def test_reconcile_watermark_skips_unchanged_buckets(spark, tmp_path):
     """r8 VERDICT task 1: a reconcile run records a per-bucket watermark
     (max band batch_id at repair time + settings fingerprint); the next
@@ -719,6 +728,7 @@ def test_reconcile_watermark_skips_unchanged_buckets(spark, tmp_path):
     assert all(v == 3 for v in wm3.values())
 
 
+@pytest.mark.slow
 def test_reconcile_watermark_config_change_is_not_skipped(spark, tmp_path):
     """A watermark written under one settings fingerprint must not skip a
     run with different settings (deeper hops can attach members the
@@ -746,6 +756,7 @@ def test_reconcile_watermark_config_change_is_not_skipped(spark, tmp_path):
     )
 
 
+@pytest.mark.slow
 def test_reconcile_watermarks_disabled(spark, tmp_path):
     """use_watermarks=False keeps the pre-r9 behavior: no reconciled/
     side table is written and every run re-derives candidates."""
@@ -769,6 +780,7 @@ def test_reconcile_watermarks_disabled(spark, tmp_path):
     assert all(keep[d] == 1 for d in range(1, 6))
 
 
+@pytest.mark.slow
 def test_reconcile_watermark_compaction_never_hides_repairs(spark, tmp_path):
     """Compaction collapses band rows into one higher batch_id, so a
     stored watermark can never mask post-watermark arrivals that the
@@ -858,6 +870,7 @@ def _spy_verify(monkeypatch):
     return attempted
 
 
+@pytest.mark.slow
 def test_reconcile_persists_failures_skips_reverification(
     spark, tmp_path, monkeypatch
 ):
@@ -914,6 +927,7 @@ def test_reconcile_persists_failures_skips_reverification(
     assert _keep(spark, idx) == batch_kl
 
 
+@pytest.mark.slow
 def test_reconcile_failures_survive_maintenance_config_changes(
     spark, tmp_path, monkeypatch
 ):
@@ -956,6 +970,7 @@ def test_reconcile_failures_survive_maintenance_config_changes(
     assert di._failure_config_sig(0.95, 3) in sigs
 
 
+@pytest.mark.slow
 def test_reconcile_persist_failures_disabled(spark, tmp_path):
     """persist_failures=False keeps the pre-r9 behavior: no failed/ side
     table, identical keep list."""
@@ -980,6 +995,7 @@ def test_reconcile_persist_failures_disabled(spark, tmp_path):
     assert _keep(spark, idx) == batch_kl
 
 
+@pytest.mark.slow
 def test_index_bucket_stats_watermark_aware(spark, tmp_path, capsys):
     """r9: the watermark-aware gauge. A member stranded because its every
     candidate edge genuinely fails (chain far member under repair_hops=0)
@@ -1048,6 +1064,7 @@ def test_index_bucket_stats_watermark_aware(spark, tmp_path, capsys):
     assert '"n_unreconciled_buckets"' in out and "reconcile recommended" in out
 
 
+@pytest.mark.slow
 def test_reconcile_fresh_member_star_attaches_starved_late_arrival(
     spark, tmp_path
 ):
@@ -1144,6 +1161,7 @@ def test_reconcile_fresh_member_star_attaches_starved_late_arrival(
     assert (1, 9) in failed and (2, 9) in failed
 
 
+@pytest.mark.slow
 def test_reconcile_rescue_bound_drains_within_run(spark, tmp_path):
     """r10: the per-bucket rescue bound is a per-ROUND fence, not a
     per-run result cap — a bucket with more untried-edge members than
@@ -1220,6 +1238,7 @@ def test_reconcile_rescue_bound_drains_within_run(spark, tmp_path):
     assert keep2 == keep
 
 
+@pytest.mark.slow
 def test_reconcile_never_verified_ghost_edge_not_persisted_as_failure(
     spark, tmp_path
 ):
@@ -1288,6 +1307,7 @@ def test_reconcile_never_verified_ghost_edge_not_persisted_as_failure(
     assert len(wm) == 1 and wm[0].watermark == 0
 
 
+@pytest.mark.slow
 def test_reconcile_rescue_slice_drains_past_permanent_strangers(
     spark, tmp_path
 ):
@@ -1361,6 +1381,7 @@ def test_reconcile_rescue_slice_drains_past_permanent_strangers(
     assert not di.should_reconcile(stats)
 
 
+@pytest.mark.slow
 def test_compact_index_merges_side_tables_preserving_skip(spark, tmp_path):
     """r10: compact_index also merges the failed/ and reconciled/ side
     tables (the in-stream maintenance path writes one negative partition
@@ -1450,6 +1471,7 @@ def test_compact_index_merges_side_tables_preserving_skip(spark, tmp_path):
     assert keep[8] == 3 and keep[1] == 1 and keep[2] == 2
 
 
+@pytest.mark.slow
 def test_reconcile_watermark_frozen_against_mid_run_ingest(
     spark, tmp_path, monkeypatch
 ):
@@ -1578,6 +1600,7 @@ def test_cli_nowatermarks_implies_nopersistfailures(spark, tmp_path, capsys):
     assert di._read_index(spark, idx, "failed") is None
 
 
+@pytest.mark.slow
 def test_reconcile_reactivates_on_post_watermark_ingest_attachment(
     spark, tmp_path
 ):
@@ -1651,6 +1674,7 @@ def test_reconcile_reactivates_on_post_watermark_ingest_attachment(
     assert not di.should_reconcile(stats)
 
 
+@pytest.mark.slow
 def test_reconcile_attachment_clock_gated_to_completed_batches(
     spark, tmp_path
 ):
@@ -1737,6 +1761,7 @@ def test_reconcile_attachment_clock_gated_to_completed_batches(
     assert stats["n_unreconciled_buckets"] == 0
 
 
+@pytest.mark.slow
 def test_reconcile_watermark_rescue_knob_change_is_not_skipped(
     spark, tmp_path
 ):
@@ -1809,6 +1834,7 @@ def test_reconcile_watermark_rescue_knob_change_is_not_skipped(
     assert keep[9] == 3  # rescue-on run was NOT skipped
 
 
+@pytest.mark.slow
 def test_compact_index_repair_pairs_stay_negative(spark, tmp_path):
     """r11 ADVICE (low): compaction merges the pairs table's repair
     (negative) partitions into a single NEGATIVE partition of their
@@ -1855,6 +1881,7 @@ def test_compact_index_repair_pairs_stay_negative(spark, tmp_path):
     ) == keep_before
 
 
+@pytest.mark.slow
 def test_compact_during_reconcile_never_loses_repairs(
     spark, tmp_path, monkeypatch
 ):

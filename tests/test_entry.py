@@ -55,7 +55,32 @@ def test_entry_smoke(spark):
     assert len(df.schema.fields) > 0
 
 
-@pytest.mark.parametrize("name", sorted(entry_mod.queries().keys()))
+# Multi-minute tail of the in-suite oracle sweep (r13, VERDICT r12 task
+# 1): the heaviest sf0.001 oracle checks are opt-in slow so the default
+# verify gate finishes in budget. Coverage is NOT lost — the full-registry
+# value sweep lives in scripts/oracle_check.py (CORRECTNESS_FULL.json) and
+# the driver re-checks its own 50-query subset every round; run these
+# in-suite with `pytest -m slow`.
+_SLOW_ORACLE = {
+    "annotation_sheet_export",
+    "bicluster_bert_training",
+    "benchmark_decontamination",
+    "bio_tag_export",
+    "embedding_near_duplicates",
+    "embedding_keep_list",
+    "taxon_promoted_dictionary",
+    "brat_annotation_export",
+    "ann_ivf_cosine",
+}
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        pytest.param(n, marks=pytest.mark.slow) if n in _SLOW_ORACLE else n
+        for n in sorted(entry_mod.queries().keys())
+    ],
+)
 def test_query_matches_oracle(spark, duck, name):
     fn = entry_mod.queries()[name]
     sdf = fn(spark, SF_DIR)

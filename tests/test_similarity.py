@@ -306,6 +306,7 @@ def test_pq_encode_deterministic_and_narrow(spark, emb):
     assert {r.vec_id: list(r.codes) for r in similarity.pq_encode(emb, books).collect()} == rows
 
 
+@pytest.mark.slow
 def test_pq_adc_recall_and_refinement(spark, emb, qvec):
     # cosine via PQ = L2-normalize first (unit vectors: L2² = 2 − 2·cos),
     # then L2-metric codes; exact baseline stays raw-cosine

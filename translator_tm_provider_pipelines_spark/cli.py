@@ -1582,10 +1582,56 @@ def main(argv: list[str] | None = None) -> int:
         raise SystemExit(
             f"unknown pipeline key {key!r}; known: {', '.join(sorted(PIPELINES))}"
         )
+    from .functions.staging import STAGING_DIR_CONF
     from .session import get_spark
 
+    # Durable intermediates by default (r13, VERDICT r12 task 7; guide
+    # §3.3/§5): lineage-truncation points inside the operators
+    # (functions/staging.stage) are executor-local localCheckpoint blocks
+    # in bench/library use — fast, but non-replicated, so an executor
+    # loss on a real cluster kills the run instead of recomputing. CLI
+    # runs are the production surface, so they stage those intermediates
+    # as parquet tables instead: --stagingDir DIR picks the location
+    # (kept afterward for inspection/resume), omitted it defaults to
+    # <output>__staging (removed after the run), and --stagingDir ''
+    # explicitly opts back into localCheckpoint.
+    rest = list(args[1:])
+    staging: str | None = None
+    user_staging = False
+    for i, a in enumerate(rest):
+        if a == "--stagingDir" and i + 1 < len(rest):
+            staging, user_staging = rest[i + 1], True
+            del rest[i : i + 2]
+            break
+        if a.startswith("--stagingDir="):
+            staging, user_staging = a.split("=", 1)[1], True
+            del rest[i]
+            break
+    if not user_staging:
+        for i, a in enumerate(rest):
+            if a == "--output" and i + 1 < len(rest):
+                staging = rest[i + 1].rstrip("/") + "__staging"
+                break
+            if a.startswith("--output="):
+                staging = a.split("=", 1)[1].rstrip("/") + "__staging"
+                break
+
     spark = get_spark(app_name=f"engine-{key.lower()}")
-    PIPELINES[key](spark, args[1:])
+    if staging:
+        spark.conf.set(STAGING_DIR_CONF, staging)
+    try:
+        PIPELINES[key](spark, rest)
+    finally:
+        if staging:
+            # the conf is session-scoped: never leak one run's staging
+            # location into the next main() call on a shared session
+            spark.conf.unset(STAGING_DIR_CONF)
+        if staging and not user_staging:
+            # default staging dir is run-scoped scratch: remove it
+            jvm = spark._jvm
+            hp = jvm.org.apache.hadoop.fs.Path(staging)
+            fs = hp.getFileSystem(spark._jsc.hadoopConfiguration())
+            fs.delete(hp, True)
     return 0
 
 

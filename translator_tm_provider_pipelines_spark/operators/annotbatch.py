@@ -27,6 +27,8 @@ from collections.abc import Iterable
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..functions.staging import stage
+
 #: Lines holding only this marker terminate an annotation file and are not
 #: sentences (RepoStatsCommand.countSentences:172-184).
 DONE_MARKER = "DONE"
@@ -102,8 +104,8 @@ def batch_overlap_matrix(
     # LAZY localCheckpoint (r12, guide §1.2): the distinct id relation
     # feeds both self-join sides AND the key grid — three evaluations of
     # the explode+sha256+distinct tower without it
-    ids = batch_sentence_ids(lines, annotator_col, batch_col, line_col).localCheckpoint(
-        eager=False
+    ids = stage(
+        batch_sentence_ids(lines, annotator_col, batch_col, line_col), eager=False
     )
     a = ids.select(F.col("batch_key").alias("batch_a"), "sentence_id")
     b = ids.select(F.col("batch_key").alias("batch_b"), "sentence_id")

@@ -22,6 +22,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..functions.staging import stage
+
 #: the predicate CURIE meaning "no relation present" (BiolinkPredicate
 #: NO_RELATION_PRESENT serializes as "false" in the classifier TSVs)
 NO_RELATION_CURIE = "false"
@@ -143,7 +145,7 @@ def classified_sentence_tables(
     # the trapi_assoc_nt plan held 5 copies. base is extraction-output-
     # sized (what a production run materializes between stages anyway) and
     # is computed inside the query run, never across runs.
-    base = base.localCheckpoint(eager=False)
+    base = stage(base, eager=False)
 
     assertion = base.select(
         "assertion_id", "subject_curie", "object_curie", "association_id"

@@ -151,7 +151,9 @@ def pair_counts(pairs: DataFrame) -> DataFrame:
     return pairs.groupBy("concept1", "concept2").agg(F.count("*").alias("pair_count"))
 
 
-def pair_publications(pairs: DataFrame, max_per_pair: int = 25) -> DataFrame:
+def pair_publications(
+    pairs: DataFrame, max_per_pair: int = 25, salt_buckets: int = 64
+) -> DataFrame:
     """A7: keep ≤ N publication (text-unit) records per pair
     (limitPublicationsByPairId:411-440; cap constant :60 = 25). The
     reference keeps an arbitrary subset; we keep the first N by text_id for
@@ -160,15 +162,32 @@ def pair_publications(pairs: DataFrame, max_per_pair: int = 25) -> DataFrame:
     :497-536)."""
     # Aggregation instead of a row_number window (r12, guide §2.3/§2.4):
     # the window needed Exchange + full Sort of the pair relation; the
-    # hash aggregate keeps the same exchange but drops the sort — the ≤N
-    # smallest text_ids per pair come from one sorted-array slice, and
-    # (concept1, concept2, text_id) is unique by construction so the
-    # row_number tie behavior cannot differ. Row multiset is identical.
+    # hash aggregate drops the sort — the ≤N smallest text_ids per pair
+    # come from a sorted-array slice, and (concept1, concept2, text_id) is
+    # unique by construction so row_number tie behavior cannot differ.
+    #
+    # Two-level salted top-k (r13, guide §2.5/§5): a single
+    # collect_list keyed by the pair alone buffers EVERY text_id of a hot
+    # pair (a common concept co-mention can carry millions of
+    # publications at 100 TB) in one aggregation row before the slice.
+    # Level 1 splits each pair over ``salt_buckets`` deterministic salts
+    # (pmod(xxhash64(text_id)) — never rand(), which breaks under task
+    # retry) and keeps only that salt's ≤N smallest; level 2 merges
+    # ≤ salt_buckets × N ids per pair — a bounded buffer. The global ≤N
+    # smallest are each among their own salt's ≤N smallest (at most N-1
+    # other ids precede them anywhere), so the merged slice is exactly
+    # the old slice. Row multiset is identical to the window form.
+    salt = F.pmod(F.xxhash64("text_id"), F.lit(salt_buckets)).alias("__salt")
+    partial = pairs.groupBy("concept1", "concept2", salt).agg(
+        F.slice(F.array_sort(F.collect_list("text_id")), 1, max_per_pair).alias(
+            "__part"
+        )
+    )
     return (
-        pairs.groupBy("concept1", "concept2")
+        partial.groupBy("concept1", "concept2")
         .agg(
             F.slice(
-                F.array_sort(F.collect_list("text_id")), 1, max_per_pair
+                F.array_sort(F.flatten(F.collect_list("__part"))), 1, max_per_pair
             ).alias("__ids")
         )
         .select(

@@ -23,6 +23,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..functions.staging import stage
+
 TOKEN_RE = r"([a-z0-9]+)"
 
 #: Mersenne prime modulus for the affine permutation family; 31-bit values
@@ -727,11 +729,14 @@ def near_duplicates(
     # rounds downstream) reuse it. The frame is near-dup-population
     # sized, not corpus sized. Measured 2.8 → 2.2 s on the sf0.1 bench
     # query (plans/r12/near_duplicates_{before,after}.txt).
-    cands = lsh_candidate_pairs(
-        bands_df,
-        max_bucket_size=max_bucket_size,
-        oversize_policy=oversize_policy,
-    ).localCheckpoint(eager=False)
+    cands = stage(
+        lsh_candidate_pairs(
+            bands_df,
+            max_bucket_size=max_bucket_size,
+            oversize_policy=oversize_policy,
+        ),
+        eager=False,
+    )
     verified = _verify_candidates(
         docs, cands, k=k, threshold=threshold, text_col=text_col,
         id_col=id_col, persist=persist,
@@ -759,7 +764,7 @@ def near_duplicates(
         # the eager version cost the 1-hop bench query ~2 s in pure
         # job-scheduling overhead). Over-cap rows are
         # boilerplate-population sized — safe to checkpoint.
-        return _overcap_band_rows(bands_df, max_bucket_size).localCheckpoint()
+        return stage(_overcap_band_rows(bands_df, max_bucket_size))
 
     if run_hops:
         # star_repair_hops < 0 = repair until converged (the loop breaks
@@ -773,11 +778,13 @@ def near_duplicates(
             # checkpoint: the next hop's anti-joins read `verified` twice
             # (id set + final union) and the hop loop would otherwise
             # stack the whole verify pipeline per iteration
-            verified = verified.localCheckpoint()
-            cand2 = star_second_hop_pairs(
-                bands_df, verified, max_bucket_size, attempted=attempted,
-                overcap_bands=ob_cap,
-            ).localCheckpoint()
+            verified = stage(verified)
+            cand2 = stage(
+                star_second_hop_pairs(
+                    bands_df, verified, max_bucket_size, attempted=attempted,
+                    overcap_bands=ob_cap,
+                )
+            )
             if not cand2.head(1):
                 converged = True
                 break
@@ -786,7 +793,7 @@ def near_duplicates(
                 # static inputs once (_materialize_overcap rationale)
                 if ob_cap is None:
                     ob_cap = _materialize_overcap()
-                attempted = attempted.localCheckpoint()
+                attempted = stage(attempted)
             hops_run += 1
             v2 = _verify_candidates(
                 docs, cand2, k=k, threshold=threshold, text_col=text_col,
@@ -804,16 +811,18 @@ def near_duplicates(
         # the loop converges in ceil(stranded/reps) rounds.
         rescue_rounds, rescue_converged = 0, False
         while True:
-            verified = verified.localCheckpoint()
-            cand3 = star_rescue_pairs(
-                bands_df,
-                verified,
-                max_bucket_size,
-                attempted=attempted,
-                reps_per_bucket=star_rescue_reps,
-                min_shared_bands=star_rescue_min_bands,
-                overcap_bands=ob_cap,
-            ).localCheckpoint()
+            verified = stage(verified)
+            cand3 = stage(
+                star_rescue_pairs(
+                    bands_df,
+                    verified,
+                    max_bucket_size,
+                    attempted=attempted,
+                    reps_per_bucket=star_rescue_reps,
+                    min_shared_bands=star_rescue_min_bands,
+                    overcap_bands=ob_cap,
+                )
+            )
             if not cand3.head(1):
                 rescue_converged = True
                 break
@@ -824,7 +833,7 @@ def near_duplicates(
                 # exist from the hop loop)
                 if ob_cap is None:
                     ob_cap = _materialize_overcap()
-                attempted = attempted.localCheckpoint()
+                attempted = stage(attempted)
             rescue_rounds += 1
             v3 = _verify_candidates(
                 docs, cand3, k=k, threshold=threshold, text_col=text_col,
@@ -1030,10 +1039,14 @@ def connected_components(
     ``driver_threshold=0``, the distributed loop runs.
 
     The threshold probe must not evaluate the (possibly expensive)
-    upstream twice: the pair frame is persisted, the probe's incremental
-    ``limit`` caches the partitions it scans, and a large graph reuses
-    that cache when the distributed path materializes the symmetric edge
-    checkpoint."""
+    upstream twice: the pair frame is persisted and the probe is ONE
+    ``count()`` over it (r13, guide §1.2 — the previous
+    ``limit(threshold+1).collect()`` ran Spark's incremental
+    scale-up-factor job ladder, several driver job rounds whose gaps
+    dominate at bench scale). The count fully materializes the cache,
+    which every continuation needs anyway: the small path re-reads it
+    with one cached ``collect()``, the distributed path with the
+    symmetric edge checkpoint."""
     from pyspark.storagelevel import StorageLevel
 
     e = pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
@@ -1041,8 +1054,8 @@ def connected_components(
     e_probe = None
     if driver_threshold:
         e_probe = e.persist(StorageLevel.MEMORY_AND_DISK)
-        head = e_probe.limit(driver_threshold + 1).collect()
-        if len(head) <= driver_threshold:
+        if e_probe.count() <= driver_threshold:
+            head = e_probe.collect()
             parent: dict = {}
 
             def find(x):
@@ -1073,16 +1086,17 @@ def connected_components(
     # plan per iteration and analysis time alone goes exponential in the
     # round count. Checkpointing truncates the plan to the materialized
     # data — each round's plan is flat.
-    edges = e.unionByName(
-        e.select(F.col("b").alias("a"), F.col("a").alias("b"))
-    ).distinct().localCheckpoint()
+    edges = stage(
+        e.unionByName(
+            e.select(F.col("b").alias("a"), F.col("a").alias("b"))
+        ).distinct()
+    )
     if e_probe is not None:
         e_probe.unpersist()
-    labels = (
+    labels = stage(
         edges.select(F.col("a").alias("node"))
         .distinct()
         .select("node", F.col("node").alias("label"))
-        .localCheckpoint()
     )
     for _ in range(max_iter):
         nbr = (
@@ -1102,8 +1116,8 @@ def connected_components(
                     "__chg"
                 ),
             )
-            .localCheckpoint()
         )
+        new_labels = stage(new_labels)
         changed = new_labels.where("__chg").count()
         labels = new_labels.drop("__chg")
         if changed == 0:
@@ -1145,10 +1159,9 @@ def connected_components_star(
         F.col("a") != F.col("b")
     )
     # orient larger → smaller; the invariant v < u holds from here on
-    edges = (
+    edges = stage(
         e.select(F.greatest("a", "b").alias("u"), F.least("a", "b").alias("v"))
         .distinct()
-        .localCheckpoint()
     )
     n_edges = edges.count()
     for _ in range(max_iter):
@@ -1174,8 +1187,8 @@ def connected_components_star(
             .unionByName(lmins.select("u", F.col("m").alias("v")))
             .where(F.col("u") != F.col("v"))
             .distinct()
-            .localCheckpoint()
         )
+        small = stage(small)
         n_small = small.count()
         if n_small == n_edges and small.exceptAll(edges).isEmpty():
             edges = small
@@ -1314,17 +1327,25 @@ def near_dup_keep_best(
         )
         .select(F.col("component").alias("__bc"), F.col("__b.d").alias("kept_id"))
     )
-    labeled = docs.select(F.col(id_col).alias("doc_id")).join(
-        comp, F.col("doc_id") == comp.node, "left"
+    # ONE corpus-side join (r13, guide §2.4): attach kept_id to the
+    # member-sized comp relation first (every component's members are in
+    # comp, so the inner join keeps every node), then label the corpus
+    # once. The previous form joined the corpus against comp AND then
+    # against best (keyed on the derived canonical_id) — two corpus-wide
+    # probe passes for one lookup. Untouched docs coalesce to themselves
+    # exactly as before (cluster ids are min MEMBER ids, so they can
+    # never collide with a doc id outside comp).
+    comp_kept = comp.join(best, comp.component == F.col("__bc"), "inner").select(
+        "node", "component", "kept_id"
+    )
+    out = docs.select(F.col(id_col).alias("doc_id")).join(
+        comp_kept, F.col("doc_id") == F.col("node"), "left"
     )
     canonical = F.coalesce(F.col("component"), F.col("doc_id"))
-    joined = labeled.select("doc_id", canonical.alias("canonical_id")).join(
-        best, F.col("canonical_id") == F.col("__bc"), "left"
-    )
     kept = F.coalesce(F.col("kept_id"), F.col("doc_id"))
-    return joined.select(
+    return out.select(
         "doc_id",
-        "canonical_id",
+        canonical.alias("canonical_id"),
         (F.col("doc_id") == kept).alias("is_kept"),
         kept.alias("kept_id"),
     )

@@ -28,6 +28,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..functions.staging import stage
+
 from ..functions import biolink
 
 
@@ -251,14 +253,15 @@ def brat_annotation_batch(
     # ``rows`` is extraction-output-sized (what a production run
     # materializes between stages anyway); ``sents`` is ≤ batch_size
     # rows. Lazy so plan construction stays action-free.
-    rows = rows.localCheckpoint(eager=False)
+    rows = stage(rows, eager=False)
 
     sents = (
         rows.select("hash", "sentence_text")
         .distinct()
         .orderBy("sentence_text")
         .limit(batch_size)
-    ).localCheckpoint(eager=False)
+    )
+    sents = stage(sents, eager=False)
     w_all = Window.orderBy("sentence_text")
     sents = sents.select(
         "hash",

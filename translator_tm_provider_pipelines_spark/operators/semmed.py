@@ -141,7 +141,9 @@ def semmed_idf(
     pass it when the consumer is order-insensitive (the oracle harness
     compares sorted rows), keep the default for the TSV export the
     reference prints descending (r12, guide §2.4 — an orderBy used only
-    to make output deterministic)."""
+    to make output deterministic). The registry's ``semmed_cui_idf``
+    declared query intentionally uses ``sort=False`` — its contract is an
+    unordered relation (documented there; r13, VERDICT r12 item 8)."""
     out = counts.select(
         "cui",
         F.round(F.log(F.col("pmid_count") / F.lit(float(total_pmids))), 3).alias(

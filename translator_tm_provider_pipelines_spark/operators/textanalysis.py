@@ -10,6 +10,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..functions.staging import stage
+
 WORD_RE = r"([a-z0-9]+)"
 # BPE-ish subword pieces: runs of letters, runs of digits, single other chars
 BPE_ISH_RE = r"([A-Za-z]+|[0-9]+|[^A-Za-z0-9\s])"
@@ -726,9 +728,12 @@ def perplexity_buckets(
     # LAZY localCheckpoint (r12, guide §1.2): the scored frame feeds both
     # the tercile aggregate and the bucket projection — without it the
     # whole tokenize+LM tower runs twice per query
-    w = unigram_logprob(
-        docs, reference=reference, alpha=alpha, text_col=text_col, id_col=id_col
-    ).localCheckpoint(eager=False)
+    w = stage(
+        unigram_logprob(
+            docs, reference=reference, alpha=alpha, text_col=text_col, id_col=id_col
+        ),
+        eager=False,
+    )
     thr = w.agg(
         F.expr("percentile_cont(0.3333333333) WITHIN GROUP (ORDER BY mean_logprob)").alias("t1"),
         F.expr("percentile_cont(0.6666666667) WITHIN GROUP (ORDER BY mean_logprob)").alias("t2"),

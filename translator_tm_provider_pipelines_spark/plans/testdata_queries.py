@@ -4106,7 +4106,16 @@ def semmed_cui_idf(spark: SparkSession, sf_dir: str) -> DataFrame:
     map): two equi-joins + a distinct count + the reference's
     ln(count/total) at 3 decimals — replacing the reference's single-JVM
     HashMaps over 1.7B rows (SemmedDbIdf.createCui2PmidFile:166-224,
-    computeIdf:308-357)."""
+    computeIdf:308-357).
+
+    ORDERING CONTRACT (intentional, r12→r13): this declared query returns
+    an UNORDERED relation — the presentation sort (idf desc, cui) that
+    r11 produced was dropped deliberately (``sort=False``) because it is
+    a global range exchange + full sort that fixes display order only.
+    The SQL oracle above has no ORDER BY and the harness compares sorted
+    rows, so the relation contract is unchanged. Consumers that need the
+    reference's descending TSV (the CLI export surface) keep
+    ``semmed.semmed_idf(..., sort=True)``, the default."""
     from ..operators import semmed
 
     li = _t(spark, sf_dir, "lineitem")
