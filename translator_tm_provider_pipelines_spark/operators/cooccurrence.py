@@ -260,9 +260,17 @@ def concept_idf(unit_concepts: DataFrame, ancestors: DataFrame | None = None) ->
     idf = ln(totalDocs / docsWithConcept), rounded to 8.
 
     Both aggregates (per-concept doc count, total distinct docs) derive
-    from the shared per-unit concept-set frame so ReuseExchange runs the
-    corpus shuffle once instead of once per branch (r12; same rationale
-    as :func:`cooccurrence_chain_from_rows`)."""
+    from the shared per-unit concept-set frame. NOTE (r13, measured): for
+    THIS operator the optimizer does NOT reuse the exchange — column
+    pruning rewrites the totals branch into a bare distinct-unit count
+    whose subtree no longer matches the collect_set tower
+    (plans/r13/concept_idf_after_aqe_off.txt: 2 scan towers, 0
+    ReusedExchange; forcing the cs column into the totals aggregate was
+    A/B'd a wash at sf0.1 and still did not canonicalize to a reuse).
+    The pruned second tower carries only unit ids — cheaper than
+    materializing the set tower twice would be. The reuse claim DOES
+    hold for :func:`cooccurrence_chain_from_rows` (6 ReusedExchange refs,
+    plans/r13/cooccurrence_metrics_after_aqe_off.txt)."""
     uc = unit_concepts
     if ancestors is not None:
         uc = add_ancestor_concepts(uc, ancestors)
